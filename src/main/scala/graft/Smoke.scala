@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api.{GetLogsFilter, LogsQuery, Lookups}
+import graft.evm.EvmDerive
+
+/** Dev smoke main: drives the public library surface the way the
+  * driver's t1 smoke does (entry rows > 0) plus the negative paths the
+  * queries registry can't express (None returns, clamps, cursor walk).
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+
+    val n = SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n (driver checks >0)")
+
+    val txs = EvmDerive.transactions(spark, dir)
+    println(s"[smoke] txByHash invalid short hash -> ${Lookups.txByHash(txs, "0xdeadbeef")}")
+    println(s"[smoke] txByHash no-0x 66 chars -> ${Lookups.txByHash(txs, "zz" + "a" * 64)}")
+    val blocks = EvmDerive.blocks(spark, dir)
+    println(s"[smoke] blockByIdentifier gibberish -> ${Lookups.blockByIdentifier(blocks, "not-a-number")}")
+    println(s"[smoke] blockByIdentifier missing height rows=" +
+      Lookups.blockByIdentifier(blocks, "999999").get.count())
+
+    println(s"[smoke] clamp(0)=${LogsQuery.clampPageSize(0)} clamp(1000)=${LogsQuery.clampPageSize(1000)}")
+
+    // Cursor pagination walk == one-shot scan (the reference's core
+    // pagination claim, src/api.rs:162-163).
+    val logs = EvmDerive.logs(spark, dir)
+    // 0..8 = 90 logs < the 100-row one-shot cap, so both sides see all.
+    val filter0 = GetLogsFilter(fromBlock = Some(0), toBlock = Some(8), pageSize = Some(7))
+    val oneShot = LogsQuery.plan(logs, filter0.copy(pageSize = Some(100))).collect().map(_.getAs[Long]("id"))
+    var walked = Vector.empty[Long]
+    var f = filter0.copy(cursorBlock = Some(-1L), cursorLogId = Some(-1L))
+    var done = false
+    while (!done) {
+      val page = LogsQuery.run(logs, f)
+      walked ++= page.logs.map(_.getAs[Long]("id"))
+      if (page.logs.length < 7) done = true
+      else f = f.copy(cursorBlock = page.nextCursorBlock, cursorLogId = page.nextCursorLogId)
+    }
+    println(s"[smoke] cursor walk ${walked.length} ids == one-shot ${oneShot.length}: " +
+      (walked == oneShot.toVector))
+    spark.stop()
+  }
+}

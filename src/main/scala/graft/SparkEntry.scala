@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.api.{GetLogsFilter, LogsQuery}
+import graft.evm.EvmDerive
+import graft.queries.{AnalyticsQueries, CoreQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates the per-module query registries; every entry in
+  * [[queries]] ends in a total-order ORDER BY, and [[oracleSql]]
+  * carries the DuckDB-dialect equivalent for the driver's differential
+  * check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (the reference's `POST /logs`) on sf0.001;
+    * driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    LogsQuery.plan(
+      EvmDerive.logs(spark, "/root/testdata/sf0.001"),
+      GetLogsFilter(fromBlock = Some(0), toBlock = Some(50), pageSize = Some(100)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ AnalyticsQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

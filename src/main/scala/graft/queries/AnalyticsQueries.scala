@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Fixtures
+
+/** Analytic queries over the fixture star schema — the aggregate /
+  * join / window operator classes the reference delegates to Postgres
+  * (SURVEY.md §2: COUNT aggregates, plus the extension surface a
+  * Spark engine gets for free from Catalyst).
+  *
+  * Determinism-for-oracle rules (FIXTURES.md §3): money math is done
+  * in DecimalType (exact, order-insensitive) and cast to double only
+  * at the end; every query ends in a total-order ORDER BY on
+  * non-floating keys.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: one wide scan, map-side partial agg, tiny
+    // shuffle (4 groups) — the 100 TB plan is identical.
+    "q1_agg" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: 3-way join; customer is small → broadcast so
+    // the only shuffle is the final 5-group aggregate.
+    "q3_revenue_by_segment" -> ((s, dir) => {
+      val c = Fixtures.customer(s, dir)
+      val o = Fixtures.orders(s, dir)
+      val l = Fixtures.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q5 shape: star join through nation/region (broadcast dims).
+    "q5_nation_revenue" -> ((s, dir) => {
+      val c = Fixtures.customer(s, dir)
+      val o = Fixtures.orders(s, dir)
+      val l = Fixtures.lineitem(s, dir)
+      val n = Fixtures.nation(s, dir)
+      val r = Fixtures.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Window top-k per key: per-partition rank, no global sort.
+    "top3_purchases_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Fixtures.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // Time bucketing + grouped agg. `ts` is epoch-nanos (LongType, see
+    // Fixtures.events), so the hour bucket is integer arithmetic; the
+    // oracle mirrors it as epoch_ms(date_trunc('hour', ts)) — identical
+    // for epoch-positive timestamps. Emitted as epoch millis so Spark
+    // and DuckDB hash identically.
+    "events_hourly" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+        .orderBy(col("hour_ms"), col("event_type")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "top3_purchases_per_user" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |SELECT user_id, event_id, value,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+  )
+}
