@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque media payload row: binary bytes + typed metadata, the
+  * multimodal-column model for a training-data pipeline. */
+final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Stub "decoded" features — what a real image/audio decoder would
+  * emit. The decode itself is a deterministic fake (no codec libs in
+  * this container); the Spark-side plumbing (schema, typed Dataset,
+  * partition-batched decode, output shape) is real and oracle-checked.
+  */
+final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                               checksum: String, width: Long, height: Long,
+                               frames: Long)
+
+/** Multimodal columns: treat image/audio/video as opaque `binary`
+  * with typed metadata; decode / feature-extract runs as a
+  * partition-batched typed transformation (`mapPartitions` over a
+  * `Dataset[MediaRow]`, batches of 64 — the same batch shape a
+  * vectorized decoder / Pandas-UDF analog would use). At scale this
+  * is embarrassingly parallel: no shuffle, one pass, decoder state
+  * amortized per batch.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** Attach a binary payload + media_type to each document (the
+    * fixture has no real media, so the payload is the UTF-8 text
+    * bytes — opaque bytes as far as the pipeline is concerned). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB DECODER — deterministic fake in place of a real codec
+    * (marked per the build contract; a production build would swap in
+    * an actual decoder here and keep every signature identical).
+    * Width/height/frames derive from the byte length; the checksum is
+    * a real md5 over the payload bytes. */
+  private[ops] def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    batch.map { r =>
+      digest.reset()
+      val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
+      val n = r.payload.length.toLong
+      MediaFeatures(r.doc_id, r.media_type, n, sum,
+        width = 64 + n % 576,
+        height = 64 + (n * 7) % 416,
+        frames = if (r.media_type == "video") 1 + n % 30 else 1)
+    }
+  }
+
+  /** Partition-batched decode: groups each partition's iterator into
+    * [[BatchSize]] chunks so a real decoder could amortize setup per
+    * batch (the mapInPandas/mapInArrow batch shape, in Scala). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(decodeBatch)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, shingling, language ID, quality
+  * scoring, token statistics, fingerprinting.
+  *
+  * Everything is a narrow per-row projection (higher-order array
+  * functions, fully codegen'd) followed by at most one grouped
+  * aggregation — the 100 TB shape is "scan, transform in place,
+  * small shuffle only where a global ranking is asked for".
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Fixture texts are single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles (1-based positions, mirrors the DuckDB
+    * comprehension `[t[i]||' '||...  for i in range(1, len(t)-n+2)]`). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+
+  /** Per-language marker (stopword) lists for the n-gram-free
+    * heuristic language ID. Alphabetical language order is the
+    * tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "de", "et", "un"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
+
+  /** Language ID: distinct-marker-hit score per language, argmax with
+    * alphabetical tie-break (deterministic, oracle-mirrored as a CASE
+    * chain). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toksD = array_distinct(tokens(col("text")))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +: langMarkers.map { case (l, ms) =>
+        size(array_intersect(toksD, array(ms.map(lit): _*))).as(s"s_$l")
+      }): _*)
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Quality metrics: token counts, type-token ratio, average token
+    * length, stopword ratio, composite score. Ratios are emitted as
+    * integer basis points (integer `div`, exact in every engine) —
+    * cross-engine double rounding disagrees on .00005 boundaries, so
+    * floats never leave this operator. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "is")
+    docs.select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => t.isInCollection(stop))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+        expr("(n_distinct * 10000) div n_tokens").as("ttr_bp"),
+        expr("((n_chars - (n_tokens - 1)) * 100) div n_tokens").as("avg_token_len_x100"),
+        expr("(n_stop * 10000) div n_tokens").as("stopword_bp"))
+      .withColumn("quality_score_bp",
+        expr("(4 * ttr_bp + 3 * stopword_bp + 3 * least(10000, n_tokens * 100)) div 10"))
+  }
+
+  /** Global token frequencies, top N (count desc, token asc). */
+  def tokenCounts(docs: DataFrame, topN: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
+
+  /** Document frequency per token, top N. */
+  def docFrequency(docs: DataFrame, topN: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(topN)
+
+  /** Exact + HLL distinct token counts (the approx path is the one
+    * that scales; exact kept for the sanity bound). */
+  def distinctStats(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .agg(
+        countDistinct(col("token")).as("exact_distinct"),
+        approx_count_distinct(col("token")).as("approx_distinct"))
+
+  /** Rolling-hash-style document fingerprint: minimum md5 over the
+    * 3-word shingle set (1-min-sketch; identical fingerprint ⟺ likely
+    * shared content prefix region). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), shingles(toks).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
+        size(col("sh")).as("n_shingles"))
+  }
+
+  /** Whitespace vs BPE-ish token counting: the BPE-ish count adds
+    * punctuation marks as their own tokens (regex split analog). */
+  def tokenCountModes(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .as("n_punct"))
+      .withColumn("n_bpe_ish", col("n_ws_tokens") + col("n_punct"))
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.Fixtures
+
+/** LLM-training-data pipeline operators as driver-verified queries:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + IVF + LSH), text
+  * analysis, multimodal decode plumbing.
+  *
+  * Oracle-checked wherever DuckDB can express the same deterministic
+  * pipeline (md5-based MinHash and banding are mirrored end-to-end, so
+  * even the LSH candidate generation is differentially tested).
+  * SimHash (custom native expression) and hyperplane-LSH keep
+  * rows-only checks.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Fixtures.documents(s, dir))
+        .orderBy(col("keep_doc_id"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Fixtures.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Fixtures.documents(s, dir))
+        .orderBy(col("source"), col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Dedup.simhashPairs(Fixtures.documents(s, dir), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(Fixtures.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "similarity_topk" -> ((s, dir) =>
+      Similarity.topK(Fixtures.embeddings(s, dir), maxQueryId = 5, k = 10)
+        .orderBy(col("q_id"), col("rn"))),
+
+    "similarity_topk_ivf" -> ((s, dir) =>
+      Similarity.topKIvf(Fixtures.embeddings(s, dir), maxQueryId = 20, k = 3)
+        .orderBy(col("q_id"), col("rn"))),
+
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Fixtures.documents(s, dir), topN = 20)),
+
+    "text_doc_frequency" -> ((s, dir) =>
+      TextAnalysis.docFrequency(Fixtures.documents(s, dir), topN = 20)),
+
+    "text_distinct_approx" -> ((s, dir) =>
+      TextAnalysis.distinctStats(Fixtures.documents(s, dir))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "text_token_modes" -> ((s, dir) =>
+      TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .toDF().orderBy(col("doc_id")))
+  )
+
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+      |  FROM toks WHERE len(t) >= 3)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
+        |count(*) AS n_copies FROM documents GROUP BY md5(text)
+        |ORDER BY keep_doc_id""".stripMargin,
+
+    "dedup_minhash" -> (shingleCte +
+      """, mh AS (SELECT doc_id, j,
+        |  list_min([md5(j::VARCHAR || ':' || s) for s in shingles]) AS m
+        |  FROM sh, range(12) r(j)),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |  md5(string_agg(m, '|' ORDER BY j)) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |ver AS (SELECT doc_a, doc_b,
+        |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
+        |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
+        |WHERE inter * 1000 >= uni * 600 ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |p AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.shingles, b.shingles))::BIGINT AS inter,
+        |  len(list_distinct(list_concat(a.shingles, b.shingles)))::BIGINT AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM p
+        |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
+
+    "embed_neardup" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+        |  round(list_dot_product(x.v, q.v) / (x.nrm * q.nrm), 4) AS score
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id WHERE q.vec_id < 5),
+        |r AS (SELECT q_id, vec_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "similarity_topk_ivf" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS vec_id, x.label AS label,
+        |  round(list_dot_product(x.v, q.v) / (x.nrm * q.nrm), 4) AS score
+        |  FROM n q JOIN n x ON x.label = q.label AND x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |r AS (SELECT q_id, vec_id, label, score,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+        |SELECT q_id, rn, vec_id, label, score FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) td FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_intersect(td, ['der','die','das','und','ist']))::INT s_de,
+        |  len(list_intersect(td, ['the','a','of','and','is']))::INT s_en,
+        |  len(list_intersect(td, ['el','la','de','que','y']))::INT s_es,
+        |  len(list_intersect(td, ['le','les','de','et','un']))::INT s_fr,
+        |  len(list_intersect(td, ['de5','shi4','bu4','le5','zai4']))::INT s_zh
+        |  FROM t)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, n_chars, len(ts)::INT n_tokens,
+        |  len(list_distinct(ts))::INT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::INT n_stop FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct,
+        |  ((n_distinct * 10000) // n_tokens)::BIGINT AS ttr_bp,
+        |  (((n_chars - (n_tokens - 1)) * 100) // n_tokens)::BIGINT AS avg_token_len_x100,
+        |  ((n_stop * 10000) // n_tokens)::BIGINT AS stopword_bp,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_token_counts" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM tk GROUP BY token
+        |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_doc_frequency" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS df FROM tk GROUP BY token
+        |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "text_fingerprint" -> (shingleCte +
+      """SELECT doc_id, list_min([md5(s) for s in shingles]) AS fingerprint,
+        |len(shingles)::INT AS n_shingles FROM sh ORDER BY doc_id""".stripMargin),
+
+    "text_token_modes" ->
+      """SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws_tokens,
+        |(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::INT AS n_punct,
+        |(len(string_split(text, ' ')) + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::INT AS n_bpe_ish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |length(text)::BIGINT AS n_bytes,
+        |md5(text) AS checksum,
+        |(64 + length(text) % 576)::BIGINT AS width,
+        |(64 + (length(text) * 7) % 416)::BIGINT AS height,
+        |(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
