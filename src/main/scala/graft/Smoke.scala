@@ -48,6 +48,23 @@ object Smoke {
     }
     println(s"[smoke] cursor walk ${walked.length} ids == one-shot ${oneShot.length}: " +
       (walked == oneShot.toVector))
+
+    // Ingest surface: micro-batch a simulated chain into a parquet
+    // ChainStore, inject a fork, confirm the store ends strictly
+    // canonical (the reference's reorg guarantee, src/main.rs:166-189).
+    import graft.ingest.{ChainStore, SimChain, StreamingIngester}
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("smoke-chain").toString
+    val store = new ChainStore(spark, storeDir, bucketSize = 10)
+    SimChain.canonical(30).grouped(5)
+      .foreach(b => StreamingIngester.processBatch(store, b.toSeq.toDF()))
+    println(s"[smoke] ingested 30 blocks, lastSynced=${store.lastSyncedBlock}")
+    StreamingIngester.processBatch(store, SimChain.forked(22, 35).toDF())
+    val chainBlocks = store.read("blocks").get.select("block_number", "block_hash", "parent_hash")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val linked = (1L until 35L).forall(h => chainBlocks(h)._2 == chainBlocks(h - 1)._1)
+    println(s"[smoke] after fork@22: blocks=${chainBlocks.size} lastSynced=${store.lastSyncedBlock} " +
+      s"hash-chain-linked=$linked")
     spark.stop()
   }
 }

@@ -53,9 +53,9 @@ object Ingest {
       .select(col("block_number"), col("block_hash"), col("t.*"))
     val logs = txs
       .select(col("block_number"), col("block_hash"), col("tx_hash"),
-        explode(col("logs")).as("l"))
+        col("tx_index_in_block"), explode(col("logs")).as("l"))
       .select(col("block_number"), col("block_hash"),
-        col("tx_hash").as("transaction_hash"), col("l.*"))
+        col("tx_hash").as("transaction_hash"), col("tx_index_in_block"), col("l.*"))
     (blocks, txs.drop("logs"), logs)
   }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{ChainStore, Ingest, SimChain, StreamingIngester}
+
+/** Ingest semantics: flatten, idempotency, reorg rollback, streaming
+  * end-to-end — the reference's `src/main.rs:166-311` + `src/db.rs:34-50`
+  * guarantees, which it asserts but never tests (SURVEY §5). */
+class IngestSpec extends AnyFunSuite with SparkSpec {
+
+  private def envelopes(blocks: Seq[SimChain.SimBlock]): DataFrame = {
+    import spark.implicits._
+    blocks.toDF()
+  }
+
+  private def freshStore(bucketSize: Long = 5): (ChainStore, String) = {
+    val dir = Files.createTempDirectory("chainstore").toString
+    (new ChainStore(spark, dir, bucketSize), dir)
+  }
+
+  test("I-7: flatten explodes nested envelopes into consistent tables") {
+    val chain = SimChain.canonical(12)
+    val (blocks, txs, logs) = Ingest.flatten(envelopes(chain))
+    assert(blocks.count() == 12)
+    assert(txs.count() == chain.map(_.transactions.size).sum)
+    assert(logs.count() == chain.flatMap(_.transactions).map(_.logs.size).sum)
+    // denormalized lineage columns present (init.sql:53-55)
+    assert(logs.columns.toSet.contains("block_hash") &&
+      logs.columns.toSet.contains("transaction_hash"))
+  }
+
+  test("Q-20: idempotent re-append is a fixpoint (db.rs:97,136)") {
+    val (_, txs, _) = Ingest.flatten(envelopes(SimChain.canonical(10)))
+    val once = Ingest.idempotentAppend(txs, txs, Seq("tx_hash"))
+    assert(once.count() == txs.count())
+    val twice = Ingest.idempotentAppend(once, txs.limit(5), Seq("tx_hash"))
+    assert(twice.count() == txs.count())
+  }
+
+  test("ChainStore: append batches, checkpoint, replay is exactly-once") {
+    val (store, _) = freshStore()
+    val chain = SimChain.canonical(20)
+    chain.grouped(5).foreach(b => StreamingIngester.processBatch(store, envelopes(b)))
+    assert(store.lastSyncedBlock.contains(19L))
+    val logsN = store.read("logs").get.count()
+    // replay a middle batch (crash-recovery path): nothing duplicates
+    StreamingIngester.processBatch(store, envelopes(chain.slice(5, 15)))
+    assert(store.read("logs").get.count() == logsN)
+    assert(store.read("blocks").get.count() == 20)
+  }
+
+  test("Q-21: rollback removes exactly the suffix across all tables (db.rs:34-50)") {
+    val (store, _) = freshStore(bucketSize = 4)
+    SimChain.canonical(18).grouped(6)
+      .foreach(b => StreamingIngester.processBatch(store, envelopes(b)))
+    val beforeTx = store.read("transactions").get
+      .filter(col("block_number") < 11).count()
+    store.rollback(11)
+    assert(store.lastSyncedBlock.contains(10L))
+    assert(store.read("transactions").get.count() == beforeTx)
+    assert(store.read("logs").get
+      .filter(col("block_number") >= 11).count() == 0)
+    // and the store keeps working after the partition rewrite
+    StreamingIngester.processBatch(store, envelopes(SimChain.canonical(18).drop(11)))
+    assert(store.lastSyncedBlock.contains(17L))
+  }
+
+  test("I-9/I-10: reorg detected via parent hash, fork suffix replaced (main.rs:166-189)") {
+    val (store, _) = freshStore()
+    SimChain.canonical(15).grouped(5)
+      .foreach(b => StreamingIngester.processBatch(store, envelopes(b)))
+    val fork = SimChain.forked(10, 18)
+    // sanity: fork first block links to canonical block 9 but differs from canonical 10
+    assert(store.detectReorg(fork.head.block_number, fork.head.parent_hash).isEmpty)
+    assert(store.hashAt(10).get != fork.head.block_hash)
+    StreamingIngester.processBatch(store, envelopes(fork))
+    // store is strictly canonical: prefix untouched, suffix is the fork chain
+    assert(store.lastSyncedBlock.contains(17L))
+    val byHeight = store.read("blocks").get
+      .select(col("block_number"), col("block_hash"), col("parent_hash"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byHeight.size == 18)
+    (1L until 18L).foreach { h =>
+      assert(byHeight(h)._2 == byHeight(h - 1)._1,
+        s"hash chain must link at height $h after reorg")
+    }
+  }
+
+  test("streaming e2e: micro-batched ingest with injected fork (I-1..I-12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (store, _) = freshStore()
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val source = MemoryStream[SimChain.SimBlock]
+    val query = StreamingIngester.start(source.toDF(), store, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      source.addData(SimChain.canonical(8))
+      query.processAllAvailable()
+      assert(store.lastSyncedBlock.contains(7L))
+      source.addData(SimChain.blocks(8, 12))
+      query.processAllAvailable()
+      assert(store.lastSyncedBlock.contains(11L))
+      source.addData(SimChain.forked(6, 10))
+      query.processAllAvailable()
+      assert(store.lastSyncedBlock.contains(9L))
+      assert(store.read("blocks").get.count() == 10)
+      assert(store.hashAt(6).get == SimChain.forked(6, 10).head.block_hash)
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, SimHash64}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Pipeline-operator semantics on handcrafted inputs. */
+class OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("dedup_exact groups identical texts, keeps min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d).collect().map(r =>
+      r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "changed")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash expression: codegen result matches direct compute; near-dup pair close") {
+    GraftFunctions.register(spark)
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma epsilon",
+      3L -> "totally different words here")
+    val got = d.select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == SimHash64.ofTokens(Seq("alpha", "beta", "gamma", "delta")))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(1L), got(2L)) < hamming(got(1L), got(3L)))
+  }
+
+  test("similarity topK ranks by cosine (orthogonal basis vectors)") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0f, 0f, 1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.topK(e, maxQueryId = 1, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rn")))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("language id picks the language with most marker hits") {
+    val d = docs(
+      1L -> "the cat of a house is big",
+      2L -> "el gato de la casa que y",
+      3L -> "le chat de les maisons et un")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
+  }
+
+  test("quality basis points are exact integers") {
+    val d = docs(1L -> "a a b c") // 4 tokens, 3 distinct, 1 stopword 'a' twice
+    val r = TextAnalysis.quality(d).collect().head
+    assert(r.getAs[Long]("ttr_bp") == 7500L)
+    assert(r.getAs[Long]("stopword_bp") == 5000L)
+    // 7 chars, 4 tokens: (7-3)*100 div 4 = 100
+    assert(r.getAs[Long]("avg_token_len_x100") == 100L)
+    // (4*7500 + 3*5000 + 3*least(10000, 400)) div 10 = (30000+15000+1200)/10
+    assert(r.getAs[Long]("quality_score_bp") == 4620L)
+  }
+
+  test("multimodal decode: checksum is the payload md5, dims derive from length") {
+    val d = docs(3L -> "hello world")
+    val f = Multimodal.decodeFeatures(spark, Multimodal.withPayload(d)).collect().head
+    assert(f.doc_id == 3L && f.media_type == "image")
+    assert(f.n_bytes == 11L)
+    assert(f.checksum == graft.evm.EvmDerive.md5hex("hello world"))
+    assert(f.width == 64 + 11 % 576 && f.frames == 1L)
+  }
+
+  test("ngram jaccard is blocked by source (cross-source pairs excluded)") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 1 and 3 share source (odd/even split in docs()), 1 and 2 do not
+    val d = docs(1L -> t, 2L -> t, 3L -> t)
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("jaccard_bp")))
+    assert(pairs.toSeq == Seq((1L, 3L, 10000L)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.api.LogsQuery
+import graft.functions.SimHash64
+
+/** ScalaCheck properties for the pure (non-Spark) kernels. */
+object PureProps extends Properties("graft.pure") {
+
+  property("clampPageSize stays in [1,100] and is identity inside") =
+    Prop.forAll(Gen.chooseNum(-1000, 1000)) { n =>
+      val c = LogsQuery.clampPageSize(n)
+      c >= 1 && c <= 100 && (n < 1 || n > 100 || c == n)
+    }
+
+  private val tokenGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))
+
+  property("simhash is deterministic") = Prop.forAll(tokenGen) { ts =>
+    SimHash64.ofTokens(ts) == SimHash64.ofTokens(ts)
+  }
+
+  property("simhash is order-invariant (bag semantics)") =
+    Prop.forAll(tokenGen) { ts =>
+      SimHash64.ofTokens(ts) == SimHash64.ofTokens(ts.reverse)
+    }
+
+  property("single-token edit moves hamming less than disjoint rewrite") =
+    Prop.forAll(Gen.listOfN(40, Gen.identifier.map(_.take(6))).suchThat(_.nonEmpty)) { ts =>
+      def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      val h = SimHash64.ofTokens(ts)
+      val edited = "zzz_edit" :: ts.tail
+      val rewritten = ts.map(t => t + "_totally_new")
+      hamming(h, SimHash64.ofTokens(edited)) <= hamming(h, SimHash64.ofTokens(rewritten)) + 8
+    }
+
+  property("md5hex is lowercase 32-hex") = Prop.forAll(Gen.alphaNumStr) { s =>
+    val h = graft.evm.EvmDerive.md5hex(s)
+    h.length == 32 && h.forall(c => "0123456789abcdef".contains(c))
+  }
+}
