@@ -88,8 +88,10 @@ object SimHash64 {
   * plus a runtime fallback for sessions created without the config.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.simhash64Descriptor)
+    ext.injectFunction(VectorExprs.dotF64Descriptor)
+  }
 }
 
 object GraftFunctions {
@@ -101,7 +103,10 @@ object GraftFunctions {
   )
 
   /** Idempotent registration into an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simhash64Descriptor._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f64", VectorExprs.dotF64Descriptor._3, "scala_udf")
+  }
 }

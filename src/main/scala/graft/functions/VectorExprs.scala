@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen dot product over two `array<double>` columns.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _*_), 0d, _+_)`) allocates a zipped
+  * array and evaluates interpreted lambdas per element — measured
+  * ~40 s for 125k 64-dim pairs at sf0.1. This expression is a tight
+  * generated loop (no allocation, no virtual calls), keeping
+  * similarity search inside whole-stage codegen. Summation is
+  * sequential in index order — bit-identical to the DuckDB oracle's
+  * `list_dot_product`.
+  *
+  * Null handling: null array → null result; elements are assumed
+  * non-null (embedding vectors), matching primitive `getDouble`.
+  */
+case class DotProductF64(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f64 requires (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column-level dot product backed by the native expression. */
+  def dotF64(a: Column, b: Column): Column =
+    ColumnShim.column(DotProductF64(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  private[graft] val dotF64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_f64"),
+    new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
+    (children: Seq[Expression]) => DotProductF64(children.head, children(1))
+  )
+}

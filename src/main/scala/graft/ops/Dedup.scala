@@ -22,24 +22,40 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct 3-word shingle set (docs with < 3 tokens have
-    * no shingles and are excluded, mirroring the oracle). */
-  def shingled(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), TextAnalysis.shingles(col("toks")).as("shingles"))
+  /** Exploded distinct (doc_id, shingle) rows — the scalable base for
+    * every shingle operator. Shingles are built with window `lead`
+    * over exploded tokens (codegen'd; the per-row
+    * `transform(sequence(...))` formulation runs interpreted and
+    * serializes each document's work onto one element loop). Docs with
+    * < 3 tokens produce no rows, mirroring the oracle's
+    * `WHERE len(t) >= 3`. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
   }
 
+  /** Distinct-shingle count per doc. */
+  def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
   /** MinHash signature: k independent hash functions realized as
-    * lexicographic min of md5(j:shingle) — one per-row projection,
-    * no shuffle, deterministic across engines (oracle mirrors it).
-    */
-  def withMinhashSignature(sh: DataFrame, k: Int = 12): DataFrame =
-    sh.withColumn("sig", transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(col("shingles"),
-        s => md5(concat(j.cast("string"), lit(":"), s))))))
+    * lexicographic min of md5(j:shingle), computed as k min-aggregates
+    * over the exploded shingle rows — md5 stays in codegen and the
+    * only shuffle is the map-side-combined groupBy(doc_id).
+    * Deterministic across engines (oracle mirrors it). */
+  def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+        (1 until k).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
 
   /** LSH banding: k/rowsPerBand bands, each band = md5 of its rows'
     * concatenated minhashes. Explodes to (doc_id, band, band_sig). */
@@ -62,18 +78,26 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
                    threshold: Double = 0.6): DataFrame = {
-    val sh = shingled(docs)
-    val bands = minhashBands(withMinhashSignature(sh, k), k, rowsPerBand)
+    val sh = shingleRows(docs)
+    val bands = minhashBands(minhashSignature(sh, k), k, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     val cands = a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cands.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+    // exact-Jaccard verification of the (few) candidates: count common
+    // shingles via equality joins on the exploded rows — no array
+    // materialization, broadcast of the candidate set.
+    val exA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val exB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = broadcast(cands).join(exA, "doc_a")
+      .join(exB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = shingleSizes(sh)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(jaccardAtLeast(col("inter"), col("uni"), threshold))
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
@@ -90,22 +114,30 @@ object Dedup {
     inter.cast("long") * 1000 >= uni.cast("long") * th
   }
 
-  /** Blocked n-gram Jaccard: all pairs *within a blocking key* (here
+  /** Blocked n-gram Jaccard: pairs *within a blocking key* (here
     * `source` — at scale the block bounds the quadratic term), kept at
-    * jaccard >= threshold. */
+    * jaccard >= threshold.
+    *
+    * Computed as explode → equality self-join on (source, shingle) →
+    * count per pair, then |A∪B| = |A|+|B|-|A∩B|. This is a shuffle on
+    * the shingle key with map-side combine — codegen'd end to end,
+    * and it only ever materializes pairs that share a shingle, unlike
+    * the per-pair `array_intersect` formulation (which was 30 s at
+    * sf0.1 and cannot scale). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val sh = {
-      val toks = TextAnalysis.tokens(col("text"))
-      docs.select(col("doc_id"), col("source"), toks.as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("source"), TextAnalysis.shingles(col("toks")).as("shingles"))
-    }
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("source"))
+    val ex = shingleRows(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sizes = shingleSizes(ex)
+    val inter = ex.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
+      .join(ex.select(col("source"), col("doc_id").as("doc_b"), col("shingle")),
+        Seq("source", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(jaccardAtLeast(col("inter"), col("uni"), threshold))
       .select(col("source"), col("doc_a"), col("doc_b"),
         jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
