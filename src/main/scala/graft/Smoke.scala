@@ -65,6 +65,26 @@ object Smoke {
     val linked = (1L until 35L).forall(h => chainBlocks(h)._2 == chainBlocks(h - 1)._1)
     println(s"[smoke] after fork@22: blocks=${chainBlocks.size} lastSynced=${store.lastSyncedBlock} " +
       s"hash-chain-linked=$linked")
+
+    // Streaming surface: the DataSourceV2 simulated-chain source wired
+    // through the public readStream.format(...) API into a fresh store.
+    import graft.sources.SimChainSource
+    val headFile = java.nio.file.Files.createTempFile("smoke-head", ".txt").toString
+    SimChainSource.writeHeadFile(headFile, 12, None)
+    val store2 = new ChainStore(spark,
+      java.nio.file.Files.createTempDirectory("smoke-chain2").toString, bucketSize = 10)
+    val q = StreamingIngester.start(
+      spark.readStream.format("graft-simchain")
+        .option("headFile", headFile).option("flakyEveryN", 5).load(),
+      store2,
+      java.nio.file.Files.createTempDirectory("smoke-ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    q.processAllAvailable()
+    SimChainSource.writeHeadFile(headFile, 20, Some(15L))
+    q.processAllAvailable()
+    q.stop()
+    println(s"[smoke] DSv2 source: lastSynced=${store2.lastSyncedBlock} " +
+      s"status=${store2.readStatus} (expect 20 after fork@15)")
     spark.stop()
   }
 }

@@ -106,6 +106,24 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     }
   }
 
+  /** Q-19: the reference's `indexer_status` single-row upsert
+    * (`ON CONFLICT DO UPDATE`, `src/db.rs:53-77`) — last-writer-wins
+    * overwrite of a one-row table. */
+  def writeStatus(lastProcessedBlock: Long, chainHeadAtLastPoll: Long): Unit = {
+    import spark.implicits._
+    Seq((lastProcessedBlock, chainHeadAtLastPoll))
+      .toDF("last_processed_block", "chain_head_at_last_poll")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/indexer_status")
+  }
+
+  /** (last_processed_block, chain_head_at_last_poll), None before
+    * first ingest — `src/db.rs:8-15`. */
+  def readStatus: Option[(Long, Long)] =
+    if (fs.exists(new Path(s"$root/indexer_status")))
+      spark.read.parquet(s"$root/indexer_status").collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1)))
+    else None
+
   /** I-9: incoming block's parent must match the stored hash at
     * height-1; absent parent is OK (cold start / gap,
     * `src/main.rs:171-175`). Returns the fork height when a reorg is

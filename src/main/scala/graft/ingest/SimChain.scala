@@ -13,7 +13,8 @@ import graft.evm.EvmDerive.md5hex
 object SimChain {
 
   case class SimLog(log_index_in_tx: Long, contract_address: String,
-                    topic0: String, topic1: Option[String], data: String)
+                    topic0: String, topic1: Option[String],
+                    topic2: Option[String], topic3: Option[String], data: String)
   case class SimTx(tx_hash: String, tx_index_in_block: Long, from_address: String,
                    to_address: String, value: String, gas_used: Long, status: Long,
                    logs: Seq[SimLog])
@@ -22,6 +23,37 @@ object SimChain {
 
   private def h256(s: String): String = "0x" + md5hex(s) + md5hex(s + ":2")
   private def h160(s: String): String = "0x" + md5hex(s).take(40)
+
+  /** One block, computed directly (hash depends only on (salt, n), so
+    * any reader — including a streaming source partition — can
+    * materialize block n without walking the chain). */
+  def blockAt(n: Long, salt: String, parentHash: String): SimBlock = {
+    val hash = h256(s"$salt:$n")
+    val txs = (0L until (n % 3 + 1)).map { t =>
+      val logs = (0L until (t % 2 + 1)).map { l =>
+        SimLog(l, h160(s"addr:${(n + t + l) % 7}"),
+          "0x" + md5hex(s"sig:${l % 3}"),
+          if (l % 2 == 0) Some("0x" + md5hex(s"t1:$n")) else None,
+          if (n % 3 == 0) Some("0x" + md5hex(s"t2:$t")) else None,
+          None,
+          s"0xdata$n-$t-$l")
+      }
+      SimTx(h256(s"$salt:tx:$n:$t"), t, h160(s"from:${(n + t) % 5}"),
+        h160(s"to:${t % 5}"), s"${n + 1}000000000000000000",
+        21000 + t * 100, if ((n + t) % 10 == 0) 0 else 1, logs)
+    }
+    SimBlock(n, hash, parentHash, 1704067200L + n * 12, txs)
+  }
+
+  /** Block n on a chain that follows `main` until `forkAt` (exclusive)
+    * and the `fork` branch after — the single-block view a simulated
+    * RPC node serves. `forkAt = None` is the pure canonical chain. */
+  def blockOn(n: Long, forkAt: Option[Long]): SimBlock = {
+    def saltOf(h: Long): String = if (forkAt.exists(h >= _)) "fork" else "main"
+    val parent =
+      if (n == 0) h256("genesis-parent") else h256(s"${saltOf(n - 1)}:${n - 1}")
+    blockAt(n, saltOf(n), parent)
+  }
 
   /** Hash-linked chain segment `[from, until)` on branch `salt`.
     * Hashes chain through the parent so a divergent branch has
@@ -32,21 +64,8 @@ object SimChain {
     var parent = parentOfFirst.getOrElse(
       if (from == 0) h256("genesis-parent") else h256(s"main:${from - 1}"))
     (from until until).map { n =>
-      val branchSalt = salt
-      val hash = h256(s"$branchSalt:$n")
-      val txs = (0L until (n % 3 + 1)).map { t =>
-        val logs = (0L until (t % 2 + 1)).map { l =>
-          SimLog(l, h160(s"addr:${(n + t + l) % 7}"),
-            "0x" + md5hex(s"sig:${l % 3}"),
-            if (l % 2 == 0) Some("0x" + md5hex(s"t1:$n")) else None,
-            s"0xdata$n-$t-$l")
-        }
-        SimTx(h256(s"$branchSalt:tx:$n:$t"), t, h160(s"from:${(n + t) % 5}"),
-          h160(s"to:${t % 5}"), s"${n + 1}000000000000000000",
-          21000 + t * 100, if ((n + t) % 10 == 0) 0 else 1, logs)
-      }
-      val b = SimBlock(n, hash, parent, 1704067200L + n * 12, txs)
-      parent = hash
+      val b = blockAt(n, salt, parent)
+      parent = b.block_hash
       b
     }
   }

@@ -37,7 +37,16 @@ object StreamingIngester {
     * are bounded (BLOCKS_PER_BATCH analog), this is O(batch), never
     * O(chain).
     */
-  def processBatch(store: ChainStore, batch: DataFrame): Unit = {
+  def processBatch(store: ChainStore, batchRaw: DataFrame): Unit = {
+    // One source read per cycle: the batch feeds several actions
+    // (header collect, three appends), so cache it instead of
+    // re-executing the source scan per action.
+    val batch = batchRaw.persist()
+    try processCached(store, batch)
+    finally batch.unpersist()
+  }
+
+  private def processCached(store: ChainStore, batch: DataFrame): Unit = {
     if (!batch.isEmpty) {
       val incoming = batch
         .select(col("block_number"), col("block_hash"), col("parent_hash"))
@@ -64,6 +73,10 @@ object StreamingIngester {
       val logsWithId = logs.withColumn("id",
         expr("block_number * 1000000 + tx_index_in_block * 1000 + log_index_in_tx"))
       store.append(blocks, txs, logsWithId)
+      // Q-19: checkpoint upsert in the same cycle, mirroring the
+      // reference's status update inside the commit (src/main.rs:299-303).
+      val hi = incoming.last._1
+      store.writeStatus(hi, hi)
     }
   }
 
