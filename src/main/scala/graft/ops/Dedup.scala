@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline over the
   * `documents` table: exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -41,6 +42,20 @@ object Dedup {
       .distinct()
   }
 
+  /** [[shingleRows]], persisted. The near-dup pipelines reference the
+    * shingle base from up to 7 plan legs (signature, both band-join
+    * sides, both verification sides, sizes), and column pruning makes
+    * each leg's scan differ slightly, so Catalyst's ReuseExchange never
+    * fires — without a persist the tokenize + window + distinct runs
+    * once *per leg*. Persisting collapses that to one materialization
+    * shared by every leg (and across the minhash/ngram operators, which
+    * share the identical plan and therefore the same cache entry).
+    * MEMORY_AND_DISK: the shingle set is ~O(tokens) of the corpus, so
+    * at cluster scale it spills rather than OOMs; on executor loss the
+    * lineage recomputes the lost partitions. */
+  def sharedShingleRows(docs: DataFrame): DataFrame =
+    shingleRows(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Distinct-shingle count per doc. */
   def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -78,7 +93,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
                    threshold: Double = 0.6): DataFrame = {
-    val sh = shingleRows(docs)
+    val sh = sharedShingleRows(docs)
     val bands = minhashBands(minhashSignature(sh, k), k, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
@@ -125,7 +140,7 @@ object Dedup {
     * the per-pair `array_intersect` formulation (which was 30 s at
     * sf0.1 and cannot scale). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val ex = shingleRows(docs)
+    val ex = sharedShingleRows(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     val sizes = shingleSizes(ex)
     val inter = ex.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))

@@ -132,6 +132,19 @@ object CoreQueries {
     "reorg_rollback" -> ((s, dir) =>
       Ingest.rollback(EvmDerive.logs(s, dir), forkHeight = 900)
         .select(col("id"), col("block_number"))
+        .orderBy(col("id"))),
+
+    // Q-22: row → JSON wire serialization (the reference's serde
+    // camelCase of MyLog, src/models.rs:47 via src/api.rs:224-228).
+    // ignoreNullFields=false so null topics serialize as `"t":null`,
+    // the way serde serializes Option::None.
+    "logs_json" -> ((s, dir) =>
+      EvmDerive.logs(s, dir)
+        .filter(col("block_number") < 20)
+        .select(col("id"), to_json(struct(
+          col("id"), col("block_number"), col("transaction_hash"),
+          col("contract_address"), col("topic0"), col("topic3")),
+          Map("ignoreNullFields" -> "false")).as("log_json"))
         .orderBy(col("id")))
   )
 
@@ -203,6 +216,12 @@ object CoreQueries {
       "SELECT id, block_number, transaction_hash FROM logs ORDER BY id"),
 
     "reorg_rollback" -> (EvmDerive.cte +
-      "SELECT id, block_number FROM logs WHERE block_number < 900 ORDER BY id")
+      "SELECT id, block_number FROM logs WHERE block_number < 900 ORDER BY id"),
+
+    "logs_json" -> (EvmDerive.cte +
+      "SELECT id, to_json(struct_pack(id := id, block_number := block_number, " +
+      "transaction_hash := transaction_hash, contract_address := contract_address, " +
+      "topic0 := topic0, topic3 := topic3))::VARCHAR AS log_json " +
+      "FROM logs WHERE block_number < 20 ORDER BY id")
   )
 }

@@ -112,4 +112,50 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
       assert(store.hashAt(6).get == SimChain.forked(6, 10).head.block_hash)
     } finally query.stop()
   }
+
+  test("I-13: queries serve concurrently with live ingest (main.rs:358-374)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (store, _) = freshStore()
+    val checkpoint = Files.createTempDirectory("ckpt13").toString
+    val source = MemoryStream[SimChain.SimBlock]
+    val query = StreamingIngester.start(source.toDF(), store, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    // the serving side: a reader thread issuing point lookups + stats
+    // against the store while the ingester commits batches — the
+    // reference's tokio::spawn(ingester) + Axum server sharing one pool
+    @volatile var served = 0
+    @volatile var failure: Option[Throwable] = None
+    val reader = new Thread(() => {
+      try {
+        while (served < 8) {
+          store.read("blocks").foreach { b =>
+            val n = b.count()
+            val lookedUp = graft.api.Lookups.blockByIdentifier(b, "0").get.collect()
+            assert(lookedUp.length <= 1)
+            if (n > 0) served += 1
+          }
+          Thread.sleep(20)
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    try {
+      source.addData(SimChain.canonical(5))
+      query.processAllAvailable()
+      reader.start()
+      (5L until 30L by 5).foreach { h =>
+        source.addData(SimChain.blocks(h, h + 5))
+        query.processAllAvailable()
+      }
+      reader.join(30000)
+      assert(!reader.isAlive, "reader thread starved while ingest ran")
+      failure.foreach(throw _)
+      assert(served >= 8)
+      assert(store.lastSyncedBlock.contains(29L))
+    } finally {
+      query.stop()
+      if (reader.isAlive) reader.interrupt()
+    }
+  }
 }

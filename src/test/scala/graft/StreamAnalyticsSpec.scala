@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamAnalytics
+import graft.streaming.StreamAnalytics.{SessionEvent, UserSession}
+import graft.tables.Fixtures
+
+/** Streaming analytics: watermarked hourly rollup (streaming twin of
+  * the batch `events_hourly` query) and stateful sessionization.
+  * Streaming == batch parity is the correctness claim: the same plan
+  * over the same rows must produce the same aggregates whether the
+  * rows arrive as a table or as an unbounded feed. */
+class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hourly rollup on a stream == batch events_hourly on the same rows") {
+    import spark.implicits._
+    // feed the fixture events through a file stream (one parquet dir,
+    // same files the batch query reads)
+    val batchEvents = Fixtures.events(spark, sfDir)
+    // file-stream sources read a directory; stage the single fixture
+    // file into one
+    val streamDir = Files.createTempDirectory("eventsfeed")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(streamDir.toString)
+    // complete mode: every window's current value, no watermark wait
+    val rollup = StreamAnalytics.hourlyRollup(stream)
+    val q = rollup.writeStream
+      .format("memory").queryName("rollup_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("rollup_stream")
+      .select($"hour_ms", $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_ms", $"event_type").collect()
+    val batch = StreamAnalytics.hourlyRollup(batchEvents)
+      .orderBy($"hour_ms", $"event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("append mode: a window emits exactly once, when the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val rollup = StreamAnalytics.hourlyRollup(
+      mem.toDF(), watermark = "0 seconds")
+    val dir = Files.createTempDirectory("rollupck").toString
+    val q = rollup.writeStream.format("memory").queryName("rollup_append")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      // hour 0 events, then an hour-2 event to push the watermark past
+      // the end of hour 0
+      mem.addData(SessionEvent(1, 1000, "click", 1.0),
+        SessionEvent(2, 2000, "click", 2.0))
+      q.processAllAvailable()
+      val early = spark.table("rollup_append").count()
+      assert(early == 0, "window must not emit before watermark passes")
+      mem.addData(SessionEvent(3, 2 * hourNanos, "view", 1.0))
+      q.processAllAvailable()
+      // watermark is now hour 2 > end of hour 0 ⇒ hour-0 window is final
+      val rows = spark.table("rollup_append")
+        .select($"hour_ms", $"event_type", $"n", $"sum_value").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 0L && rows(0).getString(1) == "click" &&
+        rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-separated bursts close as distinct sessions per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val sessions = StreamAnalytics.sessionize(
+      mem.toDS(), gapNanos = 10 * minNanos, watermark = "0 seconds")
+    val dir = Files.createTempDirectory("sessck").toString
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      // base offset keeps events off epoch 0 — rows at or before the
+      // initial watermark (0) would be dropped as late.
+      val base = 24 * 60
+      // user 1: burst at t=0..2min, then a second burst 30min later —
+      // two sessions. user 2: one event.
+      mem.addData(
+        SessionEvent(1, base * minNanos, "click", 1.0),
+        SessionEvent(1, (base + 2) * minNanos, "click", 2.0),
+        SessionEvent(1, (base + 32) * minNanos, "view", 4.0),
+        SessionEvent(2, base * minNanos, "view", 8.0))
+      q.processAllAvailable()
+      // advance watermark far past every session's last+gap
+      mem.addData(SessionEvent(99, (base + 1000) * minNanos, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[UserSession].collect()
+        .map(s => (s.user_id, s.session_start / minNanos - base,
+          s.session_end / minNanos - base, s.n_events, s.sum_value))
+        .toSet
+      assert(got == Set(
+        (1L, 0L, 2L, 2L, 3.0),   // first burst: 2 events, closed by the in-batch gap
+        (1L, 32L, 32L, 1L, 4.0), // second burst: closed by event-time timeout
+        (2L, 0L, 0L, 1L, 8.0)))
+    } finally q.stop()
+  }
+}
