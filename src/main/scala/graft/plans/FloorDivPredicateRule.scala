@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Predicate transposition through invertible floor-division
+  * derivations.
+  *
+  * The EVM surface derives `block_number = floor(event_id / 10)` at
+  * read time ([[graft.evm.EvmDerive]]); a user filter
+  * `block_number >= 100` therefore reaches the parquet scan as
+  * `FLOOR(event_id / 10.0) >= 100` — an expression the data source
+  * cannot use, so every row group is read (`PushedFilters:
+  * [IsNotNull(event_id)]`). The reference gets the equivalent pruning
+  * for free from its B-tree on the *stored* block_number column
+  * (`init.sql:24`); on derived columns Spark needs the algebra done
+  * for it.
+  *
+  * For integer `a`, positive integer `c`, floor division satisfies
+  * `floor(a/c) = k  ⟺  k·c ≤ a < (k+1)·c`, which transposes every
+  * comparison:
+  *
+  *   - `floor(a/c) ≥ k` ⟺ `a ≥ k·c`
+  *   - `floor(a/c) > k` ⟺ `a ≥ (k+1)·c`
+  *   - `floor(a/c) ≤ k` ⟺ `a ≤ (k+1)·c − 1`
+  *   - `floor(a/c) < k` ⟺ `a ≤ k·c − 1`
+  *   - `floor(a/c) = k` ⟹ both `≥ k·c` and `≤ k·c+c−1`
+  *
+  * The rule ADDS the transposed conjunct next to the original
+  * predicate (never replaces it — the original stays load-bearing for
+  * correctness, the plain-column copy exists to be pushed into the
+  * scan, where parquet row-group min/max stats can finally prune).
+  * Overflow guard: k·c and (k+1)·c are computed with Math.*Exact and
+  * the rewrite is skipped on overflow.
+  *
+  * Registered through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+object FloorDivPredicateRule extends Rule[LogicalPlan] {
+
+  /** Matches `FLOOR(CAST(a AS DOUBLE) / c)` (optionally the whole
+    * floor cast back to long) where `a` is an integral attribute and
+    * `c` a positive integral double literal. The double round-trip is
+    * exact while |a| < 2^53 / c — event ids and row counters live far
+    * below that; beyond it Spark's own floor(double) answer is the
+    * thing being transposed, so the conjunct stays consistent with it.
+    */
+  private object FloorDivCol {
+    def unapply(e: Expression): Option[(Attribute, Long)] = e match {
+      case Cast(FloorDivCol(a, c), LongType, _, _) => Some((a, c))
+      case Floor(Divide(Cast(a: Attribute, DoubleType, _, _), Literal(c: Double, DoubleType), _))
+        if c > 0 && c == math.rint(c) && c <= Long.MaxValue.toDouble =>
+        Some((a, c.toLong))
+      case _ => None
+    }
+  }
+
+  private object IntegralLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _)  => Some(v.toLong)
+      case Cast(IntegralLit(v), _, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def geq(a: Attribute, v: Long) = GreaterThanOrEqual(a, Literal(v, a.dataType match {
+    case LongType => LongType
+    case other    => other
+  }))
+
+  private def leq(a: Attribute, v: Long) = LessThanOrEqual(a, Literal(v, a.dataType match {
+    case LongType => LongType
+    case other    => other
+  }))
+
+  /** The transposed plain-column conjuncts implied by one predicate. */
+  private def transpose(pred: Expression): Seq[Expression] = {
+    def safe(f: => Seq[Expression]): Seq[Expression] =
+      try f catch { case _: ArithmeticException => Nil }
+    pred match {
+      case GreaterThanOrEqual(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
+        safe(Seq(geq(a, Math.multiplyExact(k, c))))
+      case GreaterThan(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
+        safe(Seq(geq(a, Math.multiplyExact(Math.addExact(k, 1L), c))))
+      case LessThanOrEqual(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
+        safe(Seq(leq(a, Math.subtractExact(Math.multiplyExact(Math.addExact(k, 1L), c), 1L))))
+      case LessThan(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
+        safe(Seq(leq(a, Math.subtractExact(Math.multiplyExact(k, c), 1L))))
+      case EqualTo(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
+        safe(Seq(geq(a, Math.multiplyExact(k, c)),
+          leq(a, Math.subtractExact(Math.multiplyExact(Math.addExact(k, 1L), c), 1L))))
+      // literal-on-the-left mirror images
+      case GreaterThanOrEqual(IntegralLit(k), fd @ FloorDivCol(_, _)) => transpose(LessThanOrEqual(fd, Literal(k)))
+      case GreaterThan(IntegralLit(k), fd @ FloorDivCol(_, _))        => transpose(LessThan(fd, Literal(k)))
+      case LessThanOrEqual(IntegralLit(k), fd @ FloorDivCol(_, _))    => transpose(GreaterThanOrEqual(fd, Literal(k)))
+      case LessThan(IntegralLit(k), fd @ FloorDivCol(_, _))           => transpose(GreaterThan(fd, Literal(k)))
+      case EqualTo(IntegralLit(k), fd @ FloorDivCol(_, _))            => transpose(EqualTo(fd, Literal(k)))
+      case _ => Nil
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val derived = conjuncts.flatMap(transpose)
+        .filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+        .distinct
+      if (derived.isEmpty) f
+      else Filter((conjuncts ++ derived).reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
+    condition match {
+      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other     => Seq(other)
+    }
+}
+
+/** Session extension wiring: `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` or the builder's `withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => FloorDivPredicateRule)
+}
