@@ -64,14 +64,27 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
       val key = keyOf(t)
       val deduped = incoming.dropDuplicates(key)
       val minB = deduped.agg(min(col("block_number"))).collect().head
-      val fresh = if (minB.isNullAt(0)) deduped else read(t) match {
-        case Some(existing) =>
-          val overlap = existing.filter(col("block_number") >= minB.getLong(0))
+      val fresh = if (minB.isNullAt(0)) deduped else {
+        if (exists(t)) {
+          // keep the physical `bucket` column in the overlap scan so the
+          // predicate prunes partition *directories*, not just row
+          // groups — at chain length N this reads O(batch) partitions
+          val lo = minB.getLong(0)
+          val overlap = spark.read.parquet(tablePath(t))
+            .filter(col("bucket") >= lo / bucketSize && col("block_number") >= lo)
             .select(col(key))
           deduped.join(overlap, Seq(key), "left_anti")
-        case None => deduped
+        } else deduped
       }
-      withBucket(fresh).write.mode(SaveMode.Append)
+      // sort within files by (block_number, key) — the substitute for
+      // the reference's composite B-trees: row-group min/max stats stay
+      // tight, so range + cursor predicates prune inside partitions too
+      withBucket(fresh)
+        .sortWithinPartitions(col("block_number"), col(key))
+        .write.mode(SaveMode.Append)
+        // bloom filter on the idempotency/lookup key: the anti-join and
+        // point lookups (Q-13/Q-14) skip row groups without the key
+        .option(s"parquet.bloom.filter.enabled#$key", "true")
         .partitionBy("bucket").parquet(tablePath(t))
     }
   }
