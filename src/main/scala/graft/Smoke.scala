@@ -86,6 +86,23 @@ object Smoke {
     q.stop()
     println(s"[smoke] DSv2 source: lastSynced=${store2.lastSyncedBlock} " +
       s"status=${store2.readStatus} (expect 20 after fork@15)")
+
+    // Ingest throughput: blocks/sec through the full batch path
+    // (flatten + reorg check + idempotent append + checkpoint). The
+    // reference ingests 5 blocks per 10 s poll (RPC-bound, ~0.5
+    // blocks/s sustained, README.md:238); this measures the engine-side
+    // pipeline the reference says is "not the bottleneck".
+    val store3 = new ChainStore(spark,
+      java.nio.file.Files.createTempDirectory("smoke-chain3").toString, bucketSize = 500)
+    val throughputBlocks = 2000
+    val t0 = System.nanoTime()
+    SimChain.canonical(throughputBlocks).grouped(500)
+      .foreach(b => StreamingIngester.processBatch(store3, b.toSeq.toDF()))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = store3.read("logs").get.count() + store3.read("transactions").get.count() +
+      throughputBlocks
+    println(f"[smoke] ingest throughput: $throughputBlocks blocks ($rows rows) in $secs%.1f s " +
+      f"= ${throughputBlocks / secs}%.0f blocks/s")
     spark.stop()
   }
 }
