@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{EvmApi, GetLogsFilter}
+import graft.evm.EvmDerive
+import graft.ingest.{ChainStore, SimChain, StreamingIngester}
+
+/** The typed four-endpoint facade over both table sources: the derived
+  * fixture tables and an ingested ChainStore — a reference user's
+  * complete serving surface. */
+class EvmApiSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("fixtures facade: stats, block by number/hash, tx, logs page agree") {
+    val api = EvmApi.onFixtures(spark, sfDir)
+
+    val st = api.stats()
+    assert(st.blocksCount > 0 && st.transactionsCount > 0 && st.logsCount > 0)
+    assert(st.ingestionLag.contains(3L))
+
+    val byNumber = api.block("42").get
+    assert(byNumber.blockNumber == 42L)
+    val byHash = api.block(byNumber.blockHash.toUpperCase.replace("0X", "0x")).get
+    assert(byHash == byNumber)
+    assert(api.block("0xnothex").isEmpty)
+    assert(api.block("999999999").isEmpty)
+
+    val tx = api.transaction(EvmDerive.txHashOf(3)).get
+    assert(tx.blockNumber == 0L || tx.blockNumber > 0L)
+    assert(tx.value.endsWith("000000000000000000"))
+    assert(api.transaction("short").isEmpty)
+
+    val page = api.logsPage(GetLogsFilter(fromBlock = Some(0), toBlock = Some(3),
+      pageSize = Some(10)))
+    assert(page.logs.length == 10)
+    assert(page.nextCursorBlock.isDefined && page.nextCursorLogId.isDefined)
+  }
+
+  test("store facade: same endpoints serve an ingested chain") {
+    import spark.implicits._
+    val store = new ChainStore(spark, Files.createTempDirectory("apistore").toString, 10)
+    StreamingIngester.processBatch(store, SimChain.canonical(12).toDF())
+    val api = EvmApi.onStore(store).get
+
+    val st = api.stats()
+    assert(st.blocksCount == 12)
+
+    val b5 = api.block("5").get
+    assert(b5.blockNumber == 5 && b5.parentHash == api.block("4").get.blockHash)
+    // columns the sim chain doesn't carry surface as None, not errors
+    assert(b5.miner.isEmpty && b5.txCount.isEmpty)
+
+    val someTx = SimChain.canonical(12)(3).transactions.head
+    val tx = api.transaction(someTx.tx_hash).get
+    assert(tx.blockNumber == 3 && tx.status.contains(someTx.status))
+    assert(tx.gasLimit.isEmpty && tx.nonce.isEmpty)
+
+    val page = api.logsPage(GetLogsFilter(fromBlock = Some(0), toBlock = Some(11),
+      pageSize = Some(100)))
+    assert(page.logs.nonEmpty)
+    assert(page.logs.map(_.getAs[Long]("id")).toSeq ==
+      page.logs.map(_.getAs[Long]("id")).toSeq.sorted)
+  }
+}
