@@ -65,4 +65,31 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(decodeBatch)
     }
   }
+
+  /** Resize to a bounded box preserving aspect ratio — pure metadata
+    * arithmetic on the decoded features (a real resizer transforms the
+    * pixels too; the scale factor math is the part a pipeline plans
+    * around). Integer-exact: scale = maxSide/longest in per-mille so
+    * every engine rounds identically. */
+  def resizeMeta(features: DataFrame, maxSide: Long = 256L): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scalePm = when(longest <= maxSide, lit(1000L))
+      .otherwise((lit(maxSide) * 1000L).cast("long") / longest.cast("long"))
+    features
+      .withColumn("scale_pm", scalePm.cast("long"))
+      .withColumn("out_width", (col("width") * col("scale_pm") / lit(1000L)).cast("long"))
+      .withColumn("out_height", (col("height") * col("scale_pm") / lit(1000L)).cast("long"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("scale_pm"), col("out_width"), col("out_height"))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * index (every `stride`-th frame) — the explode shape a real frame
+    * extractor feeds downstream encoders with. Non-video rows sample
+    * their single frame 0. */
+  def frameSample(features: DataFrame, stride: Long = 10L): DataFrame =
+    features
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("media_type"), col("frames"), col("frame_idx"))
 }

@@ -81,7 +81,17 @@ object PipelineQueries {
 
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir)))
-        .toDF().orderBy(col("doc_id")))
+        .toDF().orderBy(col("doc_id"))),
+
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
+        .orderBy(col("doc_id"))),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   private val shingleCte =
@@ -219,6 +229,31 @@ object PipelineQueries {
         |(64 + length(text) % 576)::BIGINT AS width,
         |(64 + (length(text) * 7) % 416)::BIGINT AS height,
         |(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      (mediaFeatsCte +
+        """, scaled AS (SELECT *,
+          |  (CASE WHEN greatest(width, height) <= 256 THEN 1000
+          |        ELSE 256000 // greatest(width, height) END)::BIGINT AS scale_pm
+          |  FROM feats)
+          |SELECT doc_id, media_type, width, height, scale_pm,
+          |  (width * scale_pm // 1000)::BIGINT AS out_width,
+          |  (height * scale_pm // 1000)::BIGINT AS out_height
+          |FROM scaled ORDER BY doc_id""".stripMargin),
+
+    "multimodal_frames" ->
+      (mediaFeatsCte +
+        """SELECT doc_id, media_type, frames, unnest(range(0, frames, 10))::BIGINT AS frame_idx
+          |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)
   )
+
+  private lazy val mediaFeatsCte =
+    """WITH feats AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  (64 + length(text) % 576)::BIGINT AS width,
+      |  (64 + (length(text) * 7) % 416)::BIGINT AS height,
+      |  (CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
+      |  FROM documents)
+      |""".stripMargin
 }

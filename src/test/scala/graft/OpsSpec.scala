@@ -85,6 +85,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f.width == 64 + 11 % 576 && f.frames == 1L)
   }
 
+  test("multimodal resize: aspect ratio preserved, small media untouched") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(2L -> ("x" * 600), 3L -> "tiny")
+    val feats = Multimodal.decodeFeatures(spark, Multimodal.withPayload(d)).toDF()
+    val out = Multimodal.resizeMeta(feats).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("scale_pm"), r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))).toMap
+    // doc 2: 600 chars → width 64+600%576=88, height 64+4200%416=104 → no shrink
+    assert(out(2L) == ((1000L, 88L, 104L)))
+    // doc 3: 4 chars → under the box, untouched
+    assert(out(3L)._1 == 1000L)
+    val bigger = Multimodal.resizeMeta(feats, maxSide = 60L)
+      .filter(col("doc_id") === 2L).collect().head
+    // longest side 104 → scale 60000/104=576‰, out 88*576/1000=50, 104*576/1000=59
+    assert(bigger.getAs[Long]("scale_pm") == 576L &&
+      bigger.getAs[Long]("out_width") == 50L &&
+      bigger.getAs[Long]("out_height") == 59L)
+  }
+
+  test("multimodal frame sampling strides video frames, single frame otherwise") {
+    val d = docs(2L -> ("y" * 25), 3L -> "img")
+    val feats = Multimodal.decodeFeatures(spark, Multimodal.withPayload(d)).toDF()
+    val frames = Multimodal.frameSample(feats, stride = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
+    // doc 2 is video with frames = 1 + 25 % 30 = 26 → indices 0,10,20
+    assert(frames.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0L, 10L, 20L))
+    // doc 3 is image → the single frame 0
+    assert(frames.filter(_._1 == 3L).map(_._2).toSeq == Seq(0L))
+  }
+
   test("ngram jaccard is blocked by source (cross-source pairs excluded)") {
     val t = (1 to 20).map(i => s"w$i").mkString(" ")
     // doc 1 and 3 share source (odd/even split in docs()), 1 and 2 do not
