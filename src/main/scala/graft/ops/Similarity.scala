@@ -81,6 +81,86 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Deterministic k-means (Lloyd) coarse quantizer for a real IVF
+    * index — replaces the fixture `label` stand-in with learned cells.
+    *
+    * Seeding: the k lowest vec_ids (deterministic across runs and
+    * engines — no RNG in the hot path). Each iteration is one narrow
+    * assignment pass (k codegen'd dot products per row, argmin) plus
+    * one element-wise mean: `posexplode` → groupBy(cell, dim) → avg —
+    * a shuffle of n·d skinny rows with map-side combine. Centroids
+    * (k·d doubles) ride to executors as literals; only they ever
+    * reach the driver. At 100 TB: iterations are O(scan), k·d is tiny,
+    * and the final assignment is the partition key that makes every
+    * later probe O(corpus/k).
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    val e = prepared(embeddings)
+    var centroids: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(e, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(ms) => ms.sortBy(_._2).map(_._3).toArray
+          case None     => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: k dot-product distances per row,
+    * argmin by (distance, cell) — `array_position` over the min keeps
+    * ties deterministic. d(v,c)² = |v|² − 2·v·c + |c|²; |v|² is
+    * constant per row, so comparing −2·v·c + |c|² suffices. */
+  def assignCells(prepared: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val scores = array(centroids.map { c =>
+      val cLit = array(c.map(lit): _*)
+      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
+    }: _*)
+    prepared
+      .withColumn("cell_scores", scores)
+      .withColumn("cell",
+        (expr("array_position(cell_scores, array_min(cell_scores))").cast("int") - 1)
+          .cast("int"))
+      .drop("cell_scores")
+  }
+
+  /** IVF top-k with a learned quantizer: fit (or pass) centroids,
+    * assign the corpus once, probe only the query's `nProbe` nearest
+    * cells. Recall/cost dial = nProbe/k. */
+  def topKIvfKmeans(embeddings: DataFrame, maxQueryId: Long, k: Int = 10,
+                    nCells: Int = 8, nProbe: Int = 2,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cs = centroids.getOrElse(kmeansCentroids(embeddings, nCells))
+    val e = assignCells(prepared(embeddings), cs)
+    // query-side: its nProbe nearest cells, exploded to (q, probe_cell)
+    val qScores = array(cs.map { c =>
+      val cLit = array(c.map(lit): _*)
+      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
+    }: _*)
+    val q = prepared(embeddings).filter(col("vec_id") < maxQueryId)
+      .withColumn("cell_scores", qScores)
+      .withColumn("probe_cell", explode(expr(
+        s"slice(array_sort(transform(cell_scores, (s, i) -> struct(s AS s, i AS c))), 1, $nProbe).c")))
+      .select(col("probe_cell").cast("int").as("cell"),
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
   /** Random-hyperplane LSH near-dup: 16 sign bits from fixed seeded
     * Gaussian planes, banded 4×4; candidates = equality join on
     * (band, 4-bit chunk); verified by exact cosine. The plane matrix

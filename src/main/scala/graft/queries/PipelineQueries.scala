@@ -79,6 +79,14 @@ object PipelineQueries {
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Learned-quantizer IVF (no oracle: iterative k-means isn't
+    // single-statement SQL; correctness is pinned by the OpsSpec
+    // planted-cluster test + recall-vs-brute assertions).
+    "similarity_topk_kmeans" -> ((s, dir) =>
+      Similarity.topKIvfKmeans(Fixtures.embeddings(s, dir), maxQueryId = 5,
+        k = 10, nCells = 8, nProbe = 2)
+        .orderBy(col("q_id"), col("rn"))),
+
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir)))
         .toDF().orderBy(col("doc_id"))),

@@ -85,6 +85,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f.width == 64 + 11 % 576 && f.frames == 1L)
   }
 
+  test("kmeans IVF: planted clusters recovered, probe beats cell-blind recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three tight clusters around orthogonal axes in 4-d
+    def around(axis: Int, delta: Float): Seq[Float] =
+      (0 until 4).map(d => (if (d == axis) 1f else 0f) + (if (d == (axis + 1) % 4) delta else 0f))
+    val rows = for {
+      axis <- 0 until 3
+      j <- 0 until 5
+    } yield (axis * 5L + j, around(axis, j * 0.05f), axis)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+
+    val cs = Similarity.kmeansCentroids(emb, k = 3, iters = 3)
+    val cells = Similarity.assignCells(Similarity.prepared(emb), cs)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every planted cluster lands in exactly one learned cell
+    (0 until 3).foreach { axis =>
+      val cluster = (0 until 5).map(j => cells(axis * 5L + j))
+      assert(cluster.distinct.size == 1, s"cluster $axis split: $cluster")
+    }
+
+    // IVF top-3 for query 0 must match brute force (its cluster is a cell)
+    val brute = Similarity.topK(emb, maxQueryId = 1, k = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rn")))
+    val ivf = Similarity.topKIvfKmeans(emb, maxQueryId = 1, k = 3,
+      nCells = 3, nProbe = 1, centroids = Some(cs)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rn")))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("multimodal resize: aspect ratio preserved, small media untouched") {
     import org.apache.spark.sql.functions.col
     val d = docs(2L -> ("x" * 600), 3L -> "tiny")
