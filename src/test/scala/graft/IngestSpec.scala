@@ -113,6 +113,60 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("property: random extend/fork walk — store stays canonical, linked, exactly-once") {
+    import spark.implicits._
+    // model-based check of the reference's headline integrity claim
+    // ("zero data integrity failures across crash and block-reorg
+    // scenarios", README.md:41): drive the ingester with a seeded
+    // random sequence of chain extensions and reorgs, mirror them in an
+    // in-memory model chain, and require the store to equal the model
+    // exactly at every step boundary property that matters.
+    val rnd = new scala.util.Random(7)
+    val (store, _) = freshStore(bucketSize = 7)
+    var model: Vector[SimChain.SimBlock] = SimChain.canonical(6).toVector
+    StreamingIngester.processBatch(store, model.toDF())
+    var branch = 0
+    (1 to 18).foreach { _ =>
+      val batch: Seq[SimChain.SimBlock] =
+        if (rnd.nextDouble() < 0.35 && model.length > 2) {
+          // reorg: fork at a random stored height, new branch wins
+          branch += 1
+          val h = 1 + rnd.nextInt(model.length - 1)
+          val ext = 1 + rnd.nextInt(4)
+          val repl = SimChain.blocks(h, model.length + ext, salt = s"b$branch",
+            parentOfFirst = Some(model(h - 1).block_hash))
+          model = model.take(h) ++ repl
+          repl
+        } else {
+          // extend the current tip
+          val k = 1 + rnd.nextInt(5)
+          val tip = model.length
+          val ext = SimChain.blocks(tip, tip + k,
+            salt = if (branch == 0) "main" else s"b$branch",
+            parentOfFirst = Some(model.last.block_hash))
+          model = model ++ ext
+          ext
+        }
+      StreamingIngester.processBatch(store, batch.toDF())
+    }
+    // store == model, block for block
+    val stored = store.read("blocks").get
+      .select(col("block_number"), col("block_hash"), col("parent_hash"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(stored.map(_._1).toSeq == model.indices.map(_.toLong))
+    assert(stored.map(_._2).toSeq == model.map(_.block_hash))
+    // hash-linked end to end
+    stored.sliding(2).foreach { case Array(p, c) => assert(c._3 == p._2); case _ => }
+    // children consistent and exactly-once
+    val txs = store.read("transactions").get
+    assert(txs.count() == model.map(_.transactions.size).sum)
+    assert(txs.select(col("tx_hash")).distinct().count() == txs.count())
+    val logs = store.read("logs").get
+    assert(logs.count() == model.flatMap(_.transactions).map(_.logs.size).sum)
+    assert(logs.select(col("id")).distinct().count() == logs.count())
+    assert(store.lastSyncedBlock.contains(model.length - 1L))
+  }
+
   test("I-13: queries serve concurrently with live ingest (main.rs:358-374)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
