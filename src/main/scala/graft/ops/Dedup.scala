@@ -100,12 +100,14 @@ object Dedup {
     val cands = a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact-Jaccard verification of the (few) candidates: count common
+    // exact-Jaccard verification of the candidates: count common
     // shingles via equality joins on the exploded rows — no array
-    // materialization, broadcast of the candidate set.
+    // materialization. No broadcast hint: the candidate count is
+    // data-dependent (a heavily-duplicated corpus can make it huge),
+    // so AQE picks broadcast vs shuffle from the measured size.
     val exA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val exB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = broadcast(cands).join(exA, "doc_a")
+    val inter = cands.join(exA, "doc_a")
       .join(exB, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val sizes = shingleSizes(sh)

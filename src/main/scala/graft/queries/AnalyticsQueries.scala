@@ -41,7 +41,7 @@ object AnalyticsQueries {
       val o = Fixtures.orders(s, dir)
       val l = Fixtures.lineitem(s, dir)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
@@ -58,7 +58,7 @@ object AnalyticsQueries {
       val n = Fixtures.nation(s, dir)
       val r = Fixtures.region(s, dir)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
