@@ -53,8 +53,13 @@ object StreamingIngester {
         .orderBy(col("block_number")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       val lo = incoming.head._1
+      val hi0 = incoming.last._1
+      // only heights inside the batch's own range matter for fork
+      // detection (stored(h) vs incoming hash, stored(h-1) vs parent),
+      // so the collect is O(batch) even when a deep-history batch
+      // replays under a long chain
       val stored: Map[Long, String] = store.read("blocks") match {
-        case Some(b) => b.filter(col("block_number") >= lo - 1)
+        case Some(b) => b.filter(col("block_number") >= lo - 1 && col("block_number") <= hi0)
           .select(col("block_number"), col("block_hash")).collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
         case None => Map.empty
