@@ -119,6 +119,37 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     }
   }
 
+  /** Small-file compaction: every micro-batch append leaves one file
+    * per bucket it touched, so a bucket ingested across B cycles holds
+    * B small files — the classic streaming-sink problem at scale.
+    * Rewrites any multi-file bucket into one sorted, bloom-filtered
+    * file via temp-write-then-swap (same atomicity discipline as
+    * [[rollback]]). Run periodically (e.g. every N batches or from a
+    * maintenance job); readers between swap steps see either the old
+    * or the new complete bucket, never a partial one. */
+  def compact(table: String): Unit = {
+    if (exists(table)) {
+      val key = keyOf(table)
+      val dir = new Path(tablePath(table))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).foreach { p =>
+          val nFiles = fs.listStatus(p)
+            .count(s => s.getPath.getName.endsWith(".parquet"))
+          if (nFiles > 1) {
+            val rows = spark.read.parquet(p.toString)
+            val tmp = new Path(dir, s".tmp-compact-${p.getName}")
+            rows.coalesce(1)
+              .sortWithinPartitions(col("block_number"), col(key))
+              .write.mode(SaveMode.Overwrite)
+              .option(s"parquet.bloom.filter.enabled#$key", "true")
+              .parquet(tmp.toString)
+            fs.delete(p, true)
+            fs.rename(tmp, p)
+          }
+        }
+    }
+  }
+
   /** Q-19: the reference's `indexer_status` single-row upsert
     * (`ON CONFLICT DO UPDATE`, `src/db.rs:53-77`) — last-writer-wins
     * overwrite of a one-row table. */

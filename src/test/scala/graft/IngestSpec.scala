@@ -113,6 +113,30 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("compact merges per-batch small files per bucket without changing data") {
+    import org.apache.hadoop.fs.Path
+    val (store, root) = freshStore(bucketSize = 10)
+    val chain = SimChain.canonical(20)
+    // 10 appends of 2 blocks → buckets 0 and 1 get 5 files each
+    chain.grouped(2).foreach(b => StreamingIngester.processBatch(store, envelopes(b.toSeq)))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerBucket(t: String): Map[String, Int] =
+      fs.listStatus(new Path(s"$root/$t")).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).map { p =>
+          p.getName -> fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+        }.toMap
+    assert(filesPerBucket("logs").values.forall(_ > 1))
+    val before = store.read("logs").get.orderBy(col("id")).collect().toSeq
+    store.Tables.foreach(store.compact)
+    assert(filesPerBucket("logs").values.forall(_ == 1))
+    assert(filesPerBucket("blocks").values.forall(_ == 1))
+    val after = store.read("logs").get.orderBy(col("id")).collect().toSeq
+    assert(after == before)
+    // store still serves normally post-compaction
+    assert(store.lastSyncedBlock.contains(19L))
+    assert(store.hashAt(13).contains(chain(13).block_hash))
+  }
+
   test("property: random extend/fork walk — store stays canonical, linked, exactly-once") {
     import spark.implicits._
     // model-based check of the reference's headline integrity claim
