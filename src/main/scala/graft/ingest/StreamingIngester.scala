@@ -85,14 +85,24 @@ object StreamingIngester {
     }
   }
 
-  /** Wire a streaming envelope source into the store. */
+  /** Wire a streaming envelope source into the store.
+    *
+    * `compactEvery > 0` folds store maintenance into the ingest loop:
+    * every Nth micro-batch triggers [[ChainStore.compact]] so the
+    * small-files-per-bucket count stays bounded by N instead of
+    * growing with stream lifetime — the piece a long-running sink
+    * needs that the reference gets for free from Postgres heap files.
+    */
   def start(envelopes: DataFrame, store: ChainStore, checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            compactEvery: Long = 0L): StreamingQuery =
     envelopes.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(store, batch)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store.Tables.foreach(store.compact)
       }
       .start()
 }

@@ -97,7 +97,8 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     val checkpoint = Files.createTempDirectory("ckpt").toString
     val source = MemoryStream[SimChain.SimBlock]
     val query = StreamingIngester.start(source.toDF(), store, checkpoint,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      compactEvery = 1L) // maintenance interleaved with live ingest
     try {
       source.addData(SimChain.canonical(8))
       query.processAllAvailable()
