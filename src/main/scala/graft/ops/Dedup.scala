@@ -160,6 +160,40 @@ object Dedup {
         jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
+  /** Apply a near-dup pair list to the corpus: connected components
+    * over the similarity graph via bounded-iteration min-label
+    * propagation (each round: one join + one map-side-combined min —
+    * the standard scalable CC loop; `iters` rounds resolve any chain
+    * of length ≤ 2^iters, and the iteration count is FIXED, not
+    * convergence-driven, so every engine computes the identical
+    * labeling and the oracle can mirror it round for round).
+    * Returns (doc_id, cluster) with cluster = min doc_id reachable
+    * within the horizon. */
+  def clusterLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    (1 to iters).foreach { _ =>
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
+        .groupBy(col("doc_id")).agg(min(col("nbr_cluster")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+    }
+    labels
+  }
+
+  /** The deduplicated corpus: one surviving row per cluster (the min
+    * doc_id representative), plus how many near-dups it absorbed. */
+  def applyNearDedup(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val labels = clusterLabels(docs, pairs, iters)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    labels.filter(col("doc_id") === col("cluster"))
+      .join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster_size"))
+  }
+
   /** SimHash near-dup: 64-bit signature via the native
     * [[graft.functions.SimHash64]] expression, banded into 4×16-bit
     * chunks for LSH (Hamming distance <= 3 guarantees a shared band by

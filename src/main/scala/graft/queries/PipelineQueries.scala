@@ -99,7 +99,15 @@ object PipelineQueries {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // the APPLY step: near-dup pairs → cluster labels → surviving
+    // corpus (one representative per cluster + absorbed count)
+    "dedup_apply" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Dedup.applyNearDedup(docs, Dedup.minhashPairs(docs))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val shingleCte =
@@ -131,6 +139,40 @@ object PipelineQueries {
         |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
         |WHERE inter * 1000 >= uni * 600 ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_apply" -> {
+      val prop = (1 to 3).map { i =>
+        s""", l$i AS (SELECT l.doc_id,
+           |  least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
+           |  FROM l${i - 1} l
+           |  LEFT JOIN edges e ON e.doc_id = l.doc_id
+           |  LEFT JOIN l${i - 1} n ON n.doc_id = e.nbr
+           |  GROUP BY l.doc_id, l.cluster)""".stripMargin
+      }.mkString("\n")
+      shingleCte +
+        """, mh AS (SELECT doc_id, j,
+          |  list_min([md5(j::VARCHAR || ':' || s) for s in shingles]) AS m
+          |  FROM sh, range(12) r(j)),
+          |bands AS (SELECT doc_id, j // 2 AS band,
+          |  md5(string_agg(m, '|' ORDER BY j)) AS band_sig
+          |  FROM mh GROUP BY doc_id, j // 2),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+          |ver AS (SELECT doc_a, doc_b,
+          |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
+          |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
+          |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+          |pairs AS (SELECT doc_a, doc_b FROM ver WHERE inter * 1000 >= uni * 600),
+          |edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)""".stripMargin +
+        prop +
+        """
+          |, sizes AS (SELECT cluster, count(*) AS cluster_size FROM l3 GROUP BY cluster)
+          |SELECT doc_id, cluster_size FROM l3 JOIN sizes USING (cluster)
+          |WHERE doc_id = cluster ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),

@@ -42,6 +42,18 @@ object StreamAnalytics {
         unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup of a keyed feed: drop rows whose key was
+    * already seen within the watermark horizon. State is one entry per
+    * distinct key inside the horizon — watermark-bounded, so the
+    * operator runs forever on an unbounded stream (the streaming twin
+    * of the batch `dedup_exact` / idempotent-append Q-20 semantics:
+    * at-least-once upstream in, effectively-once downstream out). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class SessionEvent(user_id: Long, ts: Long, event_type: String, value: Double)
 
   /** Internal row shape after [[withEventTime]]; must stay public —

@@ -85,6 +85,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(f.width == 64 + 11 % 576 && f.frames == 1L)
   }
 
+  test("applyNearDedup: chains collapse to min-id representative, singletons survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1-2-3 and pair 4-5; 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val labels = graft.ops.Dedup.clusterLabels(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val kept = graft.ops.Dedup.applyNearDedup(d, pairs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSeq == Seq((1L, 3L), (4L, 2L), (9L, 1L)))
+  }
+
   test("kmeans IVF: planted clusters recovered, probe beats cell-blind recall") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -74,6 +74,31 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: re-delivered keys within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val deduped = StreamAnalytics.streamingDedup(
+      mem.toDF(), keyCols = Seq("user_id"), watermark = "1 hour")
+    val dir = Files.createTempDirectory("dedupck").toString
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      val base = 24 * 60 // keep events off epoch 0 (late-row filter)
+      mem.addData(
+        SessionEvent(1, base * minNanos, "click", 1.0),
+        SessionEvent(1, (base + 1) * minNanos, "click", 1.0), // dup in-batch
+        SessionEvent(2, base * minNanos, "view", 2.0))
+      q.processAllAvailable()
+      // dup across batches, still inside the watermark horizon
+      mem.addData(SessionEvent(1, (base + 10) * minNanos, "click", 9.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"user_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-separated bursts close as distinct sessions per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
