@@ -84,16 +84,10 @@ object SimHash64 {
   }
 }
 
-/** Session-extension registration (`spark.sql.extensions=graft.functions.GraftExtensions`)
-  * plus a runtime fallback for sessions created without the config.
-  */
-class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.simhash64Descriptor)
-    ext.injectFunction(VectorExprs.dotF64Descriptor)
-  }
-}
-
+/** Native-function descriptors. Session wiring lives in the engine's
+  * single extensions entry point ([[graft.plans.GraftExtensions]]);
+  * [[GraftFunctions.register]] is the runtime fallback for sessions
+  * created without the config. */
 object GraftFunctions {
   private[graft] val simhash64Descriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -120,10 +120,14 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extension wiring: `.config("spark.sql.extensions",
-  * "graft.plans.GraftExtensions")` or the builder's `withExtensions`.
-  */
+/** The engine's single session-extension entry point
+  * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`):
+  * the optimizer rule plus the native SQL functions (`simhash64`,
+  * `dot_f64`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FloorDivPredicateRule)
+    ext.injectFunction(graft.functions.GraftFunctions.simhash64Descriptor)
+    ext.injectFunction(graft.functions.VectorExprs.dotF64Descriptor)
+  }
 }
