@@ -60,17 +60,27 @@ object Dedup {
   def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
-  /** MinHash signature: k independent hash functions realized as
-    * lexicographic min of md5(j:shingle), computed as k min-aggregates
-    * over the exploded shingle rows — md5 stays in codegen and the
-    * only shuffle is the map-side-combined groupBy(doc_id).
-    * Deterministic across engines (oracle mirrors it). */
-  def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame =
-    sh.groupBy(col("doc_id"))
-      .agg(min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+  /** MinHash signature via Kirsch–Mitzenmacher double hashing: ONE md5
+    * per shingle supplies two 52-bit integers (h1 = hex chars 1-13,
+    * h2 = chars 14-26); the j-th hash is h1 + j·h2, j < k. Max value
+    * 12·2^52 ≈ 2^55.6 — no overflow in either engine's signed 64-bit
+    * (ANSI-safe). k min-aggregates over the exploded shingle rows, so
+    * md5 runs ONCE per row (the previous k-independent-md5 form spent
+    * 12 digests per shingle — the signature stage cost ~6 s of the
+    * sf0.1 pipeline) and the only shuffle is the map-side-combined
+    * groupBy(doc_id). Deterministic across engines — the oracle mirrors
+    * the identical hex-slice arithmetic. */
+  def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame = {
+    val hx = md5(col("shingle"))
+    val h1 = conv(substring(hx, 1, 13), 16, 10).cast("long")
+    val h2 = conv(substring(hx, 14, 13), 16, 10).cast("long")
+    sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("m0"),
         (1 until k).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+          min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
       .select(col("doc_id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** LSH banding: k/rowsPerBand bands, each band = md5 of its rows'
     * concatenated minhashes. Explodes to (doc_id, band, band_sig). */
@@ -79,9 +89,21 @@ object Dedup {
     val bands = transform(
       sequence(lit(0), lit(nBands - 1)),
       b => md5(concat_ws("|",
-        (1 to rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r)): _*)))
+        (1 to rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r).cast("string")): _*)))
     sig.select(col("doc_id"), posexplode(bands).as(Seq("band", "band_sig")))
   }
+
+  /** Banded signatures, persisted: the LSH bucket self-join reads the
+    * band table from BOTH legs, and dedup_apply / dedup_minhash each
+    * rebuild the identical plan in one session — without the persist
+    * the whole signature pipeline runs once per leg per query
+    * (observed: 2× ~6 s at sf0.1). Small: k/rowsPerBand rows per doc;
+    * shared across queries via CacheManager plan matching, like
+    * [[sharedShingleRows]]. */
+  def sharedBands(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2): DataFrame =
+    minhashBands(minhashSignature(sharedShingleRows(docs), k), k, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Full MinHash/LSH near-dup pipeline: shingle → sign → band →
     * bucket self-join (equality on band+signature, so the join is a
@@ -94,7 +116,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
                    threshold: Double = 0.6): DataFrame = {
     val sh = sharedShingleRows(docs)
-    val bands = minhashBands(minhashSignature(sh, k), k, rowsPerBand)
+    val bands = sharedBands(docs, k, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     val cands = a.join(b, Seq("band", "band_sig"))
@@ -170,29 +192,51 @@ object Dedup {
     * Returns (doc_id, cluster) with cluster = min doc_id reachable
     * within the horizon. */
   def clusterLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
-    // persist the edge set and every label generation: each round
-    // references the previous one from two plan legs, so without the
-    // persists the pair-generation pipeline would re-run ~2^iters
-    // times (observed: 63 s vs 3 s at sf0.1). Iterative-algorithm
-    // rule of thumb on Spark: materialize between rounds.
-    // pairs first: the union below reads it from two legs, and the
-    // pair generation (e.g. the whole MinHash pipeline) must run once,
-    // not once per leg
+    // pairs persisted so the (possibly very expensive) pair generation
+    // runs exactly once while the two union legs of `edges` evaluate;
+    // dropped again as soon as the edge set is materialized.
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) MATERIALIZES and TRUNCATES: each
+    // propagation round references the previous labels from two plan
+    // legs, so the analyzed plan doubles per round, and anything the
+    // leaf drags along (here: the whole MinHash pipeline) is copied
+    // 2^iters times. persist() alone caches *execution* but not the
+    // plan — Catalyst still canonicalizes/optimizes the exponential
+    // tree every action (observed: a 180k-line executed plan whose
+    // planning time dominated the operator). After the cut every round
+    // plans against a flat LogicalRDD scan. Trade-off: local
+    // checkpoint blocks are not lineage-recoverable on executor loss;
+    // a production cluster job sets spark.checkpoint.dir and uses
+    // Dataset.checkpoint for the same cut with reliable storage.
     val edges = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    p.unpersist()
+    // Propagate only over docs that have at least one edge. In a real
+    // corpus the overwhelming majority of docs are singletons whose
+    // label can never change — joining them through every round is
+    // `iters` full-corpus shuffles doing nothing at 100 TB. Singletons
+    // are re-attached once at the end with cluster = doc_id, which is
+    // exactly the label the full loop would have given them (coalesce
+    // keeps the own label when no neighbor exists), so the result is
+    // identical to propagating over all docs.
+    var labels = edges.select(col("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
     (1 to iters).foreach { _ =>
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
         .groupBy(col("doc_id")).agg(min(col("nbr_cluster")).as("nbr_min"))
+      // superseded generations' checkpoint blocks are released by the
+      // ContextCleaner once unreferenced — no unbounded cache growth.
       labels = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
-    labels
+    val singletons = docs.select(col("doc_id"))
+      .join(edges.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.union(singletons)
   }
 
   /** The deduplicated corpus: one surviving row per cluster (the min

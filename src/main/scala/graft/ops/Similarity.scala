@@ -161,15 +161,45 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
-  /** Random-hyperplane LSH near-dup: 16 sign bits from fixed seeded
-    * Gaussian planes, banded 4×4; candidates = equality join on
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic pseudo-random double in [-0.5, 0.5) derived from
+    * md5(tag): top 48 bits of the digest scaled to the unit interval.
+    * Engine-independent (the md5 trick already differentially proven
+    * by the MinHash oracle), so plane/centroid matrices built from it
+    * can be embedded as identical literals in the Spark plan AND the
+    * DuckDB oracle SQL — making the LSH scale path fully
+    * hash-checkable instead of rows-only. */
+  def md5Unit(tag: String): Double = {
+    val x = java.lang.Long.parseLong(md5hex(tag).substring(0, 12), 16)
+    x.toDouble / (1L << 48).toDouble - 0.5
+  }
+
+  /** The fixed hyperplane matrix for [[nearDupPairsLsh]]. Uniform in
+    * [-0.5,0.5)^dim rather than Gaussian — for sign-bit LSH only the
+    * plane's direction matters and the uniform cube is direction-rich
+    * enough; determinism across engines is what buys the oracle. */
+  def lshPlanes(nPlanes: Int = 16, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, d) => md5Unit(s"plane:$p:$d"))
+
+  /** Fixed (data-independent) coarse centroids for the differential
+    * form of the IVF probe+rank — the Lloyd fit itself is pinned by
+    * OpsSpec (planted clusters + recall-vs-brute), this matrix makes
+    * the assignment/probe/rank stage DuckDB-expressible. */
+  def fixedCentroids(nCells: Int = 8, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(nCells, dim)((c, d) => md5Unit(s"centroid:$c:$d"))
+
+  /** Random-hyperplane LSH near-dup: 16 sign bits from the fixed
+    * md5-derived planes, banded 4×4; candidates = equality join on
     * (band, 4-bit chunk); verified by exact cosine. The plane matrix
     * is a broadcast literal — at scale this is a narrow map + a
     * bucket-keyed shuffle, never all-pairs. */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-                      nPlanes: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+                      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(nPlanes, dim)
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
     val e = prepared(embeddings)
       .withColumn("bits", transform(planesCol, p =>

@@ -205,8 +205,11 @@ object CoreQueries {
       "topic0 AS first_topic FROM logs WHERE block_number < 50 ORDER BY id"),
 
     "tx_value_decimal" -> (EvmDerive.cte +
+      // CAST to BIGINT: DuckDB's SUM(BIGINT) returns HUGEINT, which the
+      // checker renders as float ("205000.0") while Spark emits int64
+      // ("205000") — the formatted hashes diverge without the cast.
       "SELECT block_number, CAST(SUM(CAST(value AS DECIMAL(38,0))) AS VARCHAR) AS wei_sum, " +
-      "SUM(gas_used) AS gas_sum FROM transactions WHERE block_number < 100 " +
+      "CAST(SUM(gas_used) AS BIGINT) AS gas_sum FROM transactions WHERE block_number < 100 " +
       "GROUP BY block_number ORDER BY block_number"),
 
     "ingest_explode" -> (EvmDerive.cte +

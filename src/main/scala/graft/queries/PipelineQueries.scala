@@ -13,9 +13,11 @@ import graft.tables.Fixtures
   *
   * Oracle-checked wherever DuckDB can express the same deterministic
   * pipeline (md5-based MinHash and banding are mirrored end-to-end, so
-  * even the LSH candidate generation is differentially tested).
-  * SimHash (custom native expression) and hyperplane-LSH keep
-  * rows-only checks.
+  * even the LSH candidate generation is differentially tested; the
+  * hyperplane-LSH and IVF probe/rank paths embed md5-derived plane /
+  * centroid literals in both engines, so the SCALE paths are
+  * hash-checked, not just the brute-force baselines). SimHash (murmur
+  * isn't in DuckDB) keeps a rows-only check plus ScalaCheck pinning.
   */
 object PipelineQueries {
 
@@ -68,8 +70,14 @@ object PipelineQueries {
     "text_doc_frequency" -> ((s, dir) =>
       TextAnalysis.docFrequency(Fixtures.documents(s, dir), topN = 20)),
 
+    // HLL itself is engine-specific, so the differential form checks
+    // the exact column plus a relative-error bound on the sketch (the
+    // tighter ±5% assertion lives in OpsSpec on the fixed fixture).
     "text_distinct_approx" -> ((s, dir) =>
-      TextAnalysis.distinctStats(Fixtures.documents(s, dir))),
+      TextAnalysis.distinctStats(Fixtures.documents(s, dir))
+        .select(col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) * 10 <=
+            col("exact_distinct")).as("hll_within_10pct"))),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Fixtures.documents(s, dir))
@@ -79,12 +87,14 @@ object PipelineQueries {
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
-    // Learned-quantizer IVF (no oracle: iterative k-means isn't
-    // single-statement SQL; correctness is pinned by the OpsSpec
-    // planted-cluster test + recall-vs-brute assertions).
+    // IVF probe+rank with FIXED md5-derived centroid literals shared
+    // with the oracle SQL — the whole assignment/probe/rank stage is
+    // differential. The Lloyd *fit* (not single-statement SQL) stays
+    // pinned by the OpsSpec planted-cluster + recall-vs-brute tests.
     "similarity_topk_kmeans" -> ((s, dir) =>
       Similarity.topKIvfKmeans(Fixtures.embeddings(s, dir), maxQueryId = 5,
-        k = 10, nCells = 8, nProbe = 2)
+        k = 10, nCells = 8, nProbe = 2,
+        centroids = Some(Similarity.fixedCentroids(8, 64)))
         .orderBy(col("q_id"), col("rn"))),
 
     "multimodal_decode" -> ((s, dir) =>
@@ -117,27 +127,36 @@ object PipelineQueries {
       |  FROM toks WHERE len(t) >= 3)
       |""".stripMargin
 
+  /** MinHash → bands → candidates → exact-Jaccard verification, shared
+    * by the dedup_minhash and dedup_apply oracles. Mirrors
+    * [[graft.ops.Dedup.minhashSignature]]'s double hashing: one md5
+    * per shingle, h1/h2 = 13-hex-char (52-bit) slices, hash_j =
+    * h1 + j·h2. */
+  private val minhashVerCte =
+    """, mh AS (SELECT doc_id, j,
+      |  list_min([('0x' || substr(md5(s), 1, 13))::BIGINT
+      |            + j * ('0x' || substr(md5(s), 14, 13))::BIGINT for s in shingles]) AS m
+      |  FROM sh, range(12) r(j)),
+      |bands AS (SELECT doc_id, j // 2 AS band,
+      |  md5(string_agg(m::VARCHAR, '|' ORDER BY j)) AS band_sig
+      |  FROM mh GROUP BY doc_id, j // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |ver AS (SELECT doc_a, doc_b,
+      |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
+      |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
+      |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY keep_doc_id""".stripMargin,
 
-    "dedup_minhash" -> (shingleCte +
-      """, mh AS (SELECT doc_id, j,
-        |  list_min([md5(j::VARCHAR || ':' || s) for s in shingles]) AS m
-        |  FROM sh, range(12) r(j)),
-        |bands AS (SELECT doc_id, j // 2 AS band,
-        |  md5(string_agg(m, '|' ORDER BY j)) AS band_sig
-        |  FROM mh GROUP BY doc_id, j // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        |ver AS (SELECT doc_a, doc_b,
-        |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
-        |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
-        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
-        |SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
+    "dedup_minhash" -> (shingleCte + minhashVerCte +
+      """SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
         |WHERE inter * 1000 >= uni * 600 ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_apply" -> {
@@ -149,21 +168,8 @@ object PipelineQueries {
            |  LEFT JOIN l${i - 1} n ON n.doc_id = e.nbr
            |  GROUP BY l.doc_id, l.cluster)""".stripMargin
       }.mkString("\n")
-      shingleCte +
-        """, mh AS (SELECT doc_id, j,
-          |  list_min([md5(j::VARCHAR || ':' || s) for s in shingles]) AS m
-          |  FROM sh, range(12) r(j)),
-          |bands AS (SELECT doc_id, j // 2 AS band,
-          |  md5(string_agg(m, '|' ORDER BY j)) AS band_sig
-          |  FROM mh GROUP BY doc_id, j // 2),
-          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
-          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-          |ver AS (SELECT doc_a, doc_b,
-          |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
-          |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
-          |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
-          |pairs AS (SELECT doc_a, doc_b FROM ver WHERE inter * 1000 >= uni * 600),
+      shingleCte + minhashVerCte +
+        """, pairs AS (SELECT doc_a, doc_b FROM ver WHERE inter * 1000 >= uni * 600),
           |edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
           |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)""".stripMargin +
@@ -185,6 +191,66 @@ object PipelineQueries {
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM p
         |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
+
+    // Hyperplane-LSH scale path: the 16 md5-derived plane vectors are
+    // embedded as identical DOUBLE literals here and in the Spark plan
+    // (Double.toString round-trips exactly), so candidate generation +
+    // cosine verification are both differential.
+    "embed_neardup_lsh" -> {
+      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
+        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(",\n  ")
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |  FROM embeddings),
+         |bits AS (SELECT vec_id, v, nrm, [
+         |  $bitExprs] AS bt FROM n),
+         |banded AS (SELECT vec_id, v, nrm, b AS band,
+         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
+         |  FROM bits, range(0, 4) r(b)),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // IVF probe+rank over the fixed md5-derived centroids: assignment
+    // is argmin of -2·v·c + |c|² (first-min tie-break = list_position,
+    // mirroring Spark's array_position); each query probes its 2
+    // nearest cells (ROW_NUMBER over (score, cell) mirrors Spark's
+    // array_sort on struct(s, c)).
+    "similarity_topk_kmeans" -> {
+      val cs = Similarity.fixedCentroids(8, 64)
+      val scoreExprs = cs.map { c =>
+        s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
+      }.mkString(",\n  ")
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, v, nrm, [
+         |  $scoreExprs] AS cs FROM n),
+         |asg AS (SELECT vec_id, v, nrm,
+         |  (list_position(cs, list_min(cs)) - 1) AS cell FROM sc),
+         |qc AS (SELECT vec_id, v, nrm, unnest(cs) AS s, unnest(range(8)) AS c
+         |  FROM sc WHERE vec_id < 5),
+         |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, c) rn FROM qc)
+         |  WHERE rn <= 2),
+         |p AS (SELECT q.q_id, x.vec_id,
+         |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+         |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10
+         |ORDER BY q_id, rn""".stripMargin
+    },
+
+    "text_distinct_approx" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT count(DISTINCT token) AS exact_distinct, true AS hll_within_10pct
+        |FROM tk""".stripMargin,
 
     "embed_neardup" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
