@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Filter model of the reference's `POST /logs` body
   * (`src/api_models.rs:16-48`): every field optional, ANDed together;
   * `blockHash` overrides the block range (`src/api.rs:126-139`);
-  * cursor mode when both cursor fields are present (`src/api.rs:116`).
+  * cursor mode when EITHER cursor field is present, the absent one
+  * defaulting to 0 (`src/api.rs:116-118` `unwrap_or(0)`).
   */
 final case class GetLogsFilter(
     blockHash: Option[String] = None,
@@ -21,7 +22,7 @@ final case class GetLogsFilter(
     cursorLogId: Option[Long] = None,
     page: Option[Int] = None,
     pageSize: Option[Int] = None) {
-  def cursorMode: Boolean = cursorBlock.isDefined && cursorLogId.isDefined
+  def cursorMode: Boolean = cursorBlock.isDefined || cursorLogId.isDefined
 }
 
 /** One page of logs plus the resume cursor
@@ -81,13 +82,15 @@ object LogsQuery {
         f.topic3.map(col("topic3") === _).toSeq
     // Q-6: keyset cursor `(block_number, id) > (cb, cl)` expanded to
     // booleans (`src/api.rs:162-172`) — pushed down to row-group
-    // pruning on block_number.
-    val cursor: Seq[Column] = (f.cursorBlock, f.cursorLogId) match {
-      case (Some(cb), Some(cl)) =>
+    // pruning on block_number. Either field alone enters cursor mode;
+    // the other defaults to 0 (`src/api.rs:116-118` `unwrap_or(0)`).
+    val cursor: Seq[Column] =
+      if (f.cursorMode) {
+        val cb = f.cursorBlock.getOrElse(0L)
+        val cl = f.cursorLogId.getOrElse(0L)
         Seq(col("block_number") > cb ||
           (col("block_number") === cb && col("id") > cl))
-      case _ => Nil
-    }
+      } else Nil
     hashOrRange ++ rest ++ cursor
   }
 

@@ -29,11 +29,18 @@ object Lookups {
       Some(transactions.filter(lower(col("tx_hash")) === hash.toLowerCase).limit(1))
     else None
 
-  /** Q-10: hash stored at a height, "latest wins"
-    * (`src/db.rs:19-30`). */
+  /** Q-10: hash stored at a height (`src/db.rs:19-30`). The
+    * reference's `ORDER BY block_number DESC` is vestigial — it orders
+    * a column the equality filter has already made constant, so its
+    * "latest wins" comment (`src/db.rs:17`) is not actually
+    * implemented there either. We drop the misleading sort and instead
+    * rely on the store contract: [[graft.ingest.ChainStore]] keeps at
+    * most one block per height (reorg rollback retracts the losing
+    * branch before the winner lands), so this plan returns 0 or 1
+    * rows deterministically. */
   def blockHashAtHeight(blocks: DataFrame, height: Long): DataFrame =
     blocks.filter(col("block_number") === height)
-      .orderBy(col("block_number").desc).limit(1)
+      .limit(1)
       .select(col("block_hash"))
 
   /** Q-11 + Q-12: three table counts + null-propagating ingestion lag

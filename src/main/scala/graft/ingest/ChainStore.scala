@@ -30,6 +30,49 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Buckets appended to since their last compaction, per table —
+    * lets [[compact]] visit O(recently touched) buckets instead of
+    * O(chain length) (a long-lived ingester would otherwise pay one
+    * driver round-trip per historical bucket every maintenance cycle).
+    * In-memory only: a fresh process falls back to the full sweep via
+    * `compactAll`. */
+  private val dirtyBuckets =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+
+  private def markDirty(table: String, lo: Long, hi: Long): Unit = {
+    val set = dirtyBuckets.getOrElseUpdate(table, scala.collection.mutable.Set.empty)
+    (lo / bucketSize to hi / bucketSize).foreach(set += _)
+  }
+
+  /** Swap a freshly-written bucket directory into place. `rename` is
+    * atomic on HDFS/local, so the bucket's data exists in either the
+    * aside copy or the live path at every instant — a crash between the
+    * two renames cannot lose it (the delete-then-rename it replaces
+    * could). A concurrent reader can still transiently miss the bucket
+    * between the renames; [[recoverSwaps]] (run before every
+    * rollback/compact) heals any half-finished swap left by a crash. */
+  private def swapBucket(dir: Path, live: Path, tmp: Path): Unit = {
+    val aside = new Path(dir, s".aside-${live.getName}")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    fs.rename(live, aside)
+    fs.rename(tmp, live)
+    fs.delete(aside, true)
+  }
+
+  /** Crash recovery for [[swapBucket]]: a leftover `.aside-bucket=N`
+    * whose live bucket is missing is renamed back; one whose live
+    * bucket exists was already superseded and is dropped. */
+  private def recoverSwaps(table: String): Unit =
+    if (exists(table)) {
+      val dir = new Path(tablePath(table))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(".aside-")).foreach { aside =>
+          val live = new Path(dir, aside.getName.stripPrefix(".aside-"))
+          if (fs.exists(live)) fs.delete(aside, true)
+          else fs.rename(aside, live)
+        }
+    }
+
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
 
   /** Read a table (without the physical bucket column). */
@@ -63,7 +106,8 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     dfs.foreach { case (t, incoming) =>
       val key = keyOf(t)
       val deduped = incoming.dropDuplicates(key)
-      val minB = deduped.agg(min(col("block_number"))).collect().head
+      val minB = deduped.agg(min(col("block_number")), max(col("block_number"))).collect().head
+      if (!minB.isNullAt(0)) markDirty(t, minB.getLong(0), minB.getLong(1))
       val fresh = if (minB.isNullAt(0)) deduped else {
         if (exists(t)) {
           // keep the physical `bucket` column in the overlap scan so the
@@ -96,6 +140,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     // children first: logs, transactions, then blocks
     Seq("logs", "transactions", "blocks").foreach { t =>
       if (exists(t)) {
+        recoverSwaps(t)
         val dir = new Path(tablePath(t))
         val parts = fs.listStatus(dir).map(_.getPath)
           .filter(_.getName.startsWith("bucket="))
@@ -110,11 +155,11 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
             if (kept.isEmpty) fs.delete(p, true)
             else {
               kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-              fs.delete(p, true)
-              fs.rename(tmp, p)
+              swapBucket(dir, p, tmp)
             }
           }
         }
+        dirtyBuckets.get(t).foreach(_.filterInPlace(_ <= forkBucket))
       }
     }
   }
@@ -122,17 +167,30 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   /** Small-file compaction: every micro-batch append leaves one file
     * per bucket it touched, so a bucket ingested across B cycles holds
     * B small files — the classic streaming-sink problem at scale.
-    * Rewrites any multi-file bucket into one sorted, bloom-filtered
-    * file via temp-write-then-swap (same atomicity discipline as
-    * [[rollback]]). Run periodically (e.g. every N batches or from a
-    * maintenance job); readers between swap steps see either the old
-    * or the new complete bucket, never a partial one. */
-  def compact(table: String): Unit = {
-    if (exists(table)) {
+    * Rewrites multi-file buckets into one sorted, bloom-filtered file
+    * via temp-write-then-swap (crash-safe, see [[swapBucket]]).
+    *
+    * Only buckets appended to since their last compaction are visited
+    * (the in-memory dirty set): a long-lived ingester pays O(touched)
+    * driver round-trips per maintenance cycle, not O(chain length).
+    * A fresh process has no dirty history — [[compactAll]] does the
+    * full sweep for offline maintenance. */
+  def compact(table: String): Unit =
+    compactBuckets(table, Some(dirtyBuckets.get(table).map(_.toSet).getOrElse(Set.empty)))
+
+  /** Full-sweep compaction over every bucket (offline maintenance /
+    * fresh process with no dirty history). */
+  def compactAll(table: String): Unit = compactBuckets(table, None)
+
+  private def compactBuckets(table: String, only: Option[Set[Long]]): Unit = {
+    if (exists(table) && !only.exists(_.isEmpty)) {
       val key = keyOf(table)
+      recoverSwaps(table)
       val dir = new Path(tablePath(table))
       fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith("bucket=")).foreach { p =>
+        .filter(_.getName.startsWith("bucket="))
+        .filter(p => only.forall(_.contains(p.getName.stripPrefix("bucket=").toLong)))
+        .foreach { p =>
           val nFiles = fs.listStatus(p)
             .count(s => s.getPath.getName.endsWith(".parquet"))
           if (nFiles > 1) {
@@ -143,9 +201,10 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
               .write.mode(SaveMode.Overwrite)
               .option(s"parquet.bloom.filter.enabled#$key", "true")
               .parquet(tmp.toString)
-            fs.delete(p, true)
-            fs.rename(tmp, p)
+            swapBucket(dir, p, tmp)
           }
+          dirtyBuckets.get(table)
+            .foreach(_ -= p.getName.stripPrefix("bucket=").toLong)
         }
     }
   }
@@ -159,6 +218,39 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
       .toDF("last_processed_block", "chain_head_at_last_poll")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/indexer_status")
   }
+
+  /** Deep-reorg repair marker: set when a detected fork height falls
+    * below the triggering batch's own range, i.e. the store was rolled
+    * back past blocks the batch cannot re-supply. The source reads it
+    * (plain text, one height) and extends its re-serve window down to
+    * this height so the next cycle re-ingests from the hole — the
+    * batch-native analog of the reference's refetch-from-rollback-
+    * height next cycle (`src/main.rs:166-189`). Cleared once an
+    * appended batch covers the marked height again. */
+  def writeRepairFrom(from: Long, width: Long = 1L): Unit = {
+    val out = fs.create(new Path(s"$root/_repair_from"), true)
+    try out.write(s"$from $width".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (serve-from height, current widening reach), None when no repair
+    * is pending. */
+  def readRepairFrom: Option[(Long, Long)] = {
+    val p = new Path(s"$root/_repair_from")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        if (txt.isEmpty) None
+        else {
+          val parts = txt.split("\\s+")
+          Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else 1L))
+        }
+      } finally in.close()
+    }
+  }
+
+  def clearRepairFrom(): Unit = fs.delete(new Path(s"$root/_repair_from"), false)
 
   /** (last_processed_block, chain_head_at_last_poll), None before
     * first ingest — `src/db.rs:8-15`. */

@@ -15,8 +15,11 @@ object SimChain {
   case class SimLog(log_index_in_tx: Long, contract_address: String,
                     topic0: String, topic1: Option[String],
                     topic2: Option[String], topic3: Option[String], data: String)
+  // status is Option: a missing receipt is tolerated as status=None
+  // with no logs, like the reference's `Option<i64>` (`src/models.rs:43`,
+  // `src/main.rs:219-221,250-253`).
   case class SimTx(tx_hash: String, tx_index_in_block: Long, from_address: String,
-                   to_address: String, value: String, gas_used: Long, status: Long,
+                   to_address: String, value: String, gas_used: Long, status: Option[Long],
                    logs: Seq[SimLog])
   case class SimBlock(block_number: Long, block_hash: String, parent_hash: String,
                       timestamp: Long, transactions: Seq[SimTx])
@@ -40,7 +43,7 @@ object SimChain {
       }
       SimTx(h256(s"$salt:tx:$n:$t"), t, h160(s"from:${(n + t) % 5}"),
         h160(s"to:${t % 5}"), s"${n + 1}000000000000000000",
-        21000 + t * 100, if ((n + t) % 10 == 0) 0 else 1, logs)
+        21000 + t * 100, Some(if ((n + t) % 10 == 0) 0L else 1L), logs)
     }
     SimBlock(n, hash, parentHash, 1704067200L + n * 12, txs)
   }
@@ -54,6 +57,22 @@ object SimChain {
       if (n == 0) h256("genesis-parent") else h256(s"${saltOf(n - 1)}:${n - 1}")
     blockAt(n, saltOf(n), parent)
   }
+
+  /** I-14 node view with holes: a height in `missing` fetches as None
+    * — the reference skips it and moves on (`src/main.rs:134-139`); a
+    * height in `receiptless` serves its block but with every receipt
+    * absent, tolerated as `status=None` and no logs
+    * (`src/main.rs:219-221,250-253,274`). */
+  def blockOnNode(n: Long, forkAt: Option[Long], missing: Set[Long],
+                  receiptless: Set[Long]): Option[SimBlock] =
+    if (missing(n)) None
+    else {
+      val b = blockOn(n, forkAt)
+      if (receiptless(n))
+        Some(b.copy(transactions =
+          b.transactions.map(t => t.copy(status = None, logs = Nil))))
+      else Some(b)
+    }
 
   /** Hash-linked chain segment `[from, until)` on branch `salt`.
     * Hashes chain through the parent so a divergent branch has

@@ -64,24 +64,47 @@ object StreamingIngester {
           .map(r => r.getLong(0) -> r.getString(1)).toMap
         case None => Map.empty
       }
+      // Lowest inconsistent height wins; the parent-linkage check must
+      // come FIRST — at a height where both the stored hash diverges
+      // and the stored parent mismatches, the chain is already broken
+      // at h-1, and taking h would re-append on top of a stale prefix.
       val fork: Option[Long] = incoming.iterator.flatMap { case (h, hash, parent) =>
-        if (stored.get(h).exists(_ != hash)) Some(h)
-        else if (stored.get(h - 1).exists(_ != parent)) Some(h - 1)
+        if (stored.get(h - 1).exists(_ != parent)) Some(h - 1)
+        else if (stored.get(h).exists(_ != hash)) Some(h)
         else None
       }.take(1).toSeq.headOption
-      fork.foreach(store.rollback)
-      val (blocks, txs, logs) = Ingest.flatten(batch)
-      // The reference's log id is a Postgres BIGSERIAL (`init.sql:50`);
-      // here it must be a *deterministic* function of position so a
-      // replayed batch produces identical ids and the idempotent
-      // append stays exactly-once.
-      val logsWithId = logs.withColumn("id",
-        expr("block_number * 1000000 + tx_index_in_block * 1000 + log_index_in_tx"))
-      store.append(blocks, txs, logsWithId)
-      // Q-19: checkpoint upsert in the same cycle, mirroring the
-      // reference's status update inside the commit (src/main.rs:299-303).
-      val hi = incoming.last._1
-      store.writeStatus(hi, hi)
+      fork match {
+        case Some(fk) if fk < lo =>
+          // Reorg deeper than the batch's own range: the rollback
+          // retracts height fk, but the batch's lowest block is lo > fk
+          // — appending it would leave a permanent hole at fk..lo-1
+          // with the status advanced past it. Mirror the reference
+          // (`src/main.rs:166-189`): retract, append NOTHING, and leave
+          // a repair marker so the source re-serves from (below) the
+          // fork height next cycle; status stays at the last contiguous
+          // height. The serve-from reach doubles on each consecutive
+          // repair, so a depth-D reorg heals in O(log D) cycles rather
+          // than the reference's one block per cycle.
+          store.rollback(fk)
+          val width = store.readRepairFrom.map(_._2 * 2).getOrElse(1L)
+          store.writeRepairFrom(math.max(0L, fk - width + 1), width)
+          store.writeStatus(fk - 1, hi0)
+        case other =>
+          other.foreach(store.rollback)
+          val (blocks, txs, logs) = Ingest.flatten(batch)
+          // The reference's log id is a Postgres BIGSERIAL (`init.sql:50`);
+          // here it must be a *deterministic* function of position so a
+          // replayed batch produces identical ids and the idempotent
+          // append stays exactly-once.
+          val logsWithId = logs.withColumn("id",
+            expr("block_number * 1000000 + tx_index_in_block * 1000 + log_index_in_tx"))
+          store.append(blocks, txs, logsWithId)
+          // The appended batch reaches back to the marked hole: healed.
+          store.readRepairFrom.filter(lo <= _._1).foreach(_ => store.clearRepairFrom())
+          // Q-19: checkpoint upsert in the same cycle, mirroring the
+          // reference's status update inside the commit (src/main.rs:299-303).
+          store.writeStatus(hi0, hi0)
+      }
     }
   }
 

@@ -43,10 +43,16 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
 
   /** Matches `FLOOR(CAST(a AS DOUBLE) / c)` (optionally the whole
     * floor cast back to long) where `a` is an integral attribute and
-    * `c` a positive integral double literal. The double round-trip is
-    * exact while |a| < 2^53 / c — event ids and row counters live far
-    * below that; beyond it Spark's own floor(double) answer is the
-    * thing being transposed, so the conjunct stays consistent with it.
+    * `c` a positive integral double literal.
+    *
+    * Precision caveat: Spark evaluates the matched predicate in DOUBLE
+    * (`floor(cast(a as double) / c)`), while the injected conjunct is
+    * exact integer math. The two agree only while the cast of `a` and
+    * the quotient stay exactly representable; near 2^53 the
+    * double-based floor can accept a row the integer conjunct rejects
+    * (e.g. a = 10^17−1, c = 10). [[transpose]] therefore refuses any
+    * rewrite whose transposed bound exceeds 2^51 in magnitude (two
+    * bits of slack below 2^53) — see [[exactRange]].
     */
   private object FloorDivCol {
     def unapply(e: Expression): Option[(Attribute, Long)] = e match {
@@ -77,22 +83,38 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
     case other    => other
   }))
 
+  /** Largest bound magnitude the rewrite accepts. For any injected
+    * bound v with |v| ≤ 2^51, every row the integer conjunct rejects
+    * is also rejected by Spark's double-based original predicate:
+    * a failing row for `a ≥ v` satisfies a < v ≤ 2^51, so
+    * cast(a as double) is exact and the quotient's rounding error
+    * (≤ (a/c)·2^-53 < 1/(2c)) cannot bridge the ≥ 1/c gap to the next
+    * integer; a failing row for `a ≤ v` has exact quotient at least
+    * (a−v)/c above the threshold, again beyond rounding reach once
+    * v ≤ 2^51. Beyond that the rewrite is skipped — the original
+    * predicate alone remains, correct but not pushed down. */
+  private val exactRange: Long = 1L << 51
+
+  private def exact(v: Long): Long =
+    if (math.abs(v) <= exactRange) v
+    else throw new ArithmeticException("transposed bound outside double-exact range")
+
   /** The transposed plain-column conjuncts implied by one predicate. */
   private def transpose(pred: Expression): Seq[Expression] = {
     def safe(f: => Seq[Expression]): Seq[Expression] =
       try f catch { case _: ArithmeticException => Nil }
     pred match {
       case GreaterThanOrEqual(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
-        safe(Seq(geq(a, Math.multiplyExact(k, c))))
+        safe(Seq(geq(a, exact(Math.multiplyExact(k, c)))))
       case GreaterThan(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
-        safe(Seq(geq(a, Math.multiplyExact(Math.addExact(k, 1L), c))))
+        safe(Seq(geq(a, exact(Math.multiplyExact(Math.addExact(k, 1L), c)))))
       case LessThanOrEqual(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
-        safe(Seq(leq(a, Math.subtractExact(Math.multiplyExact(Math.addExact(k, 1L), c), 1L))))
+        safe(Seq(leq(a, Math.subtractExact(exact(Math.multiplyExact(Math.addExact(k, 1L), c)), 1L))))
       case LessThan(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
-        safe(Seq(leq(a, Math.subtractExact(Math.multiplyExact(k, c), 1L))))
+        safe(Seq(leq(a, Math.subtractExact(exact(Math.multiplyExact(k, c)), 1L))))
       case EqualTo(FloorDivCol(a, c), IntegralLit(k)) if a.dataType == LongType =>
-        safe(Seq(geq(a, Math.multiplyExact(k, c)),
-          leq(a, Math.subtractExact(Math.multiplyExact(Math.addExact(k, 1L), c), 1L))))
+        safe(Seq(geq(a, exact(Math.multiplyExact(k, c))),
+          leq(a, Math.subtractExact(exact(Math.multiplyExact(Math.addExact(k, 1L), c)), 1L))))
       // literal-on-the-left mirror images
       case GreaterThanOrEqual(IntegralLit(k), fd @ FloorDivCol(_, _)) => transpose(LessThanOrEqual(fd, Literal(k)))
       case GreaterThan(IntegralLit(k), fd @ FloorDivCol(_, _))        => transpose(LessThan(fd, Literal(k)))

@@ -41,9 +41,25 @@ import graft.ingest.SimChain
   * check when it is absent.) The re-served blocks dedup away in the
   * idempotent append.
   *
+  * A reorg deeper than the lookback window leaves a hole the ingester
+  * cannot refill from the batch; it records the fork height in the
+  * store's repair marker (`ChainStore.writeRepairFrom`) and the
+  * `repairFile` option lets this source honor it: the next batch's
+  * re-serve window extends down to the marked height, so the hole is
+  * re-ingested and the marker cleared — the reference's
+  * refetch-after-rollback (`src/main.rs:166-189`) generalized to any
+  * depth. Offsets in the WAL stay monotonic; only the served window
+  * widens.
+  *
+  * I-14 error isolation: heights in `missingBlocks` fetch as absent
+  * and are skipped (`src/main.rs:134-139`); heights in
+  * `receiptlessBlocks` serve txs with `status=null` and no logs
+  * (`src/main.rs:219-221,250-253`).
+  *
   * Options: `headFile` (required), `startBlock` (default 0),
   * `blocksPerBatch` (default 5), `reorgLookback` (default 6),
-  * `flakyEveryN` (0 = reliable).
+  * `flakyEveryN` (0 = reliable), `repairFile` (optional marker path),
+  * `missingBlocks` / `receiptlessBlocks` (comma-separated heights).
   *
   * Usage: `spark.readStream.format("graft-simchain")
   *   .option("headFile", path).load()`
@@ -102,6 +118,20 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
   private val blocksPerBatch = options.getLong("blocksPerBatch", 5L)
   private val reorgLookback = options.getLong("reorgLookback", 6L)
   private val flakyEveryN = options.getLong("flakyEveryN", 0L)
+  private val repairFile = Option(options.get("repairFile"))
+  private def heightSet(key: String): Set[Long] =
+    Option(options.get(key)).map(_.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet)
+      .getOrElse(Set.empty)
+  private val missingBlocks = heightSet("missingBlocks")
+  private val receiptlessBlocks = heightSet("receiptlessBlocks")
+
+  /** Deep-reorg repair marker left by the ingester (see class doc);
+    * first token is the serve-from height. */
+  private def repairFrom(): Option[Long] =
+    repairFile.filter(f => Files.exists(Paths.get(f))).flatMap { f =>
+      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
+      if (txt.isEmpty) None else Some(txt.split("\\s+")(0).toLong)
+    }
 
   /** Exclusive end of the last planned batch. The clamp must advance
     * with *planned* work, not with the asynchronous commit callback —
@@ -129,10 +159,14 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
     * batch sees one consistent chain view. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (_, forkAt) = SimChainSource.readHeadFile(headFile)
-    val s = math.max(0L, start.asInstanceOf[BlockOffset].n - reorgLookback)
+    val s0 = math.max(0L, start.asInstanceOf[BlockOffset].n - reorgLookback)
+    // widen (never narrow) the re-serve window down to a pending
+    // deep-reorg repair marker; the extra blocks dedup in the store
+    val s = repairFrom().filter(_ < s0).getOrElse(s0)
     val e = end.asInstanceOf[BlockOffset].n
     planned = math.max(planned, e)
-    (s until e).map(n => SimChainInputPartition(n, forkAt, flakyEveryN): InputPartition).toArray
+    (s until e).map(n => SimChainInputPartition(n, forkAt, flakyEveryN,
+      missingBlocks, receiptlessBlocks): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -147,7 +181,9 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
 }
 
 case class SimChainInputPartition(blockNumber: Long, forkAt: Option[Long],
-                                  flakyEveryN: Long) extends InputPartition
+                                  flakyEveryN: Long,
+                                  missingBlocks: Set[Long] = Set.empty,
+                                  receiptlessBlocks: Set[Long] = Set.empty) extends InputPartition
 
 /** Fetches one block envelope, with the reference's retry policy
   * (3 attempts, exponential backoff — `src/main.rs:126-159`). The
@@ -161,16 +197,19 @@ class SimChainPartitionReader(p: SimChainInputPartition)
   private var done = false
   private var current: InternalRow = _
 
-  private def fetchWithRetry(): SimChain.SimBlock = {
+  /** Returns None when the node has no block at this height — I-14's
+    * `Ok(None)` skip path (`src/main.rs:134-139`). */
+  private def fetchWithRetry(): Option[SimChain.SimBlock] = {
     val maxAttempts = 3
     var backoffMs = 10L
-    var out: Option[SimChain.SimBlock] = None
+    var out: Option[Option[SimChain.SimBlock]] = None
     while (out.isEmpty) {
       attempts += 1
       try {
         if (p.flakyEveryN > 0 && p.blockNumber % p.flakyEveryN == 0 && attempts == 1)
           throw new RuntimeException(s"injected RPC failure for block ${p.blockNumber}")
-        out = Some(SimChain.blockOn(p.blockNumber, p.forkAt))
+        out = Some(SimChain.blockOnNode(p.blockNumber, p.forkAt,
+          p.missingBlocks, p.receiptlessBlocks))
       } catch {
         case e: RuntimeException if attempts < maxAttempts =>
           Thread.sleep(backoffMs)
@@ -184,9 +223,11 @@ class SimChainPartitionReader(p: SimChainInputPartition)
   override def next(): Boolean =
     if (done) false
     else {
-      current = serializer(fetchWithRetry()).copy()
       done = true
-      true
+      fetchWithRetry() match {
+        case Some(b) => current = serializer(b).copy(); true
+        case None    => false // I-14: missing block — emit nothing, skip
+      }
     }
 
   override def get(): InternalRow = current

@@ -54,7 +54,7 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
 
     val someTx = SimChain.canonical(12)(3).transactions.head
     val tx = api.transaction(someTx.tx_hash).get
-    assert(tx.blockNumber == 3 && tx.status.contains(someTx.status))
+    assert(tx.blockNumber == 3 && tx.status == someTx.status)
     assert(tx.gasLimit.isEmpty && tx.nonce.isEmpty)
 
     val page = api.logsPage(GetLogsFilter(fromBlock = Some(0), toBlock = Some(11),

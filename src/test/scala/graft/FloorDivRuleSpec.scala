@@ -53,6 +53,25 @@ class FloorDivRuleSpec extends AnyFunSuite with SparkSpec {
     assert(got(lit(2) <= col("d")) == expect(_ >= 2))
   }
 
+  test("rewrite refused beyond the double-exact range: no row dropped near 2^53") {
+    import spark.implicits._
+    // Counterexample the guard exists for: a = 10^17−1, c = 10. The
+    // double cast rounds a up to 10^17 (spacing is 16 there), so
+    // Spark's floor(cast(a as double)/10) = 10^16 and `d >= 10^16`
+    // accepts the row — while an exact integer conjunct `a >= 10^17`
+    // would drop it. Bounds beyond 2^51 must refuse the rewrite and
+    // leave the original predicate alone.
+    val a = 100000000000000000L - 1 // 10^17 − 1
+    val df = Seq(a, 5L).toDF("a").withColumn("d", floor(col("a") / 10).cast("long"))
+    val kept = df.filter(col("d") >= 10000000000000000L) // 10^16
+    assert(kept.select("a").as[Long].collect().toSeq == Seq(a),
+      "row accepted by double-semantics floor must survive the optimizer")
+    // and the plan must carry no transposed bound on `a`
+    val optimized = kept.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("100000000000000000"),
+      s"guard must refuse the 10^17 conjunct:\n$optimized")
+  }
+
   test("rule-on and rule-off plans return identical rows") {
     val filter = GetLogsFilter(fromBlock = Some(5), toBlock = Some(30),
       topic0 = Some(EvmDerive.topicOf("click")), pageSize = Some(100))

@@ -138,6 +138,47 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(store.hashAt(13).contains(chain(13).block_hash))
   }
 
+  test("compact visits only buckets touched since the last compaction (O(touched), not O(chain))") {
+    import org.apache.hadoop.fs.Path
+    val (store, root) = freshStore(bucketSize = 2)
+    val chain = SimChain.canonical(104) // 52 buckets of 2 blocks
+    chain.grouped(3).foreach(b => StreamingIngester.processBatch(store, envelopes(b.toSeq)))
+    store.Tables.foreach(store.compact) // compacts + clears all dirty state
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(t: String): Map[String, Seq[String]] =
+      fs.listStatus(new Path(s"$root/$t")).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).map { p =>
+          p.getName -> fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+        }.toMap
+    // dirty exactly one new bucket (52) with two single-block appends
+    SimChain.blocks(104, 106).foreach(b =>
+      StreamingIngester.processBatch(store, envelopes(Seq(b))))
+    assert(listing("blocks")("bucket=52").size == 2)
+    // a fresh process has no dirty history: compact() must be a no-op
+    // (the full sweep is opt-in via compactAll)
+    val freshInstance = new ChainStore(spark, root, bucketSize = 2)
+    freshInstance.compact("blocks")
+    assert(listing("blocks")("bucket=52").size == 2, "no-dirty-history compact must not rewrite")
+    // the live store knows only bucket 52 is dirty: everything else
+    // must come through byte-identical (same part files, no rewrite)
+    val before = listing("blocks")
+    store.compact("blocks")
+    val after = listing("blocks")
+    assert(after("bucket=52").size == 1)
+    (before - "bucket=52").foreach { case (b, files) =>
+      assert(after(b) == files, s"untouched bucket $b was rewritten")
+    }
+    // offline full sweep still available for maintenance
+    SimChain.blocks(106, 108).foreach(b =>
+      StreamingIngester.processBatch(store, envelopes(Seq(b))))
+    freshInstance.compactAll("blocks")
+    assert(listing("blocks")("bucket=53").size == 1)
+    // data unharmed end to end
+    assert(store.read("blocks").get.count() == 108)
+    assert(store.lastSyncedBlock.contains(107L))
+  }
+
   test("property: random extend/fork walk — store stays canonical, linked, exactly-once") {
     import spark.implicits._
     // model-based check of the reference's headline integrity claim

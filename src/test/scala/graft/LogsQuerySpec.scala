@@ -47,6 +47,18 @@ class LogsQuerySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(42L, 43L, 44L, 45L, 46L))
   }
 
+  test("Q-6: EITHER cursor field alone enters cursor mode, missing one defaults to 0 (api.rs:116-118)") {
+    // only cursorBlock: behaves as (block, id) > (10, 0) — NOT offset
+    // mode. Block 10 holds ids 40..43, all with id > 0, so the page
+    // starts at 40 (offset mode with page=3 would start at 10).
+    val blockOnly = ids(GetLogsFilter(cursorBlock = Some(10), page = Some(3), pageSize = Some(5)))
+    assert(blockOnly == Seq(40L, 41L, 42L, 43L, 44L),
+      "cursorBlock alone must not degrade to OFFSET pagination")
+    // only cursorLogId: (block, id) > (0, 1) — rows after id 1 in block 0, then on
+    val idOnly = ids(GetLogsFilter(cursorLogId = Some(1), pageSize = Some(4)))
+    assert(idOnly == Seq(2L, 3L, 4L, 5L))
+  }
+
   test("Q-8: page size clamps to [1, 100] (api.rs:26,115)") {
     assert(ids(GetLogsFilter(pageSize = Some(1000))).size == 100)
     assert(ids(GetLogsFilter(pageSize = Some(-3))).size == 1)
