@@ -182,6 +182,59 @@ object Dedup {
         jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
+  /** MinHash band-collision candidate pairs restricted to a blocking
+    * column: the two band legs join on (block, band, band_sig), so the
+    * shuffle key is the LSH bucket and the per-bucket width is bounded
+    * by the collision rate — independent of how large any single block
+    * is. */
+  def bandedCandidates(docs: DataFrame, blockCol: String,
+                       k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val bands = sharedBands(docs, k, rowsPerBand)
+      .join(docs.select(col("doc_id"), col(blockCol)), "doc_id")
+    val a = bands.select(col(blockCol), col("band"), col("band_sig"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col(blockCol), col("band"), col("band_sig"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq(blockCol, "band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col(blockCol), col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Scale-safe n-gram Jaccard: same verification as
+    * [[ngramJaccardPairs]], but candidates come from MinHash band
+    * collisions within the `source` block ([[bandedCandidates]])
+    * instead of the raw shingle-equality self-join. The raw join's
+    * blocking only bounds the quadratic term if no block dominates —
+    * one giant `source` (common in crawl corpora) funnels every
+    * co-shingled pair of that source through one hot shuffle
+    * partition. Here the bucket key is (source, band, band_sig), whose
+    * width the LSH collision rate bounds regardless of block size.
+    *
+    * The trade is recall: a qualifying pair that never collides in any
+    * band is missed — inherent to LSH. The oracle applies the
+    * identical band predicate (md5 arithmetic mirrored, as in
+    * dedup_minhash), so this scale path is differentially checked, not
+    * just rows-only. */
+  def ngramJaccardPairsBanded(docs: DataFrame, threshold: Double = 0.2,
+                              k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val sh = sharedShingleRows(docs)
+    val cands = bandedCandidates(docs, "source", k, rowsPerBand)
+    val exA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val exB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cands.join(exA, "doc_a")
+      .join(exB, Seq("doc_b", "shingle"))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shingleSizes(sh)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(jaccardAtLeast(col("inter"), col("uni"), threshold))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
+  }
+
   /** Apply a near-dup pair list to the corpus: connected components
     * over the similarity graph via bounded-iteration min-label
     * propagation (each round: one join + one map-side-combined min —

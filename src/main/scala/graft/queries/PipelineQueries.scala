@@ -34,6 +34,12 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
 
+    // the de-skewed scale path: band-collision candidates within the
+    // source block, exact-Jaccard verified — see ngramJaccardPairsBanded
+    "dedup_ngram_jaccard_banded" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsBanded(Fixtures.documents(s, dir))
+        .orderBy(col("source"), col("doc_a"), col("doc_b"))),
+
     "dedup_simhash" -> ((s, dir) => {
       GraftFunctions.register(s)
       Dedup.simhashPairs(Fixtures.documents(s, dir), maxHamming = 3)
@@ -190,6 +196,33 @@ object PipelineQueries {
         |  len(list_distinct(list_concat(a.shingles, b.shingles)))::BIGINT AS uni
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM p
+        |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
+
+    // Banded scale path: identical md5 MinHash/band arithmetic as
+    // dedup_minhash, candidates additionally restricted to same-source,
+    // verified at the ngram threshold (0.2) — fully differential.
+    "dedup_ngram_jaccard_banded" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |mh AS (SELECT doc_id, j,
+        |  list_min([('0x' || substr(md5(s), 1, 13))::BIGINT
+        |            + j * ('0x' || substr(md5(s), 14, 13))::BIGINT for s in shingles]) AS m
+        |  FROM sh, range(12) r(j)),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |  md5(string_agg(m::VARCHAR, '|' ORDER BY j)) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 2),
+        |cand AS (SELECT DISTINCT sa.source, a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN sh sa ON sa.doc_id = a.doc_id
+        |  JOIN sh sb ON sb.doc_id = b.doc_id AND sb.source = sa.source),
+        |ver AS (SELECT c.source, c.doc_a, c.doc_b,
+        |  len(list_intersect(x.shingles, y.shingles))::BIGINT AS inter,
+        |  len(list_distinct(list_concat(x.shingles, y.shingles)))::BIGINT AS uni
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
+        |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
         |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
 
     // Hyperplane-LSH scale path: the 16 md5-derived plane vectors are

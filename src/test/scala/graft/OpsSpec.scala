@@ -169,4 +169,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("jaccard_bp")))
     assert(pairs.toSeq == Seq((1L, 3L, 10000L)))
   }
+
+  test("banded ngram jaccard: one dominant source stays ~linear, planted near-dup still found") {
+    import spark.implicits._
+    // every doc shares a 3-token prefix, so EVERY pair in the block is
+    // co-shingled: the raw (source, shingle) self-join materializes all
+    // n(n+1)/2 pairs of the dominant source — the quadratic hot
+    // partition the banded path exists to avoid
+    val prefix = "the quick brown"
+    val n = 120
+    val base = (1 to n).map { i =>
+      val tail = (1 to 20).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"$prefix $tail", "en", "bigsrc", 0L)
+    }
+    // plant one true near-dup of doc 1 (one token changed)
+    val nearDup = (1000L,
+      s"$prefix " + (1 to 20).map(j => if (j == 7) "changed" else s"u1x$j").mkString(" "),
+      "en", "bigsrc", 0L)
+    val d = (base :+ nearDup).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val quadratic = (n + 1L) * n / 2 // what the raw join's hot partition holds
+    val banded = Dedup.bandedCandidates(d, "source").count()
+    assert(banded <= quadratic / 10,
+      s"band-collision candidates must stay ~linear under a dominant source: $banded vs $quadratic")
+    val pairs = Dedup.ngramJaccardPairsBanded(d, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((1L, 1000L)), "planted near-dup must survive the banding")
+  }
 }
