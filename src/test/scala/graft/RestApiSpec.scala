@@ -1,0 +1,154 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{EvmApi, Json, JsonParseException, RestServer}
+import graft.evm.EvmDerive
+
+/** End-to-end HTTP drive of the REST façade: the reference's routes,
+  * wire field names, and 400/404 error mapping
+  * (`src/api.rs:390-406`, `src/api_models.rs`, `src/models.rs`). */
+class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = server.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val server = {
+    val s = new RestServer(EvmApi.onFixtures(spark, sfDir), port = 0)
+    s.start()
+    s
+  }
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def obj(body: String): Map[String, Any] =
+    Json.parse(body).asInstanceOf[Map[String, Any]]
+
+  test("GET / returns the welcome page") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("EVM Indexer API"))
+  }
+
+  test("GET /stats returns the snake_case IndexerStats wire shape (api_models.rs:50-58)") {
+    val (code, body) = get("/stats")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m.keySet == Set("total_blocks", "total_transactions", "total_logs",
+      "last_synced_block", "ingestion_lag"))
+    assert(m("total_blocks").asInstanceOf[Long] > 0)
+    assert(m("ingestion_lag") == 3L)
+  }
+
+  test("GET /block/{identifier}: height, hash, 400 on bad syntax, 404 on absent") {
+    val (code, body) = get("/block/42")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m("blockNumber") == 42L)
+    assert(m.keySet == Set("blockNumber", "blockHash", "parentHash", "timestamp",
+      "gasUsed", "gasLimit", "baseFeePerGas"), "MyBlock camelCase wire shape")
+    // same block by its 66-char hash
+    val hash = m("blockHash").asInstanceOf[String]
+    assert(hash.length == 66)
+    val (c2, b2) = get(s"/block/$hash")
+    assert(c2 == 200 && obj(b2)("blockNumber") == 42L)
+    // 0x-prefixed but not a valid hash: 400, error wire shape
+    val (c3, b3) = get("/block/0xnothex")
+    assert(c3 == 400)
+    assert(obj(b3).keySet == Set("status", "statusCode", "message"))
+    assert(obj(b3)("statusCode") == 400L)
+    // well-formed but absent: 404 with "fail" status (api.rs:55-58)
+    val (c4, b4) = get("/block/999999999")
+    assert(c4 == 404 && obj(b4)("status") == "fail")
+  }
+
+  test("GET /transaction/{tx_hash}: found, 400 invalid, 404 missing") {
+    val (code, body) = get(s"/transaction/${EvmDerive.txHashOf(3)}")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m.keySet == Set("txHash", "blockNumber", "blockHash", "transactionIndex",
+      "fromAddress", "toAddress", "value", "gasPrice", "maxFeePerGas",
+      "maxPriorityFeePerGas", "gas", "inputData", "status"), "MyTransaction wire shape")
+    assert(m("value").asInstanceOf[String].nonEmpty)
+    assert(get("/transaction/tooShort")._1 == 400)
+    assert(get("/transaction/0x" + "0" * 64)._1 == 404)
+  }
+
+  test("POST /logs: filtered page with cursor, camelCase MyLog rows (models.rs:8-25)") {
+    val (code, body) = post("/logs", """{"fromBlock":0,"toBlock":5,"pageSize":10}""")
+    assert(code == 200)
+    val m = obj(body)
+    assert(m.keySet == Set("logs", "next_cursor_block", "next_cursor_log_id"))
+    val logs = m("logs").asInstanceOf[List[Map[String, Any]]]
+    assert(logs.length == 10)
+    assert(logs.head.keySet == Set("logIndex", "transactionHash", "transactionIndex",
+      "blockNumber", "blockHash", "address", "data", "topics"))
+    assert(logs.forall(_("blockNumber").asInstanceOf[Long] <= 5))
+    // resume from the cursor: no overlap with the first page
+    val cb = m("next_cursor_block").asInstanceOf[Long]
+    val cl = m("next_cursor_log_id").asInstanceOf[Long]
+    val (c2, b2) = post("/logs",
+      s"""{"toBlock":5,"cursorBlock":$cb,"cursorLogId":$cl,"pageSize":10}""")
+    assert(c2 == 200)
+    val page2 = obj(b2)("logs").asInstanceOf[List[Map[String, Any]]]
+    val ids1 = logs.map(l => (l("blockNumber"), l("logIndex"), l("transactionHash")))
+    val ids2 = page2.map(l => (l("blockNumber"), l("logIndex"), l("transactionHash")))
+    assert(ids1.toSet.intersect(ids2.toSet).isEmpty, "cursor page must not overlap")
+  }
+
+  test("POST /logs: limit alias, empty body defaults, malformed JSON is 400") {
+    val (c1, b1) = post("/logs", """{"limit":3}""")
+    assert(c1 == 200 && obj(b1)("logs").asInstanceOf[List[Any]].length == 3)
+    val (c2, b2) = post("/logs", "")
+    assert(c2 == 200 && obj(b2)("logs").asInstanceOf[List[Any]].length == 25,
+      "empty body uses the default page size (api_models.rs:12-13)")
+    assert(post("/logs", """{"fromBlock":""")._1 == 400)
+    assert(post("/logs", """{"fromBlock":"zero"}""")._1 == 400)
+  }
+
+  test("unknown route is a 404 with the GenericErrorResponse shape") {
+    val (code, body) = get("/nope")
+    assert(code == 404)
+    assert(obj(body).keySet == Set("status", "statusCode", "message"))
+  }
+
+  test("GET /api-docs/openapi.json parses and covers the five routes (docs.rs:6-42)") {
+    val (code, body) = get("/api-docs/openapi.json")
+    assert(code == 200)
+    val doc = obj(body)
+    assert(doc("openapi").asInstanceOf[String].startsWith("3."))
+    val paths = doc("paths").asInstanceOf[Map[String, Any]].keySet
+    assert(paths == Set("/", "/stats", "/logs", "/block/{identifier}",
+      "/transaction/{tx_hash}"))
+    val schemas = doc("components").asInstanceOf[Map[String, Any]]("schemas")
+      .asInstanceOf[Map[String, Any]].keySet
+    assert(Set("GetLogsFilter", "IndexerStats", "LogsResponse", "MyBlock",
+      "MyTransaction", "MyLog", "GenericErrorResponse").subsetOf(schemas))
+    assert(get("/swagger-ui")._1 == 200)
+  }
+
+  test("Json codec round-trips escapes, unicode, nested structures") {
+    val v = Map("a" -> List(1L, -2L, 3.5), "s" -> "q\"\\\n\tüñ", "b" -> true,
+      "n" -> null)
+    val written = Json.write(graft.api.JObj(
+      "a" -> Seq(1L, -2L, 3.5), "s" -> "q\"\\\n\tüñ", "b" -> true, "n" -> None))
+    assert(Json.parse(written) == v)
+    intercept[JsonParseException](Json.parse("""{"a":}"""))
+    intercept[JsonParseException](Json.parse("""[1,2"""))
+    intercept[JsonParseException](Json.parse("""{"a":1} extra"""))
+  }
+}
