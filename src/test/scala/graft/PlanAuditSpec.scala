@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale police for the whole query registry: every registered query's
+  * physical plan is audited for the operators that do not survive a
+  * 100× scale-up. A new query that sneaks in an unbounded cartesian or
+  * a driver-side collect fails here, not in production.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The documented O(n²) correctness baselines — each has an
+    * oracle-checked LSH/IVF twin that is the actual scale path
+    * (`embed_neardup_lsh`, `similarity_topk_ivf`/`_kmeans`). Only
+    * these may plan a cartesian/nested-loop join over data-sized
+    * inputs. */
+  private val brutForceBaselines =
+    Set("embed_neardup", "similarity_topk")
+
+  /** Cross-joins whose inputs are single-row scalar aggregates by
+    * construction (1×1×1) — `Lookups.stats` combines three global
+    * counts; the nested-loop shape is over one row per side. */
+  private val scalarCombines = Set("evm_stats")
+
+  test("no registered query plans a cartesian / nested-loop join except the documented baselines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val physical = q(spark, sfDir).queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(physical.contains)
+      if (bad.nonEmpty && !brutForceBaselines(name) && !scalarCombines(name))
+        Some(name -> bad)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes outside the baseline allowlist: $offenders")
+  }
+
+  test("the brute-force baselines still have their scale-path twins registered") {
+    // if a baseline is ever removed from the allowlist above, this
+    // pins that the LSH/IVF twin exists and stays oracle-checked
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q("embed_neardup_lsh") && o("embed_neardup_lsh"))
+    assert(q("similarity_topk_ivf") && o("similarity_topk_ivf"))
+    assert(q("similarity_topk_kmeans") && o("similarity_topk_kmeans"))
+  }
+
+  test("every registered query has a DuckDB oracle, except the documented rows-only set") {
+    // dedup_simhash: murmur3 is not expressible in DuckDB; its
+    // semantics are pinned by SimHash64's ScalaCheck properties and
+    // the OpsSpec planted-pair test instead.
+    val rowsOnly = Set("dedup_simhash")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracles without a query: $stale")
+  }
+}
