@@ -41,8 +41,23 @@ import org.apache.spark.sql.Row
   * [[EvmApi]], this is a batch-analytics surface: callers needing the
   * reference's sub-millisecond indexed lookups put the DataFrames
   * behind `.cache()` first.
+  *
+  * The facade is a provider, re-invoked per request: the reference
+  * queries Postgres per request and so always sees the latest ingested
+  * rows, while a fixed DataFrame freezes its parquet file listing at
+  * construction. A provider that re-reads (e.g. `() =>
+  * EvmApi.onStore(store).get`) serves live data while a
+  * [[graft.ingest.StreamingIngester]] appends — the reference's
+  * API-server + indexer-loop composition (`src/main.rs:83-90`). For a
+  * static source, pass the fixed-facade constructor.
   */
-final class RestServer(api: EvmApi, port: Int = 0, nThreads: Int = 8) {
+final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
+
+  /** Fixed-facade form (static tables, e.g. the derived fixtures). */
+  def this(api: EvmApi, port: Int = 0, nThreads: Int = 8) =
+    this(() => api, port, nThreads)
+
+  private def api: EvmApi = apiProvider()
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _

@@ -141,6 +141,44 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(get("/swagger-ui")._1 == 200)
   }
 
+  test("REST serves a live ChainStore while the ingester appends (main.rs:83-90 composition)") {
+    import java.nio.file.Files
+    import graft.ingest.{ChainStore, StreamingIngester}
+    import graft.sources.SimChainSource
+    val headFile = Files.createTempFile("rest-live-head", ".txt").toString
+    SimChainSource.writeHeadFile(headFile, 20, None)
+    val storeDir = Files.createTempDirectory("rest-live-store").toString
+    val store = new ChainStore(spark, storeDir, bucketSize = 10)
+    val checkpoint = Files.createTempDirectory("rest-live-ckpt").toString
+    val envelopes = spark.readStream.format("graft-simchain")
+      .option("headFile", headFile).option("blocksPerBatch", 5).load()
+    val query = StreamingIngester.start(envelopes, store, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      query.processAllAvailable()
+      // provider form: the facade re-reads the store per request, so
+      // the server sees rows appended after it started
+      val live = new RestServer(() => EvmApi.onStore(store).get, 0, 4)
+      val port = live.start()
+      def getLive(path: String): (Int, String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      try {
+        assert(obj(getLive("/stats")._2)("total_blocks") == 21L)
+        assert(obj(getLive("/block/5")._2)("blockNumber") == 5L)
+        // chain advances while the server is up: the next request must
+        // see the new blocks without a server restart
+        SimChainSource.writeHeadFile(headFile, 30, None)
+        query.processAllAvailable()
+        assert(obj(getLive("/stats")._2)("total_blocks") == 31L)
+        assert(obj(getLive("/block/28")._2)("blockNumber") == 28L)
+      } finally live.stop()
+    } finally query.stop()
+  }
+
   test("Json codec round-trips escapes, unicode, nested structures") {
     val v = Map("a" -> List(1L, -2L, 3.5), "s" -> "q\"\\\n\tüñ", "b" -> true,
       "n" -> null)
