@@ -141,6 +141,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
+  /** [[minhashPairs]], persisted: dedup_minhash and dedup_apply
+    * consume the identical verified pair set in one session, and the
+    * candidate + verification joins are the expensive tail of the
+    * pipeline — persisting the (tiny: pairs above threshold) result
+    * lets the second consumer skip them entirely via CacheManager plan
+    * matching, like [[sharedShingleRows]]/[[sharedBands]]. */
+  def sharedMinhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
+                         threshold: Double = 0.6): DataFrame =
+    minhashPairs(docs, k, rowsPerBand, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Exact Jaccard as integer basis points (⌊10000·|∩|/|∪|⌋) — integer
     * arithmetic so every engine agrees bit-for-bit. */
   def jaccardBp(inter: Column, uni: Column): Column =
@@ -247,8 +257,11 @@ object Dedup {
   def clusterLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
     // pairs persisted so the (possibly very expensive) pair generation
     // runs exactly once while the two union legs of `edges` evaluate;
-    // dropped again as soon as the edge set is materialized.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // dropped again as soon as the edge set is materialized — unless
+    // the caller handed us an already-persisted set (e.g.
+    // [[sharedMinhashPairs]]), whose lifetime the caller owns.
+    val prePersisted = pairs.storageLevel != StorageLevel.NONE
+    val p = if (prePersisted) pairs else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager) MATERIALIZES and TRUNCATES: each
     // propagation round references the previous labels from two plan
     // legs, so the analyzed plan doubles per round, and anything the
@@ -264,7 +277,7 @@ object Dedup {
     val edges = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
       .localCheckpoint()
-    p.unpersist()
+    if (!prePersisted) p.unpersist()
     // Propagate only over docs that have at least one edge. In a real
     // corpus the overwhelming majority of docs are singletons whose
     // label can never change — joining them through every round is

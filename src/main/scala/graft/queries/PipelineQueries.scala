@@ -27,7 +27,7 @@ object PipelineQueries {
         .orderBy(col("keep_doc_id"))),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Fixtures.documents(s, dir))
+      Dedup.sharedMinhashPairs(Fixtures.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -121,7 +121,7 @@ object PipelineQueries {
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
-      Dedup.applyNearDedup(docs, Dedup.minhashPairs(docs))
+      Dedup.applyNearDedup(docs, Dedup.sharedMinhashPairs(docs))
         .orderBy(col("doc_id"))
     })
   )
