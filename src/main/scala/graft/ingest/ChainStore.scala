@@ -75,10 +75,20 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
 
-  /** Read a table (without the physical bucket column). */
+  /** Read a table. The physical `bucket` partition column stays in the
+    * frame, stamped with [[graft.plans.BucketPruneRule]] metadata
+    * recording the layout invariant (`bucket = block_number div
+    * bucketSize`): any reader predicate on block_number then prunes at
+    * the partition-directory level, not just row-group min/max — a
+    * point lookup over a 100 TB chain touches one bucket directory
+    * instead of listing them all. Consumers that project it away lose
+    * nothing (the column prunes out of the scan). */
   def read(table: String): Option[DataFrame] =
-    if (exists(table)) Some(spark.read.parquet(tablePath(table)).drop("bucket"))
-    else None
+    if (exists(table)) {
+      val meta = graft.plans.BucketPruneRule.bucketMetadata("block_number", bucketSize)
+      Some(spark.read.parquet(tablePath(table))
+        .withColumn("bucket", col("bucket").as("bucket", meta)))
+    } else None
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", expr(s"block_number div $bucketSize"))

@@ -144,11 +144,14 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
 
 /** The engine's single session-extension entry point
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`):
-  * the optimizer rule plus the native SQL functions (`simhash64`,
+  * the optimizer rules plus the native SQL functions (`simhash64`,
   * `dot_f64`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FloorDivPredicateRule)
+    // analyzer-stage: must see the store's metadata-marked alias before
+    // pushdown/pruning rewrite it away (see BucketPruneRule doc)
+    ext.injectResolutionRule(_ => BucketPruneRule)
     ext.injectFunction(graft.functions.GraftFunctions.simhash64Descriptor)
     ext.injectFunction(graft.functions.VectorExprs.dotF64Descriptor)
   }
