@@ -78,8 +78,14 @@ object Json {
     v
   }
 
+  /** Nesting bound: recursive descent would otherwise let a hostile
+    * request body (`[[[[...`) overflow the handler thread's stack — an
+    * Error the HTTP layer's Exception handler cannot turn into a 400. */
+  private val MaxDepth = 64
+
   private final class Parser(s: String) {
     private var i = 0
+    private var depth = 0
     def atEnd: Boolean = i >= s.length
     def fail(msg: String): Nothing =
       throw new JsonParseException(s"$msg at offset $i")
@@ -93,7 +99,9 @@ object Json {
     def value(): Any = {
       skipWs()
       if (atEnd) fail("unexpected end")
-      s.charAt(i) match {
+      depth += 1
+      if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
+      val v = s.charAt(i) match {
         case '{' => obj()
         case '[' => arr()
         case '"' => str()
@@ -102,6 +110,8 @@ object Json {
         case 'n' => lit("null", null)
         case _ => num()
       }
+      depth -= 1
+      v
     }
 
     private def lit(word: String, v: Any): Any =

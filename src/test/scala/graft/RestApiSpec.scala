@@ -188,5 +188,9 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     intercept[JsonParseException](Json.parse("""{"a":}"""))
     intercept[JsonParseException](Json.parse("""[1,2"""))
     intercept[JsonParseException](Json.parse("""{"a":1} extra"""))
+    // hostile nesting must be a parse error (a 400), never a
+    // StackOverflowError on the handler thread
+    intercept[JsonParseException](Json.parse("[" * 100000))
+    assert(Json.parse("[" * 50 + "]" * 50) != null) // within the bound
   }
 }
