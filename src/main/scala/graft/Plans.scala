@@ -16,11 +16,23 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val wanted = if (args.isEmpty) Seq("logs_filter_range", "logs_cursor_page",
-      "q3_revenue_by_segment", "similarity_topk", "dedup_minhash") else args.toSeq
+      "q3_revenue_by_segment", "similarity_topk", "dedup_minhash",
+      "dedup_ngram_jaccard_banded") else args.toSeq
     wanted.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
+    // chain-store height lookup: BucketPruneRule must surface the
+    // transposed bucket bound as a PartitionFilter on the scan
+    println("\n========== chainstore point lookup (BucketPruneRule) ==========")
+    val tmp = java.nio.file.Files.createTempDirectory("plans-store").toString
+    val store = new graft.ingest.ChainStore(spark, tmp, bucketSize = 10)
+    import spark.implicits._
+    graft.ingest.SimChain.canonical(40).grouped(20)
+      .foreach(b => graft.ingest.StreamingIngester.processBatch(store, b.toDF()))
+    store.read("blocks").get
+      .filter(org.apache.spark.sql.functions.col("block_number") === 25)
+      .explain("formatted")
     spark.stop()
   }
 }
