@@ -24,22 +24,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Exploded distinct (doc_id, shingle) rows — the scalable base for
-    * every shingle operator. Shingles are built with window `lead`
-    * over exploded tokens (codegen'd; the per-row
-    * `transform(sequence(...))` formulation runs interpreted and
-    * serializes each document's work onto one element loop). Docs with
-    * < 3 tokens produce no rows, mirroring the oracle's
-    * `WHERE len(t) >= 3`. */
+    * every shingle operator. Shingles are built per row
+    * ([[TextAnalysis.shingles]]: `transform` over the token array +
+    * `array_distinct`) and then exploded: distinctness is established
+    * inside each row, so the stage is SHUFFLE-FREE — unlike the
+    * window-`lead`-over-exploded-tokens formulation this replaced,
+    * which shuffled the whole exploded token corpus twice (window
+    * partitioning, then global distinct) and still measured ~2× slower
+    * locally despite the HOF running interpreted. At 100 TB the two
+    * full shuffles are the difference between a map-only stage and the
+    * corpus crossing the network twice. Docs with < 3 tokens produce
+    * no rows, mirroring the oracle's `WHERE len(t) >= 3`. */
   def shingleRows(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
   }
 
   /** [[shingleRows]], persisted. The near-dup pipelines reference the
