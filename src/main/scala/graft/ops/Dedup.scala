@@ -293,12 +293,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
         .groupBy(col("doc_id")).agg(min(col("nbr_cluster")).as("nbr_min"))
-      // superseded generations' checkpoint blocks are released by the
-      // ContextCleaner once unreferenced — no unbounded cache growth.
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+      // Each round references the previous labels from two legs, so an
+      // unrolled plan holds 2^iters refs — but of the FLAT checkpointed
+      // edge scan, not the pair pipeline, so at the default horizon the
+      // whole propagation compiles into ONE job (no per-round action
+      // latency). Past 2^5 refs the optimizer-time trade flips, so
+      // deeper horizons cut the plan per round instead; superseded
+      // generations' checkpoint blocks are then released by the
+      // ContextCleaner once unreferenced — no unbounded cache growth.
+      labels = if (iters <= 5) next else next.localCheckpoint()
     }
     val singletons = docs.select(col("doc_id"))
       .join(edges.select(col("doc_id")), Seq("doc_id"), "left_anti")
