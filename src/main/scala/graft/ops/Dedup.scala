@@ -322,6 +322,52 @@ object Dedup {
       .select(col("doc_id"), col("cluster_size"))
   }
 
+  /** SimHash near-dup on md5-derived 60-bit hashes — the
+    * differentially-testable twin of [[simhashPairs]]. The native
+    * murmur [[graft.functions.SimHash64]] is the fast path (one
+    * codegen'd expression per row), but murmur has no DuckDB
+    * counterpart, so that entry is rows-only; here every stage — token
+    * hash (15 md5 hex chars = 60 bits), per-bit ±1 vote, signature
+    * packing, 4×15-bit banding (pigeonhole: Hamming ≤ 3 guarantees a
+    * shared band), exact Hamming verify — is plain integer arithmetic
+    * both engines compute bit-for-bit.
+    *
+    * Scale shape matches [[simhashPairs]]: per-token map work, one
+    * map-side-combined groupBy for the votes, band-equality candidate
+    * join, never all-pairs. The 60 vote aggregates per group are wide
+    * but flat — linear in tokens.
+    */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val bandBits = 15
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val perTok = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h.as("h"))
+    val votes = perTok.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
+      (1 until bits).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")): _*)
+    val sigs = votes.select(col("doc_id"),
+      (0 until bits).map(b =>
+        when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bits / bandBits).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup: 64-bit signature via the native
     * [[graft.functions.SimHash64]] expression, banded into 4×16-bit
     * chunks for LSH (Hamming distance <= 3 guarantees a shared band by

@@ -46,6 +46,12 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the differential twin: md5-derived 60-bit simhash, every stage
+    // mirrored in the oracle — see Dedup.simhashPairsMd5
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashPairsMd5(Fixtures.documents(s, dir), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
@@ -197,6 +203,26 @@ object PipelineQueries {
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM p
         |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
+
+    // md5-simhash twin: token hash = 15 md5 hex chars (60 bits),
+    // per-bit ±1 vote (ties → 1), packed signature, 4×15-bit band
+    // join, exact Hamming — all integer arithmetic, bit-for-bit in
+    // both engines.
+    "dedup_simhash_md5" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |bitsum AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM h, range(60) r(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+        |  FROM bitsum GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b AS band,
+        |  (simhash >> (b * 15)) & 32767 AS chunk FROM sig, range(4) r(b)),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Banded scale path: identical md5 MinHash/band arithmetic as
     // dedup_minhash, candidates additionally restricted to same-source,

@@ -170,6 +170,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 3L, 10000L)))
   }
 
+  test("md5-simhash twin finds the planted near-dup and nothing else") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "changed")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.simhashPairsMd5(d, maxHamming = 12).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 > 0, "one changed token must flip some bits")
+  }
+
   test("banded ngram jaccard: one dominant source stays ~linear, planted near-dup still found") {
     import spark.implicits._
     // every doc shares a 3-token prefix, so EVERY pair in the block is

@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("every registered query has a DuckDB oracle, except the documented rows-only set") {
     // dedup_simhash: murmur3 is not expressible in DuckDB; its
     // semantics are pinned by SimHash64's ScalaCheck properties and
-    // the OpsSpec planted-pair test instead.
+    // the OpsSpec planted-pair test, and the operator family is
+    // hash-checked end-to-end through the md5 twin (dedup_simhash_md5).
     val rowsOnly = Set("dedup_simhash")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without an oracle: $missing")
