@@ -129,6 +129,25 @@ object PipelineQueries {
       val docs = Fixtures.documents(s, dir)
       Dedup.applyNearDedup(docs, Dedup.sharedMinhashPairs(docs))
         .orderBy(col("doc_id"))
+    }),
+
+    // the curation story end to end, as ONE declarative plan: keep
+    // each near-dup cluster's representative, gate on quality, tag
+    // language — what a corpus-prep user actually runs. Catalyst fuses
+    // the three operator families; the shared shingle/band/pair caches
+    // mean the dedup leg is free when the registry queries ran first.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val surv = Dedup.applyNearDedup(docs, Dedup.sharedMinhashPairs(docs))
+      val quality = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
+      val lang = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      surv.join(quality, "doc_id").join(lang, "doc_id")
+        .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000)
+        .select(col("doc_id"), col("cluster_size"), col("n_tokens"),
+          col("quality_score_bp"), col("predicted_lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -161,6 +180,31 @@ object PipelineQueries {
       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
       |""".stripMargin
 
+  /** MinHash near-dedup APPLY chain through the surviving corpus
+    * (`surv` = one representative per cluster + absorbed count) —
+    * shared by the dedup_apply and pipeline_curate oracles. */
+  private lazy val survCte: String = {
+    val prop = (1 to 3).map { i =>
+      s""", l$i AS (SELECT l.doc_id,
+         |  least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.doc_id = l.doc_id
+         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.nbr
+         |  GROUP BY l.doc_id, l.cluster)""".stripMargin
+    }.mkString("\n")
+    shingleCte + minhashVerCte +
+      """, pairs AS (SELECT doc_a, doc_b FROM ver WHERE inter * 1000 >= uni * 600),
+        |edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)""".stripMargin +
+      prop +
+      """
+        |, sizes AS (SELECT cluster, count(*) AS cluster_size FROM l3 GROUP BY cluster),
+        |surv AS (SELECT doc_id, cluster_size FROM l3 JOIN sizes USING (cluster)
+        |  WHERE doc_id = cluster)
+        |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
@@ -171,26 +215,40 @@ object PipelineQueries {
       """SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
         |WHERE inter * 1000 >= uni * 600 ORDER BY doc_a, doc_b""".stripMargin),
 
-    "dedup_apply" -> {
-      val prop = (1 to 3).map { i =>
-        s""", l$i AS (SELECT l.doc_id,
-           |  least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
-           |  FROM l${i - 1} l
-           |  LEFT JOIN edges e ON e.doc_id = l.doc_id
-           |  LEFT JOIN l${i - 1} n ON n.doc_id = e.nbr
-           |  GROUP BY l.doc_id, l.cluster)""".stripMargin
-      }.mkString("\n")
-      shingleCte + minhashVerCte +
-        """, pairs AS (SELECT doc_a, doc_b FROM ver WHERE inter * 1000 >= uni * 600),
-          |edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)""".stripMargin +
-        prop +
-        """
-          |, sizes AS (SELECT cluster, count(*) AS cluster_size FROM l3 GROUP BY cluster)
-          |SELECT doc_id, cluster_size FROM l3 JOIN sizes USING (cluster)
-          |WHERE doc_id = cluster ORDER BY doc_id""".stripMargin
-    },
+    "dedup_apply" -> (survCte +
+      """SELECT doc_id, cluster_size FROM surv ORDER BY doc_id""".stripMargin),
+
+    // The training-data curation story in ONE statement: near-dedup
+    // survivors x quality gate x language ID — mirrors the Spark
+    // composition in `queries` exactly (thresholds shared).
+    "pipeline_curate" -> (survCte +
+      """, ct AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |cm AS (SELECT doc_id, len(ts)::INT n_tokens,
+        |  len(list_distinct(ts))::INT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::INT n_stop FROM ct),
+        |cq AS (SELECT doc_id, n_tokens,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp
+        |  FROM cm),
+        |cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) td FROM documents),
+        |cs AS (SELECT doc_id,
+        |  len(list_intersect(td, ['der','die','das','und','ist']))::INT s_de,
+        |  len(list_intersect(td, ['the','a','of','and','is']))::INT s_en,
+        |  len(list_intersect(td, ['el','la','de','que','y']))::INT s_es,
+        |  len(list_intersect(td, ['le','les','de','et','un']))::INT s_fr,
+        |  len(list_intersect(td, ['de5','shi4','bu4','le5','zai4']))::INT s_zh
+        |  FROM cd),
+        |cl AS (SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |  FROM cs)
+        |SELECT doc_id, cluster_size, n_tokens, quality_score_bp, predicted_lang
+        |FROM surv JOIN cq USING (doc_id) JOIN cl USING (doc_id)
+        |WHERE n_tokens >= 30 AND quality_score_bp >= 4000
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
