@@ -217,6 +217,12 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
       case s: String => s
       case other => throw new IllegalArgumentException(s"$k must be a string, got $other")
     }
+    // reject out-of-int-range paging values instead of letting toInt
+    // truncate them (2^32+1 would silently become page 1; the
+    // reference's u64→clamp path would 400 on the serde boundary)
+    def intRange(k: String)(v: Long): Int =
+      if (v >= Int.MinValue && v <= Int.MaxValue) v.toInt
+      else throw new IllegalArgumentException(s"$k out of range: $v")
     GetLogsFilter(
       blockHash = str("blockHash"),
       fromBlock = long("fromBlock"),
@@ -226,8 +232,8 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
       topic2 = str("topic2"), topic3 = str("topic3"),
       cursorBlock = long("cursorBlock"),
       cursorLogId = long("cursorLogId"),
-      page = long("page").map(_.toInt),
-      pageSize = long("pageSize").orElse(long("limit")).map(_.toInt))
+      page = long("page").map(intRange("page")),
+      pageSize = long("pageSize").orElse(long("limit")).map(intRange("pageSize")))
   }
 
   /** `src/api.rs:290-303`: 0x-prefixed must be a 66-char hex hash,
@@ -235,10 +241,13 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
   private def validBlockIdentifier(id: String): Boolean =
     if (id.startsWith("0x")) valid0xHash(id) else id.toLongOption.isDefined
 
-  /** `src/api.rs:342-346`: 0x + 64 hex chars. */
+  /** `src/api.rs:342-346`: 0x + 64 ASCII hex chars.
+    * (Not `Character.digit(c, 16)` — that accepts non-ASCII Unicode
+    * digits, which would turn the reference's 400 into a 404.) */
   private def valid0xHash(h: String): Boolean =
     h.length == 66 && h.startsWith("0x") &&
-      h.drop(2).forall(c => Character.digit(c, 16) >= 0)
+      h.drop(2).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
 
   // ---- response plumbing ------------------------------------------
 

@@ -49,8 +49,10 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * aside copy or the live path at every instant — a crash between the
     * two renames cannot lose it (the delete-then-rename it replaces
     * could). A concurrent reader can still transiently miss the bucket
-    * between the renames; [[recoverSwaps]] (run before every
-    * rollback/compact) heals any half-finished swap left by a crash. */
+    * between the renames; [[recoverSwaps]] (run once per table per
+    * process before any append/read/rollback/compact, via
+    * [[ensureRecovered]]) heals any half-finished swap left by a
+    * crash. */
   private def swapBucket(dir: Path, live: Path, tmp: Path): Unit = {
     val aside = new Path(dir, s".aside-${live.getName}")
     if (fs.exists(aside)) fs.delete(aside, true)
@@ -61,7 +63,18 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   /** Crash recovery for [[swapBucket]]: a leftover `.aside-bucket=N`
     * whose live bucket is missing is renamed back; one whose live
-    * bucket exists was already superseded and is dropped. */
+    * bucket exists was already superseded and is dropped.
+    *
+    * MUST run before the first append/read/rollback/compact of a table
+    * in this process — not just before rollback/compact. Otherwise a
+    * crash mid-swap (live renamed aside, tmp never renamed in)
+    * followed by a normal append would recreate the live bucket with
+    * only the new rows, and the next recovery would see both paths
+    * present, assume the swap completed, and delete the aside copy —
+    * permanently losing the bucket's pre-crash rows (and until then,
+    * reads would silently miss the bucket). [[ensureRecovered]] makes
+    * every entry point run it once per table per process; within a
+    * process [[swapBucket]] is synchronous, so once is enough. */
   private def recoverSwaps(table: String): Unit =
     if (exists(table)) {
       val dir = new Path(tablePath(table))
@@ -71,6 +84,14 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
           if (fs.exists(live)) fs.delete(aside, true)
           else fs.rename(aside, live)
         }
+    }
+
+  private val recoveredTables = scala.collection.mutable.Set.empty[String]
+
+  private def ensureRecovered(table: String): Unit =
+    if (!recoveredTables.contains(table)) {
+      recoverSwaps(table)
+      recoveredTables += table
     }
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
@@ -85,6 +106,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * nothing (the column prunes out of the scan). */
   def read(table: String): Option[DataFrame] =
     if (exists(table)) {
+      ensureRecovered(table)
       val meta = graft.plans.BucketPruneRule.bucketMetadata("block_number", bucketSize)
       Some(spark.read.parquet(tablePath(table))
         .withColumn("bucket", col("bucket").as("bucket", meta)))
@@ -114,6 +136,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   def append(blocks: DataFrame, transactions: DataFrame, logs: DataFrame): Unit = {
     val dfs = Map("blocks" -> blocks, "transactions" -> transactions, "logs" -> logs)
     dfs.foreach { case (t, incoming) =>
+      ensureRecovered(t)
       val key = keyOf(t)
       val deduped = incoming.dropDuplicates(key)
       val minB = deduped.agg(min(col("block_number")), max(col("block_number"))).collect().head
@@ -150,7 +173,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     // children first: logs, transactions, then blocks
     Seq("logs", "transactions", "blocks").foreach { t =>
       if (exists(t)) {
-        recoverSwaps(t)
+        ensureRecovered(t)
         val dir = new Path(tablePath(t))
         val parts = fs.listStatus(dir).map(_.getPath)
           .filter(_.getName.startsWith("bucket="))
@@ -195,7 +218,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   private def compactBuckets(table: String, only: Option[Set[Long]]): Unit = {
     if (exists(table) && !only.exists(_.isEmpty)) {
       val key = keyOf(table)
-      recoverSwaps(table)
+      ensureRecovered(table)
       val dir = new Path(tablePath(table))
       fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("bucket="))
@@ -249,14 +272,9 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        if (txt.isEmpty) None
-        else {
-          val parts = txt.split("\\s+")
-          Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else 1L))
-        }
-      } finally in.close()
+      try ChainStore.parseRepairMarker(
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
     }
   }
 
@@ -279,4 +297,20 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
       case Some(stored) if stored.toLowerCase != parentHash.toLowerCase => Some(height)
       case _ => None
     }
+}
+
+object ChainStore {
+  /** Single owner of the `_repair_from` marker wire format
+    * (`"<serve-from-height> <widening-reach>"`, width defaulting
+    * to 1) — [[ChainStore.readRepairFrom]] and the DSv2 source's
+    * repair-window reader both parse through here, so a format change
+    * cannot silently desynchronize them. */
+  def parseRepairMarker(txt: String): Option[(Long, Long)] = {
+    val t = txt.trim
+    if (t.isEmpty) None
+    else {
+      val parts = t.split("\\s+")
+      Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else 1L))
+    }
+  }
 }

@@ -54,11 +54,25 @@ object BucketPruneRule extends Rule[LogicalPlan] {
       .putLong(BucketSizeKey, bucketSize)
       .build()
 
+  /** The source attribute must come from the SAME table as the marked
+    * bucket column: after a join of two store tables, resolving the
+    * source by name over the whole joined output could pick the other
+    * table's block_number and derive a bound for the wrong bucket —
+    * silently wrong (typically empty) results. Descend to the
+    * innermost subtree still producing the bucket attribute (the
+    * store's own projection) and resolve the name there; a predicate
+    * on any other table's column then simply never matches it. */
+  private def srcFor(child: LogicalPlan, bucket: Attribute): Option[Attribute] = {
+    def owner(p: LogicalPlan): LogicalPlan =
+      p.children.find(_.outputSet.contains(bucket)).map(owner).getOrElse(p)
+    owner(child).output.find(_.name == bucket.metadata.getString(BucketOfKey))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if f.resolved =>
       val marked = child.output.filter(_.metadata.contains(BucketOfKey)).flatMap { bucket =>
         val b = bucket.metadata.getLong(BucketSizeKey)
-        child.output.find(_.name == bucket.metadata.getString(BucketOfKey))
+        srcFor(child, bucket)
           .filter(_ => b > 0).map(src => (bucket, src, b))
       }
       if (marked.isEmpty) f
@@ -72,13 +86,26 @@ object BucketPruneRule extends Rule[LogicalPlan] {
       }
   }
 
+  /** Foldable integral bound, taken by EVALUATING the expression
+    * rather than unwrapping casts syntactically. This rule runs at
+    * analysis time, BEFORE constant folding, so a narrowing cast like
+    * `lit(300L).cast("byte")` still appears as Cast(Literal(300L)) —
+    * whose runtime value is 44, not 300. Unwrapping to the inner
+    * literal would derive a bucket bound for the wrong value and prune
+    * away matching rows; eval() always yields the value the comparison
+    * actually uses. */
   private object IntegralLit {
-    def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, _) => Some(v)
-      case Literal(v: Int, _)  => Some(v.toLong)
-      case Cast(IntegralLit(v), _, _, _) => Some(v)
-      case _ => None
-    }
+    def unapply(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else try e.eval() match {
+        case v: Long  => Some(v)
+        case v: Int   => Some(v.toLong)
+        case v: Short => Some(v.toLong)
+        case v: Byte  => Some(v.toLong)
+        case _        => None
+        // an eval that throws (e.g. ANSI cast overflow) must surface at
+        // execution, not break analysis — just skip the rewrite
+      } catch { case _: Exception => None }
   }
 
   /** Bucket-typed literal (partition discovery usually infers

@@ -125,12 +125,13 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
   private val missingBlocks = heightSet("missingBlocks")
   private val receiptlessBlocks = heightSet("receiptlessBlocks")
 
-  /** Deep-reorg repair marker left by the ingester (see class doc);
-    * first token is the serve-from height. */
+  /** Deep-reorg repair marker left by the ingester (see class doc) —
+    * the serve-from height, parsed by the marker format's single owner
+    * ([[graft.ingest.ChainStore.parseRepairMarker]]). */
   private def repairFrom(): Option[Long] =
     repairFile.filter(f => Files.exists(Paths.get(f))).flatMap { f =>
-      val txt = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
-      if (txt.isEmpty) None else Some(txt.split("\\s+")(0).toLong)
+      graft.ingest.ChainStore.parseRepairMarker(
+        new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)).map(_._1)
     }
 
   /** Exclusive end of the last planned batch. The clamp must advance

@@ -69,6 +69,34 @@ class BucketPruneRuleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("join of two store tables: a predicate on one side cannot derive the other side's bucket bound") {
+    // blocks at height 29 sit in bucket 2; their +1 rows in the other
+    // table sit at height 30 — bucket 3. Resolving the bucket's source
+    // column by NAME over the joined output would match the wrong
+    // table's block_number and inject bucket<=2 for the tx side,
+    // silently emptying the join.
+    val b = store.read("blocks").get
+    val t = store.read("transactions").get
+    val joined = b.join(t, b("block_number") === t("block_number") - 1)
+      .filter(b("block_number") === 29)
+    val got = joined.select(t("block_number")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(30L),
+      s"cross-derived bucket bound must not drop the next-bucket rows: $got")
+  }
+
+  test("foldable non-literal bounds are evaluated, not syntactically unwrapped") {
+    // lit(50)+lit(5) folds to 55 only at optimization; the analyzer-
+    // stage rule must eval the foldable expression to derive bucket 5
+    val df = store.read("blocks").get
+      .filter(col("block_number") === (lit(50) + lit(5)))
+    val partsRead = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(partsRead == 1, s"expected pruning from the evaluated bound, got $partsRead")
+    assert(df.select("block_number").collect().map(_.getLong(0)).toSeq == Seq(55L))
+  }
+
   test("the fork-detect batch read (the per-cycle hot path) is pruned") {
     // StreamingIngester's per-batch fork check reads
     // block_number ∈ [lo-1, hi]; at a long chain this must stay

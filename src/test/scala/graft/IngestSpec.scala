@@ -179,6 +179,30 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(store.lastSyncedBlock.contains(107L))
   }
 
+  test("a crashed bucket swap heals before the first append/read, not only before compact") {
+    import org.apache.hadoop.fs.Path
+    val (store, root) = freshStore(bucketSize = 5)
+    SimChain.canonical(20).grouped(10)
+      .foreach(b => StreamingIngester.processBatch(store, envelopes(b.toSeq)))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between swapBucket's two renames: the live
+    // bucket was renamed aside, the replacement never arrived
+    val live = new Path(s"$root/blocks/bucket=1")
+    val aside = new Path(s"$root/blocks/.aside-bucket=1")
+    assert(fs.rename(live, aside))
+    // a fresh process's FIRST operation is an ingest batch — without
+    // recovery-before-append this would recreate bucket=1 with only
+    // the new rows and the aside copy would later be deleted as
+    // "superseded", losing heights 5..9 forever
+    val store2 = new ChainStore(spark, root, bucketSize = 5)
+    StreamingIngester.processBatch(store2, envelopes(SimChain.blocks(20, 22)))
+    val heights = store2.read("blocks").get
+      .select("block_number").collect().map(_.getLong(0)).toSet
+    assert(heights == (0L until 22L).toSet,
+      s"pre-crash rows lost: missing ${(0L until 22L).toSet -- heights}")
+    assert(!fs.exists(aside), "healed aside copy must be gone")
+  }
+
   test("property: random extend/fork walk — store stays canonical, linked, exactly-once") {
     import spark.implicits._
     // model-based check of the reference's headline integrity claim

@@ -118,6 +118,10 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
       "empty body uses the default page size (api_models.rs:12-13)")
     assert(post("/logs", """{"fromBlock":""")._1 == 400)
     assert(post("/logs", """{"fromBlock":"zero"}""")._1 == 400)
+    // out-of-int-range paging must 400, not silently truncate
+    assert(post("/logs", """{"page": 4294967297}""")._1 == 400,
+      "2^32+1 page must not truncate to page 1")
+    assert(post("/logs", """{"pageSize": 4294967396}""")._1 == 400)
   }
 
   test("unknown route is a 404 with the GenericErrorResponse shape") {
