@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,6 +53,133 @@ object StreamAnalytics {
     withEventTime(events)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  // ---- streaming MinHash near-dup ---------------------------------
+
+  /** Banded row shape fed to the stateful matcher; public for the
+    * reflective deserializer, like [[TimedEvent]]. */
+  case class BandedDoc(doc_id: Long, band_sig: String, sig: Seq[Long],
+                       ts: Long, event_time: java.sql.Timestamp)
+
+  case class SeenDoc(docId: Long, sig: Seq[Long], tsNanos: Long)
+
+  case class BucketState(docs: List[SeenDoc])
+
+  /** An emitted near-dup candidate: doc_a < doc_b,
+    * `est_jaccard_bp` = ⌊10000 · (agreeing signature positions) / k⌋ —
+    * the standard unbiased MinHash Jaccard estimate. */
+  case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard_bp: Long)
+
+  /** Per-row MinHash signature (k Kirsch–Mitzenmacher hashes over the
+    * 3-gram shingle set — the same md5 hex-slice arithmetic as the
+    * batch [[graft.ops.Dedup.minhashSignature]], one md5 per shingle),
+    * computed entirely inside the row: the streaming path cannot
+    * shuffle-and-regroup per micro-batch the way the batch groupBy
+    * does, and does not need to. */
+  def minhashSigExpr(text: Column, k: Int = 12): Column = {
+    val sh = graft.ops.TextAnalysis.shingles(graft.ops.TextAnalysis.tokens(text))
+    val hashed = transform(sh, s => struct(
+      conv(substring(md5(s), 1, 13), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 14, 13), 16, 10).cast("long").as("h2")))
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(hashed, p => p("h1") + j * p("h2"))))
+  }
+
+  /** LSH band signatures of a signature array — mirrors
+    * [[graft.ops.Dedup.minhashBands]] per row. */
+  def bandSigsExpr(sig: Column, k: Int = 12, rowsPerBand: Int = 2): Column =
+    transform(sequence(lit(0), lit(k / rowsPerBand - 1)),
+      b => md5(concat_ws("|", (1 to rowsPerBand).map(r =>
+        element_at(sig, (b * rowsPerBand + r).cast("int")).cast("string")): _*)))
+
+  /** Streaming MinHash near-dup detection: the continuous counterpart
+    * of the batch `dedup_minhash` pipeline, for catching near-dups as
+    * documents ARRIVE (ingest-time filtering) rather than in a later
+    * batch sweep.
+    *
+    * Dataflow: per-row signature + bands (map-only, no shuffle) →
+    * shuffle on the band signature (exactly the batch candidate join's
+    * bucket key, so bucket width is bounded by the LSH collision rate)
+    * → `flatMapGroupsWithState` per bucket. State per bucket is the
+    * signatures of docs seen within the horizon — k longs per doc,
+    * never shingle sets — capped at `maxPerBucket` (newest win; honest
+    * buckets stay far below the cap by the LSH false-positive rate,
+    * and an adversarial single-bucket flood cannot grow state without
+    * bound). The match horizon is enforced per comparison (only docs
+    * within `horizonNanos` of the arrival pair up) and superseded
+    * entries are pruned as newer ones land; the event-time timeout
+    * garbage-collects whole idle buckets once the watermark passes
+    * their last arrival + horizon. State is O(docs in horizon), never
+    * O(stream).
+    *
+    * A pair is emitted when a new arrival's signature agrees with a
+    * stored one on ≥ threshold of positions (the MinHash estimate of
+    * Jaccard — the batch path's exact-Jaccard verification needs the
+    * shingle sets, which a bounded-state stream deliberately does not
+    * keep). The same pair can surface from more than one band bucket:
+    * at-least-once emission, deduplicable downstream with
+    * `dropDuplicatesWithinWatermark` or a batch distinct.
+    */
+  def streamingNearDup(docs: DataFrame, threshold: Double = 0.6,
+                       k: Int = 12, rowsPerBand: Int = 2,
+                       horizonNanos: Long = 3600L * 1000000000L,
+                       maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonNanos / 1000000L
+    val minAgree = math.ceil(threshold * k).toLong
+
+    withEventTime(docs)
+      .withColumn("sig", minhashSigExpr(col("text"), k))
+      .withColumn("band_sig", explode(bandSigsExpr(col("sig"), k, rowsPerBand)))
+      .select(col("doc_id"), col("band_sig"), col("sig"), col("ts"), col("event_time"))
+      .withWatermark("event_time", s"${horizonNanos / 1000000000L} seconds")
+      .as[BandedDoc]
+      .groupByKey(_.band_sig)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = List.newBuilder[NearDupHit]
+            // deterministic intra-batch order
+            val arrivals = rows.toSeq.sortBy(d => (d.ts, d.doc_id))
+            arrivals.foreach { d =>
+              // the horizon is enforced PER COMPARISON, not via the
+              // timeout: event-time timeouts fire one batch after the
+              // watermark passes them, so a bucket revisited in the
+              // same batch that would have evicted it would still see
+              // the stale docs — the timestamp check makes the
+              // semantics exact regardless of watermark latency
+              seen.foreach { s =>
+                if (s.docId != d.doc_id && d.ts - s.tsNanos <= horizonNanos) {
+                  val agree = (0 until k).count(i => s.sig(i) == d.sig(i)).toLong
+                  if (agree >= minAgree)
+                    out += NearDupHit(math.min(s.docId, d.doc_id),
+                      math.max(s.docId, d.doc_id), agree * 10000L / k)
+                }
+              }
+              seen = SeenDoc(d.doc_id, d.sig, d.ts) :: seen
+            }
+            // drop state that can never match a future in-horizon
+            // arrival (event time only moves forward modulo the
+            // watermark's bounded lateness)
+            val newest = seen.map(_.tsNanos).max
+            seen = seen.filter(newest - _.tsNanos <= horizonNanos)
+            if (seen.size > maxPerBucket)
+              seen = seen.sortBy(-_.tsNanos).take(maxPerBucket)
+            state.update(BucketState(seen))
+            val lastMs = seen.map(_.tsNanos).max / 1000000L
+            // must exceed the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 
   case class SessionEvent(user_id: Long, ts: Long, event_type: String, value: Double)
 

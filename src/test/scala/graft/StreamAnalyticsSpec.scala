@@ -13,6 +13,8 @@ import graft.tables.Fixtures
   * Streaming == batch parity is the correctness claim: the same plan
   * over the same rows must produce the same aggregates whether the
   * rows arrive as a table or as an unbounded feed. */
+case class StreamTestDoc(doc_id: Long, text: String, ts: Long)
+
 class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -96,6 +98,51 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val ids = spark.table("dedup_stream").select($"user_id").as[Long].collect().sorted
       assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: in-horizon pair found, evicted bucket forgets, late pairs still match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTestDoc]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val base = 24 * 60 // stay off epoch 0 (late-row filter)
+    val t0 = base * minNanos
+    val baseText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = baseText.replace("w7", "changed")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+
+    val hits = StreamAnalytics.streamingNearDup(mem.toDF(),
+      threshold = 0.5, horizonNanos = 10 * minNanos)
+    val dir = Files.createTempDirectory("neardupck").toString
+    val q = hits.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      // d1 and the unrelated d3 arrive first; d2 (near-dup of d1)
+      // arrives 5 min later — inside the 10-min horizon
+      mem.addData(StreamTestDoc(1, baseText, t0), StreamTestDoc(3, other, t0))
+      q.processAllAvailable()
+      mem.addData(StreamTestDoc(2, nearDup, t0 + 5 * minNanos))
+      q.processAllAvailable()
+      val early = spark.table("neardup_stream").as[StreamAnalytics.NearDupHit]
+        .collect().map(h => (h.doc_a, h.doc_b)).distinct
+      assert(early.toSeq == Seq((1L, 2L)), s"expected the planted pair, got ${early.toSeq}")
+      assert(spark.table("neardup_stream").as[StreamAnalytics.NearDupHit]
+        .collect().forall(_.est_jaccard_bp >= 5000))
+
+      // d4 — another near-dup of d1 — arrives 2 h later, far past the
+      // horizon; the buckets holding d1 were evicted, so (1,4) must NOT
+      // surface. d5, a near-dup of d4 in the same late window, MUST —
+      // the operator keeps matching after eviction.
+      val tLate = t0 + 120 * minNanos
+      mem.addData(StreamTestDoc(4, baseText, tLate))
+      q.processAllAvailable()
+      mem.addData(StreamTestDoc(5, nearDup, tLate + 5 * minNanos))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream").as[StreamAnalytics.NearDupHit]
+        .collect().map(h => (h.doc_a, h.doc_b)).distinct.toSet
+      assert(!pairs.contains((1L, 4L)), "evicted bucket must forget pre-horizon docs")
+      assert(pairs.contains((4L, 5L)), s"post-eviction arrivals must still pair: $pairs")
     } finally q.stop()
   }
 
