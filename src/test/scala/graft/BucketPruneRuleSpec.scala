@@ -97,6 +97,30 @@ class BucketPruneRuleSpec extends AnyFunSuite with SparkSpec {
     assert(df.select("block_number").collect().map(_.getLong(0)).toSeq == Seq(55L))
   }
 
+  test("property: random bound combinations never change results vs the unmarked read") {
+    val raw = spark.read.parquet(s"${storeRoot}/blocks")
+    val rnd = new scala.util.Random(7)
+    val interesting = Seq(-1L, 0L, 1L, 9L, 10L, 11L, 55L, 99L, 100L, 101L,
+      Long.MaxValue, Long.MinValue, 1L << 52)
+    def bound(): Long =
+      if (rnd.nextBoolean()) interesting(rnd.nextInt(interesting.length))
+      else rnd.nextLong(120) - 10
+    (1 to 25).foreach { _ =>
+      val f = rnd.nextInt(5) match {
+        case 0 => col("block_number") === bound()
+        case 1 => col("block_number") >= bound()
+        case 2 => col("block_number") <= bound()
+        case 3 => col("block_number") > bound() && col("block_number") < bound()
+        case 4 => lit(bound()) <= col("block_number") && col("block_number") =!= bound()
+      }
+      val withRule = store.read("blocks").get.filter(f)
+        .select("block_number").collect().map(_.getLong(0)).sorted.toSeq
+      val without = raw.filter(f)
+        .select("block_number").collect().map(_.getLong(0)).sorted.toSeq
+      assert(withRule == without, s"filter $f changed results")
+    }
+  }
+
   test("the fork-detect batch read (the per-cycle hot path) is pruned") {
     // StreamingIngester's per-batch fork check reads
     // block_number ∈ [lo-1, hi]; at a long chain this must stay

@@ -206,4 +206,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(pairs.toSeq == Seq((1L, 1000L)), "planted near-dup must survive the banding")
   }
+
+  test("banded ngram jaccard on the fixture corpus: subset of raw, full recall at the default threshold") {
+    val d = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("jaccard_bp"))).toSet
+    val raw = pairSet(Dedup.ngramJaccardPairs(d))
+    val banded = pairSet(Dedup.ngramJaccardPairsBanded(d))
+    assert(banded.subsetOf(raw), "banding can only restrict the candidate set")
+    // on the synthetic corpus the duplicated docs are near-identical,
+    // so every qualifying pair band-collides: recall is total here
+    assert(banded == raw, s"missed pairs on fixture data: ${raw -- banded}")
+  }
 }
