@@ -33,6 +33,8 @@ object Plans {
     store.read("blocks").get
       .filter(org.apache.spark.sql.functions.col("block_number") === 25)
       .explain("formatted")
+    // scratch store — don't leave parquet piles in /tmp on every run
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()
   }
 }

@@ -56,10 +56,26 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   private def swapBucket(dir: Path, live: Path, tmp: Path): Unit = {
     val aside = new Path(dir, s".aside-${live.getName}")
     if (fs.exists(aside)) fs.delete(aside, true)
-    fs.rename(live, aside)
-    fs.rename(tmp, live)
+    // rename signals failure BOTH ways (false return or exception);
+    // an in-process failure between the two renames must restore the
+    // aside copy HERE — the once-per-process recovery has already run
+    // and will not run again, so leaving the bucket hidden would let
+    // a later append recreate it and the next process's recovery
+    // delete the aside copy as superseded.
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(s"could not set aside $live")
+    val swapped =
+      try fs.rename(tmp, live)
+      catch { case e: Throwable => restoreAside(aside, live); throw e }
+    if (!swapped) {
+      restoreAside(aside, live)
+      throw new java.io.IOException(s"could not swap $tmp into $live")
+    }
     fs.delete(aside, true)
   }
+
+  private def restoreAside(aside: Path, live: Path): Unit =
+    if (!fs.exists(live) && fs.exists(aside)) fs.rename(aside, live)
 
   /** Crash recovery for [[swapBucket]]: a leftover `.aside-bucket=N`
     * whose live bucket is missing is renamed back; one whose live
@@ -88,11 +104,16 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   private val recoveredTables = scala.collection.mutable.Set.empty[String]
 
-  private def ensureRecovered(table: String): Unit =
+  /** Synchronized: the REST layer's request pool reaches [[read]]
+    * concurrently (one facade resolution per request), and neither a
+    * mutable.Set nor two racing [[recoverSwaps]] rename sweeps are
+    * safe unguarded. */
+  private def ensureRecovered(table: String): Unit = synchronized {
     if (!recoveredTables.contains(table)) {
       recoverSwaps(table)
       recoveredTables += table
     }
+  }
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
 

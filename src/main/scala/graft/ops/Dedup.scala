@@ -71,10 +71,18 @@ object Dedup {
     * sf0.1 pipeline) and the only shuffle is the map-side-combined
     * groupBy(doc_id). Deterministic across engines — the oracle mirrors
     * the identical hex-slice arithmetic. */
+  /** The KM double-hash slice arithmetic has exactly one owner: these
+    * two helpers. The batch signature, the per-row streaming
+    * signature, and (manually mirrored) the DuckDB oracles all derive
+    * from the same 13-hex-char md5 slices — change them here and the
+    * oracle SQL, nowhere else. */
+  private def h1Of(s: Column): Column = conv(substring(md5(s), 1, 13), 16, 10).cast("long")
+  private def h2Of(s: Column): Column = conv(substring(md5(s), 14, 13), 16, 10).cast("long")
+  private val BandSep = "|"
+
   def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame = {
-    val hx = md5(col("shingle"))
-    val h1 = conv(substring(hx, 1, 13), 16, 10).cast("long")
-    val h2 = conv(substring(hx, 14, 13), 16, 10).cast("long")
+    val h1 = h1Of(col("shingle"))
+    val h2 = h2Of(col("shingle"))
     sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
       .groupBy(col("doc_id"))
       .agg(min(col("h1")).as("m0"),
@@ -85,15 +93,28 @@ object Dedup {
 
   /** LSH banding: k/rowsPerBand bands, each band = md5 of its rows'
     * concatenated minhashes. Explodes to (doc_id, band, band_sig). */
-  def minhashBands(sig: DataFrame, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
-    val nBands = k / rowsPerBand
-    val bands = transform(
-      sequence(lit(0), lit(nBands - 1)),
-      b => md5(concat_ws("|",
-        (1 to rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r).cast("string")): _*)))
-    sig.select(col("doc_id"), posexplode(bands).as(Seq("band", "band_sig")))
+  def minhashBands(sig: DataFrame, k: Int = 12, rowsPerBand: Int = 2): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(perRowBandSigs(col("sig"), k, rowsPerBand)).as(Seq("band", "band_sig")))
+
+  /** Per-row MinHash signature: the same KM arithmetic as
+    * [[minhashSignature]] ([[h1Of]]/[[h2Of]] — one md5 per shingle),
+    * but computed entirely inside the row for contexts that cannot
+    * (or need not) shuffle-and-regroup — the streaming near-dup path.
+    */
+  def perRowMinhashSig(text: Column, k: Int = 12): Column = {
+    val hashed = transform(TextAnalysis.shingles(TextAnalysis.tokens(text)),
+      s => struct(h1Of(s).as("h1"), h2Of(s).as("h2")))
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(hashed, p => p("h1") + j * p("h2"))))
   }
+
+  /** LSH band signatures of a signature array, per row — the single
+    * band-hash form behind [[minhashBands]] and the streaming path. */
+  def perRowBandSigs(sig: Column, k: Int = 12, rowsPerBand: Int = 2): Column =
+    transform(sequence(lit(0), lit(k / rowsPerBand - 1)),
+      b => md5(concat_ws(BandSep, (1 to rowsPerBand).map(r =>
+        element_at(sig, (b * rowsPerBand + r).cast("int")).cast("string")): _*)))
 
   /** Banded signatures, persisted: the LSH bucket self-join reads the
     * band table from BOTH legs, and dedup_apply / dedup_minhash each
@@ -337,9 +358,31 @@ object Dedup {
     * join, never all-pairs. The 60 vote aggregates per group are wide
     * but flat — linear in tokens.
     */
+  /** Contiguous bit-chunk partition carrying the pigeonhole guarantee:
+    * maxHamming+1 chunks covering all `bits` positions means any pair
+    * within maxHamming Hamming distance leaves at least one chunk
+    * untouched — so banding on these chunks has total recall at the
+    * requested distance, for ANY maxHamming < bits (a fixed 4-way
+    * split would silently lose recall past distance 3). Returns
+    * (startBit, width) per chunk; remainder bits widen the leading
+    * chunks. */
+  def hammingBands(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits): $maxHamming")
+    val n = maxHamming + 1
+    val base = bits / n
+    val rem = bits % n
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(n - rem)(base)
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  private def chunkExprs(sig: Column, bits: Int, maxHamming: Int): Seq[Column] =
+    hammingBands(bits, maxHamming).map { case (s, w) =>
+      shiftright(sig, s).bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))
+    }
+
   def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bits = 60
-    val bandBits = 15
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val perTok = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -353,8 +396,7 @@ object Dedup {
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until bits / bandBits).map(b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      posexplode(array(chunkExprs(col("simhash"), bits, maxHamming): _*))
         .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -369,10 +411,10 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature via the native
-    * [[graft.functions.SimHash64]] expression, banded into 4×16-bit
-    * chunks for LSH (Hamming distance <= 3 guarantees a shared band by
-    * pigeonhole when bands=4), candidates verified by exact Hamming
-    * distance.
+    * [[graft.functions.SimHash64]] expression, banded into
+    * maxHamming+1 bit chunks ([[hammingBands]] — Hamming <= maxHamming
+    * guarantees a shared band by pigeonhole), candidates verified by
+    * exact Hamming distance.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
@@ -380,8 +422,7 @@ object Dedup {
       .withColumn("simhash", expr("simhash64(toks)"))
       .select(col("doc_id"), col("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 to 3).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array(chunkExprs(col("simhash"), 64, maxHamming): _*))
         .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))

@@ -70,27 +70,15 @@ object StreamAnalytics {
     * the standard unbiased MinHash Jaccard estimate. */
   case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard_bp: Long)
 
-  /** Per-row MinHash signature (k Kirsch–Mitzenmacher hashes over the
-    * 3-gram shingle set — the same md5 hex-slice arithmetic as the
-    * batch [[graft.ops.Dedup.minhashSignature]], one md5 per shingle),
-    * computed entirely inside the row: the streaming path cannot
-    * shuffle-and-regroup per micro-batch the way the batch groupBy
-    * does, and does not need to. */
-  def minhashSigExpr(text: Column, k: Int = 12): Column = {
-    val sh = graft.ops.TextAnalysis.shingles(graft.ops.TextAnalysis.tokens(text))
-    val hashed = transform(sh, s => struct(
-      conv(substring(md5(s), 1, 13), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(s), 14, 13), 16, 10).cast("long").as("h2")))
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hashed, p => p("h1") + j * p("h2"))))
-  }
+  /** Signature and band arithmetic live in ONE place —
+    * [[graft.ops.Dedup.perRowMinhashSig]] / `perRowBandSigs` (shared
+    * with the batch pipeline), so batch and stream cannot silently
+    * drift apart. */
+  def minhashSigExpr(text: Column, k: Int = 12): Column =
+    graft.ops.Dedup.perRowMinhashSig(text, k)
 
-  /** LSH band signatures of a signature array — mirrors
-    * [[graft.ops.Dedup.minhashBands]] per row. */
   def bandSigsExpr(sig: Column, k: Int = 12, rowsPerBand: Int = 2): Column =
-    transform(sequence(lit(0), lit(k / rowsPerBand - 1)),
-      b => md5(concat_ws("|", (1 to rowsPerBand).map(r =>
-        element_at(sig, (b * rowsPerBand + r).cast("int")).cast("string")): _*)))
+    graft.ops.Dedup.perRowBandSigs(sig, k, rowsPerBand)
 
   /** Streaming MinHash near-dup detection: the continuous counterpart
     * of the batch `dedup_minhash` pipeline, for catching near-dups as
@@ -130,6 +118,13 @@ object StreamAnalytics {
     val minAgree = math.ceil(threshold * k).toLong
 
     withEventTime(docs)
+      // a doc with < 3 tokens has no 3-gram shingles: the signature
+      // expression would walk invalid array indices and CRASH the
+      // query (sequence(1, size-2) runs backwards) — and a replayed
+      // poison doc would kill every restart. Short docs cannot
+      // near-dup under shingle semantics; drop them, mirroring the
+      // batch path's filter in Dedup.shingleRows.
+      .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 3)
       .withColumn("sig", minhashSigExpr(col("text"), k))
       .withColumn("band_sig", explode(bandSigsExpr(col("sig"), k, rowsPerBand)))
       .select(col("doc_id"), col("band_sig"), col("sig"), col("ts"), col("event_time"))
@@ -164,11 +159,14 @@ object StreamAnalytics {
               }
               seen = SeenDoc(d.doc_id, d.sig, d.ts) :: seen
             }
-            // drop state that can never match a future in-horizon
-            // arrival (event time only moves forward modulo the
-            // watermark's bounded lateness)
-            val newest = seen.map(_.tsNanos).max
-            seen = seen.filter(newest - _.tsNanos <= horizonNanos)
+            // drop state that can never match a future arrival. The
+            // earliest event time Spark will still ADMIT is the global
+            // watermark — not this bucket's newest arrival (an
+            // admissible late doc can be far older than it), so prune
+            // against the watermark: s can still pair while
+            // watermark − s.ts ≤ horizon.
+            val wmNanos = state.getCurrentWatermarkMs() * 1000000L
+            seen = seen.filter(s => wmNanos - s.tsNanos <= horizonNanos)
             if (seen.size > maxPerBucket)
               seen = seen.sortBy(-_.tsNanos).take(maxPerBucket)
             state.update(BucketState(seen))

@@ -170,6 +170,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 3L, 10000L)))
   }
 
+  test("hammingBands: maxHamming+1 contiguous chunks cover every bit (pigeonhole invariant)") {
+    for (bits <- Seq(60, 64); m <- Seq(0, 3, 12, bits - 1)) {
+      val bands = Dedup.hammingBands(bits, m)
+      assert(bands.length == m + 1)
+      assert(bands.map(_._2).sum == bits, s"chunks must cover all $bits bits")
+      assert(bands.head._1 == 0)
+      bands.sliding(2).foreach {
+        case Seq((s1, w1), (s2, _)) => assert(s2 == s1 + w1, "chunks must be contiguous")
+        case _ =>
+      }
+      assert(bands.forall(_._2 >= 1))
+    }
+    intercept[IllegalArgumentException](Dedup.hammingBands(60, 60))
+  }
+
   test("md5-simhash twin finds the planted near-dup and nothing else") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w7", "changed")
