@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: the steps a
+  * real 100 TB pretraining-data build runs between raw crawl and
+  * tokenized shards, beyond dedup/similarity ([[Dedup]],
+  * [[Similarity]]) — repetition-based quality filters (Gopher-style),
+  * benchmark decontamination, deterministic stratified sampling,
+  * weighted source mixing, sequence packing, and PII scrubbing.
+  *
+  * Determinism contract (same as the rest of the engine): every
+  * data-dependent decision derives from md5 arithmetic or integer
+  * basis points, so each operator has a bit-exact DuckDB oracle —
+  * no RNG, no floats in predicates.
+  *
+  * Scale shapes: sampling / mixing / PII are pure per-row projections
+  * (map-only, codegen'd, no shuffle); repetition and decontamination
+  * are explode + map-side-combined groupBy on doc_id; packing shuffles
+  * once on the shard key; SemDeDup bounds its quadratic term by the
+  * coarse cell.
+  */
+object Curation {
+
+  /** Deterministic uniform value in [0, m) per id: 52 bits of
+    * md5(id:tag) mod m. The tag decorrelates operators that hash the
+    * same id (sampling vs mixing must not select the same docs).
+    * Mirrors the oracle's `('0x' || substr(md5(...), 1, 13))::BIGINT`.
+    */
+  def hashMod(id: Column, tag: String, m: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + tag))), 1, 13), 16, 10)
+      .cast("long") % m
+
+  /** Exploded (doc_id, ngram) rows, duplicates KEPT — repetition
+    * metrics need occurrence counts, unlike [[Dedup.shingleRows]]'
+    * distinct shingles. Map-only: the n-gram array is built inside the
+    * row and exploded, no shuffle until the caller aggregates. */
+  def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+        .as("ngram"))
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, public):
+    * the fraction of bigram occurrences taken by the single most
+    * frequent bigram, plus duplicate-bigram and duplicate-trigram
+    * occurrence fractions — the standard "remove boilerplate /
+    * degenerate repetition" gate. Integer basis points throughout.
+    *
+    * Shape: two explode → groupBy(doc_id, ngram) → groupBy(doc_id)
+    * pipelines joined on doc_id. Both aggregations are map-side
+    * combined and keyed by doc_id, so at 100 TB this is two narrow
+    * shuffles of per-doc aggregate rows, never the raw n-gram corpus
+    * crossing unkeyed. Docs with < 3 tokens (no trigram) are dropped,
+    * mirroring the oracle's `len(t) >= 3`. */
+  def repetitionStats(docs: DataFrame,
+                      maxTopBigramBp: Int = 2000,
+                      maxDupTrigramBp: Int = 2000): DataFrame = {
+    def stats(n: Int, pre: String): DataFrame =
+      ngramRows(docs, n)
+        .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"${pre}_total"),
+          max(col("c")).as(s"${pre}_max"),
+          count(lit(1)).as(s"${pre}_distinct"))
+    stats(2, "bi").join(stats(3, "tri"), "doc_id")
+      .select(col("doc_id"),
+        expr("(bi_max * 10000) div bi_total").as("top_bigram_bp"),
+        expr("((bi_total - bi_distinct) * 10000) div bi_total").as("dup_bigram_bp"),
+        expr("((tri_total - tri_distinct) * 10000) div tri_total").as("dup_trigram_bp"))
+      .withColumn("passes_repetition",
+        col("top_bigram_bp") <= maxTopBigramBp &&
+          col("dup_trigram_bp") <= maxDupTrigramBp)
+  }
+
+  /** Benchmark decontamination: flag training docs whose n-gram sets
+    * overlap a held-out benchmark/eval set (here: docs with
+    * doc_id % benchMod == 0 stand in for the benchmark; a real
+    * pipeline passes the eval corpus as `bench`). The standard
+    * decontamination join (e.g. GPT-3 appendix C, public): distinct
+    * n-grams per doc, overlap counted against the benchmark's n-gram
+    * set.
+    *
+    * Scale: the benchmark n-gram set is tiny relative to the corpus
+    * (benchmarks are thousands of docs, the corpus billions), so it is
+    * explicitly `broadcast` — the contamination check is a map-side
+    * hash probe plus one map-side-combined groupBy(doc_id); the corpus
+    * never shuffles on the n-gram key. Emits only docs with at least
+    * one overlapping n-gram (the interesting rows); `is_contaminated`
+    * applies the removal threshold. */
+  def decontaminate(docs: DataFrame, benchMod: Long = 97, n: Int = 2,
+                    flagBp: Int = 5000): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("toks"), n)).as("ngram"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("ngram")).distinct()
+    val train = grams.filter(col("doc_id") % benchMod =!= 0)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val overlap = train.join(broadcast(bench), Seq("ngram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        expr("(n_overlap * 10000) div n_grams").as("contamination_bp"))
+      .withColumn("is_contaminated", col("contamination_bp") >= flagBp)
+  }
+
+  /** Deterministic stratified sampling: keep a doc iff its md5-derived
+    * uniform draw lands under its stratum's rate (basis points). The
+    * hash-gate form is the only sampling that is reproducible across
+    * engines, runs, AND repartitions — `df.sample()` is none of those.
+    * Map-only; the filter is codegen'd and pushes nothing across the
+    * network. At 100 TB this is how you cut a 5% slice per language
+    * without a shuffle or a seed-ordering hazard. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Int],
+                       defaultBp: Int = 500): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultBp).cast("long"): Column) {
+      case (acc, (l, bp)) => when(col("lang") === l, lit(bp.toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+        hashMod(col("doc_id"), "sample", 10000).as("sample_bp"),
+        rate.as("rate_bp"))
+      .filter(col("sample_bp") < col("rate_bp"))
+  }
+
+  /** Weighted source mixing: replicate each doc `weight/1000` times
+    * (training-mix epochs per source), with the fractional part
+    * resolved by a deterministic per-doc hash draw — so a 2.5×
+    * source emits 2 copies of every doc plus a third copy of a
+    * hash-selected half. Output is (doc, copy_idx) rows, the shape a
+    * downstream shuffle-shard step consumes.
+    *
+    * Map-only explode: each row expands to its own copies in place —
+    * no shuffle, no skew (the expansion factor is bounded by the mix
+    * weight, uniform within a source). */
+  def mixWeighted(docs: DataFrame, weightsX1000: Map[String, Int],
+                  defaultX1000: Int = 500): DataFrame = {
+    val w = weightsX1000.foldLeft(lit(defaultX1000).cast("long"): Column) {
+      case (acc, (s, x)) => when(col("source") === s, lit(x.toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), w.as("w"),
+        hashMod(col("doc_id"), "mix", 1000).as("frac_draw"))
+      .withColumn("n_copies",
+        expr("w div 1000") + when(col("frac_draw") < col("w") % 1000, 1L).otherwise(0L))
+      // Spark's sequence(1, 0) generates DESCENDING [1, 0] instead of
+      // empty, so zero-copy docs must be filtered out before the
+      // explode (the oracle's range(1, n+1) is half-open and empties
+      // naturally).
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
+  /** Sequence packing (concat-and-chunk): concatenate each shard's
+    * docs in doc_id order and cut every `ctx` tokens — the standard
+    * pretraining packing. A doc whose token span straddles a cut
+    * appears in every pack it touches: pack ids
+    * `floor(start/ctx) .. floor((end-1)/ctx)` from its running-sum
+    * span.
+    *
+    * The running sum is windowed PER SHARD (`source` here; a hash
+    * bucket in production) — a global cumulative sum would serialize
+    * the corpus through one partition, while per-shard windows shuffle
+    * once on the shard key and scan each shard in parallel, which is
+    * exactly how real pipelines pack (shard-local order, not global).
+    */
+  def packSequences(docs: DataFrame, ctx: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(expr(s"start_off div $ctx"), expr(s"(end_off - 1) div $ctx")))
+          .as("pack_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic dedup over
+    * embeddings — assign every vector to a coarse k-means cell, then
+    * find near-duplicate pairs ONLY within a cell. The cell assignment
+    * bounds the quadratic term: at 100 TB each cell's pair join is
+    * corpus/k wide, and cells process in parallel — the cluster-then-
+    * dedup structure is the whole point of the method. Centroids here
+    * are the fixed md5-derived matrix (oracle-expressible); a
+    * production fit swaps in [[Similarity.kmeansCentroids]] without
+    * touching this plan.
+    *
+    * Returns (cell, id_a, id_b, score) with id_a < id_b and cosine >=
+    * threshold. */
+  def semdedupPairs(embeddings: DataFrame, threshold: Double,
+                    nCells: Int = 8): DataFrame = {
+    val e = Similarity.assignCells(Similarity.prepared(embeddings),
+      Similarity.fixedCentroids(nCells, 64))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        round(Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** The SemDeDup prune: survivors after removing, from every
+    * near-dup pair, the larger id (min-id-wins — deterministic, and a
+    * chain a<b<c keeps exactly a). Anti-join against the pruned-id
+    * set; the pair set is small (near-dups above a high threshold), so
+    * AQE broadcasts it. */
+  def semdedupSurvivors(embeddings: DataFrame, threshold: Double,
+                        nCells: Int = 8): DataFrame = {
+    val pruned = semdedupPairs(embeddings, threshold, nCells)
+      .select(col("id_b").as("vec_id")).distinct()
+    Similarity.assignCells(Similarity.prepared(embeddings),
+        Similarity.fixedCentroids(nCells, 64))
+      .join(pruned, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII injection for the scrub fixture: the synthetic
+    * corpus contains no contact strings, so (like
+    * [[Multimodal.withPayload]]'s fake binary) a derived email lands
+    * on every 5th doc and a phone-shaped token on every 7th — making
+    * the scrubber's find/replace paths exercisable and
+    * oracle-checkable. Clearly a fixture shim, not part of the
+    * operator. */
+  def withPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call 555-"),
+            (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(col("text")))
+
+  /** PII scrub: count and redact email / phone patterns. Pure per-row
+    * regex projections — codegen'd, map-only, the cheapest possible
+    * shape for a full-corpus pass. The regexes are in the common
+    * Java/RE2 dialect subset so the oracle applies the identical
+    * patterns. Emits the redacted text's md5 (stable row-sized proof
+    * of the rewrite) rather than the text itself. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+      md5(redacted).as("redacted_md5"),
+      length(redacted).as("redacted_len"))
+  }
+}

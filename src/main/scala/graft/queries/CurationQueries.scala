@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Similarity}
+import graft.tables.Fixtures
+
+/** Corpus-curation operators as driver-verified queries: Gopher-style
+  * repetition filters, benchmark decontamination, deterministic
+  * stratified sampling, weighted source mixing, sequence packing,
+  * SemDeDup, PII scrubbing ([[graft.ops.Curation]]).
+  *
+  * Every entry is DuckDB-oracle-checked: the md5 hash-gate / integer
+  * basis-point determinism contract makes each pipeline bit-exact in
+  * both engines, including the sampling and mixing draws.
+  */
+object CurationQueries {
+
+  /** Demo stratum rates (basis points kept per language). */
+  private val SampleRates = Map("en" -> 5000, "de" -> 2500, "es" -> 2500, "fr" -> 1000)
+  /** Demo mix weights (epochs × 1000 per source). */
+  private val MixWeights = Map("src0" -> 2500, "src1" -> 1500, "src2" -> 1000)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "decontaminate" -> ((s, dir) =>
+      Curation.decontaminate(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Curation.sampleStratified(Fixtures.documents(s, dir), SampleRates)
+        .orderBy(col("doc_id"))),
+
+    "mix_weighted" -> ((s, dir) =>
+      Curation.mixWeighted(Fixtures.documents(s, dir), MixWeights)
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Fixtures.documents(s, dir))
+        .orderBy(col("source"), col("doc_id"), col("pack_id"))),
+
+    "semdedup_pairs" -> ((s, dir) =>
+      Curation.semdedupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "semdedup_prune" -> ((s, dir) =>
+      Curation.semdedupSurvivors(Fixtures.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
+    "text_pii_scrub" -> ((s, dir) =>
+      Curation.piiScrub(Curation.withPii(Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id")))
+  )
+
+  /** Shared SemDeDup assignment CTEs: fixed md5-derived centroids as
+    * literals (Double.toString round-trips exactly), argmin with
+    * first-position tie-break — identical to the similarity_topk_kmeans
+    * oracle's assignment stage. */
+  private lazy val semdedupCte: String = {
+    val cs = Similarity.fixedCentroids(8, 64)
+    val scoreExprs = cs.map { c =>
+      s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
+    }.mkString(",\n  ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |sc AS (SELECT vec_id, v, nrm, [
+       |  $scoreExprs] AS cs FROM n),
+       |asg AS (SELECT vec_id, v, nrm,
+       |  (list_position(cs, list_min(cs)) - 1)::INT AS cell FROM sc),
+       |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS total, max(c)::BIGINT AS mx,
+        |  count(*)::BIGINT AS dst FROM bc GROUP BY doc_id),
+        |tg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS g FROM t),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        |ts AS (SELECT doc_id, sum(c)::BIGINT AS total, count(*)::BIGINT AS dst FROM tc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  ((b.mx * 10000) // b.total) AS top_bigram_bp,
+        |  (((b.total - b.dst) * 10000) // b.total) AS dup_bigram_bp,
+        |  (((t2.total - t2.dst) * 10000) // t2.total) AS dup_trigram_bp,
+        |  (((b.mx * 10000) // b.total) <= 2000
+        |    AND (((t2.total - t2.dst) * 10000) // t2.total) <= 2000) AS passes_repetition
+        |FROM bs b JOIN ts t2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS g FROM t),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM train GROUP BY doc_id),
+        |ov AS (SELECT t.doc_id, count(*)::BIGINT AS n_overlap
+        |  FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  ((n_overlap * 10000) // n_grams) AS contamination_bp,
+        |  (((n_overlap * 10000) // n_grams) >= 5000) AS is_contaminated
+        |FROM sz JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 13))::BIGINT % 10000 AS sample_bp,
+        |    (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
+        |      WHEN 'fr' THEN 1000 ELSE 500 END)::BIGINT AS rate_bp
+        |  FROM documents)
+        |WHERE sample_bp < rate_bp ORDER BY doc_id""".stripMargin,
+
+    "mix_weighted" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500 WHEN 'src2' THEN 1000
+        |    ELSE 500 END)::BIGINT AS w,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 13))::BIGINT % 1000 AS frac_draw
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  (w // 1000 + CASE WHEN frac_draw < w % 1000 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, n_copies, unnest(range(1, n_copies + 1))::BIGINT AS copy_idx
+        |FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' '))::INT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS end_off
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, (end_off - n_tokens)::BIGINT AS start_off,
+        |  unnest(range((end_off - n_tokens) // 512, ((end_off - 1) // 512) + 1))::BIGINT AS pack_id
+        |FROM c ORDER BY source, doc_id, pack_id""".stripMargin,
+
+    "semdedup_pairs" -> (semdedupCte +
+      """SELECT cell, id_a, id_b, score FROM p WHERE score >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "semdedup_prune" -> (semdedupCte +
+      """, pruned AS (SELECT DISTINCT id_b FROM p WHERE score >= 0.4)
+        |SELECT vec_id, cell FROM asg
+        |WHERE NOT EXISTS (SELECT 1 FROM pruned WHERE pruned.id_b = asg.vec_id)
+        |ORDER BY vec_id""".stripMargin),
+
+    "text_pii_scrub" ->
+      """WITH t1 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+        |    ELSE text END AS t FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN t || ' call 555-' || (doc_id % 9000 + 1000)::VARCHAR
+        |    ELSE t END AS text FROM t1),
+        |r AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))::INT AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM t2)
+        |SELECT doc_id, n_emails, n_phones, md5(red) AS redacted_md5, length(red)::INT AS redacted_len
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
+}
