@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curation
+
+/** Independent checks for the [[graft.ops.Curation]] operators.
+  *
+  * The registry queries are differentially checked against DuckDB, but
+  * both sides of that check were authored together — a bug mirrored in
+  * the oracle SQL would sail through. Every test here recomputes the
+  * expected result from the operator's CONTRACT (plain Scala folds over
+  * handcrafted rows, or the documented md5 arithmetic), so the Spark
+  * plan is checked against a third, independently-derived answer.
+  */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def md5hex(s: String): String = graft.evm.EvmDerive.md5hex(s)
+
+  /** The operator contract's hash draw, recomputed from scratch:
+    * 52 bits (13 hex chars) of md5("<id>:<tag>") mod m. */
+  private def hashModRef(id: Long, tag: String, m: Long): Long =
+    java.lang.Long.parseLong(md5hex(s"$id:$tag").substring(0, 13), 16) % m
+
+  /** Synthetic text of n single-space-separated tokens. */
+  private def toks(n: Int, pre: String = "t"): String =
+    (1 to n).map(i => s"$pre$i").mkString(" ")
+
+  // ---------------------------------------------------------------
+  // packSequences: coverage property
+  // ---------------------------------------------------------------
+
+  test("packSequences: pinned small case — straddling doc lands in every pack it touches") {
+    val d = docs(
+      (1L, toks(5), "en", "s0"),   // s0: [0, 5)   → pack 0
+      (2L, toks(12), "en", "s0"),  // s0: [5, 17)  → packs 0,1,2 (straddles two cuts)
+      (3L, toks(3), "en", "s0"),   // s0: [17, 20) → pack 2
+      (4L, toks(8), "en", "s1"))   // s1: [0, 8)   → pack 0
+    val got = Curation.packSequences(d, ctx = 8).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_off"), r.getAs[Long]("pack_id"))).toSet
+    val expected = Set(
+      ("s0", 1L, 5, 0L, 0L),
+      ("s0", 2L, 12, 5L, 0L), ("s0", 2L, 12, 5L, 1L), ("s0", 2L, 12, 5L, 2L),
+      ("s0", 3L, 3, 17L, 2L),
+      ("s1", 4L, 8, 0L, 0L))
+    assert(got == expected)
+  }
+
+  test("packSequences: every token offset in exactly one doc span; pack range = floor(start/ctx)..floor((end-1)/ctx)") {
+    val ctx = 16
+    // varied token counts (deterministic, includes ctx-sized, tiny, and
+    // multi-pack straddlers), spread over two shards
+    val counts = Seq(3, 16, 1, 40, 7, 16, 33, 2, 5, 19, 8, 1, 64, 10, 4)
+    val rows = counts.zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong, toks(n), "en", s"s${i % 2}")
+    }
+    val got = Curation.packSequences(docs(rows: _*), ctx).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_off"), r.getAs[Long]("pack_id")))
+
+    // independent reference: fold the running offsets per shard in Scala
+    val bySource = rows.groupBy(_._4)
+    val expected = bySource.flatMap { case (src, rs) =>
+      var off = 0L
+      rs.sortBy(_._1).flatMap { case (id, text, _, _) =>
+        val n = text.split(" ").length
+        val start = off
+        val end = off + n
+        off = end
+        (start / ctx to (end - 1) / ctx).map(p => (src, id, n, start, p))
+      }
+    }.toSet
+    assert(got.toSet == expected)
+
+    // coverage: per shard, doc spans tile [0, total) with no gap/overlap
+    got.groupBy(_._1).foreach { case (src, g) =>
+      val spans = g.map(r => (r._2, r._4, r._4 + r._3)).distinct.sortBy(_._2).toSeq
+      assert(spans.head._2 == 0L, s"$src must start at offset 0")
+      spans.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(s2 == e1, s"$src spans must be contiguous")
+        case _ =>
+      }
+      // every pack id between 0 and the last cut appears (no empty pack)
+      val total = spans.last._3
+      val packs = g.map(_._5).distinct.sorted
+      assert(packs.toSeq == (0L to (total - 1) / ctx).toSeq, s"$src pack ids must be gap-free")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // mixWeighted: copy counts vs weights
+  // ---------------------------------------------------------------
+
+  test("mixWeighted: per-doc copies match the md5 draw; totals match the weight expectation") {
+    val weights = Map("src0" -> 2500, "src1" -> 1500)
+    val rows = (1L to 60L).map(i => (i, toks(3), "en", s"src${i % 3}")) // src2 → default 500
+    val got = Curation.mixWeighted(docs(rows: _*), weights).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("copy_idx")))
+
+    // independent reference from the documented contract
+    val expected = rows.flatMap { case (id, _, _, src) =>
+      val w = weights.getOrElse(src, 500).toLong
+      val n = w / 1000 + (if (hashModRef(id, "mix", 1000) < w % 1000) 1L else 0L)
+      (1L to n).map(c => (id, src, n, c))
+    }.toSet
+    assert(got.toSet == expected)
+
+    // aggregate sanity: every src0 doc emits 2 or 3 copies, never 0 rows
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    assert(bySrc("src0") == rows.count(_._4 == "src0"),
+      "weight 2.5 means every src0 doc appears (floor = 2 copies minimum)")
+    got.filter(_._2 == "src0").foreach(r => assert(r._3 == 2L || r._3 == 3L))
+    // default-weight source (0.5) keeps only the hash-selected half: docs
+    // with draw >= 500 must be entirely absent
+    val absent = rows.filter(r => r._4 == "src2" && hashModRef(r._1, "mix", 1000) >= 500)
+    assert(absent.nonEmpty, "fixture must exercise the zero-copy path")
+    absent.foreach { case (id, _, _, _) =>
+      assert(!got.exists(_._1 == id), s"doc $id (draw >= 500) must emit no copies")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // decontaminate: planted-overlap recall
+  // ---------------------------------------------------------------
+
+  test("decontaminate: planted benchmark overlap is recalled with exact counts; clean docs absent") {
+    val d = docs(
+      (0L, "b1 b2 b3 b4", "en", "s0"),            // bench (0 % 97 == 0)
+      (97L, "c1 c2 c3", "en", "s0"),              // bench
+      (1L, "b1 b2 b3 x1", "en", "s0"),            // 2 of 3 bigrams overlap → 6666 bp
+      (2L, "b1 b2 y1 y2 y3 y4 y5", "en", "s0"),   // 1 of 6 overlap → 1666 bp
+      (3L, "z1 z2 z3", "en", "s0"))               // clean → absent
+    val got = Curation.decontaminate(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("contamination_bp"),
+        r.getAs[Boolean]("is_contaminated"))).toSet
+    assert(got == Set(
+      (1L, 3L, 2L, 6666L, true),
+      (2L, 6L, 1L, 1666L, false)))
+  }
+
+  test("decontaminate: recall property — every train doc sharing a bigram with the bench set is flagged") {
+    // bench doc carries bigrams "m1 m2" ... "m9 m10"; half the train
+    // docs embed one of them at a varying position, half are clean
+    val bench = (0L, toks(10, "m"), "en", "s0")
+    val train = (1 to 20).map { i =>
+      val id = i.toLong
+      val body =
+        if (i % 2 == 0) s"${toks(4, s"u${i}x")} m${i % 9 + 1} m${i % 9 + 2} ${toks(3, s"u${i}y")}"
+        else toks(8, s"u${i}z")
+      (id, body, "en", "s0")
+    }
+    val flagged = Curation.decontaminate(docs((bench +: train): _*)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val planted = train.filter(_._1 % 2 == 0).map(_._1).toSet
+    assert(flagged == planted,
+      s"planted overlaps must all be recalled and nothing else: missing=${planted -- flagged} extra=${flagged -- planted}")
+  }
+
+  // ---------------------------------------------------------------
+  // sampleStratified: hash gate per stratum
+  // ---------------------------------------------------------------
+
+  test("sampleStratified: kept set is exactly the md5-draw-under-rate set per language") {
+    val rates = Map("en" -> 5000, "de" -> 1000)
+    val rows = (1L to 80L).map { i =>
+      (i, toks(2), Seq("en", "de", "fr")(i.toInt % 3), "s0") // fr → default 500
+    }
+    val got = Curation.sampleStratified(docs(rows: _*), rates).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_bp"), r.getAs[Long]("rate_bp")))
+    val expected = rows.flatMap { case (id, _, lang, _) =>
+      val draw = hashModRef(id, "sample", 10000)
+      val rate = rates.getOrElse(lang, 500).toLong
+      if (draw < rate) Some((id, draw, rate)) else None
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.nonEmpty && got.size < rows.size, "fixture must exercise both keep and drop")
+  }
+
+  // ---------------------------------------------------------------
+  // repetitionStats: hand-computed basis points
+  // ---------------------------------------------------------------
+
+  test("repetitionStats: degenerate repetition flagged, diverse text passes (hand-computed bp)") {
+    val d = docs(
+      // tokens a b a b a b c → bigrams: ab ba ab ba ab bc (total 6, max 3,
+      // distinct 3); trigrams: aba bab aba bab abc (total 5, distinct 3)
+      (10L, "a b a b a b c", "en", "s0"),
+      // 7 all-distinct tokens → 6 distinct bigrams (max 1), 5 distinct trigrams
+      (11L, toks(7, "d"), "en", "s0"))
+    val got = Curation.repetitionStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("top_bigram_bp"), r.getAs[Long]("dup_bigram_bp"),
+          r.getAs[Long]("dup_trigram_bp"), r.getAs[Boolean]("passes_repetition")))).toMap
+    assert(got(10L) == ((5000L, 5000L, 4000L, false)))
+    assert(got(11L) == ((1666L, 0L, 0L, true)))
+  }
+
+  // ---------------------------------------------------------------
+  // piiScrub: regex edges
+  // ---------------------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  test("piiScrub: multiple hits per doc, word-boundary and TLD edges") {
+    val d = docs(
+      (1L, "reach a@b.co or c.d-e@f.org now", "en", "s0"),     // 2 emails
+      (2L, "call 555-1234 or 555-9999 today", "en", "s0"),     // 2 phones
+      // digit-flanked candidates fail \b; 1-letter TLD fails {2,}
+      (3L, "x555-12345 and 1555-1234 and a@b.c", "en", "s0"),
+      (4L, "end 555-1234. mail u@v.com.", "en", "s0"))         // punctuation IS a boundary
+    val got = Curation.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[String]("redacted_md5"), r.getAs[Int]("redacted_len")))).toMap
+
+    assert((got(1L)._1, got(1L)._2) == ((2, 0)))
+    assert((got(2L)._1, got(2L)._2) == ((0, 2)))
+    assert((got(3L)._1, got(3L)._2) == ((0, 0)), "boundary/TLD edge cases must NOT match")
+    assert((got(4L)._1, got(4L)._2) == ((1, 1)))
+
+    // the redaction itself, recomputed independently with Java's regex
+    val texts = Map(
+      1L -> "reach a@b.co or c.d-e@f.org now",
+      2L -> "call 555-1234 or 555-9999 today",
+      3L -> "x555-12345 and 1555-1234 and a@b.c",
+      4L -> "end 555-1234. mail u@v.com.")
+    texts.foreach { case (id, t) =>
+      val red = t.replaceAll(EmailRe, "<EMAIL>").replaceAll(PhoneRe, "<PHONE>")
+      assert(got(id)._3 == md5hex(red), s"doc $id redacted md5")
+      assert(got(id)._4 == red.length, s"doc $id redacted length")
+    }
+  }
+
+  test("withPii fixture shim: injection lands on exactly the 5/7 residue classes") {
+    val rows = (1L to 35L).map(i => (i, toks(2), "en", "s0"))
+    val out = Curation.piiScrub(Curation.withPii(docs(rows: _*))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones")))
+    out.foreach { case (id, e, p) =>
+      assert(e == (if (id % 5 == 0) 1 else 0), s"doc $id email count")
+      assert(p == (if (id % 7 == 0) 1 else 0), s"doc $id phone count")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // semdedup: min-id-wins prune
+  // ---------------------------------------------------------------
+
+  test("semdedupSurvivors: duplicate vector pruned (min id wins), dissimilar vectors survive") {
+    import spark.implicits._
+    def basis(axis: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == axis) 1f else 0f)
+    val e = Seq(
+      (1L, basis(0), 0),
+      (2L, basis(0), 0),  // identical to 1 → same cell, cosine 1.0 → pruned
+      (3L, basis(5), 0))  // orthogonal → cosine 0 with both → survives
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Curation.semdedupPairs(e, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("score")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+    val surv = Curation.semdedupSurvivors(e, threshold = 0.4).collect()
+      .map(_.getAs[Long]("vec_id")).sorted
+    assert(surv.toSeq == Seq(1L, 3L))
+  }
+}
