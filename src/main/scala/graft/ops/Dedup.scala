@@ -381,7 +381,10 @@ object Dedup {
       shiftright(sig, s).bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))
     }
 
-  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The md5-SimHash signature stage of [[simhashPairsMd5]], exposed
+    * so the cross-family spec can brute-force-verify the banded join's
+    * total-recall claim against the raw signatures. */
+  def simhashSigsMd5(docs: DataFrame): DataFrame = {
     val bits = 60
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val perTok = docs
@@ -391,10 +394,15 @@ object Dedup {
       sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
       (1 until bits).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")): _*)
-    val sigs = votes.select(col("doc_id"),
+    votes.select(col("doc_id"),
       (0 until bits).map(b =>
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+  }
+
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val sigs = simhashSigsMd5(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(chunkExprs(col("simhash"), bits, maxHamming): _*))
         .as(Seq("band", "chunk")))
@@ -416,11 +424,17 @@ object Dedup {
     * guarantees a shared band by pigeonhole), candidates verified by
     * exact Hamming distance.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The murmur-SimHash signature stage of [[simhashPairs]] (requires
+    * [[graft.functions.GraftFunctions.register]]). */
+  def simhashSigs(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val sigs = docs.select(col("doc_id"), toks.as("toks"))
+    docs.select(col("doc_id"), toks.as("toks"))
       .withColumn("simhash", expr("simhash64(toks)"))
       .select(col("doc_id"), col("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSigs(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(chunkExprs(col("simhash"), 64, maxHamming): _*))
         .as(Seq("band", "chunk")))
