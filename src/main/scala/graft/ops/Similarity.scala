@@ -69,8 +69,10 @@ object Similarity {
   }
 
   /** Brute-force near-duplicate pairs (cosine >= threshold, i < j).
-    * O(n²) by construction — the correctness baseline; use
-    * [[nearDupPairsLsh]] at scale. */
+    * O(n²) by construction — the correctness baseline and OpsSpec's
+    * recall yardstick for [[nearDupPairsLsh]]. Deliberately NOT a
+    * registry query: the scale path is [[nearDupPairsLsh]], and the
+    * registry's plan audit rejects cartesian shapes unconditionally. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = prepared(embeddings)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))

@@ -52,10 +52,10 @@ object PipelineQueries {
       Dedup.simhashPairsMd5(Fixtures.documents(s, dir), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    "embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))),
-
+    // the brute-force O(n²) twin (Similarity.nearDupPairs) is NOT
+    // registered: a cartesian has no place in a timed registry at any
+    // scale. It remains the recall yardstick in OpsSpec, which pins
+    // LSH ⊆ brute and the fixture recall.
     "embed_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(Fixtures.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
@@ -368,16 +368,6 @@ object PipelineQueries {
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT count(DISTINCT token) AS exact_distinct, true AS hll_within_10pct
         |FROM tk""".stripMargin,
-
-    "embed_neardup" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
 
     "similarity_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,

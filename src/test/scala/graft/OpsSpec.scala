@@ -100,6 +100,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq == Seq((1L, 3L), (4L, 2L), (9L, 1L)))
   }
 
+  test("embedding LSH near-dup vs the brute-force yardstick: perfect precision, pinned recall") {
+    // The O(n²) brute form was evicted from the timed registry (a
+    // cartesian has no place there at any scale) — this is where it
+    // earns its keep, as ground truth for the banded LSH scale path.
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val brute = pairs(Similarity.nearDupPairs(emb, threshold = 0.4))
+    val lsh = pairs(Similarity.nearDupPairsLsh(emb, threshold = 0.4))
+    // candidates are exact-cosine verified, so LSH can never emit a
+    // pair brute force wouldn't — precision is 1.0 by construction
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    // the default 16-plane/4-band config: a pair AT the 0.4 cut has
+    // bit-match prob 1-acos(0.4)/pi ~= 0.63, band-collision prob
+    // 1-(1-0.63^4)^4 ~= 0.50 — so ~half of borderline pairs is the
+    // EXPECTED recall at the dial's cheap end, not a regression
+    assert(lsh.size * 10 >= brute.size * 4,
+      s"LSH recall collapsed: ${lsh.size}/${brute.size}")
+    assert(brute.size == 66 && lsh.size == 31, // fixture sentinels
+      s"fixture drifted: brute=${brute.size} lsh=${lsh.size}")
+    // the recall/cost dial: doubling the planes (8 bands of 4) must
+    // strictly tighten the miss set on the same ground truth
+    val lsh32 = pairs(Similarity.nearDupPairsLsh(emb, threshold = 0.4, nPlanes = 32))
+    assert(lsh32.subsetOf(brute), s"false positives: ${lsh32 -- brute}")
+    assert(lsh32.size > lsh.size && lsh32.size * 10 >= brute.size * 6,
+      s"32-plane recall should clear 60%: ${lsh32.size}/${brute.size}")
+    assert(lsh32.size == 45, s"fixture drifted: lsh32=${lsh32.size}")
+  }
+
   test("kmeans IVF: planted clusters recovered, probe beats cell-blind recall") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -11,25 +11,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The documented O(n²) correctness baselines — each has an
-    * oracle-checked LSH/IVF twin that is the actual scale path
-    * (`embed_neardup_lsh`, `similarity_topk_ivf`/`_kmeans`). Only
-    * these may plan a cartesian/nested-loop join over data-sized
-    * inputs. */
-  private val brutForceBaselines =
-    Set("embed_neardup", "similarity_topk")
+  /** `similarity_topk` broadcasts a LIMIT-bounded query set (q rows,
+    * `vec_id < maxQueryId`) against the corpus — a BroadcastNestedLoop
+    * shape, but O(q·n) with q fixed, not O(n²); its IVF twins
+    * (`similarity_topk_ivf`/`_kmeans`) are the sub-linear scale path.
+    * Nothing data-sized-by-data-sized is allowlisted anymore: the
+    * former `embed_neardup` cartesian baseline now lives only in
+    * OpsSpec as the LSH recall yardstick. */
+  private val queryBoundedScans =
+    Set("similarity_topk")
 
   /** Cross-joins whose inputs are single-row scalar aggregates by
     * construction (1×1×1) — `Lookups.stats` combines three global
     * counts; the nested-loop shape is over one row per side. */
   private val scalarCombines = Set("evm_stats")
 
-  test("no registered query plans a cartesian / nested-loop join except the documented baselines") {
+  test("no registered query plans a cartesian / nested-loop join over data-sized inputs") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val physical = q(spark, sfDir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
         .filter(physical.contains)
-      if (bad.nonEmpty && !brutForceBaselines(name) && !scalarCombines(name))
+      if (bad.nonEmpty && !queryBoundedScans(name) && !scalarCombines(name))
         Some(name -> bad)
       else None
     }
@@ -37,9 +39,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"unbounded join shapes outside the baseline allowlist: $offenders")
   }
 
-  test("the brute-force baselines still have their scale-path twins registered") {
-    // if a baseline is ever removed from the allowlist above, this
-    // pins that the LSH/IVF twin exists and stays oracle-checked
+  test("the query-bounded scans still have their scale-path twins registered") {
+    // pins that the LSH/IVF twins exist and stay oracle-checked
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q("embed_neardup_lsh") && o("embed_neardup_lsh"))
