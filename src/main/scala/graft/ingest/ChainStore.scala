@@ -34,15 +34,42 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * lets [[compact]] visit O(recently touched) buckets instead of
     * O(chain length) (a long-lived ingester would otherwise pay one
     * driver round-trip per historical bucket every maintenance cycle).
-    * In-memory only: a fresh process falls back to the full sweep via
-    * `compactAll`. */
+    *
+    * Persisted beside `indexer_status` as one empty marker file per
+    * bucket (`_dirty/<table>/<bucket>`), so a RESTARTED ingester keeps
+    * O(touched) maintenance instead of degrading to the `compactAll`
+    * full sweep — at chain length N that sweep is O(N) driver
+    * round-trips. The in-memory map is a write-through cache loaded
+    * lazily from the marker directory; markers are written before the
+    * data they cover (a crash between the two leaves a stale marker,
+    * which [[compact]] skips harmlessly via its nFiles>1 check, never
+    * a missed one). */
   private val dirtyBuckets =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
 
-  private def markDirty(table: String, lo: Long, hi: Long): Unit = {
-    val set = dirtyBuckets.getOrElseUpdate(table, scala.collection.mutable.Set.empty)
-    (lo / bucketSize to hi / bucketSize).foreach(set += _)
+  private def dirtyDir(table: String) = new Path(s"$root/_dirty/$table")
+
+  private def dirtySet(table: String): scala.collection.mutable.Set[Long] = synchronized {
+    dirtyBuckets.getOrElseUpdate(table, {
+      val d = dirtyDir(table)
+      val loaded =
+        if (fs.exists(d))
+          fs.listStatus(d).flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        else Array.empty[Long]
+      scala.collection.mutable.Set(loaded.toSeq: _*)
+    })
   }
+
+  private def markDirty(table: String, lo: Long, hi: Long): Unit = {
+    val set = dirtySet(table)
+    (lo / bucketSize to hi / bucketSize).foreach { b =>
+      if (set.add(b)) fs.create(new Path(dirtyDir(table), b.toString), true).close()
+    }
+  }
+
+  private def clearDirty(table: String, bucket: Long): Unit =
+    if (dirtySet(table).remove(bucket))
+      fs.delete(new Path(dirtyDir(table), bucket.toString), false)
 
   /** Swap a freshly-written bucket directory into place. `rename` is
     * atomic on HDFS/local, so the bucket's data exists in either the
@@ -213,7 +240,10 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
             }
           }
         }
-        dirtyBuckets.get(t).foreach(_.filterInPlace(_ <= forkBucket))
+        // retracted buckets can't need compaction; the straddling
+        // bucket was just rewritten to one file, so its (possible)
+        // marker is stale-but-harmless either way
+        dirtySet(t).filter(_ > forkBucket).toSeq.foreach(clearDirty(t, _))
       }
     }
   }
@@ -225,12 +255,13 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * via temp-write-then-swap (crash-safe, see [[swapBucket]]).
     *
     * Only buckets appended to since their last compaction are visited
-    * (the in-memory dirty set): a long-lived ingester pays O(touched)
+    * (the persisted dirty set, which survives process restarts): any
+    * ingester — long-lived or freshly restarted — pays O(touched)
     * driver round-trips per maintenance cycle, not O(chain length).
-    * A fresh process has no dirty history — [[compactAll]] does the
-    * full sweep for offline maintenance. */
+    * [[compactAll]] remains for offline maintenance of stores written
+    * before the marker directory existed. */
   def compact(table: String): Unit =
-    compactBuckets(table, Some(dirtyBuckets.get(table).map(_.toSet).getOrElse(Set.empty)))
+    compactBuckets(table, Some(dirtySet(table).toSet))
 
   /** Full-sweep compaction over every bucket (offline maintenance /
     * fresh process with no dirty history). */
@@ -257,8 +288,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
               .parquet(tmp.toString)
             swapBucket(dir, p, tmp)
           }
-          dirtyBuckets.get(table)
-            .foreach(_ -= p.getName.stripPrefix("bucket=").toLong)
+          clearDirty(table, p.getName.stripPrefix("bucket=").toLong)
         }
     }
   }
