@@ -251,9 +251,12 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
 
   // ---- response plumbing ------------------------------------------
 
+  /** GenericErrorResponse (`src/api.rs:51-60`): every CLIENT error
+    * (4xx, `StatusCode::is_client_error`) reports `"fail"`, server
+    * errors `"error"` — not just 404. */
   private def error(ex: HttpExchange, status: Int, message: String): Unit =
     json(ex, status, Json.write(JObj(
-      "status" -> (if (status == 404) "fail" else "error"),
+      "status" -> (if (status >= 400 && status < 500) "fail" else "error"),
       "statusCode" -> status,
       "message" -> message)))
 

@@ -193,6 +193,12 @@ object Curation {
     * production fit swaps in [[Similarity.kmeansCentroids]] without
     * touching this plan.
     *
+    * `nCells` is the scale dial and must TRACK THE CORPUS: the
+    * within-cell join does ~(n/k)² comparisons per cell, so a fixed k
+    * silently reverts to all-pairs as n grows. Size it with
+    * [[semdedupCellsFor]] (k = n / targetCellSize) — the default 8 is
+    * a fixture setting, sized for the test corpus, not a constant.
+    *
     * Returns (cell, id_a, id_b, score) with id_a < id_b and cosine >=
     * threshold. */
   def semdedupPairs(embeddings: DataFrame, threshold: Double,
@@ -209,6 +215,18 @@ object Curation {
         round(Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")), 4))
       .filter(col("score") >= threshold)
       .select(col("cell"), col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** nCells sized so the within-cell pair join stays bounded as the
+    * corpus grows: k = ceil(corpus / targetCellSize), making each
+    * cell's quadratic term ~targetCellSize² regardless of n. At 100 TB
+    * pass the corpus count (or a cheap approx_count_distinct) here
+    * rather than reusing a fixture constant; per the SemDeDup paper
+    * the cluster count is the knob that keeps the method linear. */
+  def semdedupCellsFor(corpusSize: Long, targetCellSize: Long = 10000L): Int = {
+    require(corpusSize >= 0 && targetCellSize > 0)
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (corpusSize + targetCellSize - 1) / targetCellSize)).toInt
   }
 
   /** The SemDeDup prune: survivors after removing, from every

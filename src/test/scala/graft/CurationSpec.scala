@@ -255,6 +255,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
   // semdedup: min-id-wins prune
   // ---------------------------------------------------------------
 
+  test("semdedupCellsFor: cell count tracks the corpus so per-cell work stays bounded") {
+    assert(Curation.semdedupCellsFor(0L) == 1)
+    assert(Curation.semdedupCellsFor(1L) == 1)
+    assert(Curation.semdedupCellsFor(10000L) == 1)
+    assert(Curation.semdedupCellsFor(10001L) == 2)
+    assert(Curation.semdedupCellsFor(1000000L, targetCellSize = 100L) == 10000)
+    // ceil division: per-cell size never exceeds the target
+    (1L to 50L).foreach { n =>
+      val k = Curation.semdedupCellsFor(n, targetCellSize = 7L)
+      assert((n + k - 1) / k <= 7L, s"n=$n k=$k overfills cells")
+    }
+    // clamps instead of overflowing on absurd inputs
+    assert(Curation.semdedupCellsFor(Long.MaxValue, 1L) == Int.MaxValue)
+  }
+
   test("semdedupSurvivors: duplicate vector pruned (min id wins), dissimilar vectors survive") {
     import spark.implicits._
     def basis(axis: Int): Array[Float] =

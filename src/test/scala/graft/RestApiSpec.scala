@@ -66,11 +66,13 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(hash.length == 66)
     val (c2, b2) = get(s"/block/$hash")
     assert(c2 == 200 && obj(b2)("blockNumber") == 42L)
-    // 0x-prefixed but not a valid hash: 400, error wire shape
+    // 0x-prefixed but not a valid hash: 400, error wire shape; every
+    // CLIENT error is "fail" (api.rs:52-56 is_client_error), not just 404
     val (c3, b3) = get("/block/0xnothex")
     assert(c3 == 400)
     assert(obj(b3).keySet == Set("status", "statusCode", "message"))
     assert(obj(b3)("statusCode") == 400L)
+    assert(obj(b3)("status") == "fail", "4xx must report fail, not error")
     // well-formed but absent: 404 with "fail" status (api.rs:55-58)
     val (c4, b4) = get("/block/999999999")
     assert(c4 == 404 && obj(b4)("status") == "fail")
@@ -116,7 +118,8 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     val (c2, b2) = post("/logs", "")
     assert(c2 == 200 && obj(b2)("logs").asInstanceOf[List[Any]].length == 25,
       "empty body uses the default page size (api_models.rs:12-13)")
-    assert(post("/logs", """{"fromBlock":""")._1 == 400)
+    val (cBad, bBad) = post("/logs", """{"fromBlock":""")
+    assert(cBad == 400 && obj(bBad)("status") == "fail")
     assert(post("/logs", """{"fromBlock":"zero"}""")._1 == 400)
     // out-of-int-range paging must 400, not silently truncate
     assert(post("/logs", """{"page": 4294967297}""")._1 == 400,
