@@ -6,9 +6,22 @@ import org.apache.spark.sql.SparkSession
   * factor and prints one JSON line. Failures are recorded as -1 (never
   * silently timed as successes), and the action is a full-result noop
   * write so column pruning cannot fake the cost of the projection.
+  *
+  * The 1-minute load average is sampled before and after and emitted
+  * in the JSON (`load_avg_start`/`load_avg_end`): on a 32-thread
+  * local[32] box, concurrent work inflates wall-clock per query 2-6×,
+  * so a reader comparing runs needs to know whether the machine was
+  * idle. A run's own load contribution shows in `load_avg_end`;
+  * `load_avg_start` well above ~1 means the numbers are contended.
   */
 object Bench {
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -38,7 +51,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}""")
     spark.stop()
   }
 }

@@ -173,6 +173,70 @@ object Dedup {
                          threshold: Double = 0.6): DataFrame =
     minhashPairs(docs, k, rowsPerBand, threshold).persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Incremental near-dedup: verified MinHash pairs that TOUCH a new
+    * batch — fresh×corpus (does an increment doc duplicate anything
+    * already kept?) and fresh×fresh (dupes within the increment), but
+    * never corpus×corpus, which previous runs already settled. This is
+    * the shape a production pipeline actually runs at 100 TB: dedup
+    * the daily increment against the corpus, not the corpus against
+    * itself.
+    *
+    * Scale contract: the band join is fresh-bands ⋈ all-bands — an
+    * equality join whose probe side is O(increment), so corpus cost is
+    * one band-table scan (or zero: pass `corpusBands` with the band
+    * table persisted from prior runs — it is exactly
+    * [[minhashBands]]'s output, worth storing beside the corpus).
+    * Verification shingles are semi-joined down to candidate
+    * participants first, keeping the expensive exploded-shingle join
+    * O(matched docs), not O(corpus); `allShingles` accepts a
+    * pre-computed (doc_id, shingle) frame covering corpus ∪ fresh
+    * (e.g. [[sharedShingleRows]]) to skip even the tokenize pass.
+    *
+    * Same output contract as [[minhashPairs]]: (doc_a, doc_b,
+    * jaccard_bp), doc_a < doc_b, jaccard >= threshold. doc_ids must be
+    * unique across corpus ∪ fresh. Equivalent to minhashPairs(corpus ∪
+    * fresh) filtered to pairs with a fresh side — which is what the
+    * DuckDB oracle checks — but never pays the corpus self-join. */
+  def incrementalMinhashPairs(corpus: DataFrame, fresh: DataFrame,
+                              k: Int = 12, rowsPerBand: Int = 2,
+                              threshold: Double = 0.6,
+                              corpusBands: Option[DataFrame] = None,
+                              allShingles: Option[DataFrame] = None): DataFrame = {
+    val freshBands = minhashBands(minhashSignature(shingleRows(fresh), k), k, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cBands = corpusBands.getOrElse(
+      minhashBands(minhashSignature(shingleRows(corpus), k), k, rowsPerBand))
+    val allBands = cBands.unionByName(freshBands)
+    // unordered candidates with >= 1 fresh side, normalized a < b
+    val cands = allBands.select(col("doc_id").as("id_x"), col("band"), col("band_sig"))
+      .join(freshBands.select(col("doc_id").as("id_y"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"))
+      .distinct()
+      // referenced from three legs (both sides of the participant
+      // semi-join, then verification) — persist or the band join runs 3×
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shingles only for docs that appear in a candidate pair: the
+    // semi-join is what keeps the corpus-side explode O(matched)
+    val ids = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b"))).distinct()
+    val sh = allShingles.getOrElse(shingleRows(corpus.unionByName(fresh)))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inter = cands.join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = shingleSizes(sh)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(jaccardAtLeast(col("inter"), col("uni"), threshold))
+      .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
+  }
+
   /** Exact Jaccard as integer basis points (⌊10000·|∩|/|∪|⌋) — integer
     * arithmetic so every engine agrees bit-for-bit. */
   def jaccardBp(inter: Column, uni: Column): Column =

@@ -30,6 +30,23 @@ object PipelineQueries {
       Dedup.sharedMinhashPairs(Fixtures.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the production shape at scale: dedup the increment (doc_id % 5
+    // == 0 plays the daily batch) against the kept corpus — pairs
+    // touching a fresh doc, never corpus x corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      // corpus bands/shingles come from the session-shared caches —
+      // the registry form of "band table persisted from prior runs"
+      // (signatures are per-doc, so filtering the shared band table
+      // IS the corpus band table)
+      Dedup.incrementalMinhashPairs(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        fresh = docs.filter(col("doc_id") % 5 === 0),
+        corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
+        allShingles = Some(Dedup.sharedShingleRows(docs)))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
@@ -217,6 +234,15 @@ object PipelineQueries {
 
     "dedup_apply" -> (survCte +
       """SELECT doc_id, cluster_size FROM surv ORDER BY doc_id""".stripMargin),
+
+    // The incremental form never builds the corpus self-join, but its
+    // OUTPUT contract is exactly the full pair set restricted to pairs
+    // with a fresh side — which the oracle can say directly.
+    "dedup_incremental" -> (shingleCte + minhashVerCte +
+      """SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
+        |WHERE inter * 1000 >= uni * 600
+        |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // The training-data curation story in ONE statement: near-dedup
     // survivors x quality gate x language ID — mirrors the Spark

@@ -31,6 +31,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental minhash: fresh-touching pairs only — corpus x corpus never re-reported") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val freshBase = (1 to 30).map(i => s"f$i").mkString(" ")
+    val corpus = docs(
+      1L -> base,
+      2L -> base.replace("w7", "changed"), // corpus-internal near-dup: settled, must NOT reappear
+      8L -> (1 to 30).map(i => s"q$i").mkString(" "))
+    val fresh = docs(
+      3L -> base.replace("w9", "tweaked"), // duplicates corpus doc 1
+      4L -> (1 to 30).map(i => s"z$i").mkString(" "), // novel
+      5L -> freshBase,
+      6L -> freshBase.replace("f3", "altered")) // fresh x fresh dup
+    val got = Dedup.incrementalMinhashPairs(corpus, fresh).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.contains((1L, 3L)), "fresh doc duplicating the corpus must be caught")
+    assert(got.contains((5L, 6L)), "dupes within the increment must be caught")
+    assert(!got.exists(p => Set(1L, 2L, 8L).contains(p._1) && Set(1L, 2L, 8L).contains(p._2)),
+      "corpus x corpus pairs are not this operator's business")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "novel doc has no pair")
+    // agrees with the full-corpus run restricted to fresh-touching pairs
+    val full = Dedup.minhashPairs(corpus.unionByName(fresh)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val freshIds = Set(3L, 4L, 5L, 6L)
+    assert(got == full.filter(p => freshIds(p._1) || freshIds(p._2)))
+  }
+
   test("simhash expression: codegen result matches direct compute; near-dup pair close") {
     GraftFunctions.register(spark)
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma epsilon",
