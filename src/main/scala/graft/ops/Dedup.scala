@@ -237,6 +237,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
+  /** The incremental APPLY: which docs of the increment survive, given
+    * [[incrementalMinhashPairs]]' output. Greedy drop policy: a fresh
+    * doc is dropped when it near-duplicates ANY corpus doc (the corpus
+    * is the already-kept set — it always wins) or any smaller fresh id
+    * (min-id-wins within the batch, same convention as
+    * [[applyNearDedup]]). Greedy means a fresh chain f1<f2<f3 with
+    * pairs (f1,f2),(f2,f3) keeps only f1 — f3 is dropped by the
+    * already-dropped f2. That can over-drop relative to full
+    * connected-components clustering, which is the safe direction for
+    * training data (never keeps two near-dups), and it needs no
+    * iteration: one join against the pair set, O(pairs).
+    *
+    * Returns the surviving rows of `fresh`, unchanged. */
+  def applyIncrementalDedup(fresh: DataFrame, pairs: DataFrame): DataFrame = {
+    val fIds = fresh.select(col("doc_id"))
+    // both orientations of each pair as (other, doc_id)
+    val sides = pairs.select(col("doc_a").as("other"), col("doc_b").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("other"), col("doc_a").as("doc_id")))
+    val freshSide = sides.join(fIds, Seq("doc_id"), "left_semi")
+    val otherIsFresh = fIds.select(col("doc_id").as("other"))
+      .withColumn("other_is_fresh", lit(true))
+    val dropped = freshSide.join(otherIsFresh, Seq("other"), "left")
+      .filter(col("other_is_fresh").isNull || col("other") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    fresh.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact Jaccard as integer basis points (⌊10000·|∩|/|∪|⌋) — integer
     * arithmetic so every engine agrees bit-for-bit. */
   def jaccardBp(inter: Column, uni: Column): Column =

@@ -47,6 +47,21 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ...and its APPLY: the increment's survivors (corpus always wins;
+    // greedy min-id within the batch — see applyIncrementalDedup)
+    "dedup_incremental_apply" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.incrementalMinhashPairs(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        fresh = fresh,
+        corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
+        allShingles = Some(Dedup.sharedShingleRows(docs)))
+      Dedup.applyIncrementalDedup(fresh, pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
@@ -243,6 +258,17 @@ object PipelineQueries {
         |WHERE inter * 1000 >= uni * 600
         |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_incremental_apply" -> (shingleCte + minhashVerCte +
+      """, ipairs AS (SELECT doc_a, doc_b FROM ver
+        |  WHERE inter * 1000 >= uni * 600 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)),
+        |sides AS (SELECT doc_a AS other, doc_b AS doc_id FROM ipairs
+        |  UNION ALL SELECT doc_b, doc_a FROM ipairs),
+        |dropped AS (SELECT DISTINCT doc_id FROM sides
+        |  WHERE doc_id % 5 = 0 AND (other % 5 <> 0 OR other < doc_id))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin),
 
     // The training-data curation story in ONE statement: near-dedup
     // survivors x quality gate x language ID — mirrors the Spark

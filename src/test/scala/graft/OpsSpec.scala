@@ -55,6 +55,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val freshIds = Set(3L, 4L, 5L, 6L)
     assert(got == full.filter(p => freshIds(p._1) || freshIds(p._2)))
+    // the APPLY: 3 dropped (duplicates corpus doc 1), 6 dropped (5 < 6
+    // within the batch), 4 and 5 survive
+    val kept = Dedup.applyIncrementalDedup(
+      fresh, Dedup.incrementalMinhashPairs(corpus, fresh))
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(4L, 5L))
+  }
+
+  test("applyIncrementalDedup: corpus always wins regardless of id order; greedy chain over-drops") {
+    import spark.implicits._
+    val fresh = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    // 10-11-12 is a fresh chain; 13 duplicates corpus doc 99 (99 > 13:
+    // the corpus doc still wins — it is the already-kept set)
+    val pairs = Seq((10L, 11L), (11L, 12L), (13L, 99L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyIncrementalDedup(fresh, pairs)
+      .collect().map(_.getLong(0)).sorted
+    // greedy: 11 drops via 10, 12 drops via the already-dropped 11
+    // (documented over-drop — never keeps two near-dups), 13 drops via
+    // the corpus partner
+    assert(kept.toSeq == Seq(10L))
   }
 
   test("simhash expression: codegen result matches direct compute; near-dup pair close") {
