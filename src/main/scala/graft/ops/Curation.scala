@@ -244,6 +244,56 @@ object Curation {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Token-budget selection: rank the corpus by quality (best first,
+    * doc_id ties ascending) and keep docs until the cumulative token
+    * count reaches `budget` — the "take the best N tokens" cut every
+    * pretraining mix ends with. A doc is kept iff the tokens BEFORE it
+    * in rank order total < budget (so the cut doc itself is kept and
+    * may overshoot — the standard greedy prefix rule).
+    *
+    * The naive plan is a cumulative sum over a global ORDER BY, which
+    * serializes the corpus through one window partition. Instead:
+    * quality is an integer in [0, 10000] basis points, so
+    *   1. aggregate token totals per score bin (map-side combined;
+    *      output ≤ 10001 rows regardless of corpus size),
+    *   2. prefix-sum the BIN totals best-first — a window over the
+    *      tiny aggregated frame, never the corpus,
+    *   3. broadcast-join the bin prefixes back: bins that fit entirely
+    *      under budget keep all their docs with a map-only filter; at
+    *      most ONE bin straddles the cut, and only ITS rows (filtered
+    *      first, ~corpus/10001) pay an intra-bin ordered window.
+    * At 100 TB every doc crosses the network zero times for the
+    * decision; the only sorted window runs on the single boundary bin.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long"))
+    val bins = scored.groupBy(col("quality_score_bp"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    // ≤ 10001 rows: the unpartitioned window is over the aggregated
+    // bin frame only, not the corpus.
+    val wb = Window.orderBy(col("quality_score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binPrefix = bins
+      .withColumn("prefix_before", sum(col("bin_tokens")).over(wb) - col("bin_tokens"))
+    val withBin = scored.join(broadcast(binPrefix), Seq("quality_score_bp"))
+    val fullyKept = withBin
+      .filter(col("prefix_before") + col("bin_tokens") <= budget)
+    // The one bin straddling the budget: rank its docs by doc_id and
+    // keep while the exclusive running total stays under budget.
+    val wBoundary = Window.partitionBy(col("quality_score_bp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = withBin
+      .filter(col("prefix_before") < budget &&
+        col("prefix_before") + col("bin_tokens") > budget)
+      .withColumn("start_off",
+        col("prefix_before") + sum(col("n_tokens")).over(wBoundary) - col("n_tokens"))
+      .filter(col("start_off") < budget)
+    fullyKept.select(col("doc_id"), col("quality_score_bp"), col("n_tokens"))
+      .unionByName(
+        boundaryKept.select(col("doc_id"), col("quality_score_bp"), col("n_tokens")))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The last mile of a training-data pipeline: deterministic shard
+  * assignment for the curated corpus, plus the write manifest a
+  * downstream loader checks shards against.
+  *
+  * A production run ends with
+  * `repartition(nShards, col("shard")).sortWithinPartitions("doc_id")
+  * .write`; [[shardAssignments]] computes exactly that placement —
+  * shard id and within-shard position — as a queryable frame, so the
+  * layout itself is oracle-checkable. Shard membership is a pure
+  * function of doc_id ([[Curation.hashMod]]), never of partitioning or
+  * arrival order: re-running the export after adding data moves no
+  * existing doc to a different shard.
+  *
+  * Scale: one shuffle keyed on the shard id. `nShards` is the
+  * parallelism dial — production sizes shards to ~1 GB, so 100 TB is
+  * ~100k shards and each window partition holds one shard's docs, the
+  * same rows the writer task would sort anyway. The manifest is a
+  * map-side-combined groupBy over per-shard aggregates; the id
+  * fingerprint md5s the sorted id list so a loader can verify a shard
+  * without re-reading the corpus.
+  */
+object Export {
+
+  /** (doc_id, n_tokens, shard, position): hash-assigned shard plus the
+    * doc's 1-based rank in its shard's doc_id order. */
+  def shardAssignments(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
+      .withColumn("position", row_number().over(w))
+  }
+
+  /** Per-shard manifest: doc count, token total, id range, and an
+    * order-independent content fingerprint (md5 over the ascending
+    * doc_id list). */
+  def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            d => d.cast("string")))).as("ids_md5"))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Similarity}
+import graft.ops.{Curation, Export, Similarity}
 import graft.tables.Fixtures
 
 /** Corpus-curation operators as driver-verified queries: Gopher-style
@@ -52,8 +52,26 @@ object CurationQueries {
 
     "text_pii_scrub" -> ((s, dir) =>
       Curation.piiScrub(Curation.withPii(Fixtures.documents(s, dir)))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "quality_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(Fixtures.documents(s, dir), budget = TokenBudget)
+        .orderBy(col("doc_id"))),
+
+    "export_shards" -> ((s, dir) =>
+      Export.shardAssignments(Fixtures.documents(s, dir), nShards = ExportShards)
+        .orderBy(col("doc_id"))),
+
+    "export_manifest" -> ((s, dir) =>
+      Export.shardManifest(Fixtures.documents(s, dir), nShards = ExportShards)
+        .orderBy(col("shard")))
   )
+
+  /** Fixture token budget: cuts mid-corpus at sf0.01 (27k tokens
+    * total) so the boundary-bin path is exercised by the driver. */
+  private val TokenBudget = 12000L
+  /** Fixture shard count; production sizes shards to ~1 GB each. */
+  private val ExportShards = 8
 
   /** Shared SemDeDup assignment CTEs: fixed md5-derived centroids as
     * literals (Double.toString round-trips exactly), argmin with
@@ -167,6 +185,42 @@ object CurationQueries {
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
         |  FROM t2)
         |SELECT doc_id, n_emails, n_phones, md5(red) AS redacted_md5, length(red)::INT AS redacted_len
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the SPEC (one global ordered cumulative sum);
+    // the Spark plan reaches the same set via the bin-prefix two-pass,
+    // so this check proves the decomposition equals the naive form.
+    "quality_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, len(ts)::BIGINT n_tokens,
+        |  len(list_distinct(ts))::BIGINT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::BIGINT n_stop,
+        |  n_chars FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |    + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp FROM m),
+        |r AS (SELECT doc_id, quality_score_bp, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY quality_score_bp DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens AS start_off
+        |  FROM q)
+        |SELECT doc_id, quality_score_bp, n_tokens FROM r
+        |WHERE start_off < 12000 ORDER BY doc_id""".stripMargin,
+
+    "export_shards" ->
+      """WITH b AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 13))::BIGINT % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::INT AS position
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "export_manifest" ->
+      """WITH b AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 13))::BIGINT % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

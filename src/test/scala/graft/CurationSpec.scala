@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.Curation
+import graft.ops.{Curation, Export}
 
 /** Independent checks for the [[graft.ops.Curation]] operators.
   *
@@ -286,5 +286,114 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val surv = Curation.semdedupSurvivors(e, threshold = 0.4).collect()
       .map(_.getAs[Long]("vec_id")).sorted
     assert(surv.toSeq == Seq(1L, 3L))
+  }
+
+  // ---------------------------------------------------------------
+  // tokenBudgetSelect: two-pass plan equals the naive prefix rule
+  // ---------------------------------------------------------------
+
+  /** Independent reference for the budget contract: a plain fold over
+    * the (score desc, doc_id asc) total order keeping docs whose
+    * exclusive running token total is under budget. */
+  private def budgetRef(rows: Seq[(Long, Long, Long)], budget: Long): Set[Long] = {
+    var acc = 0L
+    val kept = Set.newBuilder[Long]
+    for ((id, _, n) <- rows.sortBy { case (id, s, _) => (-s, id) }) {
+      if (acc < budget) kept += id
+      acc += n
+    }
+    kept.result()
+  }
+
+  test("tokenBudgetSelect: equals the fold reference and actually cuts inside a bin") {
+    // Three score strata (token count determines the quality score for
+    // same-shaped texts): several docs share each score, so some budget
+    // must cut INSIDE a bin — the path the bin-prefix decomposition has
+    // to get right.
+    val d = docs((1L to 12L).map { id =>
+      val n = if (id <= 4) 30 else if (id <= 9) 20 else 5
+      (id, toks(n, s"d$id"), "en", "s0")
+    }: _*)
+    val scored = graft.ops.TextAnalysis.quality(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_score_bp"),
+        r.getAs[Int]("n_tokens").toLong)).toSeq
+    assert(scored.map(_._2).distinct.size == 3) // the planted strata hold
+    for (budget <- Seq(0L, 1L, 45L, 100L, 170L, 185L, 10000L)) {
+      val got = Curation.tokenBudgetSelect(d, budget).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == budgetRef(scored, budget), s"budget=$budget")
+    }
+    // Prove the boundary path ran for some budget: a score bin split
+    // between kept and dropped docs.
+    val kept170 = Curation.tokenBudgetSelect(d, 170L).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val byScore = scored.groupBy(_._2)
+    assert(byScore.values.exists(bin =>
+      bin.exists(r => kept170(r._1)) && bin.exists(r => !kept170(r._1))))
+  }
+
+  test("tokenBudgetSelect: exact bin-edge budget keeps whole bins and drops the rest") {
+    val d = docs((1L to 6L).map { id =>
+      val n = if (id <= 3) 10 else 4
+      (id, toks(n, s"e$id"), "en", "s0")
+    }: _*)
+    // budget == the high-score stratum's exact token total: all of it
+    // kept, none of the next bin (its prefix_before == budget).
+    val highTotal = 30L
+    val kept = Curation.tokenBudgetSelect(d, highTotal).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val scored = graft.ops.TextAnalysis.quality(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_score_bp"),
+        r.getAs[Int]("n_tokens").toLong)).toSeq
+    assert(kept == budgetRef(scored, highTotal))
+    assert(Curation.tokenBudgetSelect(d, 0L).count() == 0)
+  }
+
+  // ---------------------------------------------------------------
+  // Export: shard partition properties + manifest integrity
+  // ---------------------------------------------------------------
+
+  test("shardAssignments: every doc exactly once, hash-determined shard, contiguous positions") {
+    val d = docs((1L to 40L).map(id => (id, toks((id % 7).toInt + 1, s"x$id"), "en", "s0")): _*)
+    val got = Export.shardAssignments(d, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Int]("position")))
+    assert(got.map(_._1).sorted.toSeq == (1L to 40L))
+    got.foreach { case (id, shard, _) =>
+      assert(shard == hashModRef(id, "shard", 4), s"doc $id")
+    }
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val byId = rows.sortBy(_._1)
+      assert(byId.map(_._3).toSeq == (1 to rows.length), s"shard $shard positions")
+    }
+  }
+
+  test("shardAssignments: membership is invariant to input partitioning") {
+    val d = docs((1L to 25L).map(id => (id, toks(3, s"p$id"), "en", "s0")): _*)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Export.shardAssignments(df, nShards = 5).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Int]("position")))
+        .toSet
+    assert(assign(d) == assign(d.repartition(7)))
+  }
+
+  test("shardManifest: totals and fingerprint agree with the assignments") {
+    val d = docs((1L to 30L).map(id => (id, toks((id % 5).toInt + 2, s"m$id"), "en", "s0")): _*)
+    val asg = Export.shardAssignments(d, nShards = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"), r.getAs[Long]("shard")))
+    val man = Export.shardManifest(d, nShards = 3).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"),
+          r.getAs[String]("ids_md5")))).toMap
+    val byShard = asg.groupBy(_._3)
+    assert(man.keySet == byShard.keySet)
+    byShard.foreach { case (shard, rows) =>
+      val ids = rows.map(_._1).sorted
+      val (nDocs, total, minId, maxId, idsMd5) = man(shard)
+      assert(nDocs == rows.length.toLong)
+      assert(total == rows.map(_._2.toLong).sum)
+      assert(minId == ids.head && maxId == ids.last)
+      assert(idsMd5 == md5hex(ids.mkString(",")), s"shard $shard fingerprint")
+    }
   }
 }
