@@ -237,6 +237,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
+  /** [[incrementalMinhashPairs]], persisted: dedup_incremental and
+    * dedup_incremental_apply consume the identical verified pair set
+    * in one session, and the verification joins are its expensive tail
+    * (the internal persists cover candidates and shingles, not the
+    * verified result) — persisting the tiny above-threshold pair frame
+    * lets the APPLY skip verification entirely via CacheManager plan
+    * matching, like [[sharedMinhashPairs]]. */
+  def sharedIncrementalPairs(corpus: DataFrame, fresh: DataFrame,
+                             k: Int = 12, rowsPerBand: Int = 2,
+                             threshold: Double = 0.6,
+                             corpusBands: Option[DataFrame] = None,
+                             allShingles: Option[DataFrame] = None): DataFrame =
+    incrementalMinhashPairs(corpus, fresh, k, rowsPerBand, threshold,
+      corpusBands, allShingles).persist(StorageLevel.MEMORY_AND_DISK)
+
   /** The incremental APPLY: which docs of the increment survive, given
     * [[incrementalMinhashPairs]]' output. Greedy drop policy: a fresh
     * doc is dropped when it near-duplicates ANY corpus doc (the corpus

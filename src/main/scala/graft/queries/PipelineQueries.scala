@@ -39,7 +39,7 @@ object PipelineQueries {
       // the registry form of "band table persisted from prior runs"
       // (signatures are per-doc, so filtering the shared band table
       // IS the corpus band table)
-      Dedup.incrementalMinhashPairs(
+      Dedup.sharedIncrementalPairs(
         corpus = docs.filter(col("doc_id") % 5 =!= 0),
         fresh = docs.filter(col("doc_id") % 5 === 0),
         corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
@@ -52,7 +52,7 @@ object PipelineQueries {
     "dedup_incremental_apply" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val fresh = docs.filter(col("doc_id") % 5 === 0)
-      val pairs = Dedup.incrementalMinhashPairs(
+      val pairs = Dedup.sharedIncrementalPairs(
         corpus = docs.filter(col("doc_id") % 5 =!= 0),
         fresh = fresh,
         corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
