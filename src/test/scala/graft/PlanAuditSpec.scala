@@ -39,6 +39,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"unbounded join shapes outside the baseline allowlist: $offenders")
   }
 
+  test("no registered query runs a global (unpartitioned) window over non-aggregated data") {
+    // An empty partitionSpec moves ALL rows to one partition — fatal at
+    // 100 TB unless the input is already cardinality-bounded by an
+    // aggregation below it (e.g. quality_budget's ≤10001-row bin frame).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // ReusedExchangeExec is a leaf pointing at an exchange planned
+    // elsewhere — chase the reference or a reused aggregate looks
+    // unbounded (quality_budget's bin frame plans exactly this way).
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.isDefined ||
+        p.collect { case r: ReusedExchangeExec => r }.exists(r => hasAggBelow(r.child))
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree, collectable statically
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+        val plan = q(spark, sfDir).queryExecution.executedPlan
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"global window over unbounded input (single-partition at scale): $offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("the query-bounded scans still have their scale-path twins registered") {
     // pins that the LSH/IVF twins exist and stay oracle-checked
     val q = SparkEntry.queries.keySet
