@@ -34,6 +34,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "de", "et", "un"),
     "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
 
+  /** The argmax-with-alphabetical-tie-break CASE chain over per-lang
+    * scores — shared by [[langId]] (scores as named columns) and
+    * [[predictedLang]] (scores inlined) so the two can't drift. */
+  private def argmaxLang(score: String => Column): Column = {
+    val langs = langMarkers.map(_._1)
+    langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val isMax = langs.filter(_ != l).map(o => score(l) >= score(o)).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(rest)
+    }
+  }
+
   /** Language ID: distinct-marker-hit score per language, argmax with
     * alphabetical tie-break (deterministic, oracle-mirrored as a CASE
     * chain). */
@@ -43,14 +54,17 @@ object TextAnalysis {
       (col("doc_id") +: col("lang") +: langMarkers.map { case (l, ms) =>
         size(array_intersect(toksD, array(ms.map(lit): _*))).as(s"s_$l")
       }): _*)
-    val langs = langMarkers.map(_._1)
-    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
-      val isMax = langs.filter(_ != l)
-        .map(o => col(s"s_$l") >= col(s"s_$o"))
-        .reduce(_ && _)
-      when(isMax, lit(l)).otherwise(rest)
-    }
-    scored.withColumn("predicted_lang", predicted)
+    scored.withColumn("predicted_lang", argmaxLang(l => col(s"s_$l")))
+  }
+
+  /** [[langId]]'s prediction as a single Column over the text — the
+    * passthrough form for pipelines (streaming included) that must keep
+    * their other columns. Codegen's common-subexpression elimination
+    * dedups the repeated intersect scores. */
+  def predictedLang(text: Column): Column = {
+    val toksD = array_distinct(tokens(text))
+    val markers = langMarkers.toMap
+    argmaxLang(l => size(array_intersect(toksD, array(markers(l).map(lit): _*))))
   }
 
   /** Quality metrics: token counts, type-token ratio, average token
@@ -58,9 +72,12 @@ object TextAnalysis {
     * integer basis points (integer `div`, exact in every engine) —
     * cross-engine double rounding disagrees on .00005 boundaries, so
     * floats never leave this operator. */
+  /** Stopword list shared by [[quality]] and [[withQuality]]. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val stop = Seq("the", "a", "of", "and", "is")
+    val stop = stopwords
     docs.select(col("doc_id"), col("n_chars"), toks.as("toks"))
       .select(
         col("doc_id"), col("n_chars"),
@@ -75,6 +92,24 @@ object TextAnalysis {
       .withColumn("quality_score_bp",
         expr("(4 * ttr_bp + 3 * stopword_bp + 3 * least(10000, n_tokens * 100)) div 10"))
   }
+
+  /** [[quality]]'s score as a passthrough: ADDS n_tokens and
+    * quality_score_bp (identical arithmetic — `QualityParitySpec`-style
+    * check in OpsSpec pins it) and keeps every input column, so it
+    * composes into streaming pipelines where the text must flow on to
+    * the next stage. Stateless per-row projections only. */
+  def withQuality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("q_toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("q_toks")))
+      .withColumn("q_n_distinct", size(array_distinct(col("q_toks"))))
+      .withColumn("q_n_stop",
+        size(filter(col("q_toks"), t => t.isInCollection(stopwords))))
+      .withColumn("quality_score_bp",
+        expr("(4 * ((q_n_distinct * 10000) div n_tokens) " +
+          "+ 3 * ((q_n_stop * 10000) div n_tokens) " +
+          "+ 3 * least(10000, n_tokens * 100)) div 10"))
+      .drop("q_toks", "q_n_distinct", "q_n_stop")
 
   /** Global token frequencies, top N (count desc, token asc). */
   def tokenCounts(docs: DataFrame, topN: Int = 20): DataFrame =

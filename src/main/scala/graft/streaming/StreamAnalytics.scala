@@ -238,4 +238,36 @@ object StreamAnalytics {
           }
       }
   }
+
+  /** Ingest-time curation: the streaming counterpart of the batch
+    * `pipeline_curate` composition, with the same default thresholds.
+    * The quality and language gates are pure per-row expressions
+    * ([[graft.ops.TextAnalysis.withQuality]] /
+    * [[graft.ops.TextAnalysis.predictedLang]]), so they run stateless
+    * on the stream exactly as in batch; the gated stream then feeds
+    * [[streamingNearDup]], whose hits are the at-least-once drop feed
+    * (min-id-wins: drop `doc_b`).
+    *
+    * Two output streams rather than one, deliberately: suppressing a
+    * doc because a LATER near-dup arrived would need a stream×stream
+    * anti-join against the operator's own output, which no bounded
+    * state can do exactly — a production pipeline sinks `kept` and
+    * applies `hits` as downstream drops (a `foreachBatch` delete, or
+    * [[graft.ops.Dedup.applyIncrementalDedup]] at compaction). Gating
+    * BEFORE the near-dup matcher also shrinks its keyed state: docs
+    * that fail quality never enter a bucket. */
+  def streamingCurate(docs: DataFrame, minTokens: Int = 30,
+                      minQualityBp: Long = 4000,
+                      threshold: Double = 0.6, k: Int = 12,
+                      rowsPerBand: Int = 2,
+                      horizonNanos: Long = 3600L * 1000000000L,
+                      maxPerBucket: Int = 64): (DataFrame, Dataset[NearDupHit]) = {
+    val gated = graft.ops.TextAnalysis.withQuality(docs)
+      .withColumn("predicted_lang", graft.ops.TextAnalysis.predictedLang(col("text")))
+      .filter(col("n_tokens") >= minTokens && col("quality_score_bp") >= minQualityBp)
+    val hits = streamingNearDup(
+      gated.select(col("doc_id"), col("text"), col("ts")),
+      threshold, k, rowsPerBand, horizonNanos, maxPerBucket)
+    (gated.drop("text"), hits)
+  }
 }

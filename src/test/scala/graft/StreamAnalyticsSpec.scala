@@ -181,4 +181,62 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         (2L, 0L, 0L, 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("withQuality and predictedLang match their batch-shaped twins on the fixture corpus") {
+    import graft.ops.TextAnalysis
+    val docs = Fixtures.documents(spark, sfDir)
+    val viaPassthrough = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val viaBatch = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(viaPassthrough == viaBatch)
+    val langPassthrough = docs
+      .select(col("doc_id"), TextAnalysis.predictedLang(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langBatch = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langPassthrough == langBatch)
+  }
+
+  test("streamingCurate: low-quality docs are gated before the matcher; kept docs still pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTestDoc]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    val good = (1 to 30).map(i => s"w$i").mkString(" ")       // distinct → high quality
+    val goodDup = good.replace("w7", "changed")
+    val degenerate = Seq.fill(30)("x").mkString(" ")          // one token 30× → low TTR
+
+    val (kept, hits) = StreamAnalytics.streamingCurate(mem.toDF(),
+      horizonNanos = 10 * minNanos)
+    val dirK = Files.createTempDirectory("curk").toString
+    val dirH = Files.createTempDirectory("curh").toString
+    val qK = kept.writeStream.format("memory").queryName("curate_kept")
+      .outputMode("append").option("checkpointLocation", dirK).start()
+    val qH = hits.writeStream.format("memory").queryName("curate_hits")
+      .outputMode("append").option("checkpointLocation", dirH).start()
+    try {
+      // two degenerate near-dups of each other: must be gated, so NO hit;
+      // two good near-dups: kept, and the pair surfaces
+      mem.addData(StreamTestDoc(1, good, t0), StreamTestDoc(8, degenerate, t0))
+      qK.processAllAvailable(); qH.processAllAvailable()
+      mem.addData(StreamTestDoc(2, goodDup, t0 + 5 * minNanos),
+        StreamTestDoc(9, degenerate, t0 + 5 * minNanos))
+      qK.processAllAvailable(); qH.processAllAvailable()
+      val keptIds = spark.table("curate_kept").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keptIds == Set(1L, 2L), s"quality gate should keep exactly the good docs: $keptIds")
+      val keptCols = spark.table("curate_kept").columns.toSet
+      assert(Set("doc_id", "ts", "n_tokens", "quality_score_bp", "predicted_lang")
+        .subsetOf(keptCols), s"kept stream schema: $keptCols")
+      val pairSet = spark.table("curate_hits").as[StreamAnalytics.NearDupHit]
+        .collect().map(h => (h.doc_a, h.doc_b)).distinct.toSet
+      assert(pairSet == Set((1L, 2L)),
+        s"gated docs must never reach the matcher: $pairSet")
+    } finally { qK.stop(); qH.stop() }
+  }
 }
