@@ -38,19 +38,24 @@ object Export {
   }
 
   /** Per-shard manifest: doc count, token total, id range, and an
-    * order-independent content fingerprint (md5 over the ascending
-    * doc_id list). */
+    * order-independent membership fingerprint — XOR of each doc's
+    * 52-bit md5-derived hash. XOR commutes, so the aggregate is
+    * map-side combined with CONSTANT per-group state (a collect-ids
+    * fingerprint would buffer the whole shard's id list in one
+    * aggregation buffer — the thing that OOMs at 100 TB); ids are
+    * unique per shard, so the self-cancelling property of XOR on
+    * repeated values cannot fire. */
   def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame =
     docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
+      .withColumn("doc_h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
-        md5(concat_ws(",",
-          transform(array_sort(collect_list(col("doc_id"))),
-            d => d.cast("string")))).as("ids_md5"))
+        expr("bit_xor(doc_h)").as("ids_fp"))
 }

@@ -216,11 +216,12 @@ object CurationQueries {
 
     "export_manifest" ->
       """WITH b AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 13))::BIGINT % 8 AS shard
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 13))::BIGINT % 8 AS shard,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS doc_h
         |  FROM documents)
         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
-        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+        |  bit_xor(doc_h) AS ids_fp
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

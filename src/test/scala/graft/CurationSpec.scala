@@ -349,6 +349,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.tokenBudgetSelect(d, 0L).count() == 0)
   }
 
+  test("tokenBudgetSelect: seeded random corpora match the fold reference at many budgets") {
+    // Deterministic LCG so the "random" corpora are reproducible; token
+    // counts 1..60 give colliding and unique score bins alike.
+    var seed = 0x5DEECE66DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (round <- 1 to 3) {
+      val nDocs = 15 + next(25)
+      val rows = (1L to nDocs.toLong).map(id => (id, toks(1 + next(60), s"r${round}d$id"), "en", "s0"))
+      val d = docs(rows: _*)
+      val scored = graft.ops.TextAnalysis.quality(d).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_score_bp"),
+          r.getAs[Int]("n_tokens").toLong)).toSeq
+      val total = scored.map(_._3).sum
+      val budgets = Seq(0L, 1L, total / 4, total / 2, total - 1, total, total + 100)
+        .distinct ++ Seq.fill(3)(next(total.toInt.max(1)).toLong)
+      for (budget <- budgets) {
+        val got = Curation.tokenBudgetSelect(d, budget).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(got == budgetRef(scored, budget), s"round=$round budget=$budget")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------
   // Export: shard partition properties + manifest integrity
   // ---------------------------------------------------------------
@@ -384,16 +410,20 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[Long]("shard") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
           r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"),
-          r.getAs[String]("ids_md5")))).toMap
+          r.getAs[Long]("ids_fp")))).toMap
+    // the fingerprint contract, recomputed from scratch: XOR of each
+    // id's 52-bit md5 slice — order-independent by commutativity
+    def docH(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 13), 16)
     val byShard = asg.groupBy(_._3)
     assert(man.keySet == byShard.keySet)
     byShard.foreach { case (shard, rows) =>
       val ids = rows.map(_._1).sorted
-      val (nDocs, total, minId, maxId, idsMd5) = man(shard)
+      val (nDocs, total, minId, maxId, idsFp) = man(shard)
       assert(nDocs == rows.length.toLong)
       assert(total == rows.map(_._2.toLong).sum)
       assert(minId == ids.head && maxId == ids.last)
-      assert(idsMd5 == md5hex(ids.mkString(",")), s"shard $shard fingerprint")
+      assert(idsFp == ids.map(docH).reduce(_ ^ _), s"shard $shard fingerprint")
     }
   }
 }
