@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Paths, StandardCopyOption}
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -86,9 +86,24 @@ object SimChainSource {
     (parts(0).toLong, fork)
   }
 
-  def writeHeadFile(path: String, head: Long, forkAt: Option[Long]): Unit =
-    Files.write(Paths.get(path),
+  /** Atomic temp-write + rename: [[SimChainMicroBatchStream.latestOffset]]
+    * polls and parses this file on every trigger, so a plain
+    * truncate-then-write races the poll — a torn read (empty file
+    * mid-truncate) throws in latestOffset and kills the whole
+    * streaming query. Rename is atomic on POSIX, so a reader sees the
+    * old head or the new one, never a partial file. */
+  def writeHeadFile(path: String, head: Long, forkAt: Option[Long]): Unit = {
+    val p = Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp,
       s"$head ${forkAt.map(_.toString).getOrElse("-")}".getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }
 
 class SimChainTable(properties: util.Map[String, String]) extends Table with SupportsRead {
