@@ -37,6 +37,23 @@ object Export {
       .withColumn("position", row_number().over(w))
   }
 
+  /** The physical export: one parquet directory per shard, rows
+    * sorted by doc_id within each shard — the layout
+    * [[shardAssignments]] describes, actually written. `repartition`
+    * on the shard id is the single shuffle; `sortWithinPartitions`
+    * rides the shuffle's local sort, so the write adds no extra pass.
+    * `partitionBy("shard")` makes each shard its own directory, which
+    * is what lets a loader fetch shard k without listing the rest —
+    * and lets [[shardManifest]] be re-verified against any single
+    * shard's files in isolation. */
+  def writeShards(docs: DataFrame, outDir: String, nShards: Int = 8): Unit =
+    docs.select(col("doc_id"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Per-shard manifest: doc count, token total, id range, and an
     * order-independent membership fingerprint — XOR of each doc's
     * 52-bit md5-derived hash. XOR commutes, so the aggregate is

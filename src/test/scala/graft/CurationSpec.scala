@@ -402,6 +402,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(assign(d) == assign(d.repartition(7)))
   }
 
+  test("writeShards: per-shard directories hold exactly the assigned docs, in doc_id order") {
+    val d = docs((1L to 35L).map(id => (id, toks((id % 6).toInt + 1, s"w$id"), "en", "s0")): _*)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Export.writeShards(d, out, nShards = 4)
+    val expected = Export.shardAssignments(d, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard")))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    expected.foreach { case (shard, ids) =>
+      val got = spark.read.parquet(s"$out/shard=$shard")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(got == ids, s"shard $shard content/order")
+    }
+    val total = spark.read.parquet(out).count()
+    assert(total == 35L)
+  }
+
   test("shardManifest: totals and fingerprint agree with the assignments") {
     val d = docs((1L to 30L).map(id => (id, toks((id % 5).toInt + 2, s"m$id"), "en", "s0")): _*)
     val asg = Export.shardAssignments(d, nShards = 3).collect()
