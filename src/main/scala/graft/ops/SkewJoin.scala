@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equality joins — the declarative fallback when
+  * one join key dominates the fact side.
+  *
+  * A plain shuffle join sends every row of the hot key to ONE reducer:
+  * at 100 TB a 10%-hot key turns a 1000-executor join into a
+  * 1-executor straggler. AQE's skew-join handles moderate skew by
+  * splitting oversized partitions, and `broadcast(dim)` removes the
+  * shuffle entirely when the dimension fits — salting covers the
+  * remaining case: a dimension too large to broadcast joined against
+  * a fact side with extreme single-key skew.
+  *
+  * Shape: the fact side gets a deterministic salt in [0, salts) hashed
+  * from the whole row, widening the hot key into `salts` shuffle keys;
+  * the dimension side is replicated once per salt (explode over the
+  * salt range — a bounded, explicit `salts`× blowup of the SMALL side,
+  * the price of de-skewing the big one). The join key becomes
+  * (key, salt), so reducers receive ~1/salts of the hot key each.
+  * Row-identical to the plain join: each fact row carries exactly one
+  * salt and meets each of its dim matches exactly once, at the
+  * replica bearing that salt.
+  */
+object SkewJoin {
+
+  /** Inner-join `facts` ⋈ `dim` on `key` with `salts`-way salting.
+    * Deterministic: the salt is a hash of the full fact row (identical
+    * fact rows share a salt — they spread by key hash instead, which
+    * is harmless: skew is about keys, not duplicate rows). */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    val salted = facts.withColumn("_salt",
+      pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
