@@ -90,7 +90,23 @@ object AnalyticsQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
-        .orderBy(col("hour_ms"), col("event_type")))
+        .orderBy(col("hour_ms"), col("event_type"))),
+
+    // Salting is result-transparent: the oracle states the PLAIN join,
+    // so this entry proves the de-skew rewrite changes the shuffle key
+    // and nothing else. Quantities are integral in TPC-H, so the
+    // per-row long cast keeps the aggregate exact in both engines.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = Fixtures.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val ord = Fixtures.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(li, ord, "k", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +148,12 @@ object AnalyticsQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,
+        |SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
