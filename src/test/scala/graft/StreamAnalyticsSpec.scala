@@ -182,6 +182,45 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: bucket state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTestDoc]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    val base = (1 to 30).map(i => s"r$i").mkString(" ")
+    val hits = StreamAnalytics.streamingNearDup(mem.toDF(),
+      threshold = 0.5, horizonNanos = 30 * minNanos)
+    val ck = Files.createTempDirectory("neardup-restart").toString
+    // memory sinks refuse checkpoint recovery, so collect via
+    // foreachBatch (which supports it) into a shared buffer
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQuery() = hits.writeStream
+      .outputMode("append").option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamAnalytics.NearDupHit], _: Long) =>
+        df.collect().foreach(h => got.add((h.doc_a, h.doc_b)))
+      }.start()
+    // first incarnation sees only d1 — its signature must land in the
+    // checkpointed state store, not just the running JVM's heap
+    val q1 = startQuery()
+    try {
+      mem.addData(StreamTestDoc(1, base, t0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.isEmpty, "no pair can exist before the near-dup arrives")
+    // second incarnation restarts from the same checkpoint; the
+    // near-dup arrives only now, so the (1,2) pair can surface ONLY if
+    // d1's signature state was recovered from the store
+    val q2 = startQuery()
+    try {
+      mem.addData(StreamTestDoc(2, base.replace("r5", "mutated"), t0 + 5 * minNanos))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set((1L, 2L)),
+        s"pre-restart doc must still match from recovered state: ${got.asScala.toSet}")
+    } finally q2.stop()
+  }
+
   test("withQuality and predictedLang match their batch-shaped twins on the fixture corpus") {
     import graft.ops.TextAnalysis
     val docs = Fixtures.documents(spark, sfDir)
