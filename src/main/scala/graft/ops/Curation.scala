@@ -294,6 +294,45 @@ object Curation {
         boundaryKept.select(col("doc_id"), col("quality_score_bp"), col("n_tokens")))
   }
 
+  /** [[tokenBudgetSelect]] with a budget per stratum (language here —
+    * the shape of a real pretraining mix: "300B tokens of English,
+    * 50B of German, …"). The same bin-prefix decomposition, one level
+    * down: bin totals per (stratum, score) [≤ strata × 10001 rows],
+    * bin prefix-sums windowed PER STRATUM (so even that tiny window is
+    * partitioned), and at most one boundary bin per stratum pays an
+    * intra-bin ordered window — after a filter that keeps only those
+    * bins' rows. Strata missing from `budgets` get `defaultBudget`. */
+  def tokenBudgetSelectByStratum(docs: DataFrame, budgets: Map[String, Long],
+                                 defaultBudget: Long = 0L): DataFrame = {
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val budget = budgets.foldLeft(lit(defaultBudget).cast("long"): Column) {
+      case (acc, (l, b)) => when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    val bins = scored.groupBy(col("lang"), col("quality_score_bp"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("quality_score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binPrefix = bins
+      .withColumn("prefix_before", sum(col("bin_tokens")).over(wb) - col("bin_tokens"))
+    val withBin = scored.join(broadcast(binPrefix), Seq("lang", "quality_score_bp"))
+      .withColumn("budget", budget)
+    val fullyKept = withBin
+      .filter(col("prefix_before") + col("bin_tokens") <= col("budget"))
+    val wBoundary = Window.partitionBy(col("lang"), col("quality_score_bp"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = withBin
+      .filter(col("prefix_before") < col("budget") &&
+        col("prefix_before") + col("bin_tokens") > col("budget"))
+      .withColumn("start_off",
+        col("prefix_before") + sum(col("n_tokens")).over(wBoundary) - col("n_tokens"))
+      .filter(col("start_off") < col("budget"))
+    val cols = Seq(col("doc_id"), col("lang"), col("quality_score_bp"), col("n_tokens"))
+    fullyKept.select(cols: _*).unionByName(boundaryKept.select(cols: _*))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 

@@ -64,8 +64,18 @@ object CurationQueries {
 
     "export_manifest" -> ((s, dir) =>
       Export.shardManifest(Fixtures.documents(s, dir), nShards = ExportShards)
-        .orderBy(col("shard")))
+        .orderBy(col("shard"))),
+
+    "quality_budget_by_lang" -> ((s, dir) =>
+      Curation.tokenBudgetSelectByStratum(Fixtures.documents(s, dir),
+        budgets = StratumBudgets, defaultBudget = 500L)
+        .orderBy(col("doc_id")))
   )
+
+  /** Fixture per-language budgets; each cuts mid-stratum at sf0.01
+    * (en 11.8k / de 3.5k / es 4.0k tokens total; fr + zh fall to the
+    * 500-token default). */
+  private val StratumBudgets = Map("en" -> 5000L, "de" -> 1500L, "es" -> 2000L)
 
   /** Fixture token budget: cuts mid-corpus at sf0.01 (27k tokens
     * total) so the boundary-bin path is exercised by the driver. */
@@ -213,6 +223,23 @@ object CurationQueries {
         |SELECT doc_id, n_tokens, shard,
         |  (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::INT AS position
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "quality_budget_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, lang, len(ts)::BIGINT n_tokens,
+        |  len(list_distinct(ts))::BIGINT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::BIGINT n_stop FROM t),
+        |q AS (SELECT doc_id, lang, n_tokens,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |    + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp,
+        |  (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 1500 WHEN 'es' THEN 2000
+        |    ELSE 500 END)::BIGINT AS budget FROM m),
+        |r AS (SELECT doc_id, lang, quality_score_bp, n_tokens, budget,
+        |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality_score_bp DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens AS start_off
+        |  FROM q)
+        |SELECT doc_id, lang, quality_score_bp, n_tokens FROM r
+        |WHERE start_off < budget ORDER BY doc_id""".stripMargin,
 
     "export_manifest" ->
       """WITH b AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -349,6 +349,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.tokenBudgetSelect(d, 0L).count() == 0)
   }
 
+  test("tokenBudgetSelectByStratum: per-lang cuts match the per-lang fold reference") {
+    // two langs, shared score strata, budgets that cut each lang at a
+    // different depth; fr gets only the default budget
+    val rows = (1L to 18L).map { id =>
+      val lang = if (id % 3 == 0) "de" else if (id % 3 == 1) "en" else "fr"
+      val n = if (id <= 9) 20 else 8
+      (id, toks(n, s"s$id"), lang, "s0")
+    }
+    val d = docs(rows: _*)
+    val budgets = Map("en" -> 50L, "de" -> 30L)
+    val scored = graft.ops.TextAnalysis.quality(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_score_bp"),
+        r.getAs[Int]("n_tokens").toLong)).toSeq
+    val langOf = rows.map(r => r._1 -> r._3).toMap
+    val expected = scored.groupBy(r => langOf(r._1)).flatMap { case (lang, rs) =>
+      budgetRef(rs, budgets.getOrElse(lang, 7L))
+    }.toSet
+    val got = Curation.tokenBudgetSelectByStratum(d, budgets, defaultBudget = 7L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected)
+    // at least one stratum must have split a bin (mid-bin cut exercised)
+    val gotByLang = got.groupBy(langOf)
+    assert(gotByLang.nonEmpty && gotByLang.forall(_._2.nonEmpty))
+  }
+
   test("tokenBudgetSelect: seeded random corpora match the fold reference at many budgets") {
     // Deterministic LCG so the "random" corpora are reproducible; token
     // counts 1..60 give colliding and unique score bins alike.
