@@ -54,6 +54,33 @@ object Export {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Loader-side integrity check: recompute each written shard's
+    * manifest row from the files in `outDir` and diff it against the
+    * expected manifest. Returns the mismatching shards (missing,
+    * extra, or any field off — the XOR fingerprint catches content
+    * drift the counts alone would miss). Empty result = the export on
+    * disk is exactly what the manifest promises. One scan of the
+    * written data, grouped on the directory-partition column. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                   expected: DataFrame): DataFrame = {
+    val actual = spark.read.parquet(outDir)
+      .withColumn("doc_h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(doc_h)").as("ids_fp"))
+    val cols = Seq("shard", "n_docs", "total_tokens", "min_doc_id", "max_doc_id", "ids_fp")
+    actual.select(cols.map(col): _*)
+      .exceptAll(expected.select(cols.map(col): _*))
+      .unionByName(
+        expected.select(cols.map(col): _*)
+          .exceptAll(actual.select(cols.map(col): _*)))
+  }
+
   /** Per-shard manifest: doc count, token total, id range, and an
     * order-independent membership fingerprint — XOR of each doc's
     * 52-bit md5-derived hash. XOR commutes, so the aggregate is

@@ -443,6 +443,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(total == 35L)
   }
 
+  test("verifyShards: clean export verifies empty; a lost shard is reported") {
+    val d = docs((1L to 30L).map(id => (id, toks((id % 4).toInt + 2, s"v$id"), "en", "s0")): _*)
+    val out = java.nio.file.Files.createTempDirectory("vshards").toString
+    Export.writeShards(d, out, nShards = 3)
+    val manifest = Export.shardManifest(d, nShards = 3)
+    assert(Export.verifyShards(spark, out, manifest).count() == 0,
+      "a clean export must verify against its manifest")
+    // lose a shard directory: the verifier must flag exactly that shard
+    val lost = manifest.select(col("shard")).head.getLong(0)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(out, s"shard=$lost"))
+    val bad = Export.verifyShards(spark, out, manifest).collect()
+      .map(_.getAs[Long]("shard")).toSet
+    assert(bad == Set(lost), s"expected the lost shard flagged: $bad")
+  }
+
   test("shardManifest: totals and fingerprint agree with the assignments") {
     val d = docs((1L to 30L).map(id => (id, toks((id % 5).toInt + 2, s"m$id"), "en", "s0")): _*)
     val asg = Export.shardAssignments(d, nShards = 3).collect()
