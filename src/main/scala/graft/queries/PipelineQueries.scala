@@ -155,6 +155,13 @@ object PipelineQueries {
         Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // codec-free REAL feature extraction (size / entropy / brightness
+    // proxies over raw bytes) — unlike the stubbed decode, every value
+    // here is genuinely computed and oracle-checked
+    "multimodal_byte_stats" -> ((s, dir) =>
+      Multimodal.byteStats(Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
@@ -505,6 +512,18 @@ object PipelineQueries {
         |(64 + (length(text) * 7) % 416)::BIGINT AS height,
         |(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_byte_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  encode(text) AS payload FROM documents),
+        |b AS (SELECT doc_id, media_type, octet_length(payload)::BIGINT AS payload_len,
+        |  [substr(hex(payload), 2*i-1, 2) for i in range(1, octet_length(payload)+1)] AS bp
+        |  FROM p)
+        |SELECT doc_id, media_type, payload_len,
+        |  len(list_distinct(bp))::INT AS n_distinct_bytes,
+        |  ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT AS mean_byte_x100
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->
       (mediaFeatsCte +

@@ -111,6 +111,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
   }
 
+  test("native byte_stats expression: hand-computed case + reference fold over varied payloads") {
+    import spark.implicits._
+    val rows = Seq(1L -> "ab", 2L -> "aaaa", 3L -> "the quick brown fox", 4L -> "Ünïcødé!")
+    val d = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val got = graft.ops.Multimodal.byteStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("payload_len"), r.getAs[Int]("n_distinct_bytes"),
+          r.getAs[Long]("mean_byte_x100")))).toMap
+    // reference: plain Scala fold over the UTF-8 bytes
+    rows.foreach { case (id, s) =>
+      val bytes = s.getBytes("UTF-8")
+      val expected = (bytes.length.toLong,
+        bytes.map(_ & 0xff).distinct.length,
+        bytes.map(b => (b & 0xff).toLong).sum * 100 / bytes.length)
+      assert(got(id) == expected, s"doc $id")
+    }
+    // the hand case: "ab" = bytes 97,98 → len 2, distinct 2, mean 9750
+    assert(got(1L) == ((2L, 2, 9750L)))
+  }
+
   test("quality basis points are exact integers") {
     val d = docs(1L -> "a a b c") // 4 tokens, 3 distinct, 1 stopword 'a' twice
     val r = TextAnalysis.quality(d).collect().head
