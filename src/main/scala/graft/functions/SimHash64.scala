@@ -96,11 +96,20 @@ object GraftFunctions {
     (children: Seq[Expression]) => SimHash64(children.head)
   )
 
+  private[graft] val byteStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("byte_stats"),
+    new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+    (children: Seq[Expression]) => ByteStats(children.head)
+  )
+
   /** Idempotent registration into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simhash64Descriptor._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f64", VectorExprs.dotF64Descriptor._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_stats", byteStatsDescriptor._3, "scala_udf")
   }
 }

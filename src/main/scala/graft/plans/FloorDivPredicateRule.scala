@@ -145,7 +145,7 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
 /** The engine's single session-extension entry point
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`):
   * the optimizer rules plus the native SQL functions (`simhash64`,
-  * `dot_f64`). */
+  * `dot_f64`, `byte_stats`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FloorDivPredicateRule)
@@ -154,5 +154,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => BucketPruneRule)
     ext.injectFunction(graft.functions.GraftFunctions.simhash64Descriptor)
     ext.injectFunction(graft.functions.VectorExprs.dotF64Descriptor)
+    ext.injectFunction(graft.functions.GraftFunctions.byteStatsDescriptor)
   }
 }

@@ -131,6 +131,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
     // the hand case: "ab" = bytes 97,98 → len 2, distinct 2, mean 9750
     assert(got(1L) == ((2L, 2, 9750L)))
+    // registered SQL form resolves through the session extensions
+    val viaSql = spark.sql(
+      "SELECT byte_stats(cast('ab' as binary)).n_distinct_bytes AS n").head.getInt(0)
+    assert(viaSql == 2)
   }
 
   test("quality basis points are exact integers") {
