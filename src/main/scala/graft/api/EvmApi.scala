@@ -11,16 +11,22 @@ final case class IndexerStats(
     lastProcessedBlock: Option[Long], chainHeadAtLastPoll: Option[Long],
     ingestionLag: Option[Long])
 
+/** Block gas columns are U256 decimal strings, the reference's storage
+  * contract (`init.sql:18-20`): TEXT survives the full 78-digit u256
+  * range that BIGINT/NUMERIC(38) cannot. */
 final case class BlockInfo(
     blockNumber: Long, blockHash: String, parentHash: String,
-    timestamp: Long, miner: Option[String], gasUsed: Option[Long],
-    gasLimit: Option[Long], txCount: Option[Long])
+    timestamp: Long, miner: Option[String], gasUsed: Option[String],
+    gasLimit: Option[String], baseFeePerGas: Option[String],
+    txCount: Option[Long])
 
 final case class TransactionInfo(
     txHash: String, blockNumber: Long, blockHash: String,
     txIndexInBlock: Option[Long], fromAddress: String,
     toAddress: Option[String], value: String, gasUsed: Option[Long],
-    gasLimit: Option[Long], nonce: Option[Long], status: Option[Long])
+    gasLimit: Option[Long], gasPrice: Option[String],
+    maxFeePerGas: Option[String], maxPriorityFeePerGas: Option[String],
+    inputData: Option[String], nonce: Option[Long], status: Option[Long])
 
 /** The reference's complete serving surface as one typed facade — the
   * four endpoints of `src/api.rs:393-401` over any source of the three
@@ -61,8 +67,9 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
         BlockInfo(
           r.getAs[Long]("block_number"), r.getAs[String]("block_hash"),
           r.getAs[String]("parent_hash"), r.getAs[Long]("timestamp"),
-          get[String]("miner"), get[Long]("gas_used"),
-          get[Long]("gas_limit"), get[Long]("tx_count"))
+          get[String]("miner"), get[String]("gas_used"),
+          get[String]("gas_limit"), get[String]("base_fee_per_gas"),
+          get[Long]("tx_count"))
       }
 
   /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). */
@@ -77,7 +84,9 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
           r.getAs[String]("block_hash"), get[Long]("tx_index_in_block"),
           r.getAs[String]("from_address"), get[String]("to_address"),
           r.getAs[String]("value"), get[Long]("gas_used"),
-          get[Long]("gas_limit"), get[Long]("nonce"), get[Long]("status"))
+          get[Long]("gas_limit"), get[String]("gas_price"),
+          get[String]("max_fee_per_gas"), get[String]("max_priority_fee_per_gas"),
+          get[String]("input_data"), get[Long]("nonce"), get[Long]("status"))
       }
 }
 

@@ -57,10 +57,12 @@ object LogsQuery {
   def clampPageSize(n: Int): Int = math.max(1, math.min(MaxPageSize, n))
 
   /** Q-1: the reference's projection incl. `log_index_in_tx AS
-    * log_index` (`src/api.rs:118-124`). */
+    * log_index` and `transaction_index_in_block AS transaction_index`
+    * (`src/api.rs:118-124`). */
   def projection(logs: DataFrame): DataFrame =
     logs.select(
       col("id"), col("log_index_in_tx").as("log_index"),
+      col("tx_index_in_block").as("transaction_index"),
       col("block_number"), col("block_hash"), col("transaction_hash"),
       col("contract_address"), col("data"),
       col("topic0"), col("topic1"), col("topic2"), col("topic3"))

@@ -26,9 +26,9 @@ import org.apache.spark.sql.Row
   * fields (`src/models.rs` `rename_all = "camelCase"`), snake_case
   * stats/logs-response envelopes (`src/api_models.rs:50-66`, no
   * rename), `GenericErrorResponse` for 400/404/500
-  * (`src/api_models.rs:69-76`). Fields the simulated chain does not
-  * carry (gasPrice, inputData, …) serialize as null, like the
-  * reference's `Option::None`.
+  * (`src/api_models.rs:69-76`). Optional fields a given source does
+  * not carry (e.g. gas_price on an EIP-1559 tx) serialize as null,
+  * like the reference's `Option::None`.
   *
   * Error mapping (`src/api.rs:29-63`): syntactically invalid
   * identifiers → 400; well-formed but absent → 404; handler failure →
@@ -149,9 +149,9 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
           "blockHash" -> b.blockHash,
           "parentHash" -> b.parentHash,
           "timestamp" -> b.timestamp,
-          "gasUsed" -> b.gasUsed.map(_.toString),
-          "gasLimit" -> b.gasLimit.map(_.toString),
-          "baseFeePerGas" -> None)))
+          "gasUsed" -> b.gasUsed,
+          "gasLimit" -> b.gasLimit,
+          "baseFeePerGas" -> b.baseFeePerGas)))
     }
 
   /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). */
@@ -171,11 +171,11 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
           "fromAddress" -> t.fromAddress,
           "toAddress" -> t.toAddress,
           "value" -> t.value,
-          "gasPrice" -> None,
-          "maxFeePerGas" -> None,
-          "maxPriorityFeePerGas" -> None,
+          "gasPrice" -> t.gasPrice,
+          "maxFeePerGas" -> t.maxFeePerGas,
+          "maxPriorityFeePerGas" -> t.maxPriorityFeePerGas,
           "gas" -> t.gasLimit.map(_.toString),
-          "inputData" -> "",
+          "inputData" -> t.inputData.getOrElse(""),
           "status" -> t.status)))
     }
 
@@ -189,7 +189,7 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
     JObj(
       "logIndex" -> opt[Long]("log_index"),
       "transactionHash" -> r.getAs[String]("transaction_hash"),
-      "transactionIndex" -> None,
+      "transactionIndex" -> opt[Long]("transaction_index"),
       "blockNumber" -> r.getAs[Long]("block_number"),
       "blockHash" -> r.getAs[String]("block_hash"),
       "address" -> r.getAs[String]("contract_address"),

@@ -44,8 +44,10 @@ object EvmDerive {
 
   // ---- logs ---------------------------------------------------------
   /** reference `init.sql:49-63`: id, block_number, block_hash,
-    * transaction_hash, log_index_in_tx, contract_address, topic0..3,
-    * data. One log per fixture event.
+    * transaction_hash, log_index_in_tx, transaction_index_in_block
+    * (named `tx_index_in_block` here, matching the ingested-table
+    * column of [[graft.ingest.Ingest.flatten]]), contract_address,
+    * topic0..3, data. One log per fixture event.
     */
   def logs(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Fixtures.events(spark, sfDir)
@@ -57,6 +59,7 @@ object EvmDerive {
       hx2(blockNum.cast("string")).as("block_hash"),
       hx2(concat(txId.cast("string"), lit(":tx"))).as("transaction_hash"),
       (col("event_id") % 2).cast("long").as("log_index_in_tx"),
+      (txId % 5).cast("long").as("tx_index_in_block"),
       concat(lit("0x"),
         substring(md5(concat(col("user_id").cast("string"), lit(":addr"))), 1, 40))
         .as("contract_address"),
@@ -97,6 +100,11 @@ object EvmDerive {
       concat((col("event_id") + 1).cast("string"), lit("000000000000000000")).as("value"),
       (lit(21000) + (col("event_id") % 9) * 5000).cast("long").as("gas_used"),
       lit(30000000L).as("gas_limit"),
+      // gas_price is nullable TEXT like the reference (`init.sql:35`):
+      // legacy (pre-EIP-1559) txs carry it, the rest leave it null.
+      when(col("event_id") % 4 === 0,
+        concat((col("user_id") % 100 + 2).cast("string"), lit("000000000")))
+        .as("gas_price"),
       concat((col("user_id") % 100 + 1).cast("string"), lit("000000000")).as("max_fee_per_gas"),
       concat((col("user_id") % 3 + 1).cast("string"), lit("000000000")).as("max_priority_fee_per_gas"),
       txId.as("nonce"),
@@ -105,7 +113,12 @@ object EvmDerive {
   }
 
   // ---- blocks -------------------------------------------------------
-  /** reference `init.sql:13-21`. One row per block = every event_id % 10 == 0. */
+  /** reference `init.sql:13-21`. One row per block = every event_id % 10 == 0.
+    * Block `gas_used`/`gas_limit`/`base_fee_per_gas` are U256
+    * decimal-string TEXT per the reference's storage contract
+    * (`init.sql:18-20`, SURVEY §1.2); `base_fee_per_gas` is nullable
+    * (pre-London blocks have none).
+    */
   def blocks(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Fixtures.events(spark, sfDir).filter(col("event_id") % 10 === 0)
     val blockNum = floor(col("event_id") / 10).cast("long")
@@ -117,8 +130,11 @@ object EvmDerive {
       concat(lit("0x"),
         substring(md5(concat((blockNum % 10).cast("string"), lit(":miner"))), 1, 40))
         .as("miner"),
-      (lit(105000L) + (blockNum % 100) * 1000).as("gas_used"),
-      lit(30000000L).as("gas_limit"),
+      (lit(105000L) + (blockNum % 100) * 1000).cast("string").as("gas_used"),
+      lit("30000000").as("gas_limit"),
+      when(blockNum % 7 =!= 6,
+        concat((blockNum % 50 + 10).cast("string"), lit("00000000")))
+        .as("base_fee_per_gas"),
       lit(5L).as("tx_count"))
   }
 
@@ -135,6 +151,7 @@ object EvmDerive {
       |    '0x' || md5(CAST(CAST(FLOOR(event_id / 10) AS BIGINT) AS VARCHAR)) || md5(CAST(CAST(FLOOR(event_id / 10) AS BIGINT) AS VARCHAR) || ':2') AS block_hash,
       |    '0x' || md5(CAST(CAST(FLOOR(event_id / 2) AS BIGINT) AS VARCHAR) || ':tx') || md5(CAST(CAST(FLOOR(event_id / 2) AS BIGINT) AS VARCHAR) || ':tx' || ':2') AS transaction_hash,
       |    CAST(event_id % 2 AS BIGINT) AS log_index_in_tx,
+      |    CAST(CAST(FLOOR(event_id / 2) AS BIGINT) % 5 AS BIGINT) AS tx_index_in_block,
       |    '0x' || substr(md5(CAST(user_id AS VARCHAR) || ':addr'), 1, 40) AS contract_address,
       |    '0x' || md5(event_type) AS topic0,
       |    CASE WHEN user_id % 4 <> 3 THEN '0x' || md5(CAST(user_id AS VARCHAR)) END AS topic1,
@@ -153,6 +170,7 @@ object EvmDerive {
       |    CAST(event_id + 1 AS VARCHAR) || '000000000000000000' AS value,
       |    CAST(21000 + (event_id % 9) * 5000 AS BIGINT) AS gas_used,
       |    CAST(30000000 AS BIGINT) AS gas_limit,
+      |    CASE WHEN event_id % 4 = 0 THEN CAST(user_id % 100 + 2 AS VARCHAR) || '000000000' END AS gas_price,
       |    CAST(user_id % 100 + 1 AS VARCHAR) || '000000000' AS max_fee_per_gas,
       |    CAST(user_id % 3 + 1 AS VARCHAR) || '000000000' AS max_priority_fee_per_gas,
       |    CAST(FLOOR(event_id / 2) AS BIGINT) AS nonce,
@@ -166,8 +184,9 @@ object EvmDerive {
       |    '0x' || md5(CAST(CAST(FLOOR(event_id / 10) AS BIGINT) - 1 AS VARCHAR)) || md5(CAST(CAST(FLOOR(event_id / 10) AS BIGINT) - 1 AS VARCHAR) || ':2') AS parent_hash,
       |    CAST(1704067200 + CAST(FLOOR(event_id / 10) AS BIGINT) * 12 AS BIGINT) AS timestamp,
       |    '0x' || substr(md5(CAST(CAST(FLOOR(event_id / 10) AS BIGINT) % 10 AS VARCHAR) || ':miner'), 1, 40) AS miner,
-      |    CAST(105000 + (CAST(FLOOR(event_id / 10) AS BIGINT) % 100) * 1000 AS BIGINT) AS gas_used,
-      |    CAST(30000000 AS BIGINT) AS gas_limit,
+      |    CAST(105000 + (CAST(FLOOR(event_id / 10) AS BIGINT) % 100) * 1000 AS VARCHAR) AS gas_used,
+      |    '30000000' AS gas_limit,
+      |    CASE WHEN CAST(FLOOR(event_id / 10) AS BIGINT) % 7 <> 6 THEN CAST(CAST(FLOOR(event_id / 10) AS BIGINT) % 50 + 10 AS VARCHAR) || '00000000' END AS base_fee_per_gas,
       |    CAST(5 AS BIGINT) AS tx_count
       |  FROM events WHERE event_id % 10 = 0
       |)

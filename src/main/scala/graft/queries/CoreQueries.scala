@@ -14,8 +14,9 @@ import graft.ingest.Ingest
 object CoreQueries {
 
   private val logProj =
-    """id, log_index_in_tx AS log_index, block_number, block_hash,
-      |transaction_hash, contract_address, data, topic0, topic1, topic2,
+    """id, log_index_in_tx AS log_index, tx_index_in_block AS
+      |transaction_index, block_number, block_hash, transaction_hash,
+      |contract_address, data, topic0, topic1, topic2,
       |topic3""".stripMargin.replace("\n", " ")
 
   // Literals shared between the Spark filter and the oracle SQL.
@@ -175,16 +176,16 @@ object CoreQueries {
       "ORDER BY block_number, id LIMIT 25 OFFSET 50"),
 
     "block_by_number" -> (EvmDerive.cte +
-      "SELECT block_number, block_hash, parent_hash, timestamp, miner, gas_used, gas_limit, tx_count " +
+      "SELECT block_number, block_hash, parent_hash, timestamp, miner, gas_used, gas_limit, base_fee_per_gas, tx_count " +
       "FROM blocks WHERE block_number = 123 ORDER BY block_number LIMIT 1"),
 
     "block_by_hash" -> (EvmDerive.cte +
-      "SELECT block_number, block_hash, parent_hash, timestamp, miner, gas_used, gas_limit, tx_count " +
+      "SELECT block_number, block_hash, parent_hash, timestamp, miner, gas_used, gas_limit, base_fee_per_gas, tx_count " +
       s"FROM blocks WHERE block_hash = '$hash77' ORDER BY block_number LIMIT 1"),
 
     "tx_by_hash" -> (EvmDerive.cte +
       "SELECT tx_hash, block_number, block_hash, tx_index_in_block, from_address, to_address, " +
-      "value, gas_used, gas_limit, max_fee_per_gas, max_priority_fee_per_gas, nonce, input_data, status " +
+      "value, gas_used, gas_limit, gas_price, max_fee_per_gas, max_priority_fee_per_gas, nonce, input_data, status " +
       s"FROM transactions WHERE tx_hash = '$tx123' ORDER BY tx_hash LIMIT 1"),
 
     "latest_block_at_height" -> (EvmDerive.cte +

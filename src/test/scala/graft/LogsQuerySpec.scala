@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.{GetLogsFilter, LogsQuery}
 
-case class TestLog(id: Long, log_index_in_tx: Long, block_number: Long,
+case class TestLog(id: Long, log_index_in_tx: Long, tx_index_in_block: Long,
+                   block_number: Long,
                    block_hash: String, transaction_hash: String,
                    contract_address: String, data: String,
                    topic0: String, topic1: Option[String],
@@ -18,7 +19,7 @@ class LogsQuerySpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     (0L until 200L).map { i =>
       val b = i / 4
-      TestLog(i, i % 4, b, s"0xBlock$b", s"0xtx${i / 2}", s"0xAddr${i % 5}",
+      TestLog(i, i % 4, (i / 2) % 2, b, s"0xBlock$b", s"0xtx${i / 2}", s"0xAddr${i % 5}",
         s"d$i", s"0xsig${i % 3}",
         if (i % 2 == 0) Some(s"0xt1-${i % 7}") else None, None, None)
     }.toDF()

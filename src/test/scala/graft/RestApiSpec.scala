@@ -61,6 +61,10 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(m("blockNumber") == 42L)
     assert(m.keySet == Set("blockNumber", "blockHash", "parentHash", "timestamp",
       "gasUsed", "gasLimit", "baseFeePerGas"), "MyBlock camelCase wire shape")
+    // U256 gas fields arrive as decimal strings (init.sql:18-20),
+    // populated — not the nulls of a lossy facade
+    assert(m("gasUsed") == "147000" && m("gasLimit") == "30000000")
+    assert(m("baseFeePerGas") == "5200000000")
     // same block by its 66-char hash
     val hash = m("blockHash").asInstanceOf[String]
     assert(hash.length == 66)
@@ -86,6 +90,16 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
       "fromAddress", "toAddress", "value", "gasPrice", "maxFeePerGas",
       "maxPriorityFeePerGas", "gas", "inputData", "status"), "MyTransaction wire shape")
     assert(m("value").asInstanceOf[String].nonEmpty)
+    // tx 3 lives at index 3 in its block and is EIP-1559 (event 6 % 4
+    // != 0): fee-cap fields populated, legacy gasPrice null
+    assert(m("transactionIndex") == 3L)
+    assert(m("maxFeePerGas").asInstanceOf[String].endsWith("000000000"))
+    assert(m("maxPriorityFeePerGas").asInstanceOf[String].endsWith("000000000"))
+    assert(m("gasPrice") == null)
+    assert(m("inputData").asInstanceOf[String].startsWith("0x"))
+    // tx 2 (event 4 % 4 == 0) is legacy: gasPrice populated
+    val legacy = obj(get(s"/transaction/${EvmDerive.txHashOf(2)}")._2)
+    assert(legacy("gasPrice").asInstanceOf[String].endsWith("000000000"))
     assert(get("/transaction/tooShort")._1 == 400)
     assert(get("/transaction/0x" + "0" * 64)._1 == 404)
   }
@@ -100,6 +114,9 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(logs.head.keySet == Set("logIndex", "transactionHash", "transactionIndex",
       "blockNumber", "blockHash", "address", "data", "topics"))
     assert(logs.forall(_("blockNumber").asInstanceOf[Long] <= 5))
+    // transaction_index_in_block rides along (api.rs:119-121), not a
+    // hardcoded null
+    assert(logs.forall(l => (0L to 4L).contains(l("transactionIndex").asInstanceOf[Long])))
     // resume from the cursor: no overlap with the first page
     val cb = m("next_cursor_block").asInstanceOf[Long]
     val cl = m("next_cursor_log_id").asInstanceOf[Long]
