@@ -134,6 +134,36 @@ object Similarity {
       .drop("cell_scores")
   }
 
+  /** Query side of an IVF probe: each query exploded to its `nProbe`
+    * nearest cells as `(cell, q_id, qv, qn)` rows. */
+  def probeQueries(queries: DataFrame, cs: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val qScores = array(cs.map { c =>
+      val cLit = array(c.map(lit): _*)
+      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
+    }: _*)
+    queries
+      .withColumn("cell_scores", qScores)
+      .withColumn("probe_cell", explode(expr(
+        s"slice(array_sort(transform(cell_scores, (s, i) -> struct(s AS s, i AS c))), 1, $nProbe).c")))
+      .select(col("probe_cell").cast("int").as("cell"),
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+  }
+
+  /** Probe + rank over a cell assignment (`vec_id, v, nrm, cell` —
+    * built inline by [[topKIvfKmeans]] or read back from the persisted
+    * table of [[AnnIndex]]): equality join on the probed cell, exact
+    * cosine, per-query top-k. */
+  def probeIndex(index: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
   /** IVF top-k with a learned quantizer: fit (or pass) centroids,
     * assign the corpus once, probe only the query's `nProbe` nearest
     * cells. Recall/cost dial = nProbe/k. */
@@ -142,25 +172,8 @@ object Similarity {
                     centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cs = centroids.getOrElse(kmeansCentroids(embeddings, nCells))
     val e = assignCells(prepared(embeddings), cs)
-    // query-side: its nProbe nearest cells, exploded to (q, probe_cell)
-    val qScores = array(cs.map { c =>
-      val cLit = array(c.map(lit): _*)
-      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
-    }: _*)
-    val q = prepared(embeddings).filter(col("vec_id") < maxQueryId)
-      .withColumn("cell_scores", qScores)
-      .withColumn("probe_cell", explode(expr(
-        s"slice(array_sort(transform(cell_scores, (s, i) -> struct(s AS s, i AS c))), 1, $nProbe).c")))
-      .select(col("probe_cell").cast("int").as("cell"),
-        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+    val q = probeQueries(prepared(embeddings).filter(col("vec_id") < maxQueryId), cs, nProbe)
+    probeIndex(e, q, k)
   }
 
   private def md5hex(s: String): String = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.tables.Fixtures
 
 /** LLM-training-data pipeline operators as driver-verified queries:
@@ -139,6 +139,15 @@ object PipelineQueries {
       Similarity.topKIvfKmeans(Fixtures.embeddings(s, dir), maxQueryId = 5,
         k = 10, nCells = 8, nProbe = 2,
         centroids = Some(Similarity.fixedCentroids(8, 64)))
+        .orderBy(col("q_id"), col("rn"))),
+
+    // the SERVING shape: the cell assignment persisted once as a
+    // bucketed table (write-once), each query probing only its cells'
+    // buckets — the scan is bucket-pruned (AnnIndexSpec pins
+    // SelectedBucketsCount < total), unlike the kmeans entry that
+    // recomputes the assignment per query
+    "similarity_topk_indexed" -> ((s, dir) =>
+      AnnIndex.topK(s, dir, maxQueryId = 8, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rn"))),
 
     "multimodal_decode" -> ((s, dir) =>
@@ -420,6 +429,35 @@ object PipelineQueries {
          |r AS (SELECT q_id, vec_id, score,
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
          |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10
+         |ORDER BY q_id, rn""".stripMargin
+    },
+
+    // identical math to similarity_topk_kmeans — the persisted index
+    // table holds exactly the assignCells output, so the oracle can
+    // recompute the assignment inline
+    "similarity_topk_indexed" -> {
+      val cs = Similarity.fixedCentroids(8, 64)
+      val scoreExprs = cs.map { c =>
+        s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
+      }.mkString(",\n  ")
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, v, nrm, [
+         |  $scoreExprs] AS cs FROM n),
+         |asg AS (SELECT vec_id, v, nrm,
+         |  (list_position(cs, list_min(cs)) - 1) AS cell FROM sc),
+         |qc AS (SELECT vec_id, v, nrm, unnest(cs) AS s, unnest(range(8)) AS c
+         |  FROM sc WHERE vec_id < 8),
+         |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, c) rn FROM qc)
+         |  WHERE rn <= 2),
+         |p AS (SELECT q.q_id, x.vec_id,
+         |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+         |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, score,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin
     },
 

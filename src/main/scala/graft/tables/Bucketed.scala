@@ -35,6 +35,22 @@ object Bucketed {
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Drop `table` from the catalog AND delete any leftover warehouse
+    * location. A fresh JVM has an empty in-memory catalog, but the
+    * warehouse directory on disk survives across runs — an orphaned
+    * managed-table location makes `saveAsTable` throw
+    * LOCATION_ALREADY_EXISTS unless cleared first. */
+  def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** Equality join of two bucketed tables on their bucket keys. With
     * matching bucket counts this plans shuffle-free. */
   def cooperativeJoin(spark: SparkSession, left: String, leftKey: String,

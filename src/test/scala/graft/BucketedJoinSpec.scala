@@ -15,20 +15,8 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** A fresh JVM has an empty in-memory catalog, but the warehouse
-    * directory on disk survives across runs — an orphaned managed-table
-    * location makes saveAsTable throw LOCATION_ALREADY_EXISTS. Drop
-    * catalog entries AND delete leftover locations before writing. */
-  private def resetTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
-  }
+  private def resetTable(name: String): Unit =
+    graft.tables.Bucketed.resetTable(spark, name)
 
   /** Run `body` with broadcast disabled (so the small fixture doesn't
     * trivially broadcast away the join) and AQE off (so the final plan
@@ -70,9 +58,14 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("mismatched bucket counts fall back to a shuffle (the invariant is the layout, not magic)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
-    resetTable("b_orders_8")
+    // self-contained: (re)create both sides so this test does not
+    // depend on the other test having run first
+    Seq("b_lineitem", "b_orders_8").foreach(resetTable)
+    Bucketed.writeBucketed(li, "b_lineitem", "l_orderkey", nBuckets = 4)
     Bucketed.writeBucketed(ord, "b_orders_8", "o_orderkey", nBuckets = 8)
     withJoinConf {
       val joined = Bucketed.cooperativeJoin(spark, "b_lineitem", "l_orderkey",
