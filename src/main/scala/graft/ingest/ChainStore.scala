@@ -129,6 +129,59 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
         }
     }
 
+  // ---- single-writer guard -------------------------------------------
+  // The swap/recovery protocol above is crash-safe for ONE writer
+  // process; two concurrent writers could interleave set-aside renames
+  // and each other's recovery sweeps (writer B's recoverSwaps seeing
+  // writer A mid-swap would "heal" a swap that is still in flight).
+  // The reference inherits single-writer-per-row from Postgres
+  // transactions; here an exclusive lock file makes the contract
+  // explicit: the first mutating call takes `_writer.lock`, a second
+  // store on the same root fails fast instead of corrupting buckets.
+
+  private def lockPath = new Path(s"$root/_writer.lock")
+  @volatile private var lockHeld = false
+
+  /** Acquire the exclusive writer lock (once per store). The lock is
+    * PROCESS-scoped: a lock already held by this JVM (e.g. a restarted
+    * store object over the same root, the standard crash-replay test
+    * shape) is adopted re-entrantly; a lock held by another process
+    * throws [[ChainStore.ConcurrentWriterException]]. A writer that
+    * crashed without [[close]] leaves the file behind — an operator
+    * (or orchestrator that knows the process is gone) clears it with
+    * [[ChainStore.forceUnlock]]. */
+  private def ensureWriteLock(): Unit = synchronized {
+    if (!lockHeld) {
+      if (fs.exists(lockPath)) {
+        val holder = ChainStore.lockHolder(fs, lockPath)
+        if (!holder.contains(ChainStore.processToken))
+          throw new ChainStore.ConcurrentWriterException(
+            s"$root is locked by writer ${holder.getOrElse("?")}; " +
+              "one writer process per store root (forceUnlock only if it is dead)")
+      } else {
+        val out =
+          try fs.create(lockPath, false) // no-overwrite create: atomic on HDFS
+          catch {
+            case e: java.io.IOException =>
+              throw new ChainStore.ConcurrentWriterException(
+                s"$root writer lock lost the creation race: ${e.getMessage}")
+          }
+        out.write(ChainStore.processToken.getBytes("UTF-8"))
+        out.close()
+      }
+      lockHeld = true
+    }
+  }
+
+  /** Release the writer lock so another process can ingest. Reads need
+    * no lock and keep working. */
+  def close(): Unit = synchronized {
+    if (lockHeld) {
+      fs.delete(lockPath, false)
+      lockHeld = false
+    }
+  }
+
   private val recoveredTables = scala.collection.mutable.Set.empty[String]
 
   /** Synchronized: the REST layer's request pool reaches [[read]]
@@ -182,6 +235,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * touches (partition pruning on bucket), so the append cost is
     * O(batch), not O(store). */
   def append(blocks: DataFrame, transactions: DataFrame, logs: DataFrame): Unit = {
+    ensureWriteLock()
     val dfs = Map("blocks" -> blocks, "transactions" -> transactions, "logs" -> logs)
     dfs.foreach { case (t, incoming) =>
       ensureRecovered(t)
@@ -217,6 +271,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   /** Q-21 / I-10: delete every row with `block_number >= forkHeight`
     * across all tables, children first (`src/db.rs:34-50`). */
   def rollback(forkHeight: Long): Unit = {
+    ensureWriteLock()
     val forkBucket = forkHeight / bucketSize
     // children first: logs, transactions, then blocks
     Seq("logs", "transactions", "blocks").foreach { t =>
@@ -268,6 +323,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   def compactAll(table: String): Unit = compactBuckets(table, None)
 
   private def compactBuckets(table: String, only: Option[Set[Long]]): Unit = {
+    ensureWriteLock()
     if (exists(table) && !only.exists(_.isEmpty)) {
       val key = keyOf(table)
       ensureRecovered(table)
@@ -297,6 +353,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * (`ON CONFLICT DO UPDATE`, `src/db.rs:53-77`) — last-writer-wins
     * overwrite of a one-row table. */
   def writeStatus(lastProcessedBlock: Long, chainHeadAtLastPoll: Long): Unit = {
+    ensureWriteLock()
     import spark.implicits._
     Seq((lastProcessedBlock, chainHeadAtLastPoll))
       .toDF("last_processed_block", "chain_head_at_last_poll")
@@ -312,6 +369,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * height next cycle (`src/main.rs:166-189`). Cleared once an
     * appended batch covers the marked height again. */
   def writeRepairFrom(from: Long, width: Long = 1L): Unit = {
+    ensureWriteLock()
     val out = fs.create(new Path(s"$root/_repair_from"), true)
     try out.write(s"$from $width".getBytes("UTF-8")) finally out.close()
   }
@@ -329,7 +387,10 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     }
   }
 
-  def clearRepairFrom(): Unit = fs.delete(new Path(s"$root/_repair_from"), false)
+  def clearRepairFrom(): Unit = {
+    ensureWriteLock()
+    fs.delete(new Path(s"$root/_repair_from"), false): Unit
+  }
 
   /** (last_processed_block, chain_head_at_last_poll), None before
     * first ingest — `src/db.rs:8-15`. */
@@ -351,6 +412,35 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 }
 
 object ChainStore {
+  /** One token per JVM: every store this process opens writes the same
+    * holder id, so restarts within a process re-acquire while a second
+    * PROCESS fails fast. */
+  private[ingest] val processToken: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName + ":" +
+      java.util.UUID.randomUUID().toString
+
+  /** Thrown when a second writer process tries to mutate a store root
+    * that another live writer has locked. */
+  final class ConcurrentWriterException(msg: String)
+      extends IllegalStateException(msg)
+
+  private[ingest] def lockHolder(fs: org.apache.hadoop.fs.FileSystem,
+                                 lock: Path): Option[String] =
+    scala.util.Try {
+      val in = fs.open(lock)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }.toOption
+
+  /** Clear a lock left by a writer that died without [[ChainStore.close]].
+    * ONLY safe when that process is known to be gone — with it alive,
+    * this reintroduces exactly the interleaving the lock prevents. */
+  def forceUnlock(spark: SparkSession, root: String): Unit = {
+    val p = new Path(s"$root/_writer.lock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false): Unit
+  }
+
   /** Single owner of the `_repair_from` marker wire format
     * (`"<serve-from-height> <widening-reach>"`, width defaulting
     * to 1) — [[ChainStore.readRepairFrom]] and the DSv2 source's

@@ -63,6 +63,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq == Seq(4L, 5L))
   }
 
+  test("corpus band table round-trips through parquet across sessions") {
+    // the production contract of incrementalMinhashPairs(corpusBands=…):
+    // bands computed in a PREVIOUS run, stored beside the corpus, and
+    // read back cold — must give the same pairs as recomputing them.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(
+      1L -> base,
+      8L -> (1 to 30).map(i => s"q$i").mkString(" "))
+    val fresh = docs(3L -> base.replace("w9", "tweaked"))
+    val bandDir = java.nio.file.Files.createTempDirectory("bands").toString
+    Dedup.minhashBands(Dedup.minhashSignature(Dedup.shingleRows(corpus)))
+      .write.mode("overwrite").parquet(bandDir)
+    // a cold read has no lineage to this session's plans — only the
+    // on-disk bytes; any schema/type drift through parquet would show
+    val reloaded = spark.read.parquet(bandDir)
+    val viaStored = Dedup.incrementalMinhashPairs(corpus, fresh,
+        corpusBands = Some(reloaded))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp"))).toSet
+    val recomputed = Dedup.incrementalMinhashPairs(corpus, fresh)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp"))).toSet
+    assert(viaStored == recomputed && viaStored.map(p => (p._1, p._2)) == Set((1L, 3L)))
+  }
+
   test("applyIncrementalDedup: corpus always wins regardless of id order; greedy chain over-drops") {
     import spark.implicits._
     val fresh = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
