@@ -67,8 +67,11 @@ object StreamAnalytics {
 
   /** An emitted near-dup candidate: doc_a < doc_b,
     * `est_jaccard_bp` = ⌊10000 · (agreeing signature positions) / k⌋ —
-    * the standard unbiased MinHash Jaccard estimate. */
-  case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard_bp: Long)
+    * the standard unbiased MinHash Jaccard estimate. `ts` is the
+    * arrival (event-time nanos) of the LATER doc — the detection time,
+    * which doubles as the event-time for downstream dedup of the
+    * at-least-once feed ([[dedupedNearDupHits]]). */
+  case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard_bp: Long, ts: Long)
 
   /** Signature and band arithmetic live in ONE place —
     * [[graft.ops.Dedup.perRowMinhashSig]] / `perRowBandSigs` (shared
@@ -154,7 +157,7 @@ object StreamAnalytics {
                   val agree = (0 until k).count(i => s.sig(i) == d.sig(i)).toLong
                   if (agree >= minAgree)
                     out += NearDupHit(math.min(s.docId, d.doc_id),
-                      math.max(s.docId, d.doc_id), agree * 10000L / k)
+                      math.max(s.docId, d.doc_id), agree * 10000L / k, d.ts)
                 }
               }
               seen = SeenDoc(d.doc_id, d.sig, d.ts) :: seen
@@ -178,6 +181,38 @@ object StreamAnalytics {
           }
       }
   }
+
+  /** Exactly-once near-dup feed, downstream half: the same pair can
+    * surface from more than one band bucket of [[streamingNearDup]]
+    * (at-least-once by design), so sinks that must see each pair once
+    * — a delete queue, an audit log — dedup the hits feed on
+    * (doc_a, doc_b) within the horizon.
+    *
+    * This is a SECOND streaming query over the matcher's intermediate
+    * sink (matcher → files/queue → this), not a stage chained inside
+    * the matcher's query: Spark rejects a stateful operator directly
+    * after `flatMapGroupsWithState` because the matcher may emit below
+    * the global watermark (a hit from a late-but-admissible doc), and
+    * the downstream dedup would silently discard such a hit as late —
+    * a correctness hole, not a formality. Reading the hits back from
+    * the sink restarts the watermark clock on the hits' OWN detection
+    * times, so nothing is late relative to it.
+    *
+    * `hits` = the matcher's output read back as a stream (schema of
+    * [[NearDupHit]]); the detection time `ts` becomes the event-time.
+    * Duplicates of a pair carry the SAME detection time (they are
+    * emitted at the same arrival), so the horizon-wide watermark is
+    * far more margin than needed. State: one entry per distinct pair
+    * in the horizon. A pair re-DETECTED from a fresh arrival later
+    * than the horizon is a new detection and passes — same contract as
+    * the matcher itself.
+    */
+  def dedupNearDupFeed(hits: DataFrame,
+                       horizonNanos: Long = 3600L * 1000000000L): DataFrame =
+    withEventTime(hits)
+      .withWatermark("event_time", s"${horizonNanos / 1000000000L} seconds")
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .drop("event_time")
 
   case class SessionEvent(user_id: Long, ts: Long, event_type: String, value: Double)
 

@@ -146,6 +146,54 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupNearDupFeed: exact dup collides in every band, final sink sees the pair ONCE") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTestDoc]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+
+    // production wiring, two queries: matcher → parquet feed, then the
+    // dedup reading that feed back (a stateful op cannot legally chain
+    // inside the matcher's own query — see dedupNearDupFeed's doc)
+    val hitsDir = Files.createTempDirectory("hitsfeed").toString
+    val raw = StreamAnalytics.streamingNearDup(mem.toDF(),
+      threshold = 0.5, horizonNanos = 10 * minNanos)
+    val qRaw = raw.writeStream.format("parquet")
+      .option("path", hitsDir).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("rawck").toString)
+      .start()
+    val hitsFeed = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[StreamAnalytics.NearDupHit].schema)
+      .parquet(hitsDir)
+    val qDeduped = StreamAnalytics
+      .dedupNearDupFeed(hitsFeed, horizonNanos = 10 * minNanos)
+      .writeStream.format("memory").queryName("hits_deduped")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dedupck").toString)
+      .start()
+    try {
+      // doc 2 is an EXACT dup of doc 1: all 12 signature positions
+      // agree, so all 6 band buckets emit the pair — the worst-case
+      // at-least-once amplification
+      mem.addData(StreamTestDoc(1, text, t0))
+      qRaw.processAllAvailable()
+      mem.addData(StreamTestDoc(2, text, t0 + minNanos))
+      qRaw.processAllAvailable()
+      qDeduped.processAllAvailable()
+
+      val rawRows = spark.read.parquet(hitsDir)
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rawRows.length > 1 && rawRows.distinct.toSeq == Seq((1L, 2L)),
+        s"expected amplified duplicates of (1,2) in the raw feed, got ${rawRows.toSeq}")
+      val dedupedRows = spark.table("hits_deduped")
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dedupedRows.toSeq == Seq((1L, 2L)),
+        s"deduped feed must emit the pair exactly once, got ${dedupedRows.toSeq}")
+    } finally { qRaw.stop(); qDeduped.stop() }
+  }
+
   test("sessionize: gap-separated bursts close as distinct sessions per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
