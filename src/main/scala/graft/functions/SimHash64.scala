@@ -89,18 +89,30 @@ object SimHash64 {
   * [[GraftFunctions.register]] is the runtime fallback for sessions
   * created without the config. */
 object GraftFunctions {
+  /** Arity check shared by the SQL function builders: a bare
+    * `children.head` on an empty argument list would surface as a
+    * NoSuchElementException at planning (and extra arguments would be
+    * silently dropped) — fail with the expected signature instead. */
+  private[graft] def exactArgs(fn: String, n: Int)(
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$fn expects exactly $n argument${if (n == 1) "" else "s"}, got ${children.size}")
+    children
+  }
+
   private[graft] val simhash64Descriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (children: Seq[Expression]) => SimHash64(children.head)
+    (children: Seq[Expression]) => SimHash64(exactArgs("simhash64", 1)(children).head)
   )
 
   private[graft] val byteStatsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("byte_stats"),
     new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
-    (children: Seq[Expression]) => ByteStats(children.head)
+    (children: Seq[Expression]) => ByteStats(exactArgs("byte_stats", 1)(children).head)
   )
 
   /** Idempotent registration into an already-running session. */

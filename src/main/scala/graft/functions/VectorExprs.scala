@@ -76,6 +76,9 @@ object VectorExprs {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f64"),
     new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
-    (children: Seq[Expression]) => DotProductF64(children.head, children(1))
+    (children: Seq[Expression]) => {
+      val cs = GraftFunctions.exactArgs("dot_f64", 2)(children)
+      DotProductF64(cs.head, cs(1))
+    }
   )
 }

@@ -59,7 +59,12 @@ object Multimodal {
         col("bs.byte_sum").as("byte_sum"))
       .select(col("doc_id"), col("media_type"), col("payload_len"),
         col("n_distinct_bytes"),
-        expr("(byte_sum * 100) div payload_len").as("mean_byte_x100"))
+        // explicit null for an empty payload: Spark's div would yield
+        // null anyway, but DuckDB errors on //0 — the CASE in the
+        // oracle and this when() pin the SAME defined result in both
+        when(col("payload_len") === 0, lit(null).cast("long"))
+          .otherwise(expr("(byte_sum * 100) div payload_len"))
+          .as("mean_byte_x100"))
 
   /** STUB DECODER — deterministic fake in place of a real codec
     * (marked per the build contract; a production build would swap in

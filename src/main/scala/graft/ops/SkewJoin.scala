@@ -27,14 +27,24 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner-join `facts` ⋈ `dim` on `key` with `salts`-way salting.
-    * Deterministic: the salt is a hash of the full fact row (identical
-    * fact rows share a salt — they spread by key hash instead, which
-    * is harmless: skew is about keys, not duplicate rows). */
+    *
+    * The salt hashes the full fact row PLUS a per-row id: a hash of
+    * the row values alone would send bit-identical duplicate rows of
+    * the hot key back to one reducer — exactly the straggler salting
+    * exists to break, and duplicate-heavy hot keys are the common case
+    * (the same event replayed, the same default value). The id makes
+    * the salt row-unique rather than value-deterministic across runs;
+    * the RESULT is unaffected either way (each fact row carries one
+    * salt and meets each dim match exactly once at the replica bearing
+    * it — the salt never reaches the output). */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
+    require(!facts.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "input already has a _salt column; rename it before salting")
     val salted = facts.withColumn("_salt",
-      pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -67,14 +67,14 @@ object TextAnalysis {
     argmaxLang(l => size(array_intersect(toksD, array(markers(l).map(lit): _*))))
   }
 
+  /** Stopword list shared by [[quality]] and [[withQuality]]. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
   /** Quality metrics: token counts, type-token ratio, average token
     * length, stopword ratio, composite score. Ratios are emitted as
     * integer basis points (integer `div`, exact in every engine) —
     * cross-engine double rounding disagrees on .00005 boundaries, so
     * floats never leave this operator. */
-  /** Stopword list shared by [[quality]] and [[withQuality]]. */
-  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
-
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stop = stopwords

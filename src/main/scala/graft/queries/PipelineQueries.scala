@@ -560,7 +560,9 @@ object PipelineQueries {
         |  FROM p)
         |SELECT doc_id, media_type, payload_len,
         |  len(list_distinct(bp))::INT AS n_distinct_bytes,
-        |  ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT AS mean_byte_x100
+        |  CASE WHEN payload_len = 0 THEN NULL
+        |    ELSE ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT
+        |  END AS mean_byte_x100
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->

@@ -160,6 +160,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val viaSql = spark.sql(
       "SELECT byte_stats(cast('ab' as binary)).n_distinct_bytes AS n").head.getInt(0)
     assert(viaSql == 2)
+    // empty payload: every stat defined (no division blow-up) — len 0,
+    // 0 distinct bytes, null mean
+    val empty = graft.ops.Multimodal.byteStats(
+      Seq((9L, "image", Array.empty[Byte])).toDF("doc_id", "media_type", "payload"))
+      .collect().head
+    assert(empty.getAs[Long]("payload_len") == 0L)
+    assert(empty.getAs[Int]("n_distinct_bytes") == 0)
+    assert(empty.isNullAt(empty.fieldIndex("mean_byte_x100")))
+    // wrong arity fails with the signature, not NoSuchElementException
+    Seq("SELECT byte_stats()", "SELECT simhash64()",
+        "SELECT byte_stats(cast('a' as binary), cast('b' as binary))").foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("expects exactly 1 argument")),
+        s"$q: ${msgs(e)}")
+    }
   }
 
   test("quality basis points are exact integers") {

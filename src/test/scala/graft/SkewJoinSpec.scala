@@ -45,12 +45,37 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
       // distinct salts actually assigned to the fact rows: > 1 proves
       // the hot key's rows no longer land on a single reducer key
       val salts = facts.withColumn("_salt",
-        pmod(xxhash64(facts.columns.map(col): _*), lit(4L)))
+        pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
+          lit(4L)))
         .select("_salt").distinct().count()
       assert(salts > 1, "the hot key's rows must spread over multiple salts")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+    }
+  }
+
+  test("bit-identical duplicate rows of the hot key spread too; join stays row-identical") {
+    import spark.implicits._
+    // 400 IDENTICAL fact rows — a value-only salt would hash them all
+    // to one reducer, recreating the straggler
+    val facts = (1 to 400).map(_ => (7L, "same-payload")).toDF("k", "payload")
+    val dim = Seq((7L, "seven")).toDF("k", "attr")
+    val spread = facts.withColumn("_salt",
+      pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(8L)))
+      .select("_salt").distinct().count()
+    assert(spread > 1, "identical duplicate rows must not share one salt")
+    // multiplicity preserved: 400 identical output rows, not 1, not 3200
+    assert(SkewJoin.saltedJoin(facts, dim, "k", salts = 8).count() == 400)
+  }
+
+  test("a pre-existing _salt column is rejected instead of silently overwritten") {
+    import spark.implicits._
+    val facts = Seq((7L, 1L)).toDF("k", "_salt")
+    val dim = Seq((7L, "x")).toDF("k", "attr")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(facts, dim, "k", salts = 4)
     }
   }
 }
