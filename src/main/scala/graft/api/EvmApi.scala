@@ -23,8 +23,8 @@ final case class BlockInfo(
 final case class TransactionInfo(
     txHash: String, blockNumber: Long, blockHash: String,
     txIndexInBlock: Option[Long], fromAddress: String,
-    toAddress: Option[String], value: String, gasUsed: Option[Long],
-    gasLimit: Option[Long], gasPrice: Option[String],
+    toAddress: Option[String], value: String, gasUsed: Option[String],
+    gasLimit: Option[String], gasPrice: Option[String],
     maxFeePerGas: Option[String], maxPriorityFeePerGas: Option[String],
     inputData: Option[String], nonce: Option[Long], status: Option[Long])
 
@@ -83,8 +83,8 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
           r.getAs[String]("tx_hash"), r.getAs[Long]("block_number"),
           r.getAs[String]("block_hash"), get[Long]("tx_index_in_block"),
           r.getAs[String]("from_address"), get[String]("to_address"),
-          r.getAs[String]("value"), get[Long]("gas_used"),
-          get[Long]("gas_limit"), get[String]("gas_price"),
+          r.getAs[String]("value"), get[String]("gas_used"),
+          get[String]("gas_limit"), get[String]("gas_price"),
           get[String]("max_fee_per_gas"), get[String]("max_priority_fee_per_gas"),
           get[String]("input_data"), get[Long]("nonce"), get[Long]("status"))
       }

@@ -174,7 +174,7 @@ final class RestServer(apiProvider: () => EvmApi, port: Int, nThreads: Int) {
           "gasPrice" -> t.gasPrice,
           "maxFeePerGas" -> t.maxFeePerGas,
           "maxPriorityFeePerGas" -> t.maxPriorityFeePerGas,
-          "gas" -> t.gasLimit.map(_.toString),
+          "gas" -> t.gasLimit,
           "inputData" -> t.inputData.getOrElse(""),
           "status" -> t.status)))
     }

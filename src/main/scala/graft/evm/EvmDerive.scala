@@ -98,8 +98,10 @@ object EvmDerive {
         .as("to_address"),
       // U256 wei as decimal string: (event_id+1) * 10^18 via string concat
       concat((col("event_id") + 1).cast("string"), lit("000000000000000000")).as("value"),
-      (lit(21000) + (col("event_id") % 9) * 5000).cast("long").as("gas_used"),
-      lit(30000000L).as("gas_limit"),
+      // U256 gas columns as decimal-string TEXT, the reference's storage
+      // contract for transactions too (`init.sql:34-38`, SURVEY §1.2)
+      (lit(21000) + (col("event_id") % 9) * 5000).cast("string").as("gas_used"),
+      lit("30000000").as("gas_limit"),
       // gas_price is nullable TEXT like the reference (`init.sql:35`):
       // legacy (pre-EIP-1559) txs carry it, the rest leave it null.
       when(col("event_id") % 4 === 0,
@@ -168,8 +170,8 @@ object EvmDerive {
       |    '0x' || substr(md5(CAST(user_id AS VARCHAR) || ':from'), 1, 40) AS from_address,
       |    '0x' || substr(md5(CAST(user_id % 50 AS VARCHAR) || ':to'), 1, 40) AS to_address,
       |    CAST(event_id + 1 AS VARCHAR) || '000000000000000000' AS value,
-      |    CAST(21000 + (event_id % 9) * 5000 AS BIGINT) AS gas_used,
-      |    CAST(30000000 AS BIGINT) AS gas_limit,
+      |    CAST(21000 + (event_id % 9) * 5000 AS VARCHAR) AS gas_used,
+      |    '30000000' AS gas_limit,
       |    CASE WHEN event_id % 4 = 0 THEN CAST(user_id % 100 + 2 AS VARCHAR) || '000000000' END AS gas_price,
       |    CAST(user_id % 100 + 1 AS VARCHAR) || '000000000' AS max_fee_per_gas,
       |    CAST(user_id % 3 + 1 AS VARCHAR) || '000000000' AS max_priority_fee_per_gas,

@@ -19,7 +19,7 @@ object SimChain {
   // with no logs, like the reference's `Option<i64>` (`src/models.rs:43`,
   // `src/main.rs:219-221,250-253`).
   case class SimTx(tx_hash: String, tx_index_in_block: Long, from_address: String,
-                   to_address: String, value: String, gas_used: Long, status: Option[Long],
+                   to_address: String, value: String, gas_used: String, status: Option[Long],
                    logs: Seq[SimLog])
   case class SimBlock(block_number: Long, block_hash: String, parent_hash: String,
                       timestamp: Long, transactions: Seq[SimTx])
@@ -43,7 +43,7 @@ object SimChain {
       }
       SimTx(h256(s"$salt:tx:$n:$t"), t, h160(s"from:${(n + t) % 5}"),
         h160(s"to:${t % 5}"), s"${n + 1}000000000000000000",
-        21000 + t * 100, Some(if ((n + t) % 10 == 0) 0L else 1L), logs)
+        s"${21000 + t * 100}", Some(if ((n + t) % 10 == 0) 0L else 1L), logs)
     }
     SimBlock(n, hash, parentHash, 1704067200L + n * 12, txs)
   }
