@@ -207,23 +207,30 @@ object Similarity {
   def fixedCentroids(nCells: Int = 8, dim: Int = 64): Array[Array[Double]] =
     Array.tabulate(nCells, dim)((c, d) => md5Unit(s"centroid:$c:$d"))
 
-  /** Random-hyperplane LSH near-dup: 16 sign bits from the fixed
-    * md5-derived planes, banded 4×4; candidates = equality join on
-    * (band, 4-bit chunk); verified by exact cosine. The plane matrix
-    * is a broadcast literal — at scale this is a narrow map + a
-    * bucket-keyed shuffle, never all-pairs. */
-  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-                      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+  /** Sign-bit banding shared by [[nearDupPairsLsh]] and
+    * [[incrementalNearDupLsh]]: one row per (vector, band) carrying the
+    * band's 4-bit chunk — the LSH bucket key. Map-only; the plane
+    * matrix rides as a broadcast literal. */
+  def lshBanded(embeddings: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
     val planes = lshPlanes(nPlanes, dim)
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val e = prepared(embeddings)
+    prepared(embeddings)
       .withColumn("bits", transform(planesCol, p =>
         when(dot(col("v"), p) >= 0, 1).otherwise(0)))
-    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(transform(sequence(lit(0), lit(nPlanes / 4 - 1)),
-        b => concat_ws("", (0 until 4).map(k =>
-          element_at(col("bits"), b * 4 + k + 1).cast("string")): _*)))
-        .as(Seq("band", "chunk")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(transform(sequence(lit(0), lit(nPlanes / 4 - 1)),
+          b => concat_ws("", (0 until 4).map(k =>
+            element_at(col("bits"), b * 4 + k + 1).cast("string")): _*)))
+          .as(Seq("band", "chunk")))
+  }
+
+  /** Random-hyperplane LSH near-dup: 16 sign bits from the fixed
+    * md5-derived planes, banded 4×4; candidates = equality join on
+    * (band, 4-bit chunk); verified by exact cosine. At scale this is a
+    * narrow map + a bucket-keyed shuffle, never all-pairs. */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val banded = lshBanded(embeddings, nPlanes, dim)
     val a = banded.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("chunk"), col("vec_id").as("id_b"),
@@ -232,6 +239,37 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("na"), col("vb"), col("nb")), 4).as("score"))
+      .distinct()
+      .filter(col("score") >= threshold)
+  }
+
+  /** Incremental embedding near-dup: pairs that TOUCH a fresh batch —
+    * fresh×corpus and fresh×fresh, never corpus×corpus (previous runs
+    * settled those) — the embedding twin of
+    * [[graft.ops.Dedup.incrementalMinhashPairs]] and the shape a daily
+    * 100 TB increment actually runs. The band join probes
+    * fresh-bands ⋈ all-bands, an equality join whose probe side is
+    * O(increment); the corpus pays one banding scan (its band table is
+    * [[lshBanded]]'s output, storable beside the corpus like the
+    * MinHash band table). Same output contract as [[nearDupPairsLsh]]:
+    * (id_a, id_b, score), id_a < id_b, cosine >= threshold; vec_ids
+    * must be unique across corpus ∪ fresh. Equivalent to
+    * nearDupPairsLsh(corpus ∪ fresh) filtered to fresh-touching pairs,
+    * without the corpus self-join. */
+  def incrementalNearDupLsh(corpus: DataFrame, fresh: DataFrame, threshold: Double,
+                            nPlanes: Int = 16, dim: Int = 64,
+                            corpusBands: Option[DataFrame] = None): DataFrame = {
+    val freshBands = lshBanded(fresh, nPlanes, dim)
+    val allBands = corpusBands.getOrElse(lshBanded(corpus, nPlanes, dim))
+      .unionByName(freshBands)
+    allBands.select(col("band"), col("chunk"), col("vec_id").as("id_x"),
+        col("v").as("vx"), col("nrm").as("nx"))
+      .join(freshBands.select(col("band"), col("chunk"), col("vec_id").as("id_y"),
+        col("v").as("vy"), col("nrm").as("ny")), Seq("band", "chunk"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        round(cosine(col("vx"), col("nx"), col("vy"), col("ny")), 4).as("score"))
       .distinct()
       .filter(col("score") >= threshold)
   }

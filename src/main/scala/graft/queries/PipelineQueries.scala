@@ -92,6 +92,17 @@ object PipelineQueries {
       Similarity.nearDupPairsLsh(Fixtures.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the embedding twin of dedup_incremental: vec_id % 5 == 0 plays
+    // the daily batch, probed against the corpus via the LSH buckets —
+    // corpus x corpus pairs never recomputed
+    "embed_neardup_incremental" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      Similarity.incrementalNearDupLsh(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "similarity_topk" -> ((s, dir) =>
       Similarity.topK(Fixtures.embeddings(s, dir), maxQueryId = 5, k = 10)
         .orderBy(col("q_id"), col("rn"))),
@@ -397,6 +408,29 @@ object PipelineQueries {
          |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
          |  FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // = the full-corpus LSH run restricted to pairs with a fresh side
+    // (the incremental operator's declared contract)
+    "embed_neardup_incremental" -> {
+      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
+        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(",\n  ")
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |  FROM embeddings),
+         |bits AS (SELECT vec_id, v, nrm, [
+         |  $bitExprs] AS bt FROM n),
+         |banded AS (SELECT vec_id, v, nrm, b AS band,
+         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
+         |  FROM bits, range(0, 4) r(b)),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+         |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
          |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },

@@ -88,6 +88,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaStored == recomputed && viaStored.map(p => (p._1, p._2)) == Set((1L, 3L)))
   }
 
+  test("incremental embedding LSH == full run restricted to fresh-touching pairs; stored bands agree") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("score"))).toSet
+    val got = pairs(Similarity.incrementalNearDupLsh(corpus, fresh, threshold = 0.4))
+    val full = pairs(Similarity.nearDupPairsLsh(e, threshold = 0.4))
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(got == expected && got.nonEmpty)
+    assert(got != full, "corpus x corpus pairs must be excluded (they exist in the fixture)")
+    // production shape: corpus band table stored beside the corpus,
+    // read back cold, same pairs
+    val bandDir = java.nio.file.Files.createTempDirectory("lshbands").toString
+    Similarity.lshBanded(corpus).write.mode("overwrite").parquet(bandDir)
+    val viaStored = pairs(Similarity.incrementalNearDupLsh(corpus, fresh, threshold = 0.4,
+      corpusBands = Some(spark.read.parquet(bandDir))))
+    assert(viaStored == expected)
+  }
+
   test("applyIncrementalDedup: corpus always wins regardless of id order; greedy chain over-drops") {
     import spark.implicits._
     val fresh = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
