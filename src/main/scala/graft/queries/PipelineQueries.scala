@@ -103,6 +103,21 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the APPLY: which fresh vectors survive — corpus-wins greedy, the
+    // same survivor rule as the text increment (Dedup.applyIncrementalDedup
+    // is pair-generic; only the id column name differs)
+    "embed_neardup_incremental_apply" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val pairs = Similarity.incrementalNearDupLsh(
+          e.filter(col("vec_id") % 5 =!= 0), fresh, threshold = 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.applyIncrementalDedup(
+          fresh.select(col("vec_id").as("doc_id"), col("label")), pairs)
+        .select(col("doc_id").as("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "similarity_topk" -> ((s, dir) =>
       Similarity.topK(Fixtures.embeddings(s, dir), maxQueryId = 5, k = 10)
         .orderBy(col("q_id"), col("rn"))),
@@ -433,6 +448,34 @@ object PipelineQueries {
          |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
          |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // survivor rule stated directly: a fresh vector is dropped when it
+    // pairs with any smaller id (corpus or fresh — id_a < id_b makes
+    // that one EXISTS) or with a LARGER corpus id (corpus always wins)
+    "embed_neardup_incremental_apply" -> {
+      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
+        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(",\n  ")
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |  FROM embeddings),
+         |bits AS (SELECT vec_id, v, nrm, [
+         |  $bitExprs] AS bt FROM n),
+         |banded AS (SELECT vec_id, v, nrm, b AS band,
+         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
+         |  FROM bits, range(0, 4) r(b)),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+         |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)),
+         |q AS (SELECT id_a, id_b FROM p WHERE score >= 0.4)
+         |SELECT f.vec_id, f.label FROM embeddings f
+         |WHERE f.vec_id % 5 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_b = f.vec_id)
+         |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_a = f.vec_id AND q.id_b % 5 <> 0)
+         |ORDER BY f.vec_id""".stripMargin
     },
 
     // IVF probe+rank over the fixed md5-derived centroids: assignment
