@@ -34,36 +34,48 @@ object AnalyticsQueries {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
-    // TPC-H Q3 shape: 3-way join; customer is small → broadcast so
-    // the only shuffle is the final 5-group aggregate.
+    // TPC-H Q3 shape, pre-aggregated: lineitem revenue folds to one
+    // row per order BEFORE the star join (map-side combinable), so the
+    // join moves |orders| rows instead of |lineitem| — at 100 TB that
+    // is the difference between shuffling the fact table and shuffling
+    // its order-level digest. It also turns COUNT(DISTINCT o_orderkey)
+    // into a plain count (one row per order by construction), dropping
+    // the distinct-expand from the plan. Decimal addition is exact, so
+    // regrouping the sum per order first is bit-identical to the
+    // oracle's direct formulation.
     "q3_revenue_by_segment" -> ((s, dir) => {
       val c = Fixtures.customer(s, dir)
       val o = Fixtures.orders(s, dir)
-      val l = Fixtures.lineitem(s, dir)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val perOrder = Fixtures.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+          .as("order_rev"))
+      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("order_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
 
-    // TPC-H Q5 shape: star join through nation/region (broadcast dims).
+    // TPC-H Q5 shape: star join through nation/region (broadcast
+    // dims), with the same per-order lineitem pre-aggregation as Q3.
     "q5_nation_revenue" -> ((s, dir) => {
       val c = Fixtures.customer(s, dir)
       val o = Fixtures.orders(s, dir)
-      val l = Fixtures.lineitem(s, dir)
       val n = Fixtures.nation(s, dir)
       val r = Fixtures.region(s, dir)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val perOrder = Fixtures.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+          .as("order_rev"))
+      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(sum(col("order_rev")).cast("double").as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
