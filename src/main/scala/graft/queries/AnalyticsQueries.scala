@@ -104,6 +104,18 @@ object AnalyticsQueries {
           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
         .orderBy(col("hour_ms"), col("event_type"))),
 
+    // batch twin of the streaming sessionization (gap = 1 hour): lag +
+    // cumulative-sum session ids, both windows partitioned by user.
+    // Micros, not nanos: DuckDB truncates the parquet TIMESTAMP(NANOS)
+    // to microseconds on read, so the differential form must too (the
+    // operator is unit-agnostic; the streaming parity test runs nanos).
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.StreamAnalytics.batchSessionize(
+        Fixtures.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts"), col("value")),
+        gapNanos = 3600L * 1000000L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
     // Salting is result-transparent: the oracle states the PLAIN join,
     // so this entry proves the de-skew rewrite changes the shuffle key
     // and nothing else. Quantities are integral in TPC-H, so the
@@ -161,6 +173,20 @@ object AnalyticsQueries {
         |COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsn, value FROM events),
+        |l AS (SELECT user_id, tsn, value,
+        |  LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn) AS prev_ts FROM e),
+        |m AS (SELECT user_id, tsn, value,
+        |  CASE WHEN prev_ts IS NULL OR tsn - prev_ts > 3600000000 THEN 1 ELSE 0 END AS ns FROM l),
+        |x AS (SELECT user_id, tsn, value,
+        |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+        |SELECT user_id, session_idx, MIN(tsn) AS session_start, MAX(tsn) AS session_end,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,

@@ -226,6 +226,30 @@ object StreamAnalytics {
   case class UserSession(user_id: Long, session_start: Long, session_end: Long,
                          n_events: Long, sum_value: Double)
 
+  /** Batch twin of [[sessionize]]: gap-based sessions over a bounded
+    * events table, for backfill and for differentially checking the
+    * streaming operator (same rows → same sessions). The windows are
+    * all partitioned by user_id — no global order at any scale; the
+    * money column folds in decimal so the per-session sum is
+    * association-independent. */
+  def batchSessionize(events: DataFrame, gapNanos: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+  }
+
   /** Gap-based per-user sessionization with event-time timeout.
     *
     * A session closes when the watermark passes `last event + gap`;

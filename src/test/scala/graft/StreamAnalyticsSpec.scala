@@ -227,6 +227,21 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         (1L, 0L, 2L, 2L, 3.0),   // first burst: 2 events, closed by the in-batch gap
         (1L, 32L, 32L, 1L, 4.0), // second burst: closed by event-time timeout
         (2L, 0L, 0L, 1L, 8.0)))
+
+      // batch twin parity: the same rows as a bounded table produce the
+      // same sessions (user 99's sentinel included — it is a real row)
+      val batch = StreamAnalytics.batchSessionize(
+        Seq((1L, base * minNanos, 1.0), (1L, (base + 2) * minNanos, 2.0),
+          (1L, (base + 32) * minNanos, 4.0), (2L, base * minNanos, 8.0),
+          (99L, (base + 1000) * minNanos, 0.0)).toDF("user_id", "ts", "value"),
+        gapNanos = 10 * minNanos)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("session_start") / minNanos - base,
+          r.getAs[Long]("session_end") / minNanos - base,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(batch == got + ((99L, 1000L, 1000L, 1L, 0.0)),
+        "batch sessionization must match the streaming operator's closed sessions")
     } finally q.stop()
   }
 
