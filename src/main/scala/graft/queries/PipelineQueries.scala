@@ -222,6 +222,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("cluster_size"), col("n_tokens"),
           col("quality_score_bp"), col("predicted_lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the increment's curation end to end, the daily shape at 100 TB:
+    // gate the fresh batch on quality + language FIRST (per-row
+    // expressions — ungated docs never enter the band join, same order
+    // as streamingCurate), then near-dedup the gated increment against
+    // the corpus and keep the survivors. O(increment) throughout.
+    "pipeline_curate_incremental" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val quality = TextAnalysis.quality(fresh)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
+      val lang = TextAnalysis.langId(fresh)
+        .select(col("doc_id"), col("predicted_lang"))
+      val gated = fresh.join(quality, "doc_id").join(lang, "doc_id")
+        .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000)
+      val pairs = Dedup.incrementalMinhashPairs(
+        corpus, gated.select(docs.columns.map(col): _*))
+      Dedup.applyIncrementalDedup(gated, pairs)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"),
+          col("predicted_lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -279,6 +302,34 @@ object PipelineQueries {
         |""".stripMargin
   }
 
+  /** Quality + language-ID CTE block (cq / cl keyed by doc_id),
+    * shared by the pipeline_curate and pipeline_curate_incremental
+    * oracles. Starts with a comma — appended after other CTEs. */
+  private val qualityLangCte =
+      """, ct AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |cm AS (SELECT doc_id, len(ts)::INT n_tokens,
+        |  len(list_distinct(ts))::INT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::INT n_stop FROM ct),
+        |cq AS (SELECT doc_id, n_tokens,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp
+        |  FROM cm),
+        |cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) td FROM documents),
+        |cs AS (SELECT doc_id,
+        |  len(list_intersect(td, ['der','die','das','und','ist']))::INT s_de,
+        |  len(list_intersect(td, ['the','a','of','and','is']))::INT s_en,
+        |  len(list_intersect(td, ['el','la','de','que','y']))::INT s_es,
+        |  len(list_intersect(td, ['le','les','de','et','un']))::INT s_fr,
+        |  len(list_intersect(td, ['de5','shi4','bu4','le5','zai4']))::INT s_zh
+        |  FROM cd),
+        |cl AS (SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |  FROM cs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
@@ -315,33 +366,35 @@ object PipelineQueries {
     // The training-data curation story in ONE statement: near-dedup
     // survivors x quality gate x language ID — mirrors the Spark
     // composition in `queries` exactly (thresholds shared).
-    "pipeline_curate" -> (survCte +
-      """, ct AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |cm AS (SELECT doc_id, len(ts)::INT n_tokens,
-        |  len(list_distinct(ts))::INT n_distinct,
-        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::INT n_stop FROM ct),
-        |cq AS (SELECT doc_id, n_tokens,
-        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
-        |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp
-        |  FROM cm),
-        |cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) td FROM documents),
-        |cs AS (SELECT doc_id,
-        |  len(list_intersect(td, ['der','die','das','und','ist']))::INT s_de,
-        |  len(list_intersect(td, ['the','a','of','and','is']))::INT s_en,
-        |  len(list_intersect(td, ['el','la','de','que','y']))::INT s_es,
-        |  len(list_intersect(td, ['le','les','de','et','un']))::INT s_fr,
-        |  len(list_intersect(td, ['de5','shi4','bu4','le5','zai4']))::INT s_zh
-        |  FROM cd),
-        |cl AS (SELECT doc_id,
-        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-        |       ELSE 'zh' END AS predicted_lang
-        |  FROM cs)
+    "pipeline_curate" -> (survCte + qualityLangCte +
+      """
         |SELECT doc_id, cluster_size, n_tokens, quality_score_bp, predicted_lang
         |FROM surv JOIN cq USING (doc_id) JOIN cl USING (doc_id)
         |WHERE n_tokens >= 30 AND quality_score_bp >= 4000
+        |ORDER BY doc_id""".stripMargin),
+
+    // The INCREMENT's curation story: gate the fresh batch on quality
+    // and language first (matching the Spark composition's
+    // gate-before-dedup order — ungated docs never enter the band
+    // join), then drop near-dups of the corpus or of smaller gated
+    // fresh ids. Pairs = full verified set restricted to gated fresh
+    // participants, the incremental operator's declared contract.
+    "pipeline_curate_incremental" -> (shingleCte + minhashVerCte + qualityLangCte +
+      """
+        |, g AS (SELECT doc_id FROM cq WHERE doc_id % 5 = 0
+        |    AND n_tokens >= 30 AND quality_score_bp >= 4000),
+        |ip AS (SELECT doc_a, doc_b FROM ver
+        |  WHERE inter * 1000 >= uni * 600
+        |    AND (doc_a % 5 <> 0 OR doc_a IN (SELECT doc_id FROM g))
+        |    AND (doc_b % 5 <> 0 OR doc_b IN (SELECT doc_id FROM g))
+        |    AND (doc_a % 5 = 0 OR doc_b % 5 = 0)),
+        |sides AS (SELECT doc_a AS other, doc_b AS doc_id FROM ip
+        |  UNION ALL SELECT doc_b, doc_a FROM ip),
+        |dropped AS (SELECT DISTINCT doc_id FROM sides
+        |  WHERE doc_id % 5 = 0 AND (other % 5 <> 0 OR other < doc_id))
+        |SELECT doc_id, n_tokens, quality_score_bp, predicted_lang
+        |FROM g JOIN cq USING (doc_id) JOIN cl USING (doc_id)
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin),
 
     "dedup_ngram_jaccard" ->
