@@ -237,10 +237,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
       val lang = TextAnalysis.langId(fresh)
         .select(col("doc_id"), col("predicted_lang"))
+      // persisted: the gated increment feeds banding, verification,
+      // and the survivor anti-join — without the persist each leg
+      // re-runs the quality/language joins
       val gated = fresh.join(quality, "doc_id").join(lang, "doc_id")
         .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // corpus bands + shingles from the session-shared caches, like
+      // dedup_incremental (shingles of ungated docs are inert: the
+      // verification semi-join keeps only candidate participants)
       val pairs = Dedup.incrementalMinhashPairs(
-        corpus, gated.select(docs.columns.map(col): _*))
+        corpus, gated.select(docs.columns.map(col): _*),
+        corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
+        allShingles = Some(Dedup.sharedShingleRows(docs)))
       Dedup.applyIncrementalDedup(gated, pairs)
         .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"),
           col("predicted_lang"))
