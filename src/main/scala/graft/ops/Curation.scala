@@ -371,4 +371,26 @@ object Curation {
       md5(redacted).as("redacted_md5"),
       length(redacted).as("redacted_len"))
   }
+
+  /** Snapshot diff between two corpus versions: which docs were added,
+    * removed, or changed content — the bookkeeping operator that feeds
+    * incremental reprocessing (added ∪ changed = what must re-enter
+    * the dedup/curation pipeline; removed = what to retract from
+    * derived tables). Content identity is the text md5, so a
+    * metadata-only rewrite does not trigger reprocessing. One full
+    * outer join on doc_id — the single unavoidable shuffle for a diff;
+    * co-locate it for free by storing snapshots bucketed on doc_id
+    * ([[graft.tables.Bucketed]]). Unchanged docs (the overwhelming
+    * majority at scale) are filtered out before anything downstream. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = neu.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+  }
 }

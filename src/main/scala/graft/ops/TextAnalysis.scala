@@ -118,6 +118,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topN)
 
+  /** Corpus-relative token commonness — the integer-exact stand-in
+    * for a CCNet-style unigram-LM quality filter. The corpus's `topK`
+    * most frequent tokens (ties broken by token — deterministic across
+    * engines) form the reference distribution, each carrying its
+    * relative frequency in parts-per-million (integer div, exact);
+    * a document scores the integer mean of its tokens' ppm (tokens
+    * outside the top-K score 0). High = built from the corpus's common
+    * vocabulary (low "perplexity"), low = rare-token-heavy. Floats
+    * never appear, so the score is bit-identical in every engine —
+    * unlike a real log-prob LM score, whose libm rounding diverges
+    * cross-engine.
+    *
+    * Scale: the reference table is one map-side-combined count + top-K
+    * (driver-bounded at K rows), broadcast to a per-token equi-join —
+    * the corpus shuffles once on the token key, never on doc pairs. */
+  def commonness(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val ref = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), expr(s"(n * 1000000) div $total").as("ppm"))
+    toks.join(broadcast(ref), Seq("token"), "left")
+      .na.fill(0L, Seq("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(ppm) div count(1)").as("commonness_ppm"))
+  }
+
   /** Document frequency per token, top N. */
   def docFrequency(docs: DataFrame, topN: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))

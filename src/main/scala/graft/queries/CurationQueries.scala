@@ -54,6 +54,19 @@ object CurationQueries {
       Curation.piiScrub(Curation.withPii(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // snapshot bookkeeping: old = docs without the %7 residue, new =
+    // docs without the %5 residue with %13 texts rewritten — yielding
+    // all three statuses deterministically from the one fixture
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Curation.snapshotDiff(old, neu).orderBy(col("doc_id"))
+    }),
+
     "quality_budget" -> ((s, dir) =>
       Curation.tokenBudgetSelect(Fixtures.documents(s, dir), budget = TokenBudget)
         .orderBy(col("doc_id"))),
@@ -177,6 +190,21 @@ object CurationQueries {
         |SELECT vec_id, cell FROM asg
         |WHERE NOT EXISTS (SELECT 1 FROM pruned WHERE pruned.id_b = asg.vec_id)
         |ORDER BY vec_id""".stripMargin),
+
+    "corpus_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed' END AS status,
+        |  old_fp, new_fp FROM j)
+        |SELECT doc_id, status, old_fp, new_fp FROM d
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH t1 AS (SELECT doc_id,

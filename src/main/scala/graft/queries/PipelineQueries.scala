@@ -153,6 +153,12 @@ object PipelineQueries {
       TextAnalysis.fingerprint(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // corpus-relative commonness (the integer-exact CCNet-LM-filter
+    // stand-in): top-100 token frequency table, broadcast per-token join
+    "text_commonness" -> ((s, dir) =>
+      TextAnalysis.commonness(Fixtures.documents(s, dir), topK = 100)
+        .orderBy(col("doc_id"))),
+
     "text_token_modes" -> ((s, dir) =>
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -629,6 +635,18 @@ object PipelineQueries {
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
         |SELECT q_id, rn, vec_id, label, score FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+
+    "text_commonness" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS c FROM tk),
+        |ref AS (SELECT token,
+        |  CAST((count(*) * 1000000) // (SELECT c FROM tot) AS BIGINT) AS ppm
+        |  FROM tk GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100),
+        |j AS (SELECT tk.doc_id, coalesce(ref.ppm, 0) AS ppm
+        |  FROM tk LEFT JOIN ref USING (token))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS commonness_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) td FROM documents),
