@@ -147,6 +147,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(top.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("commonness: hand-computed ppm means; rare-token doc scores below common-token doc") {
+    // corpus tokens: "a" x4, "b" x2, "z" x1, "q" x1 → total 8
+    // ppm: a = 4*1e6/8 = 500000, b = 250000, z = q = 125000
+    val d = docs(1L -> "a a b", 2L -> "a a b z", 3L -> "q")
+    val got = graft.ops.TextAnalysis.commonness(d, topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("commonness_ppm")))).toMap
+    assert(got(1L) == ((3L, (500000L + 500000L + 250000L) / 3)))
+    assert(got(2L) == ((4L, (500000L + 500000L + 250000L + 125000L) / 4)))
+    assert(got(3L) == ((1L, 125000L)))
+    assert(got(3L)._2 < got(1L)._2, "rare-vocabulary doc must score lower")
+    // topK cut: with only the single most frequent token in the
+    // reference table, tokens outside it contribute 0
+    val cut = graft.ops.TextAnalysis.commonness(d, topK = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("commonness_ppm")).toMap
+    assert(cut(3L) == 0L && cut(1L) == (500000L * 2) / 3)
+  }
+
+  test("snapshotDiff: added/removed/changed statuses; metadata-only rewrite is silent") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    val neu = Seq((1L, "alpha", "de"), (2L, "beta CHANGED", "en"), (4L, "delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.Curation.snapshotDiff(old, neu).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    // doc 1: text identical, only lang changed → NOT reported
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("language id picks the language with most marker hits") {
     val d = docs(
       1L -> "the cat of a house is big",
