@@ -132,19 +132,34 @@ object TextAnalysis {
     *
     * Scale: the reference table is one map-side-combined count + top-K
     * (driver-bounded at K rows), broadcast to a per-token equi-join —
-    * the corpus shuffles once on the token key, never on doc pairs. */
-  def commonness(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    * the corpus shuffles once on the token key, never on doc pairs.
+    * Building it inline costs two extra token scans (total + counts);
+    * production computes it ONCE with [[commonnessRef]], stores it
+    * beside the corpus like the dedup band tables, and passes it as
+    * `ref` — then scoring any batch is a single scan. */
+  def commonness(docs: DataFrame, topK: Int = 1000,
+                 ref: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val total = toks.count()
-    val ref = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(topK)
-      .select(col("token"), expr(s"(n * 1000000) div $total").as("ppm"))
-    toks.join(broadcast(ref), Seq("token"), "left")
+    val refTable = ref.getOrElse(commonnessRef(docs, topK))
+    toks.join(broadcast(refTable), Seq("token"), "left")
       .na.fill(0L, Seq("ppm"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(ppm) div count(1)").as("commonness_ppm"))
+  }
+
+  /** The (token, ppm) reference distribution for [[commonness]]:
+    * top-K tokens by corpus frequency, relative frequency in integer
+    * parts-per-million. K rows — store it beside the corpus and reuse
+    * it for every batch (and for streams, where a static broadcast
+    * table is the only corpus-wide state a stateless stage can use). */
+  def commonnessRef(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val total = toks.count()
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), expr(s"(n * 1000000) div $total").as("ppm"))
   }
 
   /** Document frequency per token, top N. */

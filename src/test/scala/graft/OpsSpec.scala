@@ -163,6 +163,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val cut = graft.ops.TextAnalysis.commonness(d, topK = 1).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("commonness_ppm")).toMap
     assert(cut(3L) == 0L && cut(1L) == (500000L * 2) / 3)
+    // production shape: the ref table stored and read back cold scores
+    // identically to the inline build
+    val refDir = java.nio.file.Files.createTempDirectory("commonref").toString
+    graft.ops.TextAnalysis.commonnessRef(d, topK = 10)
+      .write.mode("overwrite").parquet(refDir)
+    val viaStored = graft.ops.TextAnalysis.commonness(d,
+        ref = Some(spark.read.parquet(refDir))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("commonness_ppm")).toMap
+    assert(viaStored == got.map { case (k, v) => k -> v._2 })
   }
 
   test("snapshotDiff: added/removed/changed statuses; metadata-only rewrite is silent") {
