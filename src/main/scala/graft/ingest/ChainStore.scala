@@ -187,11 +187,25 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   /** Synchronized: the REST layer's request pool reaches [[read]]
     * concurrently (one facade resolution per request), and neither a
     * mutable.Set nor two racing [[recoverSwaps]] rename sweeps are
-    * safe unguarded. */
+    * safe unguarded.
+    *
+    * A process that does NOT hold the writer lock must not recover
+    * while another process's lock is present: a `.aside-` entry then
+    * may be a LIVE writer's swap in flight, and "healing" it would
+    * race the writer's second rename — exactly the interleaving the
+    * lock exists to prevent. With a foreign lock present, the sweep is
+    * skipped (a hidden bucket is the documented transient-read caveat;
+    * crash leftovers heal after the operator clears the dead lock) and
+    * retried on the next entry. */
   private def ensureRecovered(table: String): Unit = synchronized {
     if (!recoveredTables.contains(table)) {
-      recoverSwaps(table)
-      recoveredTables += table
+      if (!lockHeld && fs.exists(lockPath) &&
+          !ChainStore.lockHolder(fs, lockPath).contains(ChainStore.processToken)) {
+        () // foreign writer alive (or dead but not yet force-unlocked)
+      } else {
+        recoverSwaps(table)
+        recoveredTables += table
+      }
     }
   }
 

@@ -43,6 +43,33 @@ class ChainStoreLockSpec extends AnyFunSuite with SparkSpec {
     assert(second.read("blocks").get.count() == 6)
   }
 
+  test("a reader never heals a foreign writer's in-flight swap; recovery resumes once the lock clears") {
+    val root = newRoot()
+    val writer = new ChainStore(spark, root, 2)
+    StreamingIngester.processBatch(writer, SimChain.canonical(5).toDF())
+    writer.close()
+    val total = new ChainStore(spark, root, 2).read("blocks").get.count()
+    assert(total == 5)
+    // simulate a foreign writer mid-swap: blocks bucket=1 set aside,
+    // replacement not yet renamed in, lock held by that process
+    val dir = Paths.get(root, "blocks")
+    java.nio.file.Files.move(dir.resolve("bucket=1"), dir.resolve(".aside-bucket=1"))
+    Files.write(Paths.get(root, "_writer.lock"), "pid1@other:feed".getBytes("UTF-8"))
+
+    val reader = new ChainStore(spark, root, 2)
+    val visible = reader.read("blocks").get.count()
+    assert(visible < total, "the in-flight bucket is transiently hidden")
+    assert(Files.exists(dir.resolve(".aside-bucket=1")),
+      "the reader must NOT have healed the live swap")
+
+    // the foreign writer died: clear its lock — a fresh store's first
+    // read now recovers the crash leftover
+    ChainStore.forceUnlock(spark, root)
+    val healed = new ChainStore(spark, root, 2).read("blocks").get.count()
+    assert(healed == total)
+    assert(!Files.exists(dir.resolve(".aside-bucket=1")))
+  }
+
   test("same-process restart re-acquires the lock (crash-replay shape)") {
     val root = newRoot()
     val first = new ChainStore(spark, root, 10)
