@@ -174,7 +174,11 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   }
 
   /** Release the writer lock so another process can ingest. Reads need
-    * no lock and keep working. */
+    * no lock and keep working. The lock is process-scoped, so this
+    * means "this PROCESS is done writing": other store objects in the
+    * same JVM that adopted the lock must stop mutating too (their next
+    * mutation would otherwise run unlocked while a new process takes
+    * over). */
   def close(): Unit = synchronized {
     if (lockHeld) {
       fs.delete(lockPath, false)
