@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   * in the JSON (`load_avg_start`/`load_avg_end`), with a `contended`
   * flag, so a reader comparing runs can see whether even the min was
   * taken under load.
+  *
+  * Reading per-query numbers: entries with session-persistent side
+  * effects (the shared dedup caches, the persisted ANN index) pay
+  * their one-time build on the FIRST repeat only, so their min is the
+  * warm path. Compare family sums across runs, not individual
+  * cache-building entries.
   */
 object Bench {
 
@@ -28,7 +34,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt)
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(_.toIntOption).filter(_ >= 1)
       .getOrElse(if (loadStart > 1.0) 3 else 2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * whole partitions above the fork bucket + rewrite the one straddling
   * bucket via temp-write-then-swap — O(bucketSize) work per reorg,
   * independent of chain length.
+  *
+  * Storage-schema note: U256 money/gas columns are decimal-string TEXT
+  * (the reference's contract, `init.sql:18-20,34-38`). A root written
+  * by a pre-TEXT version of this engine holds int64 parquet for those
+  * columns and must be re-ingested — appending the new schema into an
+  * old table directory would fail at scan time on the mixed types.
   */
 class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   require(bucketSize > 0)
@@ -80,7 +86,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * process before any append/read/rollback/compact, via
     * [[ensureRecovered]]) heals any half-finished swap left by a
     * crash. */
-  private def swapBucket(dir: Path, live: Path, tmp: Path): Unit = {
+  private def swapBucket(dir: Path, live: Path, tmp: Path): Unit = rootMonitor.synchronized {
     val aside = new Path(dir, s".aside-${live.getName}")
     if (fs.exists(aside)) fs.delete(aside, true)
     // rename signals failure BOTH ways (false return or exception);
@@ -141,6 +147,8 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   private def lockPath = new Path(s"$root/_writer.lock")
   @volatile private var lockHeld = false
+  private val rootMonitor = ChainStore.monitorFor(root)
+  private var shutdownHook: Thread = _
 
   /** Acquire the exclusive writer lock (once per store). The lock is
     * PROCESS-scoped: a lock already held by this JVM (e.g. a restarted
@@ -170,6 +178,19 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
         out.close()
       }
       lockHeld = true
+      // a routine (non-crash) exit must not strand the lock and force a
+      // manual forceUnlock before the next run: release it on shutdown.
+      // The hook re-checks the holder — another process may legitimately
+      // own the lock by then if close() ran first.
+      if (shutdownHook == null) {
+        shutdownHook = new Thread(() =>
+          try {
+            if (ChainStore.lockHolder(fs, lockPath).contains(ChainStore.processToken))
+              fs.delete(lockPath, false)
+            ()
+          } catch { case _: Throwable => () })
+        Runtime.getRuntime.addShutdownHook(shutdownHook)
+      }
     }
   }
 
@@ -183,6 +204,11 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     if (lockHeld) {
       fs.delete(lockPath, false)
       lockHeld = false
+      if (shutdownHook != null) {
+        try Runtime.getRuntime.removeShutdownHook(shutdownHook)
+        catch { case _: IllegalStateException => () } // already shutting down
+        shutdownHook = null
+      }
     }
   }
 
@@ -201,7 +227,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * skipped (a hidden bucket is the documented transient-read caveat;
     * crash leftovers heal after the operator clears the dead lock) and
     * retried on the next entry. */
-  private def ensureRecovered(table: String): Unit = synchronized {
+  private def ensureRecovered(table: String): Unit = rootMonitor.synchronized {
     if (!recoveredTables.contains(table)) {
       if (!lockHeld && fs.exists(lockPath) &&
           !ChainStore.lockHolder(fs, lockPath).contains(ChainStore.processToken)) {
@@ -430,6 +456,17 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 }
 
 object ChainStore {
+  /** Process-wide per-root monitor: bucket swaps and recovery sweeps
+    * across ALL store objects in this JVM serialize on it. The writer
+    * lock is process-scoped, so two objects over the same root in one
+    * JVM share it legally — without this monitor, object B's first-read
+    * recovery could heal object A's swap mid-flight (rename-aside seen,
+    * rename-in not yet done) exactly as a foreign process could. */
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ingest] def monitorFor(root: String): Object =
+    rootMonitors.computeIfAbsent(root, _ => new Object)
+
   /** One token per JVM: every store this process opens writes the same
     * holder id, so restarts within a process re-acquire while a second
     * PROCESS fails fast. */

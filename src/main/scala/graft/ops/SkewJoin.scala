@@ -28,23 +28,28 @@ object SkewJoin {
 
   /** Inner-join `facts` ⋈ `dim` on `key` with `salts`-way salting.
     *
-    * The salt hashes the full fact row PLUS a per-row id: a hash of
-    * the row values alone would send bit-identical duplicate rows of
-    * the hot key back to one reducer — exactly the straggler salting
-    * exists to break, and duplicate-heavy hot keys are the common case
-    * (the same event replayed, the same default value). The id makes
-    * the salt row-unique rather than value-deterministic across runs;
-    * the RESULT is unaffected either way (each fact row carries one
-    * salt and meets each dim match exactly once at the replica bearing
-    * it — the salt never reaches the output). */
+    * The salt is a hash of the full fact row — RECOMPUTE-DETERMINISTIC
+    * by design. A row-unique salt (monotonically_increasing_id, rand)
+    * would also spread bit-identical duplicate rows, but it makes the
+    * shuffle key unstable under stage retry: a lost executor's map
+    * task reassigns salts on recompute, and reducers that already
+    * fetched the old output keep rows that the recomputed partitions
+    * also deliver (or never do) — silent duplication or loss, the same
+    * hazard Spark's round-robin repartition guards against with a
+    * local sort. A straggler is recoverable; corrupted output is not.
+    *
+    * Known limitation, documented honestly: bit-identical duplicate
+    * rows of the hot key share a salt and still land on one reducer.
+    * If the hot key is dominated by exact duplicates, deduplicate (or
+    * pre-aggregate with a count) upstream first — that shrinks the data
+    * instead of shuffling the duplicates anywhere. */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
     require(!facts.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "input already has a _salt column; rename it before salting")
     val salted = facts.withColumn("_salt",
-      pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts.toLong)))
+      pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

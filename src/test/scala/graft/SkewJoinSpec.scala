@@ -45,8 +45,7 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
       // distinct salts actually assigned to the fact rows: > 1 proves
       // the hot key's rows no longer land on a single reducer key
       val salts = facts.withColumn("_salt",
-        pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
-          lit(4L)))
+        pmod(xxhash64(facts.columns.map(col): _*), lit(4L)))
         .select("_salt").distinct().count()
       assert(salts > 1, "the hot key's rows must spread over multiple salts")
     } finally {
@@ -55,17 +54,19 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("bit-identical duplicate rows of the hot key spread too; join stays row-identical") {
+  test("salt is recompute-deterministic; identical duplicates share it (documented); multiplicity exact") {
     import spark.implicits._
-    // 400 IDENTICAL fact rows — a value-only salt would hash them all
-    // to one reducer, recreating the straggler
+    // 400 IDENTICAL fact rows: they deliberately share one salt (a
+    // row-unique salt would corrupt output under stage retry — see
+    // saltedJoin's doc); multiplicity must survive exactly
     val facts = (1 to 400).map(_ => (7L, "same-payload")).toDF("k", "payload")
     val dim = Seq((7L, "seven")).toDF("k", "attr")
-    val spread = facts.withColumn("_salt",
-      pmod(xxhash64(facts.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(8L)))
-      .select("_salt").distinct().count()
-    assert(spread > 1, "identical duplicate rows must not share one salt")
+    val saltCol = pmod(xxhash64(facts.columns.map(col): _*), lit(8L))
+    val assigned = facts.withColumn("_salt", saltCol).select("_salt").distinct().collect()
+    assert(assigned.length == 1, "identical rows share a deterministic salt by design")
+    // and the same plan re-evaluated assigns the same salt (retry-safe)
+    assert(facts.withColumn("_salt", saltCol).select("_salt").distinct().collect()
+      .toSeq == assigned.toSeq)
     // multiplicity preserved: 400 identical output rows, not 1, not 3200
     assert(SkewJoin.saltedJoin(facts, dim, "k", salts = 8).count() == 400)
   }
