@@ -54,6 +54,20 @@ object Export {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** [[writeShards]] in JSON-lines — the format most training-data
+    * loaders consume directly. Same single shuffle, same per-shard
+    * directories and doc_id order, same manifest contract (pass
+    * `format = "json"` to [[verifyShards]]); only the file encoding
+    * differs. Parquet stays the right interchange for anything that
+    * will be re-queried — JSONL is the last hop to a tokenizer. */
+  def writeShardsJsonl(docs: DataFrame, outDir: String, nShards: Int = 8): Unit =
+    docs.select(col("doc_id"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+
   /** Loader-side integrity check: recompute each written shard's
     * manifest row from the files in `outDir` and diff it against the
     * expected manifest. Returns the mismatching shards (missing,
@@ -62,8 +76,8 @@ object Export {
     * disk is exactly what the manifest promises. One scan of the
     * written data, grouped on the directory-partition column. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                   expected: DataFrame): DataFrame = {
-    val actual = spark.read.parquet(outDir)
+                   expected: DataFrame, format: String = "parquet"): DataFrame = {
+    val actual = spark.read.format(format).load(outDir)
       .withColumn("doc_h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
       .groupBy(col("shard").cast("long").as("shard"))

@@ -443,6 +443,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(total == 35L)
   }
 
+  test("writeShardsJsonl: same placement and manifest as parquet, loader-readable lines") {
+    val d = docs((1L to 30L).map(id => (id, toks((id % 4).toInt + 2, s"j$id"), "en", "s0")): _*)
+    val out = java.nio.file.Files.createTempDirectory("jshards").toString
+    Export.writeShardsJsonl(d, out, nShards = 3)
+    // verifies against the SAME manifest as the parquet form
+    val manifest = Export.shardManifest(d, nShards = 3)
+    assert(Export.verifyShards(spark, out, manifest, format = "json").count() == 0)
+    // rows round-trip: identical (doc_id, text, n_tokens) set
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text"), col("n_tokens")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_tokens")))
+      .toSet
+    val expected = d.select(col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(back == expected)
+    // and the files really are JSON lines a non-Spark loader can read
+    val aShard = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    val firstLine = aShard.listFiles().filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).head
+    assert(firstLine.startsWith("{") && firstLine.contains("\"doc_id\""))
+  }
+
   test("verifyShards: clean export verifies empty; a lost shard is reported") {
     val d = docs((1L to 30L).map(id => (id, toks((id % 4).toInt + 2, s"v$id"), "en", "s0")): _*)
     val out = java.nio.file.Files.createTempDirectory("vshards").toString
