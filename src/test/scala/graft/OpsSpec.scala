@@ -174,6 +174,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaStored == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("commonness plan broadcasts the reference table (the corpus never shuffles on token)") {
+    val d = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.ops.TextAnalysis.commonness(d, topK = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"K-row ref table must broadcast, not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
   test("snapshotDiff: added/removed/changed statuses; metadata-only rewrite is silent") {
     import spark.implicits._
     val old = Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "en"))
