@@ -37,4 +37,25 @@ object PureProps extends Properties("graft.pure") {
     val h = graft.evm.EvmDerive.md5hex(s)
     h.length == 32 && h.forall(c => "0123456789abcdef".contains(c))
   }
+
+  property("md5Unit is deterministic and in [-0.5, 0.5)") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val x = graft.ops.Similarity.md5Unit(s)
+      x == graft.ops.Similarity.md5Unit(s) && x >= -0.5 && x < 0.5
+    }
+
+  property("parseRepairMarker: height alone defaults width to 1; pair round-trips; blank is None") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2), Gen.chooseNum(1L, 1L << 40)) { (h, w) =>
+      graft.ingest.ChainStore.parseRepairMarker(s"$h") == Some((h, 1L)) &&
+      graft.ingest.ChainStore.parseRepairMarker(s"$h $w") == Some((h, w)) &&
+      graft.ingest.ChainStore.parseRepairMarker("   ").isEmpty
+    }
+
+  property("SimChain U256 money columns are decimal strings (storage contract)") =
+    Prop.forAll(Gen.chooseNum(0L, 100000L)) { n =>
+      val b = graft.ingest.SimChain.blockOn(n, None)
+      b.transactions.forall(t =>
+        t.value.nonEmpty && t.value.forall(_.isDigit) &&
+        t.gas_used.nonEmpty && t.gas_used.forall(_.isDigit))
+    }
 }
