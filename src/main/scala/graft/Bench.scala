@@ -34,9 +34,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .flatMap(_.toIntOption).filter(_ >= 1)
-      .getOrElse(if (loadStart > 1.0) 3 else 2)
+    val repeatsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+    val repeats = repeatsEnv.flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse {
+        repeatsEnv.foreach(v => System.err.println(
+          s"[bench] ignoring unusable SPARK_GRAFT_BENCH_REPEATS='$v' (need an int >= 1)"))
+        if (loadStart > 1.0) 3 else 2
+      }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

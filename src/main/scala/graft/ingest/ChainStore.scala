@@ -147,8 +147,10 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
 
   private def lockPath = new Path(s"$root/_writer.lock")
   @volatile private var lockHeld = false
-  private val rootMonitor = ChainStore.monitorFor(root)
-  private var shutdownHook: Thread = _
+  // normalized key: "/data/store", "/data/store/" and "file:///data/store"
+  // resolve to the SAME lock file, so they must share one monitor too
+  private val rootKey = fs.makeQualified(new Path(root)).toString
+  private val rootMonitor = ChainStore.monitorFor(rootKey)
 
   /** Acquire the exclusive writer lock (once per store). The lock is
     * PROCESS-scoped: a lock already held by this JVM (e.g. a restarted
@@ -180,17 +182,8 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
       lockHeld = true
       // a routine (non-crash) exit must not strand the lock and force a
       // manual forceUnlock before the next run: release it on shutdown.
-      // The hook re-checks the holder — another process may legitimately
-      // own the lock by then if close() ran first.
-      if (shutdownHook == null) {
-        shutdownHook = new Thread(() =>
-          try {
-            if (ChainStore.lockHolder(fs, lockPath).contains(ChainStore.processToken))
-              fs.delete(lockPath, false)
-            ()
-          } catch { case _: Throwable => () })
-        Runtime.getRuntime.addShutdownHook(shutdownHook)
-      }
+      // One JVM-wide hook per root (not per instance).
+      ChainStore.registerLockRelease(rootKey, () => fs, lockPath)
     }
   }
 
@@ -202,13 +195,11 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * over). */
   def close(): Unit = synchronized {
     if (lockHeld) {
-      fs.delete(lockPath, false)
+      // under the root monitor so the release hook's holder-check +
+      // delete cannot interleave with ours (it could otherwise delete a
+      // NEW process's lock acquired right after this delete)
+      rootMonitor.synchronized { fs.delete(lockPath, false): Unit }
       lockHeld = false
-      if (shutdownHook != null) {
-        try Runtime.getRuntime.removeShutdownHook(shutdownHook)
-        catch { case _: IllegalStateException => () } // already shutting down
-        shutdownHook = null
-      }
     }
   }
 
@@ -464,8 +455,41 @@ object ChainStore {
     * rename-in not yet done) exactly as a foreign process could. */
   private val rootMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[ingest] def monitorFor(root: String): Object =
-    rootMonitors.computeIfAbsent(root, _ => new Object)
+  private[ingest] def monitorFor(rootKey: String): Object =
+    rootMonitors.computeIfAbsent(rootKey, _ => new Object)
+
+  /** One lock-release hook per root per JVM, via Hadoop's shutdown
+    * manager at a priority ABOVE the FileSystem cache close (plain
+    * Runtime hooks run in arbitrary order, so the FS could already be
+    * closed and the release would strand the lock silently). The body
+    * takes the root monitor — an in-flight bucket swap finishes before
+    * the lock drops, and the holder re-check under the same monitor as
+    * [[ChainStore.close]] cannot delete a NEW process's lock. Failures
+    * are logged, not swallowed: a stranded lock needs an operator. */
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
+  private[ingest] def registerLockRelease(rootKey: String,
+      fsf: () => org.apache.hadoop.fs.FileSystem, lock: Path): Unit = {
+    releaseHooks.computeIfAbsent(rootKey, _ => {
+      val r: Runnable = () => monitorFor(rootKey).synchronized {
+        try {
+          val fs = fsf()
+          if (lockHolder(fs, lock).contains(processToken))
+            fs.delete(lock, false)
+          ()
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[chainstore] writer-lock release failed for $rootKey " +
+                s"(forceUnlock before the next run): ${e.getMessage}")
+        }
+      }
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        r, org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 40)
+      r
+    })
+    ()
+  }
 
   /** One token per JVM: every store this process opens writes the same
     * holder id, so restarts within a process re-acquire while a second

@@ -47,12 +47,19 @@ object Export {
     * and lets [[shardManifest]] be re-verified against any single
     * shard's files in isolation. */
   def writeShards(docs: DataFrame, outDir: String, nShards: Int = 8): Unit =
+    prepareShards(docs, nShards).parquet(outDir)
+
+  /** The shared placement: select + hash-assign + one shuffle + local
+    * sort + per-shard directories. BOTH physical writers go through
+    * here, so the JSONL export can never silently desynchronize from
+    * the manifest the parquet form verifies against. */
+  private def prepareShards(docs: DataFrame, nShards: Int) =
     docs.select(col("doc_id"), col("text"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .write.mode("overwrite").partitionBy("shard")
 
   /** [[writeShards]] in JSON-lines — the format most training-data
     * loaders consume directly. Same single shuffle, same per-shard
@@ -61,12 +68,7 @@ object Export {
     * differs. Parquet stays the right interchange for anything that
     * will be re-queried — JSONL is the last hop to a tokenizer. */
   def writeShardsJsonl(docs: DataFrame, outDir: String, nShards: Int = 8): Unit =
-    docs.select(col("doc_id"), col("text"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-      .withColumn("shard", Curation.hashMod(col("doc_id"), "shard", nShards))
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    prepareShards(docs, nShards).json(outDir)
 
   /** Loader-side integrity check: recompute each written shard's
     * manifest row from the files in `outDir` and diff it against the
@@ -77,7 +79,12 @@ object Export {
     * written data, grouped on the directory-partition column. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
                    expected: DataFrame, format: String = "parquet"): DataFrame = {
-    val actual = spark.read.format(format).load(outDir)
+    // the export schema is fixed by prepareShards; stating it for JSON
+    // skips the full-file inference scan (parquet reads footers only)
+    val reader = spark.read.format(format)
+    val actual = (if (format == "json")
+        reader.schema("doc_id LONG, text STRING, n_tokens LONG, shard LONG")
+      else reader).load(outDir)
       .withColumn("doc_h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
       .groupBy(col("shard").cast("long").as("shard"))
