@@ -30,6 +30,21 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
     val tx = api.transaction(EvmDerive.txHashOf(3)).get
     assert(tx.blockNumber == 0L || tx.blockNumber > 0L)
     assert(tx.value.endsWith("000000000000000000"))
+    // the fee/index/calldata fields ride through the typed facade:
+    // tx 3 = event 6 (6 % 4 != 0 → EIP-1559: fee caps set, no legacy
+    // gasPrice), index 3 % 5 = 3, gas as decimal strings
+    assert(tx.txIndexInBlock.contains(3L))
+    assert(tx.gasPrice.isEmpty)
+    assert(tx.maxFeePerGas.exists(_.endsWith("000000000")))
+    assert(tx.maxPriorityFeePerGas.exists(_.endsWith("000000000")))
+    assert(tx.gasUsed.exists(_.forall(_.isDigit)) && tx.gasLimit.contains("30000000"))
+    assert(tx.inputData.exists(_.startsWith("0x")))
+    // tx 2 = event 4 (4 % 4 == 0): legacy, gasPrice populated
+    assert(api.transaction(EvmDerive.txHashOf(2)).get.gasPrice
+      .exists(_.endsWith("000000000")))
+    // block gas contract: decimal strings + nullable base fee present
+    assert(byNumber.gasUsed.contains("147000") &&
+      byNumber.baseFeePerGas.contains("5200000000"))
     assert(api.transaction("short").isEmpty)
 
     val page = api.logsPage(GetLogsFilter(fromBlock = Some(0), toBlock = Some(3),
