@@ -11,9 +11,13 @@ import org.apache.spark.sql.SparkSession
   * MINIMUM wall-clock — the min is the least-contended observation and
   * converges on the query's true cost even when unrelated work shares
   * the box, whereas a single sample on a loaded 32-thread host inflates
-  * 2-6×. Repeats defaults to 2 and rises to 3 when the box is already
+  * 2-6×. Repeats defaults to 2 and rises to 4 when the box is already
   * loaded at start (`load_avg_start > 1`); override with
   * SPARK_GRAFT_BENCH_REPEATS.
+  *
+  * The JSON line is ALSO written to `target/bench.json` (path printed
+  * on stderr): stdout capture has truncated the one-line payload mid-
+  * object before, and the file copy is immune to that.
   *
   * The 1-minute load average is sampled before and after and emitted
   * in the JSON (`load_avg_start`/`load_avg_end`), with a `contended`
@@ -39,7 +43,7 @@ object Bench {
       .getOrElse {
         repeatsEnv.foreach(v => System.err.println(
           s"[bench] ignoring unusable SPARK_GRAFT_BENCH_REPEATS='$v' (need an int >= 1)"))
-        if (loadStart > 1.0) 3 else 2
+        if (loadStart > 1.0) 4 else 2
       }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,7 +79,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val contended = loadStart > 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","repeats":$repeats,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","repeats":$repeats,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}"""
+    println(json)
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -162,22 +162,34 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * [[ChainStore.forceUnlock]]. */
   private def ensureWriteLock(): Unit = synchronized {
     if (!lockHeld) {
-      if (fs.exists(lockPath)) {
-        val holder = ChainStore.lockHolder(fs, lockPath)
-        if (!holder.contains(ChainStore.processToken))
-          throw new ChainStore.ConcurrentWriterException(
-            s"$root is locked by writer ${holder.getOrElse("?")}; " +
-              "one writer process per store root (forceUnlock only if it is dead)")
-      } else {
-        val out =
-          try fs.create(lockPath, false) // no-overwrite create: atomic on HDFS
-          catch {
+      // under the root monitor: two stores over the same root racing
+      // their FIRST mutation in one JVM must not both pass the exists
+      // check and then collide on create — the loser would throw a
+      // spurious ConcurrentWriterException against its own process.
+      rootMonitor.synchronized {
+        if (fs.exists(lockPath)) {
+          val holder = ChainStore.lockHolder(fs, lockPath)
+          if (!holder.contains(ChainStore.processToken))
+            throw new ChainStore.ConcurrentWriterException(
+              s"$root is locked by writer ${holder.getOrElse("?")}; " +
+                "one writer process per store root (forceUnlock only if it is dead)")
+        } else {
+          try {
+            val out = fs.create(lockPath, false) // no-overwrite create: atomic on HDFS
+            out.write(ChainStore.processToken.getBytes("UTF-8"))
+            out.close()
+          } catch {
             case e: java.io.IOException =>
-              throw new ChainStore.ConcurrentWriterException(
-                s"$root writer lock lost the creation race: ${e.getMessage}")
+              // On the local FS create(overwrite=false) is check-then-
+              // create, so a cross-PROCESS race can land here even when
+              // our own process already owns the lock via another path;
+              // re-read before declaring a foreign writer.
+              if (!ChainStore.lockHolder(fs, lockPath)
+                    .contains(ChainStore.processToken))
+                throw new ChainStore.ConcurrentWriterException(
+                  s"$root writer lock lost the creation race: ${e.getMessage}")
           }
-        out.write(ChainStore.processToken.getBytes("UTF-8"))
-        out.close()
+        }
       }
       lockHeld = true
       // a routine (non-crash) exit must not strand the lock and force a
@@ -196,9 +208,14 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   def close(): Unit = synchronized {
     if (lockHeld) {
       // under the root monitor so the release hook's holder-check +
-      // delete cannot interleave with ours (it could otherwise delete a
-      // NEW process's lock acquired right after this delete)
-      rootMonitor.synchronized { fs.delete(lockPath, false): Unit }
+      // delete cannot interleave with ours, and with the SAME holder
+      // re-check: after a sibling store's close() already released the
+      // process lock, a NEW process may have acquired it — deleting
+      // unconditionally here would strip that live writer's lock.
+      rootMonitor.synchronized {
+        if (ChainStore.lockHolder(fs, lockPath).contains(ChainStore.processToken))
+          fs.delete(lockPath, false): Unit
+      }
       lockHeld = false
     }
   }

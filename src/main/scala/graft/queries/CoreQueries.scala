@@ -107,7 +107,11 @@ object CoreQueries {
         .groupBy(col("block_number"))
         .agg(
           sum(col("value").cast("decimal(38,0)")).cast("string").as("wei_sum"),
-          sum(col("gas_used").cast("long")).as("gas_sum"))
+          // gas_used is U256 TEXT like value: a cast("long") would turn
+          // a genuine >64-bit value into null (silently dropped from
+          // the sum) while the oracle's BIGINT cast errors — the exact
+          // divergence the TEXT storage contract exists to avoid.
+          sum(col("gas_used").cast("decimal(38,0)")).cast("string").as("gas_sum"))
         .orderBy(col("block_number"))),
 
     // I-7: nested envelope → explode round-trip (src/main.rs:240-297).
@@ -210,7 +214,7 @@ object CoreQueries {
       // checker renders as float ("205000.0") while Spark emits int64
       // ("205000") — the formatted hashes diverge without the cast.
       "SELECT block_number, CAST(SUM(CAST(value AS DECIMAL(38,0))) AS VARCHAR) AS wei_sum, " +
-      "CAST(SUM(CAST(gas_used AS BIGINT)) AS BIGINT) AS gas_sum FROM transactions WHERE block_number < 100 " +
+      "CAST(SUM(CAST(gas_used AS DECIMAL(38,0))) AS VARCHAR) AS gas_sum FROM transactions WHERE block_number < 100 " +
       "GROUP BY block_number ORDER BY block_number"),
 
     "ingest_explode" -> (EvmDerive.cte +

@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import graft.ingest.SimChain
+
+/** The chain-fetch seam: the three RPC operations the reference's
+  * ingester makes against a node (`src/main.rs:96-106` head discovery,
+  * `:129` block+txs, `:204-227` receipt fan-out), extracted as a trait
+  * so the streaming source can run over either the in-process simulated
+  * chain or a real JSON-RPC endpoint ([[JsonRpcFetcher]]) without
+  * touching the ingest pipeline.
+  *
+  * A fetcher is opened per partition reader (and once on the driver for
+  * head discovery) from a serializable [[FetcherConf]] — the fetcher
+  * itself holds live resources (HTTP connections, caches) and never
+  * crosses the driver/executor boundary.
+  *
+  * Implementations must tolerate concurrent [[ChainFetcher.transactionReceipt]]
+  * calls: [[ChainFetch.envelope]] fans receipts out across a bounded
+  * thread pool (the reference's `buffer_unordered(10)`,
+  * `src/main.rs:204-227`).
+  */
+trait ChainFetcher extends AutoCloseable {
+  /** I-2: highest block the node currently has (`eth_blockNumber`). */
+  def blockNumber(): Long
+  /** I-3: block with full transaction objects
+    * (`eth_getBlockByNumber(n, full_tx=true)`); None when the node has
+    * no block at this height (the reference's `Ok(None)` skip path,
+    * `src/main.rs:134-139`) — never retried, unlike transport errors. */
+  def blockWithTxs(n: Long): Option[WireBlock]
+  /** Receipt for one tx (`eth_getTransactionReceipt`); None when the
+    * node has none (tolerated downstream as status=null, no logs). */
+  def transactionReceipt(txHash: String): Option[WireReceipt]
+  override def close(): Unit = ()
+}
+
+/** Serializable recipe for opening a [[ChainFetcher]] on whichever JVM
+  * the partition lands on. */
+trait FetcherConf extends Serializable {
+  def open(): ChainFetcher
+}
+
+/** Block + embedded tx objects as they arrive off the wire — receipts
+  * are NOT here (they are a separate N+1 fetch, exactly the reference's
+  * two-phase shape). `value`/`gas` are decimal-string U256 already
+  * (hex→decimal conversion happens at the wire boundary, in the
+  * fetcher), `gas` being the TX-side gas field the reference persists
+  * as the tx's gas column (`src/main.rs:265`) — which is why it
+  * survives a missing receipt. */
+case class WireTx(hash: String, index: Long, from: String, to: String,
+                  value: String, gas: String)
+case class WireBlock(number: Long, hash: String, parentHash: String,
+                     timestamp: Long, txs: Seq[WireTx])
+/** Receipt wire shape: the two fields the reference takes from it —
+  * `status` (`src/main.rs:250-253`) and `logs` (`:274-295`). Topics
+  * arrive as the raw array; positional split happens at assembly. */
+case class WireReceipt(status: Option[Long], logs: Seq[WireLog])
+case class WireLog(logIndex: Long, address: String, topics: Seq[String],
+                   data: String)
+
+object ChainFetch {
+
+  /** The reference's retry policy (3 attempts, exponential backoff —
+    * `src/main.rs:28-29,49,140-158`), parameterized so tests keep
+    * millisecond backoffs where production uses seconds. Retries only
+    * on exceptions; a successful None (absent block/receipt) returns
+    * immediately. */
+  def retry[T](maxAttempts: Int, baseBackoffMs: Long)(op: => T): T = {
+    var attempt = 0
+    var backoff = baseBackoffMs
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      attempt += 1
+      try out = Some(op)
+      catch {
+        case e: Exception if attempt < maxAttempts =>
+          Thread.sleep(backoff)
+          backoff *= 2
+      }
+    }
+    out.get
+  }
+
+  /** Fetch one block's full envelope: block+txs, then receipts fanned
+    * out over at most `receiptConcurrency` threads (the reference's
+    * `MAX_RECEIPT_CONCURRENT = 10` `buffer_unordered`,
+    * `src/main.rs:26,204-227`). A receipt that still fails after all
+    * retries degrades to None — the reference's `unwrap_or(None)`
+    * (`src/main.rs:216-218`) — so one poisoned tx cannot sink its
+    * block; an absent receipt lands as status=null with no logs.
+    *
+    * This is per-PARTITION work: at scale the cross-block parallelism
+    * is Spark's executor fan-out (one partition per block), and this
+    * pool only bounds the intra-block N+1 receipt burst against the
+    * node, exactly like the reference. */
+  def envelope(fetcher: ChainFetcher, n: Long, maxRetries: Int,
+               baseBackoffMs: Long, receiptConcurrency: Int): Option[SimChain.SimBlock] =
+    retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(n)).map { b =>
+      val receipts: Map[String, Option[WireReceipt]] =
+        if (b.txs.isEmpty) Map.empty
+        else if (b.txs.size == 1 || receiptConcurrency <= 1)
+          b.txs.map(t => t.hash -> fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)).toMap
+        else {
+          val pool = Executors.newFixedThreadPool(math.min(receiptConcurrency, b.txs.size))
+          try {
+            b.txs.map { t =>
+              t.hash -> pool.submit(new Callable[Option[WireReceipt]] {
+                override def call(): Option[WireReceipt] =
+                  fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)
+              })
+            }.map { case (h, fu) => h -> fu.get() }.toMap
+          } finally {
+            pool.shutdown()
+            pool.awaitTermination(60, TimeUnit.SECONDS): Unit
+          }
+        }
+      assemble(b, receipts)
+    }
+
+  private def fetchReceipt(fetcher: ChainFetcher, txHash: String,
+                           maxRetries: Int, baseBackoffMs: Long): Option[WireReceipt] =
+    try retry(maxRetries, baseBackoffMs)(fetcher.transactionReceipt(txHash))
+    catch { case _: Exception => None } // unwrap_or(None): block survives
+
+  /** Join block-side tx fields with receipt-side status/logs into the
+    * nested envelope the ingester flattens — the in-memory analog of
+    * the reference's per-block insert loop (`src/main.rs:240-295`).
+    * Topics split positionally into topic0..3 (`src/db.rs:84-89`). */
+  def assemble(b: WireBlock, receipts: Map[String, Option[WireReceipt]]): SimChain.SimBlock =
+    SimChain.SimBlock(b.number, b.hash, b.parentHash, b.timestamp,
+      b.txs.sortBy(_.index).map { t =>
+        val receipt = receipts.getOrElse(t.hash, None)
+        SimChain.SimTx(t.hash, t.index, t.from, t.to, t.value, t.gas,
+          receipt.flatMap(_.status),
+          receipt.map(_.logs).getOrElse(Nil).map { l =>
+            SimChain.SimLog(l.logIndex, l.address,
+              l.topics.lift(0).orNull, l.topics.lift(1), l.topics.lift(2),
+              l.topics.lift(3), l.data)
+          })
+      })
+
+  /** 0x-hex quantity → Long (block numbers, timestamps, indexes). */
+  def hexToLong(s: String): Long = java.lang.Long.parseLong(strip(s), 16)
+
+  /** 0x-hex quantity → decimal string, full U256 range — the storage
+    * contract for money/gas columns (TEXT, `init.sql:18-20,34-38`). */
+  def hexToDec(s: String): String = new java.math.BigInteger(strip(s), 16).toString
+
+  def longToHex(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+
+  def decToHex(s: String): String = "0x" + new java.math.BigInteger(s).toString(16)
+
+  private def strip(s: String): String = {
+    val t = s.trim
+    val body = if (t.startsWith("0x") || t.startsWith("0X")) t.substring(2) else t
+    if (body.isEmpty) "0" else body
+  }
+}

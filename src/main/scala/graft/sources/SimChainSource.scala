@@ -18,15 +18,16 @@ import graft.ingest.SimChain
   * Spark-native re-expression of the reference's polling RPC client
   * (`src/main.rs:64-164`):
   *
-  *  - I-2 chain-head discovery → [[SimChainMicroBatchStream.latestOffset]]
+  *  - I-2 chain-head discovery → [[ChainMicroBatchStream.latestOffset]]
   *    reads the "node state" (a head file: `<head> <forkAt|->`)
   *  - I-4 batch bounding       → latestOffset clamps to
   *    `committed + blocksPerBatch` (BLOCKS_PER_BATCH=5 analog)
   *  - I-3 block+txs fetch      → one [[InputPartition]] per block; the
-  *    partition reader materializes the full nested envelope
+  *    partition reader materializes the full nested envelope through
+  *    the [[ChainFetcher]] seam (block+txs, then the receipt fan-out)
   *  - I-6 parallel fan-out     → partitions execute concurrently; the
   *    reference's `buffer_unordered(10)` becomes executor parallelism
-  *  - I-5 retry + backoff      → [[SimChainPartitionReader]] retries a
+  *  - I-5 retry + backoff      → [[ChainFetch.envelope]] retries a
   *    (deterministically injected) flaky fetch 3× with exponential
   *    backoff (`src/main.rs:28-29,49,153-155`)
   *
@@ -53,16 +54,22 @@ import graft.ingest.SimChain
   *
   * I-14 error isolation: heights in `missingBlocks` fetch as absent
   * and are skipped (`src/main.rs:134-139`); heights in
-  * `receiptlessBlocks` serve txs with `status=null` and no logs
-  * (`src/main.rs:219-221,250-253`).
+  * `receiptlessBlocks` have no receipts on the node, tolerated as
+  * `status=null` with no logs (`src/main.rs:219-221,250-253`).
   *
   * Options: `headFile` (required), `startBlock` (default 0),
   * `blocksPerBatch` (default 5), `reorgLookback` (default 6),
   * `flakyEveryN` (0 = reliable), `repairFile` (optional marker path),
-  * `missingBlocks` / `receiptlessBlocks` (comma-separated heights).
+  * `missingBlocks` / `receiptlessBlocks` (comma-separated heights),
+  * plus the retry dials shared with the RPC source (`maxRetries`,
+  * `baseBackoffMs`, `receiptConcurrency`).
   *
   * Usage: `spark.readStream.format("graft-simchain")
   *   .option("headFile", path).load()`
+  *
+  * The same pipeline runs against a REAL node wire via
+  * [[RpcChainSourceProvider]] (`format("graft-rpcchain")`) — only the
+  * [[FetcherConf]] differs.
   */
 class SimChainSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-simchain"
@@ -70,7 +77,7 @@ class SimChainSourceProvider extends TableProvider with DataSourceRegister {
     SimChainSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new SimChainTable(properties)
+    new ChainSourceTable(properties, new SimChainMicroBatchStream(_))
 }
 
 object SimChainSource {
@@ -86,7 +93,7 @@ object SimChainSource {
     (parts(0).toLong, fork)
   }
 
-  /** Atomic temp-write + rename: [[SimChainMicroBatchStream.latestOffset]]
+  /** Atomic temp-write + rename: [[ChainMicroBatchStream.latestOffset]]
     * polls and parses this file on every trigger, so a plain
     * truncate-then-write races the poll — a torn read (empty file
     * mid-truncate) throws in latestOffset and kills the whole
@@ -106,8 +113,12 @@ object SimChainSource {
   }
 }
 
-class SimChainTable(properties: util.Map[String, String]) extends Table with SupportsRead {
-  override def name(): String = "sim_chain"
+/** Shared DSv2 table shell: both chain sources serve the same envelope
+  * schema and differ only in which [[ChainMicroBatchStream]] they build. */
+class ChainSourceTable(properties: util.Map[String, String],
+                       mkStream: CaseInsensitiveStringMap => ChainMicroBatchStream)
+    extends Table with SupportsRead {
+  override def name(): String = "chain_envelopes"
   override def schema(): StructType = SimChainSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -116,7 +127,7 @@ class SimChainTable(properties: util.Map[String, String]) extends Table with Sup
       override def build(): Scan = this
       override def readSchema(): StructType = SimChainSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new SimChainMicroBatchStream(options)
+        mkStream(options)
     }
 }
 
@@ -125,20 +136,28 @@ case class BlockOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
+/** The chain-agnostic half of the micro-batch stream: offset WAL
+  * monotonicity, batch bounding, the reorg-lookback re-serve window,
+  * and the deep-reorg repair widening. Subclasses supply only the two
+  * node-facing pieces — head discovery and the per-batch
+  * [[FetcherConf]] snapshot (one consistent chain view per batch). */
+abstract class ChainMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
-  private val headFile = options.get("headFile")
-  require(headFile != null, "graft-simchain requires option headFile")
-  private val startBlock = options.getLong("startBlock", 0L)
-  private val blocksPerBatch = options.getLong("blocksPerBatch", 5L)
-  private val reorgLookback = options.getLong("reorgLookback", 6L)
-  private val flakyEveryN = options.getLong("flakyEveryN", 0L)
-  private val repairFile = Option(options.get("repairFile"))
-  private def heightSet(key: String): Set[Long] =
-    Option(options.get(key)).map(_.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet)
-      .getOrElse(Set.empty)
-  private val missingBlocks = heightSet("missingBlocks")
-  private val receiptlessBlocks = heightSet("receiptlessBlocks")
+  protected val startBlock: Long = options.getLong("startBlock", 0L)
+  protected val blocksPerBatch: Long = options.getLong("blocksPerBatch", 5L)
+  protected val reorgLookback: Long = options.getLong("reorgLookback", 6L)
+  protected val repairFile: Option[String] = Option(options.get("repairFile"))
+  // retry policy: the reference's 3 attempts; test-friendly ms backoff
+  // where the reference uses BASE_BLOCK_FETCH_BACKOFF_SECONDS = 2
+  protected val maxRetries: Int = options.getLong("maxRetries", 3L).toInt
+  protected val baseBackoffMs: Long = options.getLong("baseBackoffMs", 10L)
+  // MAX_RECEIPT_CONCURRENT = 10 (src/main.rs:26)
+  protected val receiptConcurrency: Int = options.getLong("receiptConcurrency", 10L).toInt
+
+  /** I-2: the node's current highest block. */
+  protected def chainHead(): Long
+  /** Snapshot of everything a partition needs to fetch consistently. */
+  protected def fetcherConf(): FetcherConf
 
   /** Deep-reorg repair marker left by the ingester (see class doc) —
     * the serve-from height, parsed by the marker format's single owner
@@ -166,29 +185,29 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
   /** I-2 head discovery + I-4 bounding: never plan more than
     * blocksPerBatch past the last planned batch (`src/main.rs:113-114`). */
   override def latestOffset(): Offset = {
-    val (head, _) = SimChainSource.readHeadFile(headFile)
+    val head = chainHead()
     BlockOffset(math.max(planned, math.min(head + 1, planned + blocksPerBatch)))
   }
 
-  /** I-3/I-6: one partition per block, fetched concurrently. The fork
-    * state is snapshotted at planning time so every partition of the
-    * batch sees one consistent chain view. */
+  /** I-3/I-6: one partition per block, fetched concurrently. The
+    * fetcher conf is snapshotted at planning time so every partition of
+    * the batch sees one consistent chain view. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (_, forkAt) = SimChainSource.readHeadFile(headFile)
+    val conf = fetcherConf()
     val s0 = math.max(0L, start.asInstanceOf[BlockOffset].n - reorgLookback)
     // widen (never narrow) the re-serve window down to a pending
     // deep-reorg repair marker; the extra blocks dedup in the store
     val s = repairFrom().filter(_ < s0).getOrElse(s0)
     val e = end.asInstanceOf[BlockOffset].n
     planned = math.max(planned, e)
-    (s until e).map(n => SimChainInputPartition(n, forkAt, flakyEveryN,
-      missingBlocks, receiptlessBlocks): InputPartition).toArray
+    (s until e).map(n => ChainBlockPartition(n, conf, maxRetries,
+      baseBackoffMs, receiptConcurrency): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new SimChainPartitionReader(partition.asInstanceOf[SimChainInputPartition])
+        new ChainEnvelopeReader(partition.asInstanceOf[ChainBlockPartition])
     }
 
   override def commit(end: Offset): Unit = ()
@@ -196,56 +215,99 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = ()
 }
 
-case class SimChainInputPartition(blockNumber: Long, forkAt: Option[Long],
-                                  flakyEveryN: Long,
-                                  missingBlocks: Set[Long] = Set.empty,
-                                  receiptlessBlocks: Set[Long] = Set.empty) extends InputPartition
+/** Sim-chain stream: head + fork state live in the head file. */
+class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends ChainMicroBatchStream(options) {
+  private val headFile = options.get("headFile")
+  require(headFile != null, "graft-simchain requires option headFile")
+  private val flakyEveryN = options.getLong("flakyEveryN", 0L)
+  private def heightSet(key: String): Set[Long] =
+    Option(options.get(key)).map(_.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet)
+      .getOrElse(Set.empty)
+  private val missingBlocks = heightSet("missingBlocks")
+  private val receiptlessBlocks = heightSet("receiptlessBlocks")
 
-/** Fetches one block envelope, with the reference's retry policy
-  * (3 attempts, exponential backoff — `src/main.rs:126-159`). The
-  * "RPC failure" is injected deterministically for blocks where
-  * `n % flakyEveryN == 0`: the first attempt throws, the retry
-  * succeeds — exercising the real retry path on every such block. */
-class SimChainPartitionReader(p: SimChainInputPartition)
+  override protected def chainHead(): Long =
+    SimChainSource.readHeadFile(headFile)._1
+
+  override protected def fetcherConf(): FetcherConf = {
+    val (_, forkAt) = SimChainSource.readHeadFile(headFile)
+    SimFetcherConf(forkAt, flakyEveryN, missingBlocks, receiptlessBlocks)
+  }
+}
+
+case class ChainBlockPartition(blockNumber: Long, conf: FetcherConf,
+                               maxRetries: Int, baseBackoffMs: Long,
+                               receiptConcurrency: Int) extends InputPartition
+
+/** Fetches one block envelope through the [[ChainFetcher]] seam with
+  * the reference's retry policy (3 attempts, exponential backoff —
+  * `src/main.rs:126-159`) and per-tx receipt fan-out. */
+class ChainEnvelopeReader(p: ChainBlockPartition)
     extends PartitionReader[InternalRow] {
   private val serializer = ExpressionEncoder[SimChain.SimBlock]().createSerializer()
-  private var attempts = 0
+  private val fetcher = p.conf.open()
   private var done = false
   private var current: InternalRow = _
-
-  /** Returns None when the node has no block at this height — I-14's
-    * `Ok(None)` skip path (`src/main.rs:134-139`). */
-  private def fetchWithRetry(): Option[SimChain.SimBlock] = {
-    val maxAttempts = 3
-    var backoffMs = 10L
-    var out: Option[Option[SimChain.SimBlock]] = None
-    while (out.isEmpty) {
-      attempts += 1
-      try {
-        if (p.flakyEveryN > 0 && p.blockNumber % p.flakyEveryN == 0 && attempts == 1)
-          throw new RuntimeException(s"injected RPC failure for block ${p.blockNumber}")
-        out = Some(SimChain.blockOnNode(p.blockNumber, p.forkAt,
-          p.missingBlocks, p.receiptlessBlocks))
-      } catch {
-        case e: RuntimeException if attempts < maxAttempts =>
-          Thread.sleep(backoffMs)
-          backoffMs *= 2
-        case e: RuntimeException => throw e
-      }
-    }
-    out.get
-  }
 
   override def next(): Boolean =
     if (done) false
     else {
       done = true
-      fetchWithRetry() match {
+      ChainFetch.envelope(fetcher, p.blockNumber, p.maxRetries,
+        p.baseBackoffMs, p.receiptConcurrency) match {
         case Some(b) => current = serializer(b).copy(); true
         case None    => false // I-14: missing block — emit nothing, skip
       }
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = fetcher.close()
+}
+
+/** In-process fetcher over the deterministic [[SimChain]].
+  *
+  * The "RPC failure" is injected deterministically for blocks where
+  * `n % flakyEveryN == 0`: the fetcher's first blockWithTxs attempt
+  * throws, the retry succeeds — exercising the real retry path on
+  * every such block (one fetcher per partition reader, so "first
+  * attempt" is per fetch, like a transient network fault).
+  *
+  * Receipts resolve from an index of the blocks this fetcher has
+  * served — the stand-in for a real node's tx-hash index. A height in
+  * `receiptless` indexes nothing, so its receipts come back None. */
+case class SimFetcherConf(forkAt: Option[Long], flakyEveryN: Long,
+                          missing: Set[Long], receiptless: Set[Long]) extends FetcherConf {
+  override def open(): ChainFetcher = new SimFetcher(this)
+}
+
+class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+  private val receiptIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, WireReceipt]()
+
+  override def blockNumber(): Long =
+    throw new UnsupportedOperationException(
+      "sim head discovery reads the head file on the driver") // never a partition's job
+
+  override def blockWithTxs(n: Long): Option[WireBlock] = {
+    val attempt = attempts.merge(n, 1, (a, b) => a + b)
+    if (conf.flakyEveryN > 0 && n % conf.flakyEveryN == 0 && attempt == 1)
+      throw new RuntimeException(s"injected RPC failure for block $n")
+    if (conf.missing(n)) None
+    else {
+      val b = SimChain.blockOn(n, conf.forkAt)
+      if (!conf.receiptless(n)) b.transactions.foreach { t =>
+        receiptIndex.put(t.tx_hash, WireReceipt(t.status, t.logs.map(l =>
+          WireLog(l.log_index_in_tx, l.contract_address,
+            Seq(l.topic0) ++ l.topic1 ++ l.topic2 ++ l.topic3, l.data))))
+      }
+      Some(WireBlock(b.block_number, b.block_hash, b.parent_hash, b.timestamp,
+        b.transactions.map(t => WireTx(t.tx_hash, t.tx_index_in_block,
+          t.from_address, t.to_address, t.value, t.gas_used))))
+    }
+  }
+
+  override def transactionReceipt(txHash: String): Option[WireReceipt] =
+    Option(receiptIndex.get(txHash))
 }

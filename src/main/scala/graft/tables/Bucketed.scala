@@ -42,13 +42,14 @@ object Bucketed {
     * LOCATION_ALREADY_EXISTS unless cleared first. */
   def resetTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+    // Resolve the leftover location through Hadoop's FileSystem, not
+    // java.io.File: the warehouse may be hdfs:// or s3a://, where a
+    // local-path delete silently does nothing and the next saveAsTable
+    // dies on LOCATION_ALREADY_EXISTS.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 
   /** Equality join of two bucketed tables on their bucket keys. With
