@@ -139,15 +139,73 @@ object OpenApiDoc {
         "data" -> prop("string"),
         "topics" -> JObj("type" -> "array", "items" -> prop("string")))))))
 
+  /** A dependency-free "try it out" console over [[json]] — the
+    * functional core of the Swagger UI bundle the reference embeds
+    * (`src/docs.rs:1-42`, route `src/api.rs:391-402`), vendored as one
+    * self-contained page (zero egress: no CDN assets). The page is a
+    * generic OpenAPI driver, not a hardcoded link list: it fetches
+    * `/api-docs/openapi.json`, renders one form per path+method
+    * (path-parameter inputs from `parameters`, a JSON textarea where a
+    * `requestBody` is declared), and executes real `fetch` calls
+    * against the live server, showing status + response body. */
   lazy val indexHtml: String =
-    """<!doctype html><html><head><title>EVM Indexer API</title></head><body>
+    """<!doctype html><html><head><meta charset="utf-8"><title>EVM Indexer API</title>
+      |<style>
+      | body{font-family:sans-serif;max-width:56rem;margin:2rem auto;padding:0 1rem}
+      | .op{border:1px solid #ccc;border-radius:6px;margin:1rem 0;padding:.75rem 1rem}
+      | .m{display:inline-block;min-width:3.5rem;font-weight:bold}
+      | .m.post{color:#49719c}.m.get{color:#2f7d32}
+      | textarea{width:100%;font-family:monospace;min-height:4rem}
+      | input{font-family:monospace;width:24rem;max-width:100%}
+      | pre{background:#f6f6f6;padding:.5rem;overflow:auto;max-height:18rem}
+      | button{cursor:pointer;padding:.25rem 1rem}
+      |</style></head><body>
       |<h1>EVM Indexer API</h1>
-      |<p>OpenAPI document: <a href="/api-docs/openapi.json">/api-docs/openapi.json</a></p>
-      |<ul>
-      |<li><code>GET /</code> — welcome</li>
-      |<li><code>GET /stats</code> — counts and ingestion lag</li>
-      |<li><code>POST /logs</code> — filtered log page + resume cursor</li>
-      |<li><code>GET /block/{identifier}</code> — by 0x-hash or height</li>
-      |<li><code>GET /transaction/{tx_hash}</code> — by 0x-hash</li>
-      |</ul></body></html>""".stripMargin
+      |<p>Interactive console over <a href="/api-docs/openapi.json">/api-docs/openapi.json</a>.
+      |Fill parameters, <em>Execute</em>, and the browser performs the real request.</p>
+      |<div id="ops">loading OpenAPI document…</div>
+      |<script>
+      |const EXAMPLES = {"/logs": '{\n  "fromBlock": 0,\n  "toBlock": 100,\n  "pageSize": 5\n}'};
+      |async function boot() {
+      |  const doc = await (await fetch('/api-docs/openapi.json')).json();
+      |  const root = document.getElementById('ops');
+      |  root.innerHTML = '';
+      |  for (const [path, methods] of Object.entries(doc.paths)) {
+      |    for (const [method, op] of Object.entries(methods)) {
+      |      const d = document.createElement('div');
+      |      d.className = 'op';
+      |      let h = '<span class="m ' + method + '">' + method.toUpperCase() + '</span>' +
+      |        '<code>' + path + '</code> — ' + (op.summary || '');
+      |      for (const p of op.parameters || [])
+      |        h += '<p><label>' + p.name + ': <input data-param="' + p.name + '" ' +
+      |          'placeholder="' + (p.description || '') + '"></label></p>';
+      |      if (op.requestBody)
+      |        h += '<p><textarea data-body>' + (EXAMPLES[path] || '{}') + '</textarea></p>';
+      |      h += '<p><button>Execute</button></p><pre hidden></pre>';
+      |      d.innerHTML = h;
+      |      d.querySelector('button').onclick = () => exec(method, path, d);
+      |      root.appendChild(d);
+      |    }
+      |  }
+      |}
+      |async function exec(method, path, box) {
+      |  let url = path;
+      |  for (const i of box.querySelectorAll('[data-param]'))
+      |    url = url.replace('{' + i.dataset.param + '}', encodeURIComponent(i.value));
+      |  const body = box.querySelector('[data-body]');
+      |  const out = box.querySelector('pre');
+      |  out.hidden = false; out.textContent = '…';
+      |  try {
+      |    const res = await fetch(url, body
+      |      ? {method: method.toUpperCase(), body: body.value,
+      |         headers: {'Content-Type': 'application/json'}}
+      |      : {method: method.toUpperCase()});
+      |    const text = await res.text();
+      |    let shown = text;
+      |    try { shown = JSON.stringify(JSON.parse(text), null, 2); } catch (e) {}
+      |    out.textContent = 'HTTP ' + res.status + '\n' + shown;
+      |  } catch (e) { out.textContent = 'request failed: ' + e; }
+      |}
+      |boot();
+      |</script></body></html>""".stripMargin
 }

@@ -57,6 +57,39 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("AQE leaves the bucketed join shuffle-free (no exchange introduced at runtime)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Seq("b_lineitem", "b_orders").foreach(resetTable)
+    Bucketed.writeBucketed(li, "b_lineitem", "l_orderkey", nBuckets = 4)
+    Bucketed.writeBucketed(ord, "b_orders", "o_orderkey", nBuckets = 4)
+    // AQE ON this time: adaptive re-planning (coalescing, join swaps)
+    // must not reintroduce an exchange the bucket layout paid to avoid
+    val prior = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val joined = Bucketed.cooperativeJoin(spark, "b_lineitem", "l_orderkey",
+        "b_orders", "o_orderkey")
+      // collect() (not count()) — count() builds a DERIVED aggregation
+      // QueryExecution, leaving this Dataset's own adaptive plan
+      // unexecuted; collect() finalizes the plan under inspection
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"expected a finalized adaptive plan:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ under AQE:\n$plan")
+      assert(!plan.contains("Exchange") && !plan.contains("ShuffleQueryStage"),
+        s"AQE must not add a shuffle to the co-located join:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffle (the invariant is the layout, not magic)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))

@@ -261,6 +261,67 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(store.lastSyncedBlock.contains(model.length - 1L))
   }
 
+  test("property: compact interleaved with random extend/fork walks — maintenance never races retraction") {
+    import spark.implicits._
+    // The deleted-partition + rewrite machinery of rollback and the
+    // merge-files + swap machinery of compact share the same bucket
+    // directories; this walk pins that no interleaving of the two
+    // (compaction after an append the next step retracts, compaction
+    // immediately after a rollback's straddling-bucket rewrite, …)
+    // ever loses or duplicates a row. Each seeded walk mirrors the
+    // chain in an in-memory model and requires store == model at the
+    // end. GRAFT_WALKS overrides the walk count (CI default 5 × 20
+    // steps; the 100-walk evidence run is recorded in the round log).
+    val nWalks = sys.env.get("GRAFT_WALKS").flatMap(_.toIntOption).getOrElse(5)
+    (0 until nWalks).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val (store, _) = freshStore(bucketSize = 7)
+      var model: Vector[SimChain.SimBlock] = SimChain.canonical(6).toVector
+      StreamingIngester.processBatch(store, model.toDF())
+      var branch = 0
+      (1 to 20).foreach { _ =>
+        val batch: Seq[SimChain.SimBlock] =
+          if (rnd.nextDouble() < 0.35 && model.length > 2) {
+            branch += 1
+            val h = 1 + rnd.nextInt(model.length - 1)
+            val ext = 1 + rnd.nextInt(4)
+            val repl = SimChain.blocks(h, model.length + ext, salt = s"w$seed-b$branch",
+              parentOfFirst = Some(model(h - 1).block_hash))
+            model = model.take(h) ++ repl
+            repl
+          } else {
+            val k = 1 + rnd.nextInt(5)
+            val tip = model.length
+            val ext = SimChain.blocks(tip, tip + k,
+              salt = if (branch == 0) "main" else s"w$seed-b$branch",
+              parentOfFirst = Some(model.last.block_hash))
+            model = model ++ ext
+            ext
+          }
+        StreamingIngester.processBatch(store, batch.toDF())
+        // maintenance interleaves the walk: sometimes one table,
+        // sometimes a full sweep — including right after a rollback
+        if (rnd.nextDouble() < 0.4)
+          if (rnd.nextBoolean()) store.compact(store.Tables(rnd.nextInt(3)))
+          else store.Tables.foreach(store.compact)
+      }
+      val stored = store.read("blocks").get
+        .select(col("block_number"), col("block_hash"), col("parent_hash"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(stored.map(_._1).toSeq == model.indices.map(_.toLong), s"walk $seed: heights")
+      assert(stored.map(_._2).toSeq == model.map(_.block_hash), s"walk $seed: hashes")
+      stored.sliding(2).foreach { case Array(p, c) =>
+        assert(c._3 == p._2, s"walk $seed: link at ${c._1}"); case _ => }
+      val txs = store.read("transactions").get
+      assert(txs.count() == model.map(_.transactions.size).sum, s"walk $seed: tx count")
+      assert(txs.select(col("tx_hash")).distinct().count() == txs.count(), s"walk $seed: tx dup")
+      val logs = store.read("logs").get
+      assert(logs.count() == model.flatMap(_.transactions).map(_.logs.size).sum,
+        s"walk $seed: log count")
+      assert(store.lastSyncedBlock.contains(model.length - 1L), s"walk $seed: status")
+    }
+  }
+
   test("I-13: queries serve concurrently with live ingest (main.rs:358-374)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -165,6 +165,29 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(get("/swagger-ui")._1 == 200)
   }
 
+  test("the /swagger-ui console drives a real POST /logs round-trip from its embedded example") {
+    // The page is a generic OpenAPI driver: it renders a form per path
+    // from /api-docs/openapi.json and fires fetch() with the textarea
+    // body. No browser here, so assert the driver pieces are served,
+    // then execute EXACTLY the request the console's Execute button
+    // sends for /logs — its prefilled example body, its content type.
+    val (code, page) = get("/swagger-ui")
+    assert(code == 200)
+    assert(page.contains("/api-docs/openapi.json"), "console must load the OpenAPI doc")
+    assert(page.contains("fetch(url") && page.contains("Execute"),
+      "console must contain the fetch driver, not a static link list")
+    // the prefilled example for /logs, as embedded in the page's JS
+    val example = "\\\"/logs\\\": '(.*?)'".r.findFirstMatchIn(page)
+      .getOrElse(fail("console must prefill an example body for /logs"))
+      .group(1).replace("\\n", "\n")
+    val (postCode, body) = post("/logs", example)
+    assert(postCode == 200, s"console round-trip failed: $body")
+    val resp = obj(body)
+    val logs = resp("logs").asInstanceOf[Seq[Any]]
+    assert(logs.nonEmpty && logs.size <= 5, "pageSize:5 from the example must bound the page")
+    assert(resp.contains("next_cursor_block"))
+  }
+
   test("REST serves a live ChainStore while the ingester appends (main.rs:83-90 composition)") {
     import java.nio.file.Files
     import graft.ingest.{ChainStore, StreamingIngester}

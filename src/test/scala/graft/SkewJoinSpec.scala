@@ -71,6 +71,36 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
     assert(SkewJoin.saltedJoin(facts, dim, "k", salts = 8).count() == 400)
   }
 
+  test("AQE keeps the salted shuffle keyed on (k, _salt) in the final adaptive plan") {
+    import spark.implicits._
+    // AQE re-plans joins at runtime (e.g. SMJ→broadcast, skew splits);
+    // this pins that the salt survives re-planning — the shuffle that
+    // actually executed was keyed on (k, _salt), not collapsed back to
+    // a single hot reducer. Broadcast stays off: a broadcast dim would
+    // remove the fact-side shuffle entirely and the salt with it,
+    // which is fine at runtime but not what this test pins.
+    val facts = (1 to 500).map(i => (7L, i)).toDF("k", "v")
+    val dim = ((0L to 9L).map(k => (k, s"dim$k"))).toDF("k", "attr")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SkewJoin.saltedJoin(facts, dim, "k", salts = 4)
+      // collect() (not count()) — count() builds a DERIVED aggregation
+      // QueryExecution, leaving this Dataset's own adaptive plan
+      // unexecuted; collect() finalizes the plan under inspection
+      assert(joined.collect().length == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"expected a finalized adaptive plan:\n$plan")
+      assert("hashpartitioning\\(k#\\d+L, _salt".r.findFirstIn(plan).isDefined,
+        s"the executed shuffle must stay keyed on (k, _salt) under AQE:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+    }
+  }
+
   test("a pre-existing _salt column is rejected instead of silently overwritten") {
     import spark.implicits._
     val facts = Seq((7L, 1L)).toDF("k", "_salt")
