@@ -207,30 +207,69 @@ object Similarity {
   def fixedCentroids(nCells: Int = 8, dim: Int = 64): Array[Array[Double]] =
     Array.tabulate(nCells, dim)((c, d) => md5Unit(s"centroid:$c:$d"))
 
+  /** Corpus-scaled LSH banding parameters: (nPlanes, bitsPerBand).
+    *
+    * The scale invariant is CONSTANT BUCKET OCCUPANCY: with b bits per
+    * band a band has 2^b buckets, so b must grow as log2(n) or each
+    * bucket's membership — and with it the candidate join's quadratic
+    * per-bucket term — grows linearly with the corpus (the classic
+    * fixed-width LSH failure: 10× data → 100× candidate pairs).
+    * b = smallest bits with 2^b · targetOccupancy ≥ n (integer-exact:
+    * the same search loop is expressible in the DuckDB oracle, no
+    * floating log2 whose rounding could diverge between engines).
+    *
+    * Wider bands lower per-band recall (P[collide] = s^b for bit-match
+    * rate s), so the band COUNT grows alongside: m = max(4, 2b−4).
+    * For genuine near-dups (cosine ≥ 0.9, s ≈ 0.86) recall stays
+    * ≥ 0.93 through b = 16 under this pairing, while total candidate
+    * work is m · n · occupancy/2 — linear in n with a log factor from
+    * m. At n ≤ 2^4·32 = 512 this yields exactly the historical
+    * default (16 planes, 4×4), so small-fixture behavior — and every
+    * spec sentinel pinned on it — is unchanged.
+    */
+  def lshParamsFor(n: Long, targetOccupancy: Long = 32L): (Int, Int) = {
+    require(n >= 0 && targetOccupancy > 0)
+    val b = (4 to 32).find(b => (1L << b) >= (n + targetOccupancy - 1) / targetOccupancy)
+      .getOrElse(32)
+    val m = math.max(4, 2 * b - 4)
+    (m * b, b)
+  }
+
   /** Sign-bit banding shared by [[nearDupPairsLsh]] and
     * [[incrementalNearDupLsh]]: one row per (vector, band) carrying the
-    * band's 4-bit chunk — the LSH bucket key. Map-only; the plane
-    * matrix rides as a broadcast literal. */
-  def lshBanded(embeddings: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    * band's bitsPerBand-bit chunk — the LSH bucket key. Map-only; the
+    * plane matrix rides as a broadcast literal. Band j owns planes
+    * [j·bitsPerBand, (j+1)·bitsPerBand) — the layout the oracle SQL
+    * mirrors with substr over the concatenated bit string. */
+  def lshBanded(embeddings: DataFrame, nPlanes: Int = 16, dim: Int = 64,
+                bitsPerBand: Int = 4): DataFrame = {
+    require(bitsPerBand > 0 && nPlanes % bitsPerBand == 0,
+      s"nPlanes=$nPlanes must be a multiple of bitsPerBand=$bitsPerBand")
+    val nBands = nPlanes / bitsPerBand
     val planes = lshPlanes(nPlanes, dim)
     val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
     prepared(embeddings)
       .withColumn("bits", transform(planesCol, p =>
         when(dot(col("v"), p) >= 0, 1).otherwise(0)))
       .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(transform(sequence(lit(0), lit(nPlanes / 4 - 1)),
-          b => concat_ws("", (0 until 4).map(k =>
-            element_at(col("bits"), b * 4 + k + 1).cast("string")): _*)))
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => concat_ws("", (0 until bitsPerBand).map(k =>
+            element_at(col("bits"), b * bitsPerBand + k + 1).cast("string")): _*)))
           .as(Seq("band", "chunk")))
   }
 
-  /** Random-hyperplane LSH near-dup: 16 sign bits from the fixed
-    * md5-derived planes, banded 4×4; candidates = equality join on
-    * (band, 4-bit chunk); verified by exact cosine. At scale this is a
-    * narrow map + a bucket-keyed shuffle, never all-pairs. */
+  /** Random-hyperplane LSH near-dup: sign bits from the fixed
+    * md5-derived planes, banded bitsPerBand wide; candidates =
+    * equality join on (band, chunk); verified by exact cosine. At
+    * scale this is a narrow map + a bucket-keyed shuffle, never
+    * all-pairs — PROVIDED the band width tracks the corpus: pass
+    * [[lshParamsFor]](count) (as the registry does) so bucket
+    * occupancy stays constant as n grows. The 16/4 defaults are the
+    * small-fixture dial only. */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-                      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
-    val banded = lshBanded(embeddings, nPlanes, dim)
+                      nPlanes: Int = 16, dim: Int = 64,
+                      bitsPerBand: Int = 4): DataFrame = {
+    val banded = lshBanded(embeddings, nPlanes, dim, bitsPerBand)
     val a = banded.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("chunk"), col("vec_id").as("id_b"),
@@ -255,12 +294,15 @@ object Similarity {
     * (id_a, id_b, score), id_a < id_b, cosine >= threshold; vec_ids
     * must be unique across corpus ∪ fresh. Equivalent to
     * nearDupPairsLsh(corpus ∪ fresh) filtered to fresh-touching pairs,
-    * without the corpus self-join. */
+    * without the corpus self-join. A stored corpusBands table must
+    * have been banded with the SAME (nPlanes, bitsPerBand) — a
+    * mismatched chunk width makes the equality join silently miss. */
   def incrementalNearDupLsh(corpus: DataFrame, fresh: DataFrame, threshold: Double,
                             nPlanes: Int = 16, dim: Int = 64,
-                            corpusBands: Option[DataFrame] = None): DataFrame = {
-    val freshBands = lshBanded(fresh, nPlanes, dim)
-    val allBands = corpusBands.getOrElse(lshBanded(corpus, nPlanes, dim))
+                            corpusBands: Option[DataFrame] = None,
+                            bitsPerBand: Int = 4): DataFrame = {
+    val freshBands = lshBanded(fresh, nPlanes, dim, bitsPerBand)
+    val allBands = corpusBands.getOrElse(lshBanded(corpus, nPlanes, dim, bitsPerBand))
       .unionByName(freshBands)
     allBands.select(col("band"), col("chunk"), col("vec_id").as("id_x"),
         col("v").as("vx"), col("nrm").as("nx"))

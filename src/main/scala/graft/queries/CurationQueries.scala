@@ -42,13 +42,23 @@ object CurationQueries {
       Curation.packSequences(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_id"), col("pack_id"))),
 
-    "semdedup_pairs" -> ((s, dir) =>
-      Curation.semdedupPairs(Fixtures.embeddings(s, dir), threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))),
+    // cell count tracks the corpus (semdedupCellsFor): fixed cells
+    // make the within-cell pair join quadratic in n — with k = n/1000
+    // the per-cell term is bounded and total cosine work is n·500,
+    // linear. The count() is a parquet-metadata job.
+    "semdedup_pairs" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      Curation.semdedupPairs(e, threshold = 0.4,
+          nCells = Curation.semdedupCellsFor(e.count(), targetCellSize = 1000L))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
-    "semdedup_prune" -> ((s, dir) =>
-      Curation.semdedupSurvivors(Fixtures.embeddings(s, dir), threshold = 0.4)
-        .orderBy(col("vec_id"))),
+    "semdedup_prune" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      Curation.semdedupSurvivors(e, threshold = 0.4,
+          nCells = Curation.semdedupCellsFor(e.count(), targetCellSize = 1000L))
+        .orderBy(col("vec_id"))
+    }),
 
     "text_pii_scrub" -> ((s, dir) =>
       Curation.piiScrub(Curation.withPii(Fixtures.documents(s, dir)))
@@ -96,27 +106,39 @@ object CurationQueries {
   /** Fixture shard count; production sizes shards to ~1 GB each. */
   private val ExportShards = 8
 
-  /** Shared SemDeDup assignment CTEs: fixed md5-derived centroids as
-    * literals (Double.toString round-trips exactly), argmin with
-    * first-position tie-break — identical to the similarity_topk_kmeans
-    * oracle's assignment stage. */
-  private lazy val semdedupCte: String = {
-    val cs = Similarity.fixedCentroids(8, 64)
-    val scoreExprs = cs.map { c =>
-      s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
-    }.mkString(",\n  ")
+  /** Shared SemDeDup assignment CTEs, corpus-scaled like the Spark
+    * side: k is derived from count(*) with semdedupCellsFor's exact
+    * integer formula, and the centroids are COMPUTED in SQL from the
+    * same md5Unit construction the Spark literals come from
+    * (('0x'||substr(md5(tag),1,12))::BIGINT / 2^48 − 0.5 is bit-exact
+    * IEEE arithmetic in both engines, and list_dot_product(ctr,ctr)
+    * reproduces Scala's left-to-right Σx² literal) — so the oracle
+    * stays differential at every sf without embedding k·64 literals.
+    * ROW_NUMBER over (score, cell) = argmin with first-position
+    * tie-break, identical to Spark's array_position-over-min. The
+    * 65536-cell superset range caps the SQL mirror (~65M-vector
+    * corpora at 1000/cell); the Spark side has no such cap. */
+  private lazy val semdedupCte: String =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
-       |sc AS (SELECT vec_id, v, nrm, [
-       |  $scoreExprs] AS cs FROM n),
-       |asg AS (SELECT vec_id, v, nrm,
-       |  (list_position(cs, list_min(cs)) - 1)::INT AS cell FROM sc),
+       |prm AS (SELECT greatest(1,
+       |  ((SELECT count(*) FROM embeddings) + 999) // 1000)::INT AS k),
+       |cen AS (SELECT cc.c::INT AS cell,
+       |  (SELECT list(('0x' || substr(md5('centroid:' || cc.c || ':' || d.d), 1, 12))::BIGINT
+       |               / 281474976710656.0 - 0.5 ORDER BY d.d)
+       |   FROM range(0, 64) d(d)) AS ctr
+       |  FROM range(0, 65536) cc(c), prm WHERE cc.c < prm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
        |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
        |""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "text_repetition" ->

@@ -88,18 +88,27 @@ object PipelineQueries {
     // registered: a cartesian has no place in a timed registry at any
     // scale. It remains the recall yardstick in OpsSpec, which pins
     // LSH ⊆ brute and the fixture recall.
-    "embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.nearDupPairsLsh(Fixtures.embeddings(s, dir), threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))),
+    // band params scale with the corpus (constant bucket occupancy —
+    // lshParamsFor's invariant); the count is a parquet-metadata job
+    "embed_neardup_lsh" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
+      Similarity.nearDupPairsLsh(e, threshold = 0.4,
+          nPlanes = nPlanes, bitsPerBand = bpb)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // the embedding twin of dedup_incremental: vec_id % 5 == 0 plays
     // the daily batch, probed against the corpus via the LSH buckets —
     // corpus x corpus pairs never recomputed
     "embed_neardup_incremental" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
+      // params from the FULL corpus∪fresh count: both sides must band
+      // identically or the bucket join can't match across them
+      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       Similarity.incrementalNearDupLsh(
         e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
-        threshold = 0.4)
+        threshold = 0.4, nPlanes = nPlanes, bitsPerBand = bpb)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -109,8 +118,10 @@ object PipelineQueries {
     "embed_neardup_incremental_apply" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val fresh = e.filter(col("vec_id") % 5 === 0)
+      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       val pairs = Similarity.incrementalNearDupLsh(
-          e.filter(col("vec_id") % 5 =!= 0), fresh, threshold = 0.4)
+          e.filter(col("vec_id") % 5 =!= 0), fresh, threshold = 0.4,
+          nPlanes = nPlanes, bitsPerBand = bpb)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.applyIncrementalDedup(
           fresh.select(col("vec_id").as("doc_id"), col("label")), pairs)
@@ -262,6 +273,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared banding CTEs for the embed_neardup oracles, mirroring
+    * [[graft.ops.Similarity.lshBanded]] with CORPUS-SCALED params:
+    * (b, m) come from count(*) via the same integer search as
+    * [[graft.ops.Similarity.lshParamsFor]] (no floating log2 whose
+    * rounding could diverge), and the planes are COMPUTED from the
+    * md5Unit construction the Spark literals come from —
+    * ('0x'||substr(md5(tag),1,12))::BIGINT / 2^48 − 0.5 is the same
+    * IEEE arithmetic in both engines — so the oracle stays
+    * differential at every sf without embedding m·b·64 literals.
+    * Chunk layout matches lshBanded exactly: bit p = sign of
+    * v·plane_p, band j = bits [j·b, (j+1)·b) of the concatenated
+    * string. The range(0, 2048) plane superset (DuckDB's range()
+    * cannot take lateral bounds) covers b·m through b = 32. */
+  private val lshBandedCte =
+    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |  FROM embeddings),
+      |prm AS (SELECT b, greatest(4, 2 * b - 4) AS m FROM (
+      |  SELECT coalesce(min(bb), 32) AS b FROM range(4, 33) t(bb)
+      |  WHERE (1::BIGINT << bb) >= ((SELECT count(*) FROM embeddings) + 31) // 32)),
+      |pl AS (SELECT pp.p AS p,
+      |  (SELECT list(('0x' || substr(md5('plane:' || pp.p || ':' || d.d), 1, 12))::BIGINT
+      |               / 281474976710656.0 - 0.5 ORDER BY d.d)
+      |   FROM range(0, 64) d(d)) AS plane
+      |  FROM range(0, 2048) pp(p), prm WHERE pp.p < prm.b * prm.m),
+      |bits AS (SELECT n.vec_id,
+      |  CASE WHEN list_dot_product(n.v, pl.plane) >= 0 THEN '1' ELSE '0' END AS bit, pl.p
+      |  FROM n, pl),
+      |bstr AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bs
+      |  FROM bits GROUP BY vec_id),
+      |banded AS (SELECT n.vec_id, n.v, n.nrm, bd.band AS band,
+      |  substr(bstr.bs, (bd.band * prm.b + 1)::INT, prm.b::INT) AS chunk
+      |  FROM n JOIN bstr USING (vec_id), prm, range(0, 64) bd(band)
+      |  WHERE bd.band < prm.m),
+      |""".stripMargin
 
   private val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
@@ -475,76 +522,40 @@ object PipelineQueries {
     // embedded as identical DOUBLE literals here and in the Spark plan
     // (Double.toString round-trips exactly), so candidate generation +
     // cosine verification are both differential.
-    "embed_neardup_lsh" -> {
-      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
-        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
-      }.mkString(",\n  ")
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-         |  FROM embeddings),
-         |bits AS (SELECT vec_id, v, nrm, [
-         |  $bitExprs] AS bt FROM n),
-         |banded AS (SELECT vec_id, v, nrm, b AS band,
-         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
-         |  FROM bits, range(0, 4) r(b)),
-         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-         |  FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "embed_neardup_lsh" -> (lshBandedCte +
+      """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // = the full-corpus LSH run restricted to pairs with a fresh side
     // (the incremental operator's declared contract)
-    "embed_neardup_incremental" -> {
-      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
-        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
-      }.mkString(",\n  ")
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-         |  FROM embeddings),
-         |bits AS (SELECT vec_id, v, nrm, [
-         |  $bitExprs] AS bt FROM n),
-         |banded AS (SELECT vec_id, v, nrm, b AS band,
-         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
-         |  FROM bits, range(0, 4) r(b)),
-         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-         |  FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
-         |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
-         |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "embed_neardup_incremental" -> (lshBandedCte +
+      """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+        |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
+        |SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // survivor rule stated directly: a fresh vector is dropped when it
     // pairs with any smaller id (corpus or fresh — id_a < id_b makes
     // that one EXISTS) or with a LARGER corpus id (corpus always wins)
-    "embed_neardup_incremental_apply" -> {
-      val bitExprs = Similarity.lshPlanes(16, 64).map { p =>
-        s"CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END"
-      }.mkString(",\n  ")
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-         |  FROM embeddings),
-         |bits AS (SELECT vec_id, v, nrm, [
-         |  $bitExprs] AS bt FROM n),
-         |banded AS (SELECT vec_id, v, nrm, b AS band,
-         |  bt[b*4+1] || bt[b*4+2] || bt[b*4+3] || bt[b*4+4] AS chunk
-         |  FROM bits, range(0, 4) r(b)),
-         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-         |  FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
-         |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)),
-         |q AS (SELECT id_a, id_b FROM p WHERE score >= 0.4)
-         |SELECT f.vec_id, f.label FROM embeddings f
-         |WHERE f.vec_id % 5 = 0
-         |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_b = f.vec_id)
-         |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_a = f.vec_id AND q.id_b % 5 <> 0)
-         |ORDER BY f.vec_id""".stripMargin
-    },
+    "embed_neardup_incremental_apply" -> (lshBandedCte +
+      """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+        |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)),
+        |q AS (SELECT id_a, id_b FROM p WHERE score >= 0.4)
+        |SELECT f.vec_id, f.label FROM embeddings f
+        |WHERE f.vec_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_b = f.vec_id)
+        |  AND NOT EXISTS (SELECT 1 FROM q WHERE q.id_a = f.vec_id AND q.id_b % 5 <> 0)
+        |ORDER BY f.vec_id""".stripMargin),
 
     // IVF probe+rank over the fixed md5-derived centroids: assignment
     // is argmin of -2·v·c + |c|² (first-min tie-break = list_position,

@@ -38,6 +38,23 @@ object PureProps extends Properties("graft.pure") {
     h.length == 32 && h.forall(c => "0123456789abcdef".contains(c))
   }
 
+  property("lshParamsFor: constant occupancy, band growth, small-n default preserved") =
+    Prop.forAll(Gen.chooseNum(0L, 100_000_000L)) { n =>
+      val (nPlanes, b) = graft.ops.Similarity.lshParamsFor(n)
+      val m = nPlanes / b
+      val occupancyBounded = b == 32 || (1L << b) * 32 >= n // buckets keep up with n
+      val notOverWide = b == 4 || (1L << (b - 1)) * 32 < n  // b is the SMALLEST such width
+      val bandsTrackBits = m == math.max(4, 2 * b - 4)
+      val smallNUnchanged = n > 512 || (nPlanes == 16 && b == 4) // historical default
+      occupancyBounded && notOverWide && bandsTrackBits && smallNUnchanged
+    }
+
+  property("lshParamsFor is monotone in n (more data never narrows the bands)") =
+    Prop.forAll(Gen.chooseNum(0L, 10_000_000L), Gen.chooseNum(0L, 10_000_000L)) { (a, c) =>
+      val (lo, hi) = if (a <= c) (a, c) else (c, a)
+      graft.ops.Similarity.lshParamsFor(lo)._2 <= graft.ops.Similarity.lshParamsFor(hi)._2
+    }
+
   property("md5Unit is deterministic and in [-0.5, 0.5)") =
     Prop.forAll(Gen.alphaNumStr) { s =>
       val x = graft.ops.Similarity.md5Unit(s)
