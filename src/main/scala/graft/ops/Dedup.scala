@@ -516,7 +516,9 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "chunk"))
+    // merge hint: see simhashPairs — the signature table is O(n),
+    // broadcast is a toy-scale accident that serializes pair work
+    a.hint("merge").join(b.hint("merge"), Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
@@ -548,7 +550,12 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "chunk"))
+    // merge hint: the signature table is O(n) — never broadcastable
+    // at scale, and a toy-size broadcast pins candidate verification
+    // to the scan's partition count (a small fixture file scans as 1
+    // partition → one core). The shuffle on (band, chunk) is the
+    // shape that holds at every size.
+    a.hint("merge").join(b.hint("merge"), Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))

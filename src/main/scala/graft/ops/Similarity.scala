@@ -274,7 +274,11 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("chunk"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("band", "chunk"))
+    // merge hint: band tables are O(n·m) — never broadcastable at
+    // scale, and a toy-size broadcast would pin the per-candidate
+    // cosine work to the scan's partition count. The shuffle on
+    // (band, chunk) distributes bucket work across reducers.
+    a.hint("merge").join(b.hint("merge"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("na"), col("vb"), col("nb")), 4).as("score"))
@@ -306,8 +310,9 @@ object Similarity {
       .unionByName(freshBands)
     allBands.select(col("band"), col("chunk"), col("vec_id").as("id_x"),
         col("v").as("vx"), col("nrm").as("nx"))
+      .hint("merge")
       .join(freshBands.select(col("band"), col("chunk"), col("vec_id").as("id_y"),
-        col("v").as("vy"), col("nrm").as("ny")), Seq("band", "chunk"))
+        col("v").as("vy"), col("nrm").as("ny")).hint("merge"), Seq("band", "chunk"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
