@@ -63,13 +63,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // fixture-tier scan sizing: the default 4 MB open-cost floors
-      // the split size, so a 3-6 MB fixture parquet scans as ONE
-      // partition and every map stage above it runs on one core. At
-      // 64 KB the bytes-per-core term governs and each file splits
-      // ~core-count ways; large files stay bounded by
-      // maxPartitionBytes, so production defaults are unaffected.
-      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

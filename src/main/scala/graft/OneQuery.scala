@@ -20,7 +20,13 @@ object OneQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString) // see Bench
+      // experiment dial for scan-split studies; Spark's default when
+      // unset. Measured here: extra splits of megabyte fixture files
+      // are pure task overhead — the heavy stages all sit downstream
+      // of a shuffle (the merge-hinted bucket joins), which already
+      // provides their parallelism.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (4 * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
