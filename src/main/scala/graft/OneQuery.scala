@@ -2,18 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Single-query profiling harness: run one registry entry against one
-  * sf directory, print the wall time and the formatted physical plan.
-  * The Bench main times the whole registry; this is the drill-down for
-  * one slow entry (`runMain graft.OneQuery <query> <sfDir> [repeats]`).
+/** Single-query profiling harness: run one registry entry (or a
+  * comma-separated sequence, to reproduce in-session interactions
+  * like cache pressure from an earlier query) against one sf
+  * directory, print wall times and the last query's formatted
+  * physical plan. The Bench main times the whole registry; this is
+  * the drill-down for a slow entry
+  * (`runMain graft.OneQuery <q1[,q2,...]> <sfDir> [repeats]`).
   */
 object OneQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: OneQuery <queryName> <sfDir> [repeats]")
-    val (name, sfDir) = (args(0), args(1))
+    require(args.length >= 2, "usage: OneQuery <queryName[,query2,...]> <sfDir> [repeats]")
+    val (names, sfDir) = (args(0).split(',').toSeq, args(1))
     val repeats = if (args.length > 2) args(2).toInt else 1
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val fns = names.map { n =>
+      n -> SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query '$n'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -30,13 +35,16 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to repeats).foreach { i =>
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      df.write.mode("overwrite").format("noop").save()
-      println(f"[onequery] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (i == repeats) println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    fns.foreach { case (name, fn) =>
+      (1 to repeats).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[onequery] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (i == repeats && name == fns.last._1)
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }
