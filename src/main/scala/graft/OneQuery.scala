@@ -35,13 +35,16 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    fns.foreach { case (name, fn) =>
+    fns.zipWithIndex.foreach { case ((name, fn), idx) =>
       (1 to repeats).foreach { i =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.write.mode("overwrite").format("noop").save()
         println(f"[onequery] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        if (i == repeats && name == fns.last._1)
+        // positional compare, not by name: a sequence may legitimately
+        // repeat a query name (cache-pressure repro) — only the final
+        // entry prints its plan
+        if (i == repeats && idx == fns.size - 1)
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
       }

@@ -174,11 +174,24 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
               s"$root is locked by writer ${holder.getOrElse("?")}; " +
                 "one writer process per store root (forceUnlock only if it is dead)")
         } else {
+          var created = false
           try {
             val out = fs.create(lockPath, false) // no-overwrite create: atomic on HDFS
+            created = true
             out.write(ChainStore.processToken.getBytes("UTF-8"))
             out.close()
           } catch {
+            case e: java.io.IOException if created =>
+              // WE created the file but writing our token into it
+              // failed (disk full, quota, transient FS error). This is
+              // not a concurrency event: remove the half-written lock —
+              // with empty content no process (including a clean
+              // restart of this one) could ever match the holder, a
+              // permanent lockout — and surface the real I/O failure.
+              try fs.delete(lockPath, false)
+              catch { case _: java.io.IOException => () } // best effort
+              throw new java.io.IOException(
+                s"$root writer lock created but token write failed", e)
             case e: java.io.IOException =>
               // On the local FS create(overwrite=false) is check-then-
               // create, so a cross-PROCESS race can land here even when

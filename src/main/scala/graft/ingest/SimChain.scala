@@ -58,22 +58,6 @@ object SimChain {
     blockAt(n, saltOf(n), parent)
   }
 
-  /** I-14 node view with holes: a height in `missing` fetches as None
-    * — the reference skips it and moves on (`src/main.rs:134-139`); a
-    * height in `receiptless` serves its block but with every receipt
-    * absent, tolerated as `status=None` and no logs
-    * (`src/main.rs:219-221,250-253,274`). */
-  def blockOnNode(n: Long, forkAt: Option[Long], missing: Set[Long],
-                  receiptless: Set[Long]): Option[SimBlock] =
-    if (missing(n)) None
-    else {
-      val b = blockOn(n, forkAt)
-      if (receiptless(n))
-        Some(b.copy(transactions =
-          b.transactions.map(t => t.copy(status = None, logs = Nil))))
-      else Some(b)
-    }
-
   /** Hash-linked chain segment `[from, until)` on branch `salt`.
     * Hashes chain through the parent so a divergent branch has
     * different hashes for every block after the fork — reorg

@@ -73,7 +73,14 @@ object ChainFetch {
       attempt += 1
       try out = Some(op)
       catch {
-        case e: Exception if attempt < maxAttempts =>
+        // An interrupt is a CANCELLATION (Spark's task reaper killing
+        // the partition on query stop / speculative kill), never a
+        // transient fetch failure — restore the flag and propagate
+        // instead of sleeping through the backoff schedule.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case _: Exception if attempt < maxAttempts =>
           Thread.sleep(backoff)
           backoff *= 2
       }

@@ -105,27 +105,36 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
   private def call(method: String, params: String): JsonNode = {
     val body =
       s"""{"jsonrpc":"2.0","id":${nextId.getAndIncrement()},"method":"$method","params":$params}"""
+    // no conn.disconnect() anywhere: fully reading and closing the
+    // streams returns the socket to the JVM keep-alive pool (the reuse
+    // the per-call-connection design depends on); disconnect() would
+    // tear it down and pay a fresh TCP (+TLS) handshake for every call
+    // of the N+1 receipt fan-out. A transport failure mid-call leaves
+    // a broken socket the pool discards on its own.
     val conn = new java.net.URL(conf.url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setRequestMethod("POST")
-      conn.setConnectTimeout(conf.connectTimeoutMs)
-      conn.setReadTimeout(conf.readTimeoutMs)
-      conn.setRequestProperty("Content-Type", "application/json")
-      conn.setDoOutput(true)
-      val out = conn.getOutputStream
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      val code = conn.getResponseCode
-      if (code != 200)
-        throw new java.io.IOException(s"$method: HTTP $code from ${conf.url}")
-      val in = conn.getInputStream
-      val root =
-        try mapper.readTree(in) finally in.close()
-      val err = root.get("error")
-      if (err != null && !err.isNull)
-        throw new java.io.IOException(s"$method: RPC error ${err.toString}")
-      root.get("result")
-    } finally conn.disconnect()
+    conn.setRequestMethod("POST")
+    conn.setConnectTimeout(conf.connectTimeoutMs)
+    conn.setReadTimeout(conf.readTimeoutMs)
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    if (code != 200) {
+      // drain + close the error body so the socket stays reusable
+      Option(conn.getErrorStream).foreach { es =>
+        try { es.readAllBytes(); () } finally es.close()
+      }
+      throw new java.io.IOException(s"$method: HTTP $code from ${conf.url}")
+    }
+    val in = conn.getInputStream
+    val root =
+      try mapper.readTree(in) finally in.close()
+    val err = root.get("error")
+    if (err != null && !err.isNull)
+      throw new java.io.IOException(s"$method: RPC error ${err.toString}")
+    root.get("result")
   }
 
   private def isNull(n: JsonNode): Boolean = n == null || n.isNull

@@ -46,7 +46,9 @@ class StubRpcNode(headFile: String,
   private val receiptAttempts = new ConcurrentHashMap[String, Integer]()
   // txHash -> (height, receipt JSON) — height kept for fault injection
   private val txIndex = new ConcurrentHashMap[String, (Long, String)]()
-  @volatile private var served = 0L // total RPC calls answered (assertable)
+  // AtomicLong, not a @volatile var: handlers run on a 16-thread
+  // executor and volatile read-modify-write loses increments
+  private val served = new java.util.concurrent.atomic.AtomicLong()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new HttpHandler {
@@ -55,7 +57,7 @@ class StubRpcNode(headFile: String,
       val id = req.get("id").asLong()
       val method = req.get("method").asText()
       val params = req.get("params")
-      served += 1
+      served.incrementAndGet(): Unit
       method match {
         case "eth_blockNumber" =>
           val (head, _) = SimChainSource.readHeadFile(headFile)
@@ -92,7 +94,7 @@ class StubRpcNode(headFile: String,
   server.start()
 
   val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-  def callsServed: Long = served
+  def callsServed: Long = served.get()
 
   override def close(): Unit = server.stop(0)
 

@@ -16,10 +16,18 @@ Per-table specifics:
    (42, r, md5(text)) — content-seeded, NOT id-seeded, so the base
    tier's exact-dup groups survive inside every replica (identical
    inputs shuffle identically). Token-frequency features (lang-id,
-   quality, token counts) are preserved exactly; shingle/minhash
-   similarity across replicas is destroyed, so near-dup structure
-   stays per-replica and pair counts scale ~linearly instead of
-   exploding quadratically in cross-replica clones.
+   quality, token counts) are preserved exactly. CAVEAT on shingle
+   similarity: NON-identical near-dup pairs do NOT survive into
+   r>0 (two docs differing by one token shuffle under independent
+   permutations, collapsing their shingle overlap), so shingle-based
+   near-dup OUTPUT stays roughly at the base tier's count rather
+   than scaling 10x — the banding/signature stages scale with the
+   corpus, the verification stage scales with the (flat) pair
+   count. Bag-level (order-free) similarity IS preserved, so
+   bag-semantic operators (simhash) see every replica clone as a
+   true duplicate and their output explodes quadratically in the
+   clone count — both effects are called out in SCALING.md where
+   the affected families are read.
  - embeddings: replica r>0 applies one seeded coordinate permutation
    to every vector — an orthogonal transform, so all within-replica
    dot products/cosines (and thus ANN/near-dup workload) are preserved
