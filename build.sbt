@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the LAST 2000 chars of sbt output and
+// parses the benchmark's one-line JSON out of it. sbt's trailing
+// "[success] Total time: ..." line eats ~75 chars of that window and
+// has pushed the JSON head out of the capture twice (BENCH_r07/r08
+// "parsed": null). Suppress it so the JSON line is the final output.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

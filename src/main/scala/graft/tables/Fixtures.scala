@@ -18,15 +18,29 @@ object Fixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects unless nanos are read back as raw longs. Set the switch
-    * at read time (session-level, runtime-settable) so the table loads
-    * under any driver-created session; `ts` is then epoch-nanos
-    * (LongType) everywhere in this engine.
+  /** `events.ts` is epoch-nanos (LongType) everywhere in this engine,
+    * regardless of how the fixture generator typed the column:
+    *
+    *  - parquet TIMESTAMP(NANOS) (rounds ≤8): Spark's reader rejects it
+    *    unless nanos are read back as raw longs — the legacy switch
+    *    does that (session-level, runtime-settable).
+    *  - parquet timestamp[us] (round 9 regeneration): read as a
+    *    timestamp and converted to epoch nanos. The NTZ cast is
+    *    interpreted in the session time zone, which this engine pins
+    *    to UTC (build.sbt javaOptions + every session builder), so the
+    *    conversion is exact; the DuckDB oracles use unit-agnostic
+    *    `date_trunc`/`epoch_us` and need no change.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
