@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.{GetLogsFilter, LogsQuery}
 import graft.evm.EvmDerive
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, PipelineQueries, SpanQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-module query registries; every entry in
@@ -23,11 +23,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ SpanQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++ SpanQueries.oracleSql
 }

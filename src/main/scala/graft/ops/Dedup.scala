@@ -562,4 +562,69 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Position-keyed overlapping L-token shingle hashes: one row per
+    * (doc_id, token position), h = md5 of the L tokens starting there.
+    * Unlike [[shingleRows]] this keeps POSITIONS and duplicates — the
+    * substring-span detector needs to know WHERE a duplicated run
+    * sits, not just that the doc contains it. Still map-only: the
+    * shingle list is built per row and exploded; md5 runs codegen'd on
+    * the exploded rows. */
+  def positionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= spanTokens)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (spanTokens - 1)),
+          i => concat_ws(" ", (0 until spanTokens).map(k =>
+            element_at(col("toks"), i + k)): _*))))
+      .select(col("doc_id"), col("pos").as("p"), md5(col("col")).as("h"))
+  }
+
+  /** Cross-document duplicated SUBSTRING spans (the doc-level dedup
+    * families can't see a copied paragraph inside an otherwise-unique
+    * document — this operator can; cf. Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", which does it with a
+    * suffix array). Distributed shape instead of a suffix array:
+    *
+    *  1. position-keyed L-token rolling shingles (map-only),
+    *  2. shingle hashes occurring in ≥ `minDocs` DISTINCT docs — one
+    *     map-side-combined aggregation on the hash key,
+    *  3. each doc's duplicated positions merged into maximal spans:
+    *     lag + cumulative-sum islands (consecutive hits ≤ L apart are
+    *     one duplicated region), both windows PARTITIONED BY doc_id —
+    *     per-doc state only, never a global window.
+    *
+    * The duplicated-hash table is O(duplicated content), not O(corpus);
+    * the join back is an equi-join on the hash key (merge-shuffled, the
+    * same key the aggregation just partitioned by). Emits one row per
+    * (doc, span): token offsets, width, and the number of duplicated
+    * shingles supporting it. */
+  def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
+                      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = positionedShingleRows(docs, spanTokens)
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val hits = sh.hint("merge").join(dup.hint("merge"), "h")
+      .select(col("doc_id"), col("p"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    hits
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("p") - col("prev") > spanTokens, 1)
+          .otherwise(0))
+      .withColumn("g", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (spanTokens - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_shingles"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_dup_shingles"))
+  }
 }

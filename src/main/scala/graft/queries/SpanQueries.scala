@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.tables.Fixtures
+
+/** Sub-document curation operators: boilerplate segment removal
+  * (RefinedWeb/CCNet-style line dedup), cross-document duplicated
+  * substring spans (the suffix-array use case of Lee et al. 2021,
+  * re-expressed as distributed rolling-shingle islands), and the
+  * fastText-shaped hashed linear quality classifier.
+  *
+  * Every data-dependent decision is md5-derived integer arithmetic, so
+  * each query carries a full DuckDB differential oracle — including
+  * the span merge, whose lag + cumulative-sum island windows are
+  * partitioned by doc_id in both engines.
+  */
+object SpanQueries {
+
+  private val SegTokens = 5
+  private val MinDocs = 3
+  private val SpanTokens = 8
+  private val ClassifierDim = 1024
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the corpus's recurring segments (the fixture's near-dup docs
+    // supply the recurrence a crawl's nav bars / cookie banners would)
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateSegments(Fixtures.documents(s, dir),
+        SegTokens, MinDocs)
+        .orderBy(col("n_docs").desc, col("seg_hash"))),
+
+    // APPLY: every doc rebuilt without its boilerplate segments
+    // (row-sized md5 proof of the scrubbed text, piiScrub convention)
+    "text_boilerplate_apply" -> ((s, dir) =>
+      TextAnalysis.scrubBoilerplate(Fixtures.documents(s, dir),
+        SegTokens, MinDocs)
+        .orderBy(col("doc_id"))),
+
+    // duplicated runs INSIDE otherwise-unique documents — doc-level
+    // dedup can't see these; positions let a scrubber cut the span
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Fixtures.documents(s, dir), SpanTokens,
+        minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // hashed-BOW linear classifier score per doc, exact integer sum
+    "quality_classifier" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Fixtures.documents(s, dir), ClassifierDim)
+        .orderBy(col("doc_id")))
+  )
+
+  /** Shared segment CTE: non-overlapping SegTokens-token windows, the
+    * last segment keeping the short tail — mirrors
+    * [[TextAnalysis.segmentRows]] exactly (0-based seg_idx, clamped
+    * slice). range(0, 512) is a constant superset (DuckDB's range()
+    * cannot take lateral bounds); fixture docs are ≤ ~100 tokens. */
+  private val segCte =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |seg AS (SELECT doc_id, i AS seg_idx,
+       |  array_to_string(t[(i*$SegTokens+1):((i+1)*$SegTokens)], ' ') AS seg
+       |  FROM toks, range(0, 512) r(i) WHERE i < (len(t)+${SegTokens - 1})//$SegTokens),
+       |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_boilerplate" -> (segCte +
+      s"""cnt AS (SELECT md5(seg) AS seg_hash, min(seg) AS seg,
+         |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_hits
+         |  FROM seg GROUP BY md5(seg))
+         |SELECT seg_hash, seg, n_docs, n_hits FROM cnt WHERE n_docs >= $MinDocs
+         |ORDER BY n_docs DESC, seg_hash""".stripMargin),
+
+    "text_boilerplate_apply" -> (segCte +
+      s"""bp AS (SELECT md5(seg) AS seg_hash FROM seg
+         |  GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= $MinDocs),
+         |kept AS (SELECT s.doc_id,
+         |  string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS clean_text,
+         |  COUNT(*)::BIGINT AS n_kept
+         |  FROM seg s LEFT JOIN bp ON md5(s.seg) = bp.seg_hash
+         |  WHERE bp.seg_hash IS NULL GROUP BY s.doc_id),
+         |base AS (SELECT doc_id,
+         |  ((len(string_split(text, ' '))+${SegTokens - 1})//$SegTokens)::BIGINT AS n_segs
+         |  FROM documents)
+         |SELECT b.doc_id, md5(coalesce(k.clean_text, '')) AS clean_md5,
+         |  b.n_segs, (b.n_segs - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+         |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+         |ORDER BY b.doc_id""".stripMargin),
+
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, i AS p,
+         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
+         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+         |lagged AS (SELECT doc_id, p,
+         |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
+         |marked AS (SELECT doc_id, p,
+         |  CASE WHEN prev IS NULL OR p - prev > $SpanTokens THEN 1 ELSE 0 END AS ns
+         |  FROM lagged),
+         |island AS (SELECT doc_id, p,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM marked)
+         |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         |  CAST(MAX(p)+${SpanTokens - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(p)+$SpanTokens-MIN(p) AS BIGINT) AS span_tokens,
+         |  COUNT(*)::BIGINT AS n_dup_shingles
+         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |  ('0x'||substr(md5('w:' ||
+         |     (('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim)::VARCHAR
+         |   ),1,8))::BIGINT - 2147483648 AS wt
+         |  FROM toks),
+         |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |  CAST(SUM(wt) AS BIGINT) AS feat_sum FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Semantics of the sub-document curation operators (boilerplate
+  * segment removal, duplicated substring spans, hashed linear
+  * classifier) on handcrafted inputs — the planted cases the DuckDB
+  * differential check can't express intent for. */
+class SpanOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("segmentRows: non-overlapping k-token windows, short tail kept") {
+    val d = docs(1L -> "a b c d e f g")   // 7 tokens, k=3 -> "a b c","d e f","g"
+    val segs = TextAnalysis.segmentRows(d, segTokens = 3).collect()
+      .map(r => r.getAs[Int]("seg_idx") -> r.getAs[String]("seg")).sortBy(_._1)
+    assert(segs.toSeq == Seq(0 -> "a b c", 1 -> "d e f", 2 -> "g"))
+  }
+
+  test("boilerplateSegments flags a segment recurring in >= minDocs distinct docs") {
+    val banner = "accept all cookies now please"        // 5 tokens = 1 segment
+    val d = docs(
+      1L -> s"$banner ${words("a", 10)}",
+      2L -> s"$banner ${words("b", 10)}",
+      3L -> s"$banner ${words("c", 10)}",
+      4L -> words("d", 15))
+    val bp = TextAnalysis.boilerplateSegments(d, segTokens = 5, minDocs = 3).collect()
+    assert(bp.length == 1)
+    assert(bp.head.getAs[String]("seg") == banner)
+    assert(bp.head.getAs[Long]("n_docs") == 3L)
+    assert(bp.head.getAs[Long]("n_hits") == 3L)
+  }
+
+  test("scrubBoilerplate removes only the recurring segment; untouched docs keep their text md5") {
+    val banner = "accept all cookies now please"
+    val tail1 = words("a", 10)
+    val d = docs(
+      1L -> s"$banner $tail1",
+      2L -> s"$banner ${words("b", 10)}",
+      3L -> s"$banner ${words("c", 10)}",
+      4L -> words("d", 15))
+    val out = TextAnalysis.scrubBoilerplate(d, segTokens = 5, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_md5"), r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1: banner segment dropped, the two 5-token tail segments remain
+    val md5Of: String => String = s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((md5Of(tail1), 3L, 1L)))
+    // doc 4 has no boilerplate: reconstruction == original text
+    assert(out(4L) == ((md5Of(words("d", 15)), 3L, 0L)))
+  }
+
+  test("fully-boilerplate doc survives as an empty-text row") {
+    val banner = "accept all cookies now please"
+    val d = docs(1L -> banner, 2L -> banner, 3L -> banner)
+    val out = TextAnalysis.scrubBoilerplate(d, segTokens = 5, minDocs = 3).collect()
+    assert(out.length == 3)
+    val empty = java.security.MessageDigest.getInstance("MD5").digest("".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.forall(_.getAs[String]("clean_md5") == empty))
+    assert(out.forall(_.getAs[Long]("n_removed") == 1L))
+  }
+
+  test("duplicatedSpans finds a copied run inside otherwise-unique docs, merged to one span") {
+    val copied = words("c", 20)                         // 20-token copied run
+    val d = docs(
+      1L -> s"${words("a", 15)} $copied ${words("x", 12)}",
+      2L -> s"${words("b", 9)} $copied ${words("y", 7)}",
+      3L -> words("z", 40))
+    val spans = Dedup.duplicatedSpans(d, spanTokens = 8, minDocs = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+      .sortBy(_._1)
+    // one maximal span per doc covering exactly the copied run
+    assert(spans.toSeq == Seq(
+      (1L, 15L, 34L, 20L),
+      (2L, 9L, 28L, 20L)))
+  }
+
+  test("duplicatedSpans: hits farther apart than L stay separate spans") {
+    val runA = words("p", 10)
+    val runB = words("q", 10)
+    val d = docs(
+      1L -> s"$runA ${words("m", 20)} $runB",
+      2L -> s"$runA ${words("n", 20)} $runB")
+    val spans = Dedup.duplicatedSpans(d, spanTokens = 8, minDocs = 2).collect()
+    assert(spans.count(_.getAs[Long]("doc_id") == 1L) == 2,
+      "two separated copied runs must not merge across the unique gap")
+  }
+
+  test("classifierScore is deterministic, exact, and n_tokens-complete") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta")
+    val out = TextAnalysis.classifierScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("feat_sum"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out(1L) == out(2L), "identical text must score identically")
+    assert(out(1L)._1 == 3L && out(3L)._1 == 1L)
+    // exact integer reference for one token, computed independently:
+    // bucket = int(md5('feat:delta')[:8], 16) % 1024
+    // weight = int(md5('w:'+bucket)[:8], 16) - 2^31
+    val md5Hex: String => String = s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bucket = java.lang.Long.parseLong(md5Hex("feat:delta").take(8), 16) % 1024
+    val weight = java.lang.Long.parseLong(md5Hex(s"w:$bucket").take(8), 16) - 2147483648L
+    assert(out(3L)._2 == weight)
+    assert(out(3L)._3 == (weight >= 0))
+  }
+}
