@@ -627,4 +627,35 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_dup_shingles"))
   }
+
+  /** APPLY step for [[duplicatedSpans]]: every document rebuilt with
+    * its duplicated spans cut out. Spans are grouped per doc (a few
+    * [start,end] pairs each — O(duplicated regions), never O(tokens))
+    * and the cut is a per-row indexed `filter` over the token array:
+    * row-local, no token explode, no shuffle beyond the span pipeline
+    * itself. The HOF runs interpreted, but over (tokens × spans-per-
+    * doc) — both small per row — unlike the md5-heavy per-row lambdas
+    * this repo rejects. Emits the scrubbed text's md5 (row-sized
+    * proof) plus token accounting; docs without spans pass through
+    * with their original text md5. */
+  def scrubSpans(docs: DataFrame, spanTokens: Int = 8,
+                 minDocs: Int = 2): DataFrame = {
+    val spansPerDoc = duplicatedSpans(docs, spanTokens, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("toks"), col("spans"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (t, i) => !exists(col("spans"),
+            s => i >= s.getField("span_start") && i <= s.getField("span_end"))))
+          .as("kept"))
+      .select(col("doc_id"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_cut_tokens"))
+  }
 }

@@ -251,8 +251,12 @@ object TextAnalysis {
     * [[Curation.piiScrub]]) plus kept/removed counts; a left join from
     * the corpus keeps fully-boilerplate docs as empty-text rows. */
   def scrubBoilerplate(docs: DataFrame, segTokens: Int = 5,
-                       minDocs: Int = 3): DataFrame = {
-    val bp = boilerplateSegments(docs, segTokens, minDocs)
+                       minDocs: Int = 3,
+                       ref: Option[DataFrame] = None): DataFrame = {
+    // `ref`: a stored [[boilerplateSegments]] table (the commonnessRef
+    // pattern) — production computes the segment table ONCE over the
+    // corpus and scrubs every batch against it with a single scan.
+    val bp = ref.getOrElse(boilerplateSegments(docs, segTokens, minDocs))
       .select(col("seg_hash"))
     val kept = segmentRows(docs, segTokens)
       .join(broadcast(bp), md5(col("seg")) === col("seg_hash"), "left_anti")
@@ -308,5 +312,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(weight(col("token"))).as("feat_sum"))
       .withColumn("keep", col("feat_sum") >= 0)
+  }
+
+  /** [[classifierScore]]'s production path: the weight table is a
+    * DataFrame (bucket: long, weight: long) — a TRAINED model's
+    * weights, stored beside the corpus — broadcast into a per-token
+    * equi-join on the bucket id (the commonness-scoring shape).
+    * Buckets absent from the table weigh 0, so a sparse model is
+    * stored sparsely. `ClassifierParitySpec`-style check in
+    * SpanOpsSpec: with the md5-derived weights materialized as a
+    * table, this path reproduces [[classifierScore]] bit-for-bit. */
+  def classifierScoreWeighted(docs: DataFrame, weights: DataFrame,
+                              dim: Int = 1024): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("feat:"), col("token"))), 1, 8), 16, 10)
+          .cast("long") % dim)
+    toks.join(broadcast(weights), Seq("bucket"), "left")
+      .na.fill(0L, Seq("weight"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("feat_sum"))
+      .withColumn("keep", col("feat_sum") >= 0)
+  }
+
+  /** The md5-derived pseudo-weights of [[classifierScore]] as a
+    * (bucket, weight) table — dim rows, storable, and the parity
+    * input for [[classifierScoreWeighted]]. */
+  def classifierWeightsRef(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    spark.range(dim).select(col("id").as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") - 2147483648L).as("weight"))
   }
 }

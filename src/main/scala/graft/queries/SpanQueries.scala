@@ -45,6 +45,12 @@ object SpanQueries {
         minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // APPLY: every doc rebuilt with its duplicated spans cut out
+    // (row-sized md5 proof; span-less docs pass through unchanged)
+    "dedup_substring_apply" -> ((s, dir) =>
+      Dedup.scrubSpans(Fixtures.documents(s, dir), SpanTokens, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // hashed-BOW linear classifier score per doc, exact integer sum
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Fixtures.documents(s, dir), ClassifierDim)
@@ -107,6 +113,37 @@ object SpanQueries {
          |  CAST(MAX(p)+$SpanTokens-MIN(p) AS BIGINT) AS span_tokens,
          |  COUNT(*)::BIGINT AS n_dup_shingles
          |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_substring_apply" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, i AS p,
+         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
+         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+         |lagged AS (SELECT doc_id, p,
+         |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
+         |marked AS (SELECT doc_id, p,
+         |  CASE WHEN prev IS NULL OR p - prev > $SpanTokens THEN 1 ELSE 0 END AS ns
+         |  FROM lagged),
+         |island AS (SELECT doc_id, p,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM marked),
+         |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p)+${SpanTokens - 1} AS e
+         |  FROM island GROUP BY doc_id, g),
+         |tokpos AS (SELECT doc_id, i-1 AS pos, t[i] AS tok
+         |  FROM toks, range(1, 512) r(i) WHERE i <= len(t)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         |  COUNT(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT b.doc_id, md5(coalesce(a.clean, '')) AS clean_md5, b.n_tokens,
+         |  (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut_tokens
+         |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

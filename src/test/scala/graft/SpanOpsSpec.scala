@@ -99,6 +99,40 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
       "two separated copied runs must not merge across the unique gap")
   }
 
+  test("scrubSpans cuts exactly the duplicated run; span-less docs keep their text md5") {
+    val copied = words("c", 20)
+    val tail1 = words("a", 15)
+    val head1 = words("x", 12)
+    val d = docs(
+      1L -> s"$tail1 $copied $head1",
+      2L -> s"${words("b", 9)} $copied ${words("y", 7)}",
+      3L -> words("z", 40))
+    val md5Of: String => String = s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Dedup.scrubSpans(d, spanTokens = 8, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_md5"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_tokens"))))
+      .toMap
+    assert(out(1L) == ((md5Of(s"$tail1 $head1"), 47L, 20L)))
+    assert(out(3L) == ((md5Of(words("z", 40)), 40L, 0L)), "span-less doc must pass through")
+  }
+
+  test("classifierScoreWeighted with the md5 weight table reproduces classifierScore exactly") {
+    val d = docs(
+      1L -> words("alpha", 12),
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> words("zeta", 30))
+    val direct = TextAnalysis.classifierScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("feat_sum"), r.getAs[Boolean]("keep")))).toMap
+    val weighted = TextAnalysis.classifierScoreWeighted(d,
+      TextAnalysis.classifierWeightsRef(d)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("feat_sum"), r.getAs[Boolean]("keep")))).toMap
+    assert(direct == weighted)
+  }
+
   test("classifierScore is deterministic, exact, and n_tokens-complete") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta")
     val out = TextAnalysis.classifierScore(d).collect()

@@ -24,11 +24,13 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     // feed the fixture events through a file stream (one parquet dir,
     // same files the batch query reads)
     val batchEvents = Fixtures.events(spark, sfDir)
-    // file-stream sources read a directory; stage the single fixture
-    // file into one
+    // file-stream sources read a directory; stage the NORMALIZED
+    // events into one (Fixtures.events canonicalizes ts to epoch-nanos
+    // LongType — copying the raw fixture file would re-expose whatever
+    // physical timestamp unit the generator chose, which a LongType
+    // read schema returns as raw unconverted integers)
     val streamDir = Files.createTempDirectory("eventsfeed")
-    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      streamDir.resolve("events.parquet"))
+    batchEvents.write.mode("overwrite").parquet(streamDir.toString)
     val stream = spark.readStream
       .schema(batchEvents.schema)
       .parquet(streamDir.toString)
