@@ -314,6 +314,25 @@ object TextAnalysis {
       .withColumn("keep", col("feat_sum") >= 0)
   }
 
+  /** [[classifierScore]]'s per-row Column form — the STREAMING gate
+    * shape: a stateless projection usable before any stateful stage
+    * (a streaming groupBy(doc_id) would otherwise turn the classifier
+    * into keyed state with watermark semantics it doesn't need). The
+    * `aggregate` lambda evaluates interpreted, which is the wrong
+    * trade for batch scoring (use [[classifierScore]]'s exploded
+    * codegen form there) but fine at ingest rates where the per-batch
+    * row count is bounded by the trigger. SpanOpsSpec pins bit-exact
+    * parity with the batch form. */
+  def classifierFeatSum(text: Column, dim: Int = 1024): Column = {
+    def weight(t: Column): Column = {
+      val bucket = conv(substring(md5(concat(lit("feat:"), t)), 1, 8), 16, 10)
+        .cast("long") % dim
+      conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8), 16, 10)
+        .cast("long") - 2147483648L
+    }
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + weight(t))
+  }
+
   /** [[classifierScore]]'s production path: the weight table is a
     * DataFrame (bucket: long, weight: long) — a TRAINED model's
     * weights, stored beside the corpus — broadcast into a per-token

@@ -320,10 +320,22 @@ object StreamAnalytics {
                       threshold: Double = 0.6, k: Int = 12,
                       rowsPerBand: Int = 2,
                       horizonNanos: Long = 3600L * 1000000000L,
-                      maxPerBucket: Int = 64): (DataFrame, Dataset[NearDupHit]) = {
-    val gated = graft.ops.TextAnalysis.withQuality(docs)
+                      maxPerBucket: Int = 64,
+                      minFeatSum: Option[Long] = None): (DataFrame, Dataset[NearDupHit]) = {
+    // Optional model gate: the hashed-linear classifier as a stateless
+    // per-row projection ([[TextAnalysis.classifierFeatSum]]), applied
+    // with the other gates BEFORE the matcher so rejected docs never
+    // enter near-dup state. None (the default) adds neither the column
+    // nor the filter — existing callers see an identical stream.
+    val qualityGated = graft.ops.TextAnalysis.withQuality(docs)
       .withColumn("predicted_lang", graft.ops.TextAnalysis.predictedLang(col("text")))
       .filter(col("n_tokens") >= minTokens && col("quality_score_bp") >= minQualityBp)
+    val gated = minFeatSum match {
+      case None => qualityGated
+      case Some(m) => qualityGated
+        .withColumn("feat_sum", graft.ops.TextAnalysis.classifierFeatSum(col("text")))
+        .filter(col("feat_sum") >= m)
+    }
     val hits = streamingNearDup(
       gated.select(col("doc_id"), col("text"), col("ts")),
       threshold, k, rowsPerBand, horizonNanos, maxPerBucket)

@@ -133,6 +133,19 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
     assert(direct == weighted)
   }
 
+  test("classifierFeatSum (streaming per-row form) matches classifierScore bit-for-bit") {
+    val d = docs(
+      1L -> words("alpha", 25),
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> words("mix", 40))
+    val batch = TextAnalysis.classifierScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("feat_sum")).toMap
+    val perRow = d.select(org.apache.spark.sql.functions.col("doc_id"),
+      TextAnalysis.classifierFeatSum(org.apache.spark.sql.functions.col("text")).as("fs"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fs")).toMap
+    assert(batch == perRow)
+  }
+
   test("classifierScore is deterministic, exact, and n_tokens-complete") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta")
     val out = TextAnalysis.classifierScore(d).collect()

@@ -343,4 +343,36 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         s"gated docs must never reach the matcher: $pairSet")
     } finally { qK.stop(); qH.stop() }
   }
+
+  test("streamingCurate classifier gate: below-threshold docs drop before state, feat_sum rides along") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTestDoc]
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    // both texts pass the quality gates; the md5-derived classifier
+    // splits them (scores computed with the BATCH form, which
+    // SpanOpsSpec proves identical to the streaming per-row form)
+    val candidates = (1 to 60).map(i => (1 to 30).map(j => s"t${i}w$j").mkString(" "))
+    val batchScores = graft.ops.TextAnalysis.classifierScore(
+      candidates.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("feat_sum")).toMap
+    val pos = candidates(batchScores.filter(_._2 >= 0).keys.min.toInt)
+    val neg = candidates(batchScores.filter(_._2 < 0).keys.min.toInt)
+
+    val (kept, _) = StreamAnalytics.streamingCurate(mem.toDF(),
+      horizonNanos = 10 * minNanos, minFeatSum = Some(0L))
+    val dir = Files.createTempDirectory("curcls").toString
+    val q = kept.writeStream.format("memory").queryName("curate_cls")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      mem.addData(StreamTestDoc(1, pos, t0), StreamTestDoc(2, neg, t0))
+      q.processAllAvailable()
+      val rows = spark.table("curate_cls").select("doc_id", "feat_sum").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L),
+        "the classifier gate must drop the negative-scoring doc before any state")
+      assert(rows.head.getLong(1) >= 0L)
+    } finally q.stop()
+  }
 }
