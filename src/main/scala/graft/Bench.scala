@@ -97,7 +97,10 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1"
       else {
-        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        // 2 decimals under 10 s, 1 above: a contended run's double-digit
+        // entries would otherwise grow the line into the tail limit
+        val s = BigDecimal(v).setScale(if (v >= 10) 1 else 2,
+            BigDecimal.RoundingMode.HALF_UP)
           .bigDecimal.stripTrailingZeros.toPlainString
         if (s == "-0") "0" else s
       }
@@ -106,7 +109,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val contended = loadStart > contentionThreshold()
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","repeats":$repeats,"contended":$contended,"load_avg_start":${ms(loadStart max 0)},"load_avg_end":${ms(loadAvg() max 0)}}"""
+    // Key brevity is load-bearing: the whole line must fit the
+    // driver's 2000-char tail window beside ~73 query entries, so the
+    // sf dir is echoed as its basename and the load keys are short.
+    val sfName = new java.io.File(sfDir).getName
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0)},"load_end":${ms(loadAvg() max 0)}}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

@@ -603,7 +603,6 @@ object Dedup {
     * shingles supporting it. */
   def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
                       minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = positionedShingleRows(docs, spanTokens)
     val dup = sh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -611,6 +610,14 @@ object Dedup {
       .select(col("h"))
     val hits = sh.hint("merge").join(dup.hint("merge"), "h")
       .select(col("doc_id"), col("p"))
+    hitsToSpans(hits, spanTokens)
+  }
+
+  /** Shared island-merge tail for the span detectors: duplicated-hit
+    * positions → maximal spans (lag + cumulative-sum, both windows
+    * PARTITIONED BY doc_id — per-doc state only). */
+  private def hitsToSpans(hits: DataFrame, spanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     hits
       .withColumn("prev", lag(col("p"), 1).over(byDoc))
@@ -626,6 +633,35 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_dup_shingles"))
+  }
+
+  /** The daily-batch form of [[duplicatedSpans]]: spans for the FRESH
+    * batch only, duplicated against corpus ∪ fresh. The corpus is
+    * represented by its per-hash distinct-doc counts — a table that is
+    * O(distinct corpus shingles), computed once and STORED (bucket it
+    * on `h` via [[graft.tables.Bucketed]] and the per-batch probe
+    * co-locates instead of re-shuffling the corpus side). Fresh and
+    * corpus doc sets are disjoint, so summing the two counts equals
+    * the union's distinct count — the exact rule the full operator
+    * applies, restricted to fresh hits (parity pinned in SpanOpsSpec).
+    * Per-batch cost: O(increment) shingling + one keyed join against
+    * the count table; the corpus text is never re-read. */
+  def incrementalDuplicatedSpans(corpus: DataFrame, fresh: DataFrame,
+                                 spanTokens: Int = 8, minDocs: Int = 2,
+                                 corpusShingleCounts: Option[DataFrame] = None): DataFrame = {
+    val freshSh = positionedShingleRows(fresh, spanTokens)
+    val corpusCounts = corpusShingleCounts.getOrElse(
+      positionedShingleRows(corpus, spanTokens)
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_corpus")))
+    val dup = freshSh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_fresh"))
+      .hint("merge").join(corpusCounts.hint("merge"), Seq("h"), "left")
+      .na.fill(0L, Seq("n_corpus"))
+      .filter(col("n_fresh") + col("n_corpus") >= minDocs)
+      .select(col("h"))
+    val hits = freshSh.hint("merge").join(dup.hint("merge"), "h")
+      .select(col("doc_id"), col("p"))
+    hitsToSpans(hits, spanTokens)
   }
 
   /** APPLY step for [[duplicatedSpans]]: every document rebuilt with

@@ -45,6 +45,19 @@ object SpanQueries {
         minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // the daily-batch form: spans for the fresh fifth of the corpus
+    // only, duplicated against corpus ∪ fresh via the storable
+    // per-hash count table — the corpus text is never re-shingled
+    // when the counts are stored (here they're derived inline)
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Dedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        SpanTokens, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // APPLY: every doc rebuilt with its duplicated spans cut out
     // (row-sized md5 proof; span-less docs pass through unchanged)
     "dedup_substring_apply" -> ((s, dir) =>
@@ -100,6 +113,30 @@ object SpanQueries {
          |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
          |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+         |lagged AS (SELECT doc_id, p,
+         |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
+         |marked AS (SELECT doc_id, p,
+         |  CASE WHEN prev IS NULL OR p - prev > $SpanTokens THEN 1 ELSE 0 END AS ns
+         |  FROM lagged),
+         |island AS (SELECT doc_id, p,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM marked)
+         |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         |  CAST(MAX(p)+${SpanTokens - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(p)+$SpanTokens-MIN(p) AS BIGINT) AS span_tokens,
+         |  COUNT(*)::BIGINT AS n_dup_shingles
+         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    // fresh/corpus doc sets are disjoint, so the union distinct-doc
+    // count the operator forms as n_fresh + n_corpus is stated here
+    // directly as the all-docs count, with hits restricted to fresh
+    "dedup_substring_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, i AS p,
+         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
+         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h) WHERE doc_id % 5 = 0),
          |lagged AS (SELECT doc_id, p,
          |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
          |marked AS (SELECT doc_id, p,

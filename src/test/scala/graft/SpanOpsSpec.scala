@@ -99,6 +99,41 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
       "two separated copied runs must not merge across the unique gap")
   }
 
+  test("incrementalDuplicatedSpans: fresh-only spans, corpus-internal dups invisible, full-op parity") {
+    val copied = words("c", 15)
+    val corpusRun = words("k", 15)
+    val corpus = docs(
+      1L -> s"${words("a", 10)} $copied",
+      6L -> s"$corpusRun ${words("m", 10)}",   // corpus-internal dup pair:
+      11L -> s"$corpusRun ${words("n", 10)}")  // settled, must NOT be reported
+    val fresh = docs(
+      5L -> s"${words("f", 5)} $copied ${words("g", 5)}", // duplicates corpus doc 1
+      10L -> words("u", 30))                              // novel
+    val got = Dedup.incrementalDuplicatedSpans(corpus, fresh, spanTokens = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(got == Set((5L, 5L, 15L)),
+      s"only the fresh doc's copied run may be reported: $got")
+    // parity: the full operator over corpus ∪ fresh, restricted to
+    // fresh docs, is the same answer (disjoint doc sets → count sum
+    // == union distinct count)
+    val full = Dedup.duplicatedSpans(corpus.unionByName(fresh), spanTokens = 8)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(5L, 10L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(full == got)
+    // and the stored-counts path is the same plan fed from a table
+    val counts = Dedup.positionedShingleRows(corpus, 8)
+      .groupBy(org.apache.spark.sql.functions.col("h"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("doc_id")).as("n_corpus"))
+    val stored = Dedup.incrementalDuplicatedSpans(corpus, fresh, spanTokens = 8,
+      corpusShingleCounts = Some(counts))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(stored == got)
+  }
+
   test("scrubSpans cuts exactly the duplicated run; span-less docs keep their text md5") {
     val copied = words("c", 20)
     val tail1 = words("a", 15)
