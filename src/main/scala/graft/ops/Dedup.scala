@@ -601,9 +601,20 @@ object Dedup {
     * same key the aggregation just partitioned by). Emits one row per
     * (doc, span): token offsets, width, and the number of duplicated
     * shingles supporting it. */
+  /** [[positionedShingleRows]], persisted — the span detector, its
+    * apply step, and the incremental form all start from the same
+    * exploded base, and Spark's cache manager keys on the canonical
+    * plan, so every caller passing the same docs shares one
+    * materialization (the [[sharedShingleRows]] pattern). A filter of
+    * this cache is also a valid shingle base for a filter of the docs:
+    * shingling is row-local, so filter and shingle commute. */
+  def sharedPositionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame =
+    positionedShingleRows(docs, spanTokens).persist(StorageLevel.MEMORY_AND_DISK)
+
   def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
-                      minDocs: Int = 2): DataFrame = {
-    val sh = positionedShingleRows(docs, spanTokens)
+                      minDocs: Int = 2,
+                      shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(positionedShingleRows(docs, spanTokens))
     val dup = sh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -648,10 +659,12 @@ object Dedup {
     * the count table; the corpus text is never re-read. */
   def incrementalDuplicatedSpans(corpus: DataFrame, fresh: DataFrame,
                                  spanTokens: Int = 8, minDocs: Int = 2,
-                                 corpusShingleCounts: Option[DataFrame] = None): DataFrame = {
-    val freshSh = positionedShingleRows(fresh, spanTokens)
+                                 corpusShingleCounts: Option[DataFrame] = None,
+                                 freshShingles: Option[DataFrame] = None,
+                                 corpusShingles: Option[DataFrame] = None): DataFrame = {
+    val freshSh = freshShingles.getOrElse(positionedShingleRows(fresh, spanTokens))
     val corpusCounts = corpusShingleCounts.getOrElse(
-      positionedShingleRows(corpus, spanTokens)
+      corpusShingles.getOrElse(positionedShingleRows(corpus, spanTokens))
         .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_corpus")))
     val dup = freshSh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_fresh"))
@@ -675,8 +688,9 @@ object Dedup {
     * proof) plus token accounting; docs without spans pass through
     * with their original text md5. */
   def scrubSpans(docs: DataFrame, spanTokens: Int = 8,
-                 minDocs: Int = 2): DataFrame = {
-    val spansPerDoc = duplicatedSpans(docs, spanTokens, minDocs)
+                 minDocs: Int = 2,
+                 shingles: Option[DataFrame] = None): DataFrame = {
+    val spansPerDoc = duplicatedSpans(docs, spanTokens, minDocs, shingles)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = TextAnalysis.tokens(col("text"))

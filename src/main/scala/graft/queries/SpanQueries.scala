@@ -39,30 +39,43 @@ object SpanQueries {
         .orderBy(col("doc_id"))),
 
     // duplicated runs INSIDE otherwise-unique documents — doc-level
-    // dedup can't see these; positions let a scrubber cut the span
-    "dedup_substring_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(Fixtures.documents(s, dir), SpanTokens,
-        minDocs = 2)
-        .orderBy(col("doc_id"), col("span_start"))),
+    // dedup can't see these; positions let a scrubber cut the span.
+    // All three span entries draw from the session-shared persisted
+    // shingle base (cache-manager keyed on the canonical plan), so
+    // the explode+md5 stage materializes once per session.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Dedup.duplicatedSpans(docs, SpanTokens, minDocs = 2,
+        shingles = Some(Dedup.sharedPositionedShingleRows(docs, SpanTokens)))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
 
     // the daily-batch form: spans for the fresh fifth of the corpus
     // only, duplicated against corpus ∪ fresh via the storable
     // per-hash count table — the corpus text is never re-shingled
-    // when the counts are stored (here they're derived inline)
+    // when the counts are stored (here both sides filter the shared
+    // shingle base: shingling is row-local, so filter and shingle
+    // commute)
     "dedup_substring_incremental" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
+      val base = Dedup.sharedPositionedShingleRows(docs, SpanTokens)
       Dedup.incrementalDuplicatedSpans(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
-        SpanTokens, minDocs = 2)
+        SpanTokens, minDocs = 2,
+        freshShingles = Some(base.filter(col("doc_id") % 5 === 0)),
+        corpusShingles = Some(base.filter(col("doc_id") % 5 =!= 0)))
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
     // APPLY: every doc rebuilt with its duplicated spans cut out
     // (row-sized md5 proof; span-less docs pass through unchanged)
-    "dedup_substring_apply" -> ((s, dir) =>
-      Dedup.scrubSpans(Fixtures.documents(s, dir), SpanTokens, minDocs = 2)
-        .orderBy(col("doc_id"))),
+    "dedup_substring_apply" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Dedup.scrubSpans(docs, SpanTokens, minDocs = 2,
+        shingles = Some(Dedup.sharedPositionedShingleRows(docs, SpanTokens)))
+        .orderBy(col("doc_id"))
+    }),
 
     // hashed-BOW linear classifier score per doc, exact integer sum
     "quality_classifier" -> ((s, dir) =>
