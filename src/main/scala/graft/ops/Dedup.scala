@@ -579,7 +579,7 @@ object Dedup {
           sequence(lit(1), size(col("toks")) - (spanTokens - 1)),
           i => concat_ws(" ", (0 until spanTokens).map(k =>
             element_at(col("toks"), i + k)): _*))))
-      .select(col("doc_id"), col("pos").as("p"), md5(col("col")).as("h"))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), md5(col("col")).as("h"))
   }
 
   /** Cross-document duplicated SUBSTRING spans (the doc-level dedup

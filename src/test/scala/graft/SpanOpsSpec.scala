@@ -181,6 +181,85 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == perRow)
   }
 
+  test("differential: random corpora match Scala brute-force spans, boilerplate, classifier") {
+    val md5Hex: String => String = s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    def bruteSpans(corpus: Map[Long, Array[String]], L: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val owners = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+      for ((id, t) <- corpus; i <- 0 to t.length - L)
+        owners.getOrElseUpdate(t.slice(i, i + L).mkString(" "),
+          scala.collection.mutable.Set()) += id
+      corpus.toSeq.flatMap { case (id, t) =>
+        val hits = (0 to t.length - L)
+          .filter(i => owners(t.slice(i, i + L).mkString(" ")).size >= 2)
+        // islands: consecutive hits more than L apart start a new span
+        val islands = hits.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (cur :: done, p) =>
+            if (p - cur.head > L) List(p) :: cur :: done else (p :: cur) :: done
+        }.map(_.reverse).reverse
+        islands.map(is => (id, is.head.toLong, (is.last + L - 1).toLong,
+          (is.last + L - is.head).toLong, is.size.toLong))
+      }.toSet
+    }
+
+    def bruteClassifier(t: Array[String]): Long =
+      t.map { tok =>
+        val bucket = java.lang.Long.parseLong(md5Hex(s"feat:$tok").take(8), 16) % 1024
+        java.lang.Long.parseLong(md5Hex(s"w:$bucket").take(8), 16) - 2147483648L
+      }.sum
+
+    for (seed <- Seq(7, 21, 1009)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("aa", "bb", "cc", "dd", "ee")
+      // random docs plus planted copied runs so long spans exist
+      val run = Array.fill(12)(vocab(rnd.nextInt(vocab.length)))
+      val corpus: Map[Long, Array[String]] = (0L until 40L).map { id =>
+        val body = Array.fill(20 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+        val t = if (id % 7 == 0) body.take(10) ++ run ++ body.drop(10) else body
+        id -> t
+      }.toMap
+      val d = docs(corpus.toSeq.sortBy(_._1).map { case (id, t) => id -> t.mkString(" ") }: _*)
+
+      val L = 4
+      val gotSpans = Dedup.duplicatedSpans(d, spanTokens = L, minDocs = 2).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+          r.getAs[Long]("n_dup_shingles"))).toSet
+      assert(gotSpans == bruteSpans(corpus, L), s"span mismatch at seed $seed")
+      // invariants: spans inside doc bounds, strictly separated
+      gotSpans.groupBy(_._1).foreach { case (id, spans) =>
+        val sorted = spans.toSeq.sortBy(_._2)
+        sorted.foreach { case (_, s, e, w, _) =>
+          assert(s >= 0 && e < corpus(id).length && w == e - s + 1)
+        }
+        sorted.sliding(2).foreach {
+          case Seq((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1)
+          case _ =>
+        }
+      }
+
+      val gotCls = TextAnalysis.classifierScore(d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("feat_sum")).toMap
+      assert(gotCls == corpus.map { case (id, t) => id -> bruteClassifier(t) },
+        s"classifier mismatch at seed $seed")
+
+      // boilerplate: brute segment recurrence count (k-token windows,
+      // tail kept) matches the operator's flagged set
+      val k = 3
+      val segOwners = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+      for ((id, t) <- corpus; g <- t.grouped(k).zipWithIndex)
+        segOwners.getOrElseUpdate(g._1.mkString(" "),
+          scala.collection.mutable.Set()) += id
+      val expectBp = segOwners.filter(_._2.size >= 3).keySet.map(md5Hex)
+      val gotBp = TextAnalysis.boilerplateSegments(d, segTokens = k, minDocs = 3)
+        .collect().map(_.getAs[String]("seg_hash")).toSet
+      assert(gotBp == expectBp, s"boilerplate mismatch at seed $seed")
+    }
+  }
+
   test("classifierScore is deterministic, exact, and n_tokens-complete") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta")
     val out = TextAnalysis.classifierScore(d).collect()
