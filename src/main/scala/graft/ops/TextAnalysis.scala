@@ -226,15 +226,27 @@ object TextAnalysis {
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
   }
 
+  /** The production segmenter: one row per (doc_id, seg_idx, seg) by
+    * newline split — a crawl's page lines, the boundary RefinedWeb/
+    * CCNet line-dedup actually uses. Interchangeable with
+    * [[segmentRows]] everywhere a `segments` frame is accepted. */
+  def lineSegmentRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+
   /** The corpus's boilerplate segments: segments whose text recurs in
     * at least `minDocs` DISTINCT documents (headers, nav bars, cookie
     * banners — in this fixture, the shared runs of near-duplicate
     * docs). One map-side-combined aggregation keyed on the segment
     * hash; the result is tiny (recurring segments only), so the apply
-    * step can broadcast it. Never all-pairs, never a window. */
+    * step can broadcast it. Never all-pairs, never a window.
+    * `segments` swaps the boundary function (e.g.
+    * [[lineSegmentRows]]); the default is the k-token fixture
+    * segmenter. */
   def boilerplateSegments(docs: DataFrame, segTokens: Int = 5,
-                          minDocs: Int = 3): DataFrame =
-    segmentRows(docs, segTokens)
+                          minDocs: Int = 3,
+                          segments: Option[DataFrame] = None): DataFrame =
+    segments.getOrElse(segmentRows(docs, segTokens))
       .groupBy(md5(col("seg")).as("seg_hash"))
       .agg(min(col("seg")).as("seg"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -252,26 +264,33 @@ object TextAnalysis {
     * the corpus keeps fully-boilerplate docs as empty-text rows. */
   def scrubBoilerplate(docs: DataFrame, segTokens: Int = 5,
                        minDocs: Int = 3,
-                       ref: Option[DataFrame] = None): DataFrame = {
+                       ref: Option[DataFrame] = None,
+                       segments: Option[DataFrame] = None,
+                       joinWith: String = " "): DataFrame = {
     // `ref`: a stored [[boilerplateSegments]] table (the commonnessRef
     // pattern) — production computes the segment table ONCE over the
     // corpus and scrubs every batch against it with a single scan.
-    val bp = ref.getOrElse(boilerplateSegments(docs, segTokens, minDocs))
+    // `segments`/`joinWith`: the boundary function and its inverse —
+    // ([[lineSegmentRows]], "\n") for real crawl pages.
+    val segs = segments.getOrElse(segmentRows(docs, segTokens))
+    val bp = ref.getOrElse(boilerplateSegments(docs, segTokens, minDocs,
+        segments = Some(segs)))
       .select(col("seg_hash"))
-    val kept = segmentRows(docs, segTokens)
+    val kept = segs
       .join(broadcast(bp), md5(col("seg")) === col("seg_hash"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-          s => s.getField("seg")), " ").as("clean_text"),
+          s => s.getField("seg")), joinWith).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs.select(col("doc_id"),
-        expr(s"(size(split(text, ' ')) + ${segTokens - 1}) div $segTokens").as("n_segs"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
-        col("n_segs"),
-        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        (coalesce(col("n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   // ---------------------------------------------------------------

@@ -61,6 +61,29 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == ((md5Of(words("d", 15)), 3L, 0L)))
   }
 
+  test("newline segmenter: a recurring LINE is flagged and scrubbed, rebuilt with newlines") {
+    val banner = "accept all cookies"
+    val d = docs(
+      1L -> s"$banner\nunique line one\nanother line",
+      2L -> s"$banner\ndifferent body here",
+      3L -> s"$banner\nthird doc text",
+      4L -> "no banner at all\njust content")
+    val segs = TextAnalysis.lineSegmentRows(d)
+    val bp = TextAnalysis.boilerplateSegments(d, minDocs = 3, segments = Some(segs))
+      .collect()
+    assert(bp.length == 1 && bp.head.getAs[String]("seg") == banner)
+    val md5Of: String => String = s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = TextAnalysis.scrubBoilerplate(d, minDocs = 3,
+      segments = Some(segs), joinWith = "\n").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_md5"), r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out(1L) == ((md5Of("unique line one\nanother line"), 3L, 1L)))
+    assert(out(4L) == ((md5Of("no banner at all\njust content"), 2L, 0L)))
+  }
+
   test("fully-boilerplate doc survives as an empty-text row") {
     val banner = "accept all cookies now please"
     val d = docs(1L -> banner, 2L -> banner, 3L -> banner)
