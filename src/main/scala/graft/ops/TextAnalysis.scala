@@ -226,6 +226,16 @@ object TextAnalysis {
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
   }
 
+  /** [[segmentRows]], persisted — the boilerplate detector and its
+    * apply step reference the segment base from multiple plan legs
+    * (detection agg, anti-join, per-doc totals), and Spark's cache
+    * manager keys on the canonical plan, so every caller passing the
+    * same docs shares one materialization (the
+    * [[Dedup.sharedShingleRows]] pattern). */
+  def sharedSegmentRows(docs: DataFrame, segTokens: Int): DataFrame =
+    segmentRows(docs, segTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The production segmenter: one row per (doc_id, seg_idx, seg) by
     * newline split — a crawl's page lines, the boundary RefinedWeb/
     * CCNet line-dedup actually uses. Interchangeable with

@@ -25,18 +25,24 @@ object SpanQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the corpus's recurring segments (the fixture's near-dup docs
-    // supply the recurrence a crawl's nav bars / cookie banners would)
-    "text_boilerplate" -> ((s, dir) =>
-      TextAnalysis.boilerplateSegments(Fixtures.documents(s, dir),
-        SegTokens, MinDocs)
-        .orderBy(col("n_docs").desc, col("seg_hash"))),
+    // supply the recurrence a crawl's nav bars / cookie banners
+    // would); both boilerplate entries draw from the session-shared
+    // persisted segment base, like the span family's shingle base
+    "text_boilerplate" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.boilerplateSegments(docs, SegTokens, MinDocs,
+        segments = Some(TextAnalysis.sharedSegmentRows(docs, SegTokens)))
+        .orderBy(col("n_docs").desc, col("seg_hash"))
+    }),
 
     // APPLY: every doc rebuilt without its boilerplate segments
     // (row-sized md5 proof of the scrubbed text, piiScrub convention)
-    "text_boilerplate_apply" -> ((s, dir) =>
-      TextAnalysis.scrubBoilerplate(Fixtures.documents(s, dir),
-        SegTokens, MinDocs)
-        .orderBy(col("doc_id"))),
+    "text_boilerplate_apply" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.scrubBoilerplate(docs, SegTokens, MinDocs,
+        segments = Some(TextAnalysis.sharedSegmentRows(docs, SegTokens)))
+        .orderBy(col("doc_id"))
+    }),
 
     // duplicated runs INSIDE otherwise-unique documents — doc-level
     // dedup can't see these; positions let a scrubber cut the span.
