@@ -28,9 +28,9 @@ import org.apache.spark.sql.SparkSession
   * is the last output.
   *
   * The 1-minute load average is sampled before and after and emitted
-  * in the JSON (`load_avg_start`/`load_avg_end`), with a `contended`
-  * flag, so a reader comparing runs can see whether even the min was
-  * taken under load.
+  * in the JSON (`load_start`/`load_end` — short keys, same tail-window
+  * budget), with a `contended` flag, so a reader comparing runs can
+  * see whether even the min was taken under load.
   *
   * Reading per-query numbers: entries with session-persistent side
   * effects (the shared dedup caches, the persisted ANN index) pay
@@ -53,6 +53,34 @@ object Bench {
     * contended runs (load ≥ 4.5 here) still trip it. */
   private def contentionThreshold(): Double =
     math.max(2.0, Runtime.getRuntime.availableProcessors() / 8.0)
+
+  /** Seconds → compact decimal: 2 decimals under 10 s, whole seconds
+    * above — a contended run's double-digit entries (where ±0.5 s is
+    * noise anyway) would otherwise grow the line past the tail limit;
+    * failures print as -1. */
+  private[graft] def ms(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val s = BigDecimal(v).setScale(if (v >= 10) 0 else 2,
+          BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+
+  /** The one JSON line the driver tail-parses. Key brevity is
+    * load-bearing: the whole line must fit the driver's 2000-char tail
+    * window beside the full registry's query entries, so the sf dir is
+    * echoed as its basename and the load keys are short. BenchLineSpec
+    * pins the worst-case rendered length against the real registry. */
+  private[graft] def renderLine(results: Seq[(String, Double)], sfName: String,
+                                repeats: Int, contended: Boolean,
+                                loadStart: Double, loadEnd: Double): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0)},"load_end":${ms(loadEnd max 0)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -94,26 +122,8 @@ object Bench {
       // any failed repetition marks the query failed; otherwise min
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
-    def ms(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        // 2 decimals under 10 s, 1 above: a contended run's double-digit
-        // entries would otherwise grow the line into the tail limit
-        val s = BigDecimal(v).setScale(if (v >= 10) 1 else 2,
-            BigDecimal.RoundingMode.HALF_UP)
-          .bigDecimal.stripTrailingZeros.toPlainString
-        if (s == "-0") "0" else s
-      }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    val contended = loadStart > contentionThreshold()
-    // Key brevity is load-bearing: the whole line must fit the
-    // driver's 2000-char tail window beside ~73 query entries, so the
-    // sf dir is echoed as its basename and the load keys are short.
-    val sfName = new java.io.File(sfDir).getName
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0)},"load_end":${ms(loadAvg() max 0)}}"""
+    val json = renderLine(results, new java.io.File(sfDir).getName, repeats,
+      loadStart > contentionThreshold(), loadStart, loadAvg())
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

@@ -571,7 +571,9 @@ object Dedup {
     * shingle list is built per row and exploded; md5 runs codegen'd on
     * the exploded rows. */
   def positionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    // null text → '' → one token → shorter than any span window →
+    // filtered, matching the oracle's empty lateral range for the doc
+    val toks = TextAnalysis.tokens(coalesce(col("text"), lit("")))
     docs.select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= spanTokens)
       .select(col("doc_id"),
@@ -611,6 +613,11 @@ object Dedup {
   def sharedPositionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame =
     positionedShingleRows(docs, spanTokens).persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** NOTE for direct callers: the shingle base is referenced from TWO
+    * plan legs (the distinct-doc aggregation and the hits join), so
+    * with the default `shingles = None` the explode+md5 stage computes
+    * twice per run. Pass [[sharedPositionedShingleRows]] (as every
+    * registered query does) to materialize it once per session. */
   def duplicatedSpans(docs: DataFrame, spanTokens: Int = 8,
                       minDocs: Int = 2,
                       shingles: Option[DataFrame] = None): DataFrame = {
@@ -693,7 +700,7 @@ object Dedup {
     val spansPerDoc = duplicatedSpans(docs, spanTokens, minDocs, shingles)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-    val toks = TextAnalysis.tokens(col("text"))
+    val toks = TextAnalysis.tokens(coalesce(col("text"), lit("")))
     docs.join(spansPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), toks.as("toks"), col("spans"))
       .select(

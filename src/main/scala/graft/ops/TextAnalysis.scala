@@ -213,9 +213,12 @@ object TextAnalysis {
     * `segTokens`-token windows (the last segment keeps the short tail)
     * — same operator, different boundary function. Map-only: the
     * segment list is built per row with codegen'd array HOFs and
-    * exploded; nothing shuffles until the caller aggregates. */
+    * exploded; nothing shuffles until the caller aggregates. Null text
+    * coalesces to '' (one empty segment) — the SAME rule the DuckDB
+    * oracles apply, so a null-text fixture row cannot make the two
+    * engines disagree on segment totals. */
   def segmentRows(docs: DataFrame, segTokens: Int = 5): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = tokens(coalesce(col("text"), lit("")))
     val k = segTokens
     docs.select(col("doc_id"), toks.as("toks"))
       .withColumn("n_seg", expr(s"(size(toks) + ${k - 1}) div $k"))
@@ -241,7 +244,8 @@ object TextAnalysis {
     * CCNet line-dedup actually uses. Interchangeable with
     * [[segmentRows]] everywhere a `segments` frame is accepted. */
   def lineSegmentRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(split(col("text"), "\n")))
+    docs.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n")))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
 
   /** The corpus's boilerplate segments: segments whose text recurs in
@@ -264,11 +268,16 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
 
   /** APPLY step: rebuild each document with its boilerplate segments
-    * removed. The boilerplate table is `broadcast` (it is bounded by
-    * the number of RECURRING segments, not the corpus — the 100 TB
-    * analog stores it beside the corpus like the dedup band tables),
-    * so the scrub is scan + broadcast-anti-join + one groupBy(doc_id)
-    * whose per-group state is the document's own segments. Emits the
+    * removed. The boilerplate table carries NO broadcast hint: it is
+    * usually small (recurring segments only), but on a real crawl the
+    * set of segments appearing in ≥minDocs docs is corpus-dependent —
+    * CCNet-style line-dedup tables run to billions of lines — so a
+    * hard `broadcast()` would OOM the driver exactly when the operator
+    * matters most. AQE decides at runtime from the table's MEASURED
+    * size: broadcast-anti-join when it fits the threshold, shuffled
+    * anti-join when it doesn't (OpsSpec pins result equality through
+    * the forced-shuffle plan). Then one groupBy(doc_id) whose
+    * per-group state is the document's own segments. Emits the
     * scrubbed text's md5 (row-sized proof, same convention as
     * [[Curation.piiScrub]]) plus kept/removed counts; a left join from
     * the corpus keeps fully-boilerplate docs as empty-text rows. */
@@ -287,13 +296,17 @@ object TextAnalysis {
         segments = Some(segs)))
       .select(col("seg_hash"))
     val kept = segs
-      .join(broadcast(bp), md5(col("seg")) === col("seg_hash"), "left_anti")
+      .join(bp, md5(col("seg")) === col("seg_hash"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), joinWith).as("clean_text"),
         count(lit(1)).as("n_kept"))
     val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // n_segs coalesce: every doc emits ≥1 segment post-coalesce (null
+    // text → one '' segment), so the 0 arm only covers a `segments`
+    // override that dropped docs — and the oracle's base CTE computes
+    // the same coalesced count, keeping the two engines aligned.
     docs.select(col("doc_id"))
       .join(totals, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")

@@ -83,22 +83,63 @@ object SpanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the production crawl boundary: newline-split line segments
+    // (RefinedWeb/CCNet's actual line-dedup unit). The fixture docs
+    // are single-line, so each doc is one whole-text line and
+    // "recurring segment" degenerates to exact-dup text — a boundary
+    // case the operator and oracle must (and do) agree on.
+    "text_boilerplate_lines" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.scrubBoilerplate(docs, minDocs = MinDocs,
+        segments = Some(TextAnalysis.lineSegmentRows(docs)), joinWith = "\n")
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed-BOW linear classifier score per doc, exact integer sum
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Fixtures.documents(s, dir), ClassifierDim)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // the TRAINED-model path: the same score via a stored (bucket,
+    // weight) table broadcast into a per-token equi-join — here fed
+    // the md5-derived weights as the table, so the join path is
+    // differential-checked against the same closed-form oracle family
+    "quality_classifier_weighted" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.classifierScoreWeighted(docs,
+        TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Shared segment CTE: non-overlapping SegTokens-token windows, the
     * last segment keeping the short tail — mirrors
     * [[TextAnalysis.segmentRows]] exactly (0-based seg_idx, clamped
-    * slice). range(0, 512) is a constant superset (DuckDB's range()
-    * cannot take lateral bounds); fixture docs are ≤ ~100 tokens. */
+    * slice). Window indices come from DuckDB's LIST-valued range()
+    * unnested per row, so the bound derives from each doc's own token
+    * count — no constant superset for a regenerated fixture's longer
+    * docs to outgrow. Null text coalesces to '' on both engines
+    * (segmentRows applies the same coalesce). */
   private val segCte =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+       |seg0 AS (SELECT doc_id, t,
+       |  unnest(range(0, (len(t)+${SegTokens - 1})//$SegTokens)) AS i FROM toks),
        |seg AS (SELECT doc_id, i AS seg_idx,
-       |  array_to_string(t[(i*$SegTokens+1):((i+1)*$SegTokens)], ' ') AS seg
-       |  FROM toks, range(0, 512) r(i) WHERE i < (len(t)+${SegTokens - 1})//$SegTokens),
+       |  array_to_string(t[(i*$SegTokens+1):((i+1)*$SegTokens)], ' ') AS seg FROM seg0),
+       |""".stripMargin
+
+  /** Shared positioned-shingle CTE: one row per (doc_id, token
+    * position p), h = md5 of the SpanTokens tokens starting there —
+    * mirrors [[Dedup.positionedShingleRows]] (0-based p, docs shorter
+    * than the span window produce an empty range, i.e. no rows, which
+    * is exactly the operator's size() filter). Same lateral-bound /
+    * null-coalesce discipline as [[segCte]]. */
+  private val shingleCte =
+    s"""WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, t,
+       |  unnest(range(0, len(t)-${SpanTokens - 1})) AS p FROM toks),
+       |sh AS (SELECT doc_id, p,
+       |  md5(array_to_string(t[(p+1):(p+$SpanTokens)], ' ')) AS h FROM sh0),
        |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -118,19 +159,15 @@ object SpanQueries {
          |  FROM seg s LEFT JOIN bp ON md5(s.seg) = bp.seg_hash
          |  WHERE bp.seg_hash IS NULL GROUP BY s.doc_id),
          |base AS (SELECT doc_id,
-         |  ((len(string_split(text, ' '))+${SegTokens - 1})//$SegTokens)::BIGINT AS n_segs
+         |  ((len(string_split(coalesce(text, ''), ' '))+${SegTokens - 1})//$SegTokens)::BIGINT AS n_segs
          |  FROM documents)
          |SELECT b.doc_id, md5(coalesce(k.clean_text, '')) AS clean_md5,
          |  b.n_segs, (b.n_segs - coalesce(k.n_kept, 0))::BIGINT AS n_removed
          |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
          |ORDER BY b.doc_id""".stripMargin),
 
-    "dedup_substring_spans" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, i AS p,
-         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
-         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
-         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    "dedup_substring_spans" -> (shingleCte +
+      s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
          |lagged AS (SELECT doc_id, p,
          |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
@@ -144,17 +181,13 @@ object SpanQueries {
          |  CAST(MAX(p)+${SpanTokens - 1} AS BIGINT) AS span_end,
          |  CAST(MAX(p)+$SpanTokens-MIN(p) AS BIGINT) AS span_tokens,
          |  COUNT(*)::BIGINT AS n_dup_shingles
-         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin),
 
     // fresh/corpus doc sets are disjoint, so the union distinct-doc
     // count the operator forms as n_fresh + n_corpus is stated here
     // directly as the all-docs count, with hits restricted to fresh
-    "dedup_substring_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, i AS p,
-         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
-         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
-         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    "dedup_substring_incremental" -> (shingleCte +
+      s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h) WHERE doc_id % 5 = 0),
          |lagged AS (SELECT doc_id, p,
          |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
@@ -168,14 +201,10 @@ object SpanQueries {
          |  CAST(MAX(p)+${SpanTokens - 1} AS BIGINT) AS span_end,
          |  CAST(MAX(p)+$SpanTokens-MIN(p) AS BIGINT) AS span_tokens,
          |  COUNT(*)::BIGINT AS n_dup_shingles
-         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+         |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin),
 
-    "dedup_substring_apply" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, i AS p,
-         |  md5(array_to_string(t[(i+1):(i+$SpanTokens)], ' ')) AS h
-         |  FROM toks, range(0, 512) r(i) WHERE i <= len(t)-$SpanTokens),
-         |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    "dedup_substring_apply" -> (shingleCte +
+      s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
          |lagged AS (SELECT doc_id, p,
          |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
@@ -187,18 +216,39 @@ object SpanQueries {
          |  FROM marked),
          |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p)+${SpanTokens - 1} AS e
          |  FROM island GROUP BY doc_id, g),
-         |tokpos AS (SELECT doc_id, i-1 AS pos, t[i] AS tok
-         |  FROM toks, range(1, 512) r(i) WHERE i <= len(t)),
+         |tp0 AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM toks),
+         |tokpos AS (SELECT doc_id, i-1 AS pos, t[i] AS tok FROM tp0),
          |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
          |    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)),
          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
          |  COUNT(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
-         |base AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |base AS (SELECT doc_id, len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens
          |  FROM documents)
          |SELECT b.doc_id, md5(coalesce(a.clean, '')) AS clean_md5, b.n_tokens,
          |  (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_cut_tokens
          |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+         |ORDER BY b.doc_id""".stripMargin),
+
+    // line-boundary twin of text_boilerplate_apply: chr(10) split,
+    // 1-based list index i → 0-based seg_idx, newline re-join
+    "text_boilerplate_lines" ->
+      s"""WITH lt AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
+         |s0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM lt),
+         |seg AS (SELECT doc_id, i-1 AS seg_idx, ls[i] AS seg FROM s0),
+         |bp AS (SELECT md5(seg) AS seg_hash FROM seg
+         |  GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= $MinDocs),
+         |kept AS (SELECT s.doc_id,
+         |  string_agg(s.seg, chr(10) ORDER BY s.seg_idx) AS clean_text,
+         |  COUNT(*)::BIGINT AS n_kept
+         |  FROM seg s LEFT JOIN bp ON md5(s.seg) = bp.seg_hash
+         |  WHERE bp.seg_hash IS NULL GROUP BY s.doc_id),
+         |base AS (SELECT doc_id,
+         |  len(string_split(coalesce(text, ''), chr(10)))::BIGINT AS n_segs
+         |  FROM documents)
+         |SELECT b.doc_id, md5(coalesce(k.clean_text, '')) AS clean_md5,
+         |  b.n_segs, (b.n_segs - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+         |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
     "quality_classifier" ->
@@ -211,6 +261,25 @@ object SpanQueries {
          |  FROM toks),
          |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
          |  CAST(SUM(wt) AS BIGINT) AS feat_sum FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the weight table stated as an explicit range(dim) CTE and joined
+    // on the bucket id — the closed-form md5 weights materialized the
+    // way a trained model's would be stored (commonnessRef pattern)
+    "quality_classifier_weighted" ->
+      s"""WITH wtab AS (SELECT i AS bucket,
+         |  ('0x'||substr(md5('w:'||i::VARCHAR),1,8))::BIGINT - 2147483648 AS weight
+         |  FROM range(0, $ClassifierDim) r(i)),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tb AS (SELECT doc_id,
+         |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
+         |  FROM toks),
+         |j AS (SELECT t.doc_id, coalesce(w.weight, 0) AS weight
+         |  FROM tb t LEFT JOIN wtab w USING (bucket)),
+         |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)
          |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin
   )

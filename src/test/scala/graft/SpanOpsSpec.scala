@@ -18,6 +18,31 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
   private def words(prefix: String, n: Int): String =
     (1 to n).map(i => s"$prefix$i").mkString(" ")
 
+  private val md5Of: String => String = s =>
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Scala brute-force ground truth for [[Dedup.duplicatedSpans]]:
+    * owner sets per L-gram, then island-merge of duplicated positions
+    * (consecutive hits more than L apart start a new span). */
+  private def bruteSpans(corpus: Map[Long, Array[String]], L: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val owners = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, t) <- corpus; i <- 0 to t.length - L)
+      owners.getOrElseUpdate(t.slice(i, i + L).mkString(" "),
+        scala.collection.mutable.Set()) += id
+    corpus.toSeq.flatMap { case (id, t) =>
+      val hits = (0 to t.length - L)
+        .filter(i => owners(t.slice(i, i + L).mkString(" ")).size >= 2)
+      val islands = hits.foldLeft(List.empty[List[Int]]) {
+        case (Nil, p) => List(List(p))
+        case (cur :: done, p) =>
+          if (p - cur.head > L) List(p) :: cur :: done else (p :: cur) :: done
+      }.map(_.reverse).reverse
+      islands.map(is => (id, is.head.toLong, (is.last + L - 1).toLong,
+        (is.last + L - is.head).toLong, is.size.toLong))
+    }.toSet
+  }
+
   test("segmentRows: non-overlapping k-token windows, short tail kept") {
     val d = docs(1L -> "a b c d e f g")   // 7 tokens, k=3 -> "a b c","d e f","g"
     val segs = TextAnalysis.segmentRows(d, segTokens = 3).collect()
@@ -205,28 +230,7 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("differential: random corpora match Scala brute-force spans, boilerplate, classifier") {
-    val md5Hex: String => String = s =>
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-
-    def bruteSpans(corpus: Map[Long, Array[String]], L: Int): Set[(Long, Long, Long, Long, Long)] = {
-      val owners = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
-      for ((id, t) <- corpus; i <- 0 to t.length - L)
-        owners.getOrElseUpdate(t.slice(i, i + L).mkString(" "),
-          scala.collection.mutable.Set()) += id
-      corpus.toSeq.flatMap { case (id, t) =>
-        val hits = (0 to t.length - L)
-          .filter(i => owners(t.slice(i, i + L).mkString(" ")).size >= 2)
-        // islands: consecutive hits more than L apart start a new span
-        val islands = hits.foldLeft(List.empty[List[Int]]) {
-          case (Nil, p) => List(List(p))
-          case (cur :: done, p) =>
-            if (p - cur.head > L) List(p) :: cur :: done else (p :: cur) :: done
-        }.map(_.reverse).reverse
-        islands.map(is => (id, is.head.toLong, (is.last + L - 1).toLong,
-          (is.last + L - is.head).toLong, is.size.toLong))
-      }.toSet
-    }
+    val md5Hex = md5Of
 
     def bruteClassifier(t: Array[String]): Long =
       t.map { tok =>
@@ -281,6 +285,109 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getAs[String]("seg_hash")).toSet
       assert(gotBp == expectBp, s"boilerplate mismatch at seed $seed")
     }
+  }
+
+  test("duplicatedSpans island merges at adversarial widths L in {2, 8, 32}") {
+    for (l <- Seq(2, 8, 32)) {
+      // planted structure per width: ADJACENT copied runs that must
+      // merge into one span (doc 1), a gap just over L that must NOT
+      // merge (doc 2), a gap of exactly L that MUST merge (doc 3, the
+      // boundary case), and a copy OVERLAPPING doc 1's run junction
+      // (doc 4) so duplicated shingles straddle the runA/runB seam.
+      // Scala brute force is ground truth for all of it.
+      val runA = Array.tabulate(l + 4)(i => s"a$i")
+      val runB = Array.tabulate(l + 4)(i => s"b$i")
+      val runC = Array.tabulate(l)(i => s"c$i") // minimal run: exactly one shingle
+      def fill(p: String, n: Int) = Array.tabulate(n)(i => s"$p$i")
+      val corpus: Map[Long, Array[String]] = Map(
+        1L -> (fill("u", l + 3) ++ runA ++ runB ++ fill("v", 5)),
+        2L -> (fill("w", 4) ++ runA ++ fill("x", l + 1) ++ runC),
+        3L -> (runB ++ fill("y", l) ++ runC),
+        4L -> (runA.drop(2) ++ runB.take(2) ++ fill("z", 6)),
+        5L -> fill("q", l + 10))
+      val d = docs(corpus.toSeq.sortBy(_._1)
+        .map { case (id, t) => id -> t.mkString(" ") }: _*)
+      val got = Dedup.duplicatedSpans(d, spanTokens = l, minDocs = 2).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+          r.getAs[Long]("n_dup_shingles"))).toSet
+      assert(got == bruteSpans(corpus, l), s"span mismatch at L=$l")
+      // invariants survive the adversarial layout: in-bounds, merged
+      // spans strictly separated by more than the merge distance
+      got.groupBy(_._1).foreach { case (id, spans) =>
+        val sorted = spans.toSeq.sortBy(_._2)
+        sorted.foreach { case (_, s, e, w, _) =>
+          assert(s >= 0 && e < corpus(id).length && w == e - s + 1, s"L=$l doc=$id")
+        }
+        sorted.sliding(2).foreach {
+          case Seq((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1, s"L=$l doc=$id")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("scrubBoilerplate through the forced shuffle-join plan (no broadcast) matches the default plan") {
+    val banner = "accept all cookies now please"
+    val d = docs(
+      1L -> s"$banner ${words("a", 10)}",
+      2L -> s"$banner ${words("b", 10)}",
+      3L -> s"$banner ${words("c", 10)}",
+      4L -> words("d", 15))
+    def snapshot() = TextAnalysis.scrubBoilerplate(d, segTokens = 5, minDocs = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_md5"),
+        r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))).toSet
+    val default = snapshot()
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // the 100 TB case: the recurring-segment table exceeds every
+      // broadcast bound, so the anti-join must degrade to a shuffled
+      // join — same answer, no driver-side collect of the table
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = TextAnalysis.scrubBoilerplate(d, segTokens = 5, minDocs = 3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"scrub must not hard-hint a broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled anti-join in the forced plan:\n$plan")
+      assert(df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_md5"),
+        r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))).toSet == default)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
+  test("null text coalesces to '' in the segment/span operators (the oracle's rule)") {
+    import spark.implicits._
+    val d = Seq((1L, Option(words("n", 12))), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    // segmenter: null -> one empty segment, same as DuckDB's
+    // string_split(coalesce(text,''), ' ')
+    val segs = TextAnalysis.segmentRows(d, segTokens = 5)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L).collect()
+    assert(segs.map(r => (r.getAs[Int]("seg_idx"), r.getAs[String]("seg"))).toSeq
+      == Seq((0, "")))
+    val scrub = TextAnalysis.scrubBoilerplate(d, segTokens = 5, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_md5"), r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(scrub(2L) == ((md5Of(""), 1L, 0L)))
+    // span shingler: '' is shorter than any window -> no rows, and the
+    // apply step reports the one coalesced token, zero cut
+    assert(Dedup.positionedShingleRows(d, 8)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L).count() == 0L)
+    val spansApply = Dedup.scrubSpans(d, spanTokens = 8, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_md5"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_tokens"))))
+      .toMap
+    assert(spansApply(2L) == ((md5Of(""), 1L, 0L)))
+    // line segmenter: null -> one empty line
+    assert(TextAnalysis.lineSegmentRows(d)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L).collect()
+      .map(r => (r.getAs[Int]("seg_idx"), r.getAs[String]("seg"))).toSeq == Seq((0, "")))
   }
 
   test("classifierScore is deterministic, exact, and n_tokens-complete") {
