@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * multimodal-column model for a training-data pipeline. */
 final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Stub "decoded" features — what a real image/audio decoder would
-  * emit. The decode itself is a deterministic fake (no codec libs in
-  * this container); the Spark-side plumbing (schema, typed Dataset,
-  * partition-batched decode, output shape) is real and oracle-checked.
+/** Decoded features from the payload's own bytes: magic-sniffed
+  * format, header-parsed dimensions and frame count, md5 checksum.
+  * Rows whose bytes carry no recognizable header (the fixture's
+  * "audio" payloads, or any corrupt row at scale) decode to 0×0×1 —
+  * the honest unknown-format result a media gate must handle anyway.
   */
 final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                                checksum: String, width: Long, height: Long,
@@ -28,15 +29,40 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** Attach a binary payload + media_type to each document (the
-    * fixture has no real media, so the payload is the UTF-8 text
-    * bytes — opaque bytes as far as the pipeline is concerned). */
-  def withPayload(docs: DataFrame): DataFrame =
+  /** Attach a binary payload + media_type to each document. The
+    * fixture has no real media, so the payload is SYNTHESIZED — but
+    * with REAL codec-free headers, so the decode step downstream has
+    * genuine bytes to parse rather than placeholders to invent:
+    *
+    *  - image → binary PPM: `P6\n{w} {h}\n255\n` + body bytes (the
+    *    Netpbm header any PPM reader parses),
+    *  - video → YUV4MPEG2: `YUV4MPEG2 W{w} H{h} F25:1 XNFRAMES={n}\n`
+    *    + body bytes (Y4M's ASCII parameter header; the frame count
+    *    rides an X vendor parameter, the spec's extension mechanism),
+    *  - audio → raw body bytes, no header — the unknown-format path.
+    *
+    * Planted dims derive from the text length (w = 64+len%576,
+    * h = 64+(len·7)%416, video frames = 1+len%30), so the DuckDB
+    * oracle can state the expected parse results in closed form and
+    * the differential check verifies parse(synthesize(w,h)) == (w,h)
+    * byte-for-byte. All column work is codegen'd string concat. */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val w = (lit(64) + len % 576).cast("string")
+    val h = (lit(64) + (len * 7) % 416).cast("string")
+    val f = (lit(1) + len % 30).cast("string")
+    val mt = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val header = when(mt === "image",
+        concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n")))
+      .when(mt === "video",
+        concat(lit("YUV4MPEG2 W"), w, lit(" H"), h, lit(" F25:1 XNFRAMES="), f, lit("\n")))
+      .otherwise(lit(""))
     docs.select(
       col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"))
+      mt.as("media_type"),
+      concat(header, col("text")).cast("binary").as("payload"))
+  }
 
   /** REAL (non-stub) feature extraction over the opaque payload bytes:
     * length, distinct-byte count, and mean byte value — the
@@ -66,21 +92,49 @@ object Multimodal {
           .otherwise(expr("(byte_sum * 100) div payload_len"))
           .as("mean_byte_x100"))
 
-  /** STUB DECODER — deterministic fake in place of a real codec
-    * (marked per the build contract; a production build would swap in
-    * an actual decoder here and keep every signature identical).
-    * Width/height/frames derive from the byte length; the checksum is
-    * a real md5 over the payload bytes. */
+  /** PPM (Netpbm P6) header: magic, then whitespace-separated ASCII
+    * width / height / maxval. Returns (width, height) or None when
+    * the bytes aren't a PPM. */
+  private val PpmHeader = """(?s)^P6\s+(\d+)\s+(\d+)\s+(\d+)\s.*""".r
+
+  /** YUV4MPEG2 header: one ASCII line of space-separated parameters,
+    * each tagged by its leading letter (W width, H height, F rate,
+    * X vendor extension). */
+  private val Y4mMagic = "YUV4MPEG2 "
+
+  /** REAL header parse over the payload's own bytes — no codec needed
+    * for container METADATA, which is what this stage extracts (pixel
+    * decode would need the codec libs this container lacks; a
+    * production build adds it behind the same signature). Format is
+    * sniffed from the magic bytes, not trusted from `media_type`.
+    * Only the bounded head of the payload is inspected (headers are
+    * ≤ tens of bytes; bodies can be gigabytes at scale). */
+  private[graft] def parseHeader(payload: Array[Byte]): (Long, Long, Long) = {
+    val head = new String(payload.take(96), java.nio.charset.StandardCharsets.UTF_8)
+    head match {
+      case PpmHeader(w, h, _) => (w.toLong, h.toLong, 1L)
+      case _ if head.startsWith(Y4mMagic) =>
+        val params = head.drop(Y4mMagic.length).takeWhile(_ != '\n')
+          .split(' ').filter(_.nonEmpty)
+        def num(tag: String): Option[Long] =
+          params.collectFirst { case p if p.startsWith(tag)
+            && p.drop(tag.length).forall(_.isDigit) && p.length > tag.length =>
+            p.drop(tag.length).toLong }
+        (num("W").getOrElse(0L), num("H").getOrElse(0L),
+          num("XNFRAMES=").getOrElse(1L))
+      case _ => (0L, 0L, 1L) // unknown format: no dims, one "frame"
+    }
+  }
+
+  /** Decode one batch: md5 checksum over all payload bytes plus the
+    * header-parsed dimensions/frames from [[parseHeader]]. */
   private[ops] def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
       digest.reset()
       val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
-      val n = r.payload.length.toLong
-      MediaFeatures(r.doc_id, r.media_type, n, sum,
-        width = 64 + n % 576,
-        height = 64 + (n * 7) % 416,
-        frames = if (r.media_type == "video") 1 + n % 30 else 1)
+      val (w, h, f) = parseHeader(r.payload)
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum, w, h, f)
     }
   }
 

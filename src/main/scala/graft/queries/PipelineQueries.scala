@@ -709,29 +709,28 @@ object PipelineQueries {
         |(len(string_split(text, ' ')) + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::INT AS n_bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the oracle REBUILDS the header-bearing payload byte-for-byte and
+    // states the expected parse in closed form from the planted dims —
+    // the differential check is therefore parse(synthesize(w,h))==(w,h)
     "multimodal_decode" ->
-      """SELECT doc_id,
-        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |length(text)::BIGINT AS n_bytes,
-        |md5(text) AS checksum,
-        |(64 + length(text) % 576)::BIGINT AS width,
-        |(64 + (length(text) * 7) % 416)::BIGINT AS height,
-        |(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      (mediaPayloadCte +
+        """SELECT doc_id, media_type,
+          |  octet_length(encode(payload))::BIGINT AS n_bytes,
+          |  md5(payload) AS checksum, width, height, frames
+          |FROM p ORDER BY doc_id""".stripMargin),
 
     "multimodal_byte_stats" ->
-      """WITH p AS (SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  encode(text) AS payload FROM documents),
-        |b AS (SELECT doc_id, media_type, octet_length(payload)::BIGINT AS payload_len,
-        |  [substr(hex(payload), 2*i-1, 2) for i in range(1, octet_length(payload)+1)] AS bp
-        |  FROM p)
-        |SELECT doc_id, media_type, payload_len,
-        |  len(list_distinct(bp))::INT AS n_distinct_bytes,
-        |  CASE WHEN payload_len = 0 THEN NULL
-        |    ELSE ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT
-        |  END AS mean_byte_x100
-        |FROM b ORDER BY doc_id""".stripMargin,
+      (mediaPayloadCte +
+        """, b AS (SELECT doc_id, media_type,
+          |  octet_length(encode(payload))::BIGINT AS payload_len,
+          |  [substr(hex(encode(payload)), 2*i-1, 2) for i in range(1, octet_length(encode(payload))+1)] AS bp
+          |  FROM p)
+          |SELECT doc_id, media_type, payload_len,
+          |  len(list_distinct(bp))::INT AS n_distinct_bytes,
+          |  CASE WHEN payload_len = 0 THEN NULL
+          |    ELSE ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT
+          |  END AS mean_byte_x100
+          |FROM b ORDER BY doc_id""".stripMargin),
 
     "multimodal_resize" ->
       (mediaFeatsCte +
@@ -750,12 +749,28 @@ object PipelineQueries {
           |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)
   )
 
-  private lazy val mediaFeatsCte =
-    """WITH feats AS (SELECT doc_id,
+  /** Mirrors [[graft.ops.Multimodal.withPayload]]: the synthesized
+    * header-bearing payload per media type, plus the closed-form
+    * values the header parse must recover (audio has no header, so
+    * its parse is 0×0×1 — the unknown-format result). */
+  private lazy val mediaPayloadCte =
+    """WITH m AS (SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  (64 + length(text) % 576)::BIGINT AS width,
-      |  (64 + (length(text) * 7) % 416)::BIGINT AS height,
-      |  (CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END)::BIGINT AS frames
-      |  FROM documents)
+      |  (64 + length(text) % 576) AS w, (64 + (length(text) * 7) % 416) AS h,
+      |  (1 + length(text) % 30) AS f, text FROM documents),
+      |p AS (SELECT doc_id, media_type,
+      |  CASE media_type
+      |    WHEN 'image' THEN 'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || text
+      |    WHEN 'video' THEN 'YUV4MPEG2 W' || w || ' H' || h || ' F25:1 XNFRAMES=' || f || chr(10) || text
+      |    ELSE text END AS payload,
+      |  (CASE WHEN media_type = 'audio' THEN 0 ELSE w END)::BIGINT AS width,
+      |  (CASE WHEN media_type = 'audio' THEN 0 ELSE h END)::BIGINT AS height,
+      |  (CASE WHEN media_type = 'video' THEN f ELSE 1 END)::BIGINT AS frames
+      |  FROM m)
       |""".stripMargin
+
+  private lazy val mediaFeatsCte =
+    mediaPayloadCte +
+      """, feats AS (SELECT doc_id, media_type, width, height, frames FROM p)
+        |""".stripMargin
 }

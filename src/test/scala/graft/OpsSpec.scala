@@ -258,13 +258,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("quality_score_bp") == 4620L)
   }
 
-  test("multimodal decode: checksum is the payload md5, dims derive from length") {
-    val d = docs(3L -> "hello world")
-    val f = Multimodal.decodeFeatures(spark, Multimodal.withPayload(d)).collect().head
-    assert(f.doc_id == 3L && f.media_type == "image")
-    assert(f.n_bytes == 11L)
-    assert(f.checksum == graft.evm.EvmDerive.md5hex("hello world"))
-    assert(f.width == 64 + 11 % 576 && f.frames == 1L)
+  test("multimodal decode: dims/frames PARSED from real headers, magic-sniffed, md5 over all bytes") {
+    // doc 3 → image (PPM), doc 4 → audio (no header), doc 5 → video (Y4M)
+    val d = docs(3L -> "hello world", 4L -> "audio body", 5L -> "vid body")
+    val out = Multimodal.decodeFeatures(spark, Multimodal.withPayload(d)).collect()
+      .map(f => f.doc_id -> f).toMap
+    // image: "hello world" = 11 chars → planted w=75 h=141 inside a
+    // genuine Netpbm P6 header; the decoder must read them back out
+    val ppm = "P6\n75 141\n255\nhello world"
+    assert(out(3L).media_type == "image")
+    assert(out(3L).n_bytes == ppm.length.toLong)
+    assert(out(3L).checksum == graft.evm.EvmDerive.md5hex(ppm))
+    assert(out(3L).width == 75L && out(3L).height == 141L && out(3L).frames == 1L)
+    // audio: raw bytes, no magic → unknown-format decode 0×0×1
+    assert(out(4L).media_type == "audio")
+    assert(out(4L).n_bytes == 10L)
+    assert(out(4L).checksum == graft.evm.EvmDerive.md5hex("audio body"))
+    assert(out(4L).width == 0L && out(4L).height == 0L && out(4L).frames == 1L)
+    // video: "vid body" = 8 chars → w=72 h=120 f=9 in a Y4M header
+    val y4m = "YUV4MPEG2 W72 H120 F25:1 XNFRAMES=9\nvid body"
+    assert(out(5L).media_type == "video")
+    assert(out(5L).n_bytes == y4m.length.toLong)
+    assert(out(5L).checksum == graft.evm.EvmDerive.md5hex(y4m))
+    assert(out(5L).width == 72L && out(5L).height == 120L && out(5L).frames == 9L)
+  }
+
+  test("multimodal parseHeader: format from bytes not column; malformed headers degrade to unknown") {
+    def p(s: String) = Multimodal.parseHeader(s.getBytes("UTF-8"))
+    assert(p("P6\n640 480\n255\ndata") == ((640L, 480L, 1L)))
+    assert(p("YUV4MPEG2 W1920 H1080 F30:1 XNFRAMES=300\nFRAME") == ((1920L, 1080L, 300L)))
+    // Y4M without the vendor frame count: dims parse, frames default 1
+    assert(p("YUV4MPEG2 W64 H64 F25:1\n") == ((64L, 64L, 1L)))
+    assert(p("") == ((0L, 0L, 1L)))
+    assert(p("plain text that is no media at all") == ((0L, 0L, 1L)))
+    assert(p("P6 but not a real header") == ((0L, 0L, 1L)))
+    assert(p("YUV4MPEG2 WxH garbage\n") == ((0L, 0L, 1L)))
+    // header split across the 96-byte sniff window still parses: the
+    // PPM header itself is tiny, the body can be anything
+    assert(p("P6\n9 9\n255\n" + "x" * 500) == ((9L, 9L, 1L)))
   }
 
   test("applyNearDedup: chains collapse to min-id representative, singletons survive") {
