@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Opaque media payload row: binary bytes + typed metadata, the
@@ -39,25 +39,45 @@ object Multimodal {
     *  - video → YUV4MPEG2: `YUV4MPEG2 W{w} H{h} F25:1 XNFRAMES={n}\n`
     *    + body bytes (Y4M's ASCII parameter header; the frame count
     *    rides an X vendor parameter, the spec's extension mechanism),
-    *  - audio → raw body bytes, no header — the unknown-format path.
+    *  - audio → NIST SPHERE: `NIST_1A\n{size:>8}\n` + ASCII
+    *    `key -i value` lines + `end_head\n` + body bytes (the LDC
+    *    speech-corpus container; chosen over WAV/AU because its
+    *    header is pure ASCII, which keeps the DuckDB oracle in
+    *    VARCHAR arithmetic — DuckDB's md5 cannot digest a BLOB).
+    *    The declared size field is the REAL total header length,
+    *    which the parser must read to find the body.
     *
-    * Planted dims derive from the text length (w = 64+len%576,
-    * h = 64+(len·7)%416, video frames = 1+len%30), so the DuckDB
-    * oracle can state the expected parse results in closed form and
-    * the differential check verifies parse(synthesize(w,h)) == (w,h)
+    * Planted values derive from the text length (w = 64+len%576,
+    * h = 64+(len·7)%416, video frames = 1+len%30, audio rate =
+    * 8000+len%36000, channels = 1+len%2), so the DuckDB oracle can
+    * state the expected parse results in closed form and the
+    * differential check verifies parse(synthesize(v)) == v
     * byte-for-byte. All column work is codegen'd string concat. */
   def withPayload(docs: DataFrame): DataFrame = {
     val len = length(col("text"))
     val w = (lit(64) + len % 576).cast("string")
     val h = (lit(64) + (len * 7) % 416).cast("string")
     val f = (lit(1) + len % 30).cast("string")
+    val sr = (lit(8000) + len % 36000).cast("string")
+    val ch = (lit(1) + len % 2).cast("string")
+    // sample_count: the body's byte length (8-bit mono samples)
+    val sc = length(col("text").cast("binary")).cast("string")
+    val sphereBody = concat(
+      lit("sample_count -i "), sc,
+      lit("\nsample_rate -i "), sr,
+      lit("\nchannel_count -i "), ch,
+      lit("\nend_head\n"))
+    // total header = "NIST_1A\n" (8) + 8-char size + "\n" (9) + body
+    val sphereHeader = concat(lit("NIST_1A\n"),
+      lpad((length(sphereBody) + 17).cast("string"), 8, " "), lit("\n"),
+      sphereBody)
     val mt = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     val header = when(mt === "image",
         concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n")))
       .when(mt === "video",
         concat(lit("YUV4MPEG2 W"), w, lit(" H"), h, lit(" F25:1 XNFRAMES="), f, lit("\n")))
-      .otherwise(lit(""))
+      .otherwise(sphereHeader)
     docs.select(
       col("doc_id"),
       mt.as("media_type"),
@@ -122,8 +142,36 @@ object Multimodal {
             p.drop(tag.length).toLong }
         (num("W").getOrElse(0L), num("H").getOrElse(0L),
           num("XNFRAMES=").getOrElse(1L))
+      case _ if head.startsWith("NIST_1A\n") =>
+        (0L, 0L, 1L) // recognized audio container: no visual dims
       case _ => (0L, 0L, 1L) // unknown format: no dims, one "frame"
     }
+  }
+
+  /** REAL audio-container metadata parse, as a declarative plan: rows
+    * whose payload carries the NIST SPHERE magic (sniffed from the
+    * BYTES — `media_type` is never trusted) parse their declared
+    * header size plus the `sample_rate` / `channel_count` /
+    * `sample_count` fields, and derive the body byte count from the
+    * size field the way a real SPHERE reader seeks to the data. All
+    * codegen'd string/regexp expressions over the casted payload — a
+    * map-only scan, no UDF, no shuffle; at 100 TB this parallelizes
+    * like any projection. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val s = col("payload").cast("string")
+    def field(name: String): Column =
+      regexp_extract(s, name + " -i (\\d+)\n", 1).cast("long")
+    media
+      .filter(substring(col("payload"), 1, 8) === lit("NIST_1A\n").cast("binary"))
+      .select(col("doc_id"),
+        trim(substring(s, 9, 8)).cast("long").as("header_bytes"),
+        field("sample_rate").as("sample_rate"),
+        field("channel_count").as("channel_count"),
+        field("sample_count").as("sample_count"),
+        length(col("payload")).as("n_bytes"))
+      .withColumn("data_bytes", col("n_bytes") - col("header_bytes"))
+      .select(col("doc_id"), col("header_bytes"), col("sample_rate"),
+        col("channel_count"), col("sample_count"), col("data_bytes"))
   }
 
   /** Decode one batch: md5 checksum over all payload bytes plus the

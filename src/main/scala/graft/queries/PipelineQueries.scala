@@ -208,10 +208,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // codec-free REAL feature extraction (size / entropy / brightness
-    // proxies over raw bytes) — unlike the stubbed decode, every value
-    // here is genuinely computed and oracle-checked
+    // proxies over raw bytes) — every value genuinely computed and
+    // oracle-checked
     "multimodal_byte_stats" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
+    // audio-container metadata parse: rows selected by the SPHERE
+    // magic in the BYTES (not the media_type column), header fields
+    // and body offset read the way a real reader seeks — the oracle
+    // states the planted values in closed form, so the differential
+    // proves the parse AND the magic routing
+    "multimodal_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMeta(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
     // the APPLY step: near-dup pairs → cluster labels → surviving
@@ -732,6 +741,15 @@ object PipelineQueries {
           |  END AS mean_byte_x100
           |FROM b ORDER BY doc_id""".stripMargin),
 
+    // closed-form plant vs parsed values; the WHERE restates the
+    // magic routing (fixture audio rows are exactly the SPHERE rows)
+    "multimodal_audio_meta" ->
+      (mediaPayloadCte +
+        """SELECT doc_id, sphere_hdr AS header_bytes, sr::BIGINT AS sample_rate,
+          |  ch::BIGINT AS channel_count, sc::BIGINT AS sample_count,
+          |  sc::BIGINT AS data_bytes
+          |FROM p WHERE media_type = 'audio' ORDER BY doc_id""".stripMargin),
+
     "multimodal_resize" ->
       (mediaFeatsCte +
         """, scaled AS (SELECT *,
@@ -750,23 +768,33 @@ object PipelineQueries {
   )
 
   /** Mirrors [[graft.ops.Multimodal.withPayload]]: the synthesized
-    * header-bearing payload per media type, plus the closed-form
-    * values the header parse must recover (audio has no header, so
-    * its parse is 0×0×1 — the unknown-format result). */
+    * header-bearing payload per media type (binary-PPM for images,
+    * YUV4MPEG2 for video, NIST SPHERE for audio — all ASCII headers,
+    * so the whole payload stays VARCHAR and md5-able in DuckDB), plus
+    * the closed-form values the header parse must recover (audio has
+    * no visual dims → 0×0×1). */
   private lazy val mediaPayloadCte =
     """WITH m AS (SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  (64 + length(text) % 576) AS w, (64 + (length(text) * 7) % 416) AS h,
-      |  (1 + length(text) % 30) AS f, text FROM documents),
-      |p AS (SELECT doc_id, media_type,
+      |  (1 + length(text) % 30) AS f,
+      |  (8000 + length(text) % 36000) AS sr, (1 + length(text) % 2) AS ch,
+      |  octet_length(encode(text)) AS sc, text FROM documents),
+      |sb AS (SELECT *, 'sample_count -i ' || sc || chr(10) ||
+      |  'sample_rate -i ' || sr || chr(10) ||
+      |  'channel_count -i ' || ch || chr(10) || 'end_head' || chr(10) AS sphere_body
+      |  FROM m),
+      |p AS (SELECT doc_id, media_type, sr, ch, sc,
+      |  (length(sphere_body) + 17)::BIGINT AS sphere_hdr,
       |  CASE media_type
       |    WHEN 'image' THEN 'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || text
       |    WHEN 'video' THEN 'YUV4MPEG2 W' || w || ' H' || h || ' F25:1 XNFRAMES=' || f || chr(10) || text
-      |    ELSE text END AS payload,
+      |    ELSE 'NIST_1A' || chr(10) || lpad((length(sphere_body) + 17)::VARCHAR, 8, ' ') || chr(10)
+      |      || sphere_body || text END AS payload,
       |  (CASE WHEN media_type = 'audio' THEN 0 ELSE w END)::BIGINT AS width,
       |  (CASE WHEN media_type = 'audio' THEN 0 ELSE h END)::BIGINT AS height,
       |  (CASE WHEN media_type = 'video' THEN f ELSE 1 END)::BIGINT AS frames
-      |  FROM m)
+      |  FROM sb)
       |""".stripMargin
 
   private lazy val mediaFeatsCte =

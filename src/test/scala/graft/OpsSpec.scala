@@ -270,10 +270,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).n_bytes == ppm.length.toLong)
     assert(out(3L).checksum == graft.evm.EvmDerive.md5hex(ppm))
     assert(out(3L).width == 75L && out(3L).height == 141L && out(3L).frames == 1L)
-    // audio: raw bytes, no magic → unknown-format decode 0×0×1
+    // audio: NIST SPHERE container — "audio body" = 10 bytes → planted
+    // rate 8010, mono; visual dims are honestly absent (0×0×1)
+    val sphereBody =
+      "sample_count -i 10\nsample_rate -i 8010\nchannel_count -i 1\nend_head\n"
+    val sphere = "NIST_1A\n" + f"${sphereBody.length + 17}%8d" + "\n" +
+      sphereBody + "audio body"
     assert(out(4L).media_type == "audio")
-    assert(out(4L).n_bytes == 10L)
-    assert(out(4L).checksum == graft.evm.EvmDerive.md5hex("audio body"))
+    assert(out(4L).n_bytes == sphere.length.toLong)
+    assert(out(4L).checksum == graft.evm.EvmDerive.md5hex(sphere))
     assert(out(4L).width == 0L && out(4L).height == 0L && out(4L).frames == 1L)
     // video: "vid body" = 8 chars → w=72 h=120 f=9 in a Y4M header
     val y4m = "YUV4MPEG2 W72 H120 F25:1 XNFRAMES=9\nvid body"
@@ -293,9 +298,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(p("plain text that is no media at all") == ((0L, 0L, 1L)))
     assert(p("P6 but not a real header") == ((0L, 0L, 1L)))
     assert(p("YUV4MPEG2 WxH garbage\n") == ((0L, 0L, 1L)))
+    // a SPHERE container is recognized but has no visual dims
+    assert(p("NIST_1A\n      84\nsample_rate -i 8000\nend_head\n") == ((0L, 0L, 1L)))
     // header split across the 96-byte sniff window still parses: the
     // PPM header itself is tiny, the body can be anything
     assert(p("P6\n9 9\n255\n" + "x" * 500) == ((9L, 9L, 1L)))
+  }
+
+  test("multimodal audioMeta: SPHERE fields parsed from bytes; magic routes, media_type doesn't") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(3L -> "img text", 4L -> "audio body", 5L -> "vid")
+    val out = Multimodal.audioMeta(Multimodal.withPayload(d)).collect()
+    // only the SPHERE-magic row (doc 4) may appear — the PPM and Y4M
+    // rows carry different magics even though all three have payloads
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
+    val r = out.head
+    // "audio body" = 10 bytes → header body 67 chars, declared 84
+    assert(r.getAs[Long]("header_bytes") == 84L)
+    assert(r.getAs[Long]("sample_rate") == 8010L)
+    assert(r.getAs[Long]("channel_count") == 1L)
+    assert(r.getAs[Long]("sample_count") == 10L)
+    assert(r.getAs[Long]("data_bytes") == 10L)
+    // the parse survives a doctored media_type: routing is by magic
+    val doctored = Multimodal.withPayload(d)
+      .withColumn("media_type", org.apache.spark.sql.functions.lit("image"))
+    assert(Multimodal.audioMeta(doctored).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
   }
 
   test("applyNearDedup: chains collapse to min-id representative, singletons survive") {
