@@ -17,15 +17,17 @@ import org.apache.spark.sql.SparkSession
   * contention threshold; override with SPARK_GRAFT_BENCH_REPEATS.
   *
   * The JSON line is ALSO written to `target/bench.json` (path printed
-  * on stderr): stdout capture has truncated the one-line payload mid-
-  * object before, and the file copy is immune to that. To keep the
-  * stdout line itself inside the driver's bounded 2000-char tail
-  * capture (r07 and r08 both lost the line's head), per-query seconds
-  * are rounded to 2 decimals with trailing zeros stripped —
-  * full-precision doubles cost ~700 extra characters across the
-  * registry, which is exactly what overflowed the window — and
-  * build.sbt suppresses sbt's trailing success/timing line so the JSON
-  * is the last output.
+  * on stderr) at FULL fine precision: stdout capture has truncated
+  * the one-line payload mid-object before, and the file copy is
+  * immune to that. The stdout line itself must fit the driver's
+  * bounded 2000-char tail capture (r07 and r08 both lost the line's
+  * head), and at 76 registry keys (~1620 chars of keys alone) the
+  * 2-decimal rendering no longer fits — so stdout renders at the
+  * finest precision LEVEL that stays under budget (renderFitting):
+  * level 1 (0.1 s per query) is the steady state, with 2-decimal
+  * sub-second values whenever a smaller registry or faster run
+  * leaves room. build.sbt suppresses sbt's trailing success/timing
+  * line so the JSON is the last output.
   *
   * The 1-minute load average is sampled before and after and emitted
   * in the JSON (`load_start`/`load_end` — short keys, same tail-window
@@ -54,33 +56,53 @@ object Bench {
   private def contentionThreshold(): Double =
     math.max(2.0, Runtime.getRuntime.availableProcessors() / 8.0)
 
-  /** Seconds → compact decimal: 2 decimals under 10 s, whole seconds
-    * above — a contended run's double-digit entries (where ±0.5 s is
-    * noise anyway) would otherwise grow the line past the tail limit;
-    * failures print as -1. */
-  private[graft] def ms(v: Double): String =
+  /** Seconds → compact decimal at one of three precision levels.
+    * Level 0 (fine): 2 decimals under 1 s, 1 decimal to 10 s, whole
+    * seconds above. Level 1 (coarse): 1 decimal under 10 s. Level 2:
+    * whole seconds everywhere. Each dropped digit sits under the
+    * measurement noise of its range; failures print as -1. */
+  private[graft] def ms(v: Double, level: Int = 0): String =
     if (v < 0) "-1"
     else {
-      val s = BigDecimal(v).setScale(if (v >= 10) 0 else 2,
-          BigDecimal.RoundingMode.HALF_UP)
+      val scale =
+        if (v >= 10 || level >= 2) 0
+        else if (v >= 1 || level >= 1) 1
+        else 2
+      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s == "-0") "0" else s
     }
 
-  /** The one JSON line the driver tail-parses. Key brevity is
-    * load-bearing: the whole line must fit the driver's 2000-char tail
-    * window beside the full registry's query entries, so the sf dir is
-    * echoed as its basename and the load keys are short. BenchLineSpec
-    * pins the worst-case rendered length against the real registry. */
+  /** One JSON line at a fixed precision level. Key brevity is
+    * load-bearing: the line must fit the driver's 2000-char tail
+    * window beside the full registry's query entries, so the sf dir
+    * is echoed as its basename. */
   private[graft] def renderLine(results: Seq[(String, Double)], sfName: String,
                                 repeats: Int, contended: Boolean,
-                                loadStart: Double, loadEnd: Double): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+                                loadStart: Double, loadEnd: Double,
+                                level: Int = 0): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v, level) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0)},"load_end":${ms(loadEnd max 0)}}"""
+    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0, level)},"load_end":${ms(loadEnd max 0, level)}}"""
   }
+
+  /** The stdout line, guaranteed to fit the tail window: rendered at
+    * the finest precision level that stays under budget (76 query
+    * keys alone cost ~1620 chars, so a run where most entries render
+    * 4 chars — e.g. many sub-second queries — must degrade to 3-char
+    * values; BenchLineSpec pins every profile against the real
+    * registry). The full-fidelity level-0 line always goes to
+    * `target/bench.json` regardless — only stdout degrades. */
+  private[graft] def renderFitting(results: Seq[(String, Double)], sfName: String,
+                                   repeats: Int, contended: Boolean,
+                                   loadStart: Double, loadEnd: Double,
+                                   budget: Int = 1990): String =
+    (0 to 2).iterator
+      .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l))
+      .find(_.length <= budget)
+      .getOrElse(renderLine(results, sfName, repeats, contended, loadStart, loadEnd, 2))
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -122,11 +144,16 @@ object Bench {
       // any failed repetition marks the query failed; otherwise min
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
-    val json = renderLine(results, new java.io.File(sfDir).getName, repeats,
-      loadStart > contentionThreshold(), loadStart, loadAvg())
+    val sfName = new java.io.File(sfDir).getName
+    val contended = loadStart > contentionThreshold()
+    val loadEnd = loadAvg()
+    // stdout gets the tail-window-fitting rendering; the file copy
+    // keeps full (level-0) precision for readers of the repo
+    val json = renderFitting(results, sfName, repeats, contended, loadStart, loadEnd)
+    val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd)
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, fine.getBytes("UTF-8"))
     System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
     spark.stop()
     // Absolute last output: the driver parses this line out of its

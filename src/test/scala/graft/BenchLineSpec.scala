@@ -12,36 +12,50 @@ class BenchLineSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
-  test("bench JSON line fits the driver's 2000-char tail window at contended-run magnitudes") {
-    // worst realistic shape: every query double-digit seconds (1
-    // decimal → 4 chars), total in the hundreds, loads double-digit
-    val line = Bench.renderLine(names.map(_ -> 77.7), "sf0.1",
-      repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45)
-    assert(line.length < 2000,
-      s"bench line ${line.length} chars for ${names.size} queries — " +
-        "the driver tail-captures 2000; shorten keys or values")
-    // headroom note: fail early (not at exactly 2000) so a couple more
-    // registry entries still fit before anything truncates; at 76
-    // queries the worst case renders ~1918, so the band is 1960 — the
-    // NEXT expansion must shorten keys or values first
-    assert(line.length < 1960,
-      s"bench line ${line.length} chars — under 2000 but inside the " +
-        "guard band; plan the next registry expansion's budget now")
+  test("the emitted bench line fits the driver's 2000-char tail window on EVERY profile") {
+    // adversarial profiles against the real registry's key set: all
+    // values at the widest fine rendering (0.99 → "0.99"), all just
+    // under 10 s, the r9 driver run's realistic contended shape, and
+    // an all-failed run — renderFitting must keep each under budget
+    // (degrading precision when the fine rendering would overflow)
+    val profiles = Seq(
+      "all sub-second" -> names.map(_ -> 0.99),
+      "all near-10s" -> names.map(_ -> 9.94),
+      "realistic contended" ->
+        names.zipWithIndex.map { case (n, i) => n -> (if (i % 4 == 0) 3.91 else 0.77) },
+      "all failed" -> names.map(_ -> -1.0))
+    for ((label, results) <- profiles) {
+      val line = Bench.renderFitting(results, "sf0.1",
+        repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45)
+      assert(line.length < 2000,
+        s"'$label' renders ${line.length} chars for ${names.size} queries — " +
+          "the driver tail-captures 2000; shorten keys or values")
+    }
+    // idle-shaped runs (many fast entries, modest tail): at 76 keys
+    // the fine rendering is already past budget, so the steady state
+    // is level 1 — 0.1 s per-query granularity on stdout, with the
+    // full-precision line in target/bench.json. The fallback must
+    // never need level 2 for a realistic shape.
+    val idle = names.zipWithIndex.map { case (n, i) => n -> (if (i % 6 == 0) 1.43 else 0.31) }
+    val idleLine = Bench.renderFitting(idle, "sf0.1",
+      repeats = 4, contended = false, loadStart = 0.5, loadEnd = 0.6)
+    assert(idleLine == Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = 1),
+      "an idle-shaped run must fit at level 1 (never the integer floor)")
   }
 
-  test("bench JSON line fits even with every query failed") {
-    val line = Bench.renderLine(names.map(_ -> -1.0), "sf0.001",
-      repeats = 2, contended = false, loadStart = 0.5, loadEnd = 0.5)
-    assert(line.length < 2000)
-  }
-
-  test("ms formatting stays compact and driver-parseable") {
+  test("ms formatting stays compact and driver-parseable at every level") {
     assert(Bench.ms(-1.0) == "-1")
     assert(Bench.ms(0.0) == "0")
-    assert(Bench.ms(1.234) == "1.23")
-    assert(Bench.ms(9.996) == "10")     // rounds up across the 10 s knee
+    assert(Bench.ms(0.334) == "0.33")   // fine: 2 decimals under 1 s
+    assert(Bench.ms(1.234) == "1.2")    // fine: 1 decimal from 1 s
+    assert(Bench.ms(9.94) == "9.9")
+    assert(Bench.ms(9.96) == "10")      // rounds up across the 10 s knee
     assert(Bench.ms(42.14) == "42")     // whole seconds past 10 s
     assert(Bench.ms(177.7) == "178")
     assert(Bench.ms(0.004) == "0")      // strips to the shortest form
+    assert(Bench.ms(0.77, level = 1) == "0.8")  // coarse caps at 3 chars
+    assert(Bench.ms(0.77, level = 2) == "1")    // integer floor level
+    assert(Bench.ms(42.14, level = 2) == "42")
+    assert(Bench.ms(-1.0, level = 2) == "-1")
   }
 }
