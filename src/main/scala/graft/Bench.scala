@@ -30,9 +30,11 @@ import org.apache.spark.sql.SparkSession
   * line so the JSON is the last output.
   *
   * The 1-minute load average is sampled before and after and emitted
-  * in the JSON (`load_start`/`load_end` — short keys, same tail-window
-  * budget), with a `contended` flag, so a reader comparing runs can
-  * see whether even the min was taken under load.
+  * in the JSON as `l0`/`l1`, with a `cont`(ended) flag and the
+  * `rep`(eats) count — single-letter-ish keys because every metadata
+  * character competes with a per-query value for the same tail-window
+  * budget. A reader comparing runs uses them to see whether even the
+  * min was taken under load.
   *
   * Reading per-query numbers: entries with session-persistent side
   * effects (the shared dedup caches, the persisted ANN index) pay
@@ -85,7 +87,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","repeats":$repeats,"contended":$contended,"load_start":${ms(loadStart max 0, level)},"load_end":${ms(loadEnd max 0, level)}}"""
+    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","rep":$repeats,"cont":$contended,"l0":${ms(loadStart max 0, level)},"l1":${ms(loadEnd max 0, level)}}"""
   }
 
   /** The stdout line, guaranteed to fit the tail window: rendered at

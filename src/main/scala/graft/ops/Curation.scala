@@ -131,6 +131,30 @@ object Curation {
       .filter(col("sample_bp") < col("rate_bp"))
   }
 
+  /** Per-source document cap — the Gopher/RefinedWeb per-domain cap:
+    * keep at most `cap` docs per source, highest [[TextAnalysis
+    * .quality]] score first (doc_id breaks ties deterministically),
+    * so one hot domain cannot dominate the training mix. The window
+    * is PARTITIONED BY source (per-source state only), and the
+    * `row_number <= cap` filter triggers Spark's WindowGroupLimit
+    * rank pushdown: every map task pre-limits its partial groups to
+    * `cap` rows BEFORE the shuffle, so a 100 TB hot domain ships
+    * O(tasks·cap) rows to its reducer, not its full document count
+    * (CurationSpec pins the WindowGroupLimit in the physical plan). */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score_bp"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score_bp").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .withColumn("source_rank", row_number().over(w).cast("long"))
+      .filter(col("source_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("quality_score_bp"),
+        col("source_rank"))
+  }
+
   /** Weighted source mixing: replicate each doc `weight/1000` times
     * (training-mix epochs per source), with the fractional part
     * resolved by a deterministic per-doc hash draw — so a 2.5×

@@ -34,6 +34,12 @@ object CurationQueries {
       Curation.sampleStratified(Fixtures.documents(s, dir), SampleRates)
         .orderBy(col("doc_id"))),
 
+    // per-source cap (the Gopher/RefinedWeb per-domain cap): best 10
+    // docs per source by quality score, rank-pushdown window
+    "source_cap" -> ((s, dir) =>
+      Curation.sourceCap(Fixtures.documents(s, dir), cap = 10)
+        .orderBy(col("source"), col("source_rank"))),
+
     "mix_weighted" -> ((s, dir) =>
       Curation.mixWeighted(Fixtures.documents(s, dir), MixWeights)
         .orderBy(col("doc_id"), col("copy_idx"))),
@@ -181,6 +187,22 @@ object CurationQueries {
         |      WHEN 'fr' THEN 1000 ELSE 500 END)::BIGINT AS rate_bp
         |  FROM documents)
         |WHERE sample_bp < rate_bp ORDER BY doc_id""".stripMargin,
+
+    // the quality CTEs restate text_quality's integer formula; the
+    // rank filter mirrors the operator's row_number <= cap
+    "source_cap" ->
+      """WITH t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') ts FROM documents),
+        |m AS (SELECT doc_id, source, n_chars, len(ts)::INT n_tokens,
+        |  len(list_distinct(ts))::INT n_distinct,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is')))::INT n_stop FROM t),
+        |s AS (SELECT doc_id, source,
+        |  ((4 * ((n_distinct * 10000) // n_tokens) + 3 * ((n_stop * 10000) // n_tokens)
+        |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp FROM m),
+        |r AS (SELECT doc_id, source, quality_score_bp,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY quality_score_bp DESC, doc_id) AS source_rank FROM s)
+        |SELECT doc_id, source, quality_score_bp, source_rank::BIGINT AS source_rank
+        |FROM r WHERE source_rank <= 10 ORDER BY source, source_rank""".stripMargin,
 
     "mix_weighted" ->
       """WITH d AS (SELECT doc_id, source,

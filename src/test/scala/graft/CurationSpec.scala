@@ -23,6 +23,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
 
   private def md5hex(s: String): String = graft.evm.EvmDerive.md5hex(s)
 
+  // ---------------------------------------------------------------
+  // sourceCap: per-source cap semantics + rank-pushdown plan shape
+  // ---------------------------------------------------------------
+
+  test("sourceCap keeps the cap best-quality docs per source; ties break by doc_id") {
+    // srcA: 3 docs with distinct quality (token counts 30/20/10 —
+    // quality_score_bp grows with n_tokens at these sizes);
+    // srcB: 2 IDENTICAL texts (tied score) plus one longer doc
+    val d = docs(
+      (1L, toks(10, "a"), "en", "srcA"), (2L, toks(30, "b"), "en", "srcA"),
+      (3L, toks(20, "c"), "en", "srcA"), (4L, toks(15, "d"), "en", "srcB"),
+      (5L, toks(15, "d"), "en", "srcB"), (6L, toks(25, "e"), "en", "srcB"))
+    val out = Curation.sourceCap(d, cap = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("source_rank"),
+        r.getAs[Long]("doc_id")))
+      .sortBy(t => (t._1, t._2))
+    // srcA: 30-token doc 2 first, then 20-token doc 3; the 10-token
+    // doc 1 is cut. srcB: 25-token doc 6 first, then the TIE between
+    // docs 4 and 5 resolves to the lower doc_id.
+    assert(out.toSeq == Seq(("srcA", 1L, 2L), ("srcA", 2L, 3L),
+      ("srcB", 1L, 6L), ("srcB", 2L, 4L)))
+  }
+
+  test("sourceCap plans a WindowGroupLimit (map-side pre-limit before the shuffle)") {
+    val d = docs((1L to 20L).map(i =>
+      (i, toks(5 + i.toInt, "w"), "en", s"src${i % 4}")): _*)
+    val plan = Curation.sourceCap(d, cap = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push a group limit below the window exchange:\n$plan")
+  }
+
   /** The operator contract's hash draw, recomputed from scratch:
     * 52 bits (13 hex chars) of md5("<id>:<tag>") mod m. */
   private def hashModRef(id: Long, tag: String, m: Long): Long =
