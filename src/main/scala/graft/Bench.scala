@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   * contention threshold; override with SPARK_GRAFT_BENCH_REPEATS.
   *
   * The JSON line is ALSO written to `target/bench.json` (path printed
-  * on stderr) at FULL fine precision: stdout capture has truncated
+  * on stderr) at full 4-decimal precision: stdout capture has truncated
   * the one-line payload mid-object before, and the file copy is
   * immune to that. The stdout line itself must fit the driver's
   * bounded 2000-char tail capture (r07 and r08 both lost the line's
@@ -67,7 +67,8 @@ object Bench {
     if (v < 0) "-1"
     else {
       val scale =
-        if (v >= 10 || level >= 2) 0
+        if (level < 0) 4 // file-copy fidelity: no tail-window budget
+        else if (v >= 10 || level >= 2) 0
         else if (v >= 1 || level >= 1) 1
         else 2
       val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
@@ -95,8 +96,9 @@ object Bench {
     * keys alone cost ~1620 chars, so a run where most entries render
     * 4 chars — e.g. many sub-second queries — must degrade to 3-char
     * values; BenchLineSpec pins every profile against the real
-    * registry). The full-fidelity level-0 line always goes to
-    * `target/bench.json` regardless — only stdout degrades. */
+    * registry). The full-fidelity (level -1)
+    * line always goes to `target/bench.json` regardless — only
+    * stdout degrades. */
   private[graft] def renderFitting(results: Seq[(String, Double)], sfName: String,
                                    repeats: Int, contended: Boolean,
                                    loadStart: Double, loadEnd: Double,
@@ -150,9 +152,10 @@ object Bench {
     val contended = loadStart > contentionThreshold()
     val loadEnd = loadAvg()
     // stdout gets the tail-window-fitting rendering; the file copy
-    // keeps full (level-0) precision for readers of the repo
+    // keeps full 4-decimal precision (level -1) for readers of the
+    // repo — it has no tail-window budget to respect
     val json = renderFitting(results, sfName, repeats, contended, loadStart, loadEnd)
-    val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd)
+    val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd, level = -1)
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fine.getBytes("UTF-8"))

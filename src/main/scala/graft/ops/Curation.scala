@@ -140,19 +140,18 @@ object Curation {
     * rank pushdown: every map task pre-limits its partial groups to
     * `cap` rows BEFORE the shuffle, so a 100 TB hot domain ships
     * O(tasks·cap) rows to its reducer, not its full document count
-    * (CurationSpec pins the WindowGroupLimit in the physical plan). */
+    * (CurationSpec pins the WindowGroupLimit in the physical plan).
+    * The score comes from [[TextAnalysis.withQuality]] — a stateless
+    * per-row projection — so the whole operator is scan → project →
+    * rank-limited window: no self-join, ONE shuffle (the window's). */
   def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.quality(docs)
-      .select(col("doc_id"), col("quality_score_bp"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_score_bp").desc, col("doc_id"))
-    docs.select(col("doc_id"), col("source"))
-      .join(q, "doc_id")
+    TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_score_bp"))
       .withColumn("source_rank", row_number().over(w).cast("long"))
       .filter(col("source_rank") <= cap)
-      .select(col("doc_id"), col("source"), col("quality_score_bp"),
-        col("source_rank"))
   }
 
   /** Weighted source mixing: replicate each doc `weight/1000` times

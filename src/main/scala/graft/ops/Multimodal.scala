@@ -54,14 +54,19 @@ object Multimodal {
     * differential check verifies parse(synthesize(v)) == v
     * byte-for-byte. All column work is codegen'd string concat. */
   def withPayload(docs: DataFrame): DataFrame = {
-    val len = length(col("text"))
+    // null text coalesces to '' (the engine-wide rule this round's
+    // oracle hardening established): the payload is then never null,
+    // so the decoders downstream need no null branches and the audio
+    // magic filter can't silently drop a row the oracle keeps
+    val text = coalesce(col("text"), lit(""))
+    val len = length(text)
     val w = (lit(64) + len % 576).cast("string")
     val h = (lit(64) + (len * 7) % 416).cast("string")
     val f = (lit(1) + len % 30).cast("string")
     val sr = (lit(8000) + len % 36000).cast("string")
     val ch = (lit(1) + len % 2).cast("string")
     // sample_count: the body's byte length (8-bit mono samples)
-    val sc = length(col("text").cast("binary")).cast("string")
+    val sc = length(text.cast("binary")).cast("string")
     val sphereBody = concat(
       lit("sample_count -i "), sc,
       lit("\nsample_rate -i "), sr,
@@ -81,7 +86,7 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       mt.as("media_type"),
-      concat(header, col("text")).cast("binary").as("payload"))
+      concat(header, text).cast("binary").as("payload"))
   }
 
   /** REAL (non-stub) feature extraction over the opaque payload bytes:
@@ -131,17 +136,24 @@ object Multimodal {
     * ≤ tens of bytes; bodies can be gigabytes at scale). */
   private[graft] def parseHeader(payload: Array[Byte]): (Long, Long, Long) = {
     val head = new String(payload.take(96), java.nio.charset.StandardCharsets.UTF_8)
+    // numeral fields are capped at 9 digits BEFORE toLong: a corrupt
+    // or adversarial header with an overlong digit run must degrade
+    // to the unknown-format result, not throw out of the decode task
     head match {
-      case PpmHeader(w, h, _) => (w.toLong, h.toLong, 1L)
+      case PpmHeader(w, h, _) if w.length <= 9 && h.length <= 9 =>
+        (w.toLong, h.toLong, 1L)
       case _ if head.startsWith(Y4mMagic) =>
         val params = head.drop(Y4mMagic.length).takeWhile(_ != '\n')
           .split(' ').filter(_.nonEmpty)
         def num(tag: String): Option[Long] =
           params.collectFirst { case p if p.startsWith(tag)
-            && p.drop(tag.length).forall(_.isDigit) && p.length > tag.length =>
+            && p.drop(tag.length).forall(_.isDigit)
+            && p.length > tag.length && p.length <= tag.length + 9 =>
             p.drop(tag.length).toLong }
+        // frames clamps to >= 1: a zero-frame or corrupt count must
+        // not feed sequence(0, -1) in the frame sampler downstream
         (num("W").getOrElse(0L), num("H").getOrElse(0L),
-          num("XNFRAMES=").getOrElse(1L))
+          math.max(1L, num("XNFRAMES=").getOrElse(1L)))
       case _ if head.startsWith("NIST_1A\n") =>
         (0L, 0L, 1L) // recognized audio container: no visual dims
       case _ => (0L, 0L, 1L) // unknown format: no dims, one "frame"
@@ -158,7 +170,11 @@ object Multimodal {
     * map-only scan, no UDF, no shuffle; at 100 TB this parallelizes
     * like any projection. */
   def audioMeta(media: DataFrame): DataFrame = {
-    val s = col("payload").cast("string")
+    // parse over a BOUNDED head slice, never the full payload: a real
+    // SPHERE header is <= 1024 bytes by convention, and the body can
+    // be gigabytes — casting the whole payload to string would scan
+    // and allocate the body once per extracted field
+    val s = substring(col("payload"), 1, 1024).cast("string")
     def field(name: String): Column =
       regexp_extract(s, name + " -i (\\d+)\n", 1).cast("long")
     media

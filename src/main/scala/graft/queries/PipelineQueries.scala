@@ -776,10 +776,11 @@ object PipelineQueries {
   private lazy val mediaPayloadCte =
     """WITH m AS (SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  (64 + length(text) % 576) AS w, (64 + (length(text) * 7) % 416) AS h,
-      |  (1 + length(text) % 30) AS f,
-      |  (8000 + length(text) % 36000) AS sr, (1 + length(text) % 2) AS ch,
-      |  octet_length(encode(text)) AS sc, text FROM documents),
+      |  (64 + length(t) % 576) AS w, (64 + (length(t) * 7) % 416) AS h,
+      |  (1 + length(t) % 30) AS f,
+      |  (8000 + length(t) % 36000) AS sr, (1 + length(t) % 2) AS ch,
+      |  octet_length(encode(t)) AS sc, t AS text
+      |  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
       |sb AS (SELECT *, 'sample_count -i ' || sc || chr(10) ||
       |  'sample_rate -i ' || sr || chr(10) ||
       |  'channel_count -i ' || ch || chr(10) || 'end_head' || chr(10) AS sphere_body

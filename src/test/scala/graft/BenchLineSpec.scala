@@ -57,5 +57,9 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.ms(0.77, level = 2) == "1")    // integer floor level
     assert(Bench.ms(42.14, level = 2) == "42")
     assert(Bench.ms(-1.0, level = 2) == "-1")
+    // level -1: the file copy's fidelity — no budget, 4 decimals
+    assert(Bench.ms(1.23456, level = -1) == "1.2346")
+    assert(Bench.ms(42.14, level = -1) == "42.14")
+    assert(Bench.ms(0.5, level = -1) == "0.5")
   }
 }

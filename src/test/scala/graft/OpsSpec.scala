@@ -300,6 +300,12 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(p("YUV4MPEG2 WxH garbage\n") == ((0L, 0L, 1L)))
     // a SPHERE container is recognized but has no visual dims
     assert(p("NIST_1A\n      84\nsample_rate -i 8000\nend_head\n") == ((0L, 0L, 1L)))
+    // overlong numerals (> Long range) degrade to unknown, never throw
+    assert(p("P6\n99999999999999999999 5\n255\nx") == ((0L, 0L, 1L)))
+    assert(p("YUV4MPEG2 W99999999999999999999 H5 F25:1\n") == ((0L, 5L, 1L)))
+    // a zero frame count clamps to 1 so the frame sampler's
+    // sequence(0, frames-1) can never see a negative bound
+    assert(p("YUV4MPEG2 W64 H64 F25:1 XNFRAMES=0\n") == ((64L, 64L, 1L)))
     // header split across the 96-byte sniff window still parses: the
     // PPM header itself is tiny, the body can be anything
     assert(p("P6\n9 9\n255\n" + "x" * 500) == ((9L, 9L, 1L)))
@@ -324,6 +330,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .withColumn("media_type", org.apache.spark.sql.functions.lit("image"))
     assert(Multimodal.audioMeta(doctored).select(col("doc_id")).collect()
       .map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("multimodal: null text coalesces to an empty body — decode and audioMeta never see a null payload") {
+    import spark.implicits._
+    // doc 6 (image), 7 (audio), 8 (video) — all with NULL text
+    val d = Seq((6L, Option.empty[String]), (7L, Option.empty[String]),
+      (8L, Option.empty[String])).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(d)
+    assert(media.filter(col("payload").isNull).count() == 0L,
+      "payload must never be null (the coalesce rule)")
+    // decode runs (no NPE) and parses the headers built over the '' body
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(6L).width == 64L && feats(6L).height == 64L)  // len 0 plants 64x64
+    assert(feats(7L).width == 0L && feats(7L).frames == 1L)
+    assert(feats(8L).frames == 1L)                              // 1 + 0 % 30
+    // the audio row keeps its SPHERE header: zero samples, zero body
+    val am = Multimodal.audioMeta(media).collect()
+    assert(am.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L))
+    assert(am.head.getAs[Long]("sample_count") == 0L)
+    assert(am.head.getAs[Long]("data_bytes") == 0L)
   }
 
   test("applyNearDedup: chains collapse to min-id representative, singletons survive") {
