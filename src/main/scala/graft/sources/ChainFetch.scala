@@ -31,6 +31,23 @@ trait ChainFetcher extends AutoCloseable {
   /** Receipt for one tx (`eth_getTransactionReceipt`); None when the
     * node has none (tolerated downstream as status=null, no logs). */
   def transactionReceipt(txHash: String): Option[WireReceipt]
+  /** All logs of the inclusive block range `[from, to]` in one call
+    * (`eth_getLogs {fromBlock, toBlock}`) — the range strategy the
+    * reference names "the highest-impact future optimization"
+    * (`README.md:90`). Logs arrive block-scoped (block-level
+    * `logIndex`, tagged with the observed `blockHash`); alignment back
+    * into the per-tx envelope happens in [[ChainFetch.rangeEnvelopes]].
+    * Throws when the node/strategy does not support range queries —
+    * the caller opts in explicitly via `fetchStrategy=range`. */
+  def logsInRange(from: Long, to: Long): Seq[WireRangeLog] =
+    throw new UnsupportedOperationException("range log fetch unsupported")
+  /** Receipt STATUS of every tx in block `n` in one call
+    * (`eth_getBlockReceipts`). None = the node does not serve the
+    * method → the range strategy falls back to the per-tx receipt
+    * fan-out for status only (logs still come from the range call).
+    * An empty map = the node has the block but no receipts for it
+    * (status=null downstream, the receiptless-tolerance path). */
+  def blockReceiptStatuses(n: Long): Option[Map[String, Option[Long]]] = None
   override def close(): Unit = ()
 }
 
@@ -57,6 +74,17 @@ case class WireBlock(number: Long, hash: String, parentHash: String,
 case class WireReceipt(status: Option[Long], logs: Seq[WireLog])
 case class WireLog(logIndex: Long, address: String, topics: Seq[String],
                    data: String)
+/** One log as `eth_getLogs` returns it: block-scoped `logIndex` (the
+  * position within the whole BLOCK, not within its tx — the schema
+  * difference the reference's README warns needs "careful …  schema
+  * alignment"), tagged with the `blockHash` it was observed on so a
+  * reorg racing the range call cannot attach stale-branch logs to a
+  * fresh block, and `removed` (true = the node itself flags the log as
+  * reorged away). */
+case class WireRangeLog(blockNumber: Long, blockHash: String, txHash: String,
+                        logIndexInBlock: Long, address: String,
+                        topics: Seq[String], data: String,
+                        removed: Boolean = false)
 
 object ChainFetch {
 
@@ -103,26 +131,98 @@ object ChainFetch {
   def envelope(fetcher: ChainFetcher, n: Long, maxRetries: Int,
                baseBackoffMs: Long, receiptConcurrency: Int): Option[SimChain.SimBlock] =
     retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(n)).map { b =>
-      val receipts: Map[String, Option[WireReceipt]] =
-        if (b.txs.isEmpty) Map.empty
-        else if (b.txs.size == 1 || receiptConcurrency <= 1)
-          b.txs.map(t => t.hash -> fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)).toMap
-        else {
-          val pool = Executors.newFixedThreadPool(math.min(receiptConcurrency, b.txs.size))
-          try {
-            b.txs.map { t =>
-              t.hash -> pool.submit(new Callable[Option[WireReceipt]] {
-                override def call(): Option[WireReceipt] =
-                  fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)
-              })
-            }.map { case (h, fu) => h -> fu.get() }.toMap
-          } finally {
-            pool.shutdown()
-            pool.awaitTermination(60, TimeUnit.SECONDS): Unit
-          }
-        }
-      assemble(b, receipts)
+      assemble(b, fanOutReceipts(fetcher, b, maxRetries, baseBackoffMs, receiptConcurrency))
     }
+
+  /** The bounded per-tx receipt burst shared by both strategies: the
+    * N+1 path takes full receipts (status + logs); the range path
+    * reuses it as the STATUS fallback when the node lacks
+    * `eth_getBlockReceipts`. */
+  private def fanOutReceipts(fetcher: ChainFetcher, b: WireBlock, maxRetries: Int,
+                             baseBackoffMs: Long, receiptConcurrency: Int): Map[String, Option[WireReceipt]] =
+    if (b.txs.isEmpty) Map.empty
+    else if (b.txs.size == 1 || receiptConcurrency <= 1)
+      b.txs.map(t => t.hash -> fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)).toMap
+    else {
+      val pool = Executors.newFixedThreadPool(math.min(receiptConcurrency, b.txs.size))
+      try {
+        b.txs.map { t =>
+          t.hash -> pool.submit(new Callable[Option[WireReceipt]] {
+            override def call(): Option[WireReceipt] =
+              fetchReceipt(fetcher, t.hash, maxRetries, baseBackoffMs)
+          })
+        }.map { case (h, fu) => h -> fu.get() }.toMap
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(60, TimeUnit.SECONDS): Unit
+      }
+    }
+
+  /** I-3 via the range strategy (`eth_getLogs`): ONE log call for the
+    * whole inclusive block range `[from, toIncl]` + one block call and
+    * one `eth_getBlockReceipts` status call per block — O(ranges +
+    * blocks) RPCs where the N+1 path is O(blocks + txs). The receipt
+    * N+1 survives only as the status fallback for nodes without
+    * `eth_getBlockReceipts` (and even then the per-receipt payload
+    * shrinks to a status bit; logs never ride receipts here).
+    *
+    * The "careful deduplication and schema alignment" the reference's
+    * README calls out (`README.md:90`) is this method:
+    *  - `removed=true` logs (node-flagged reorg casualties) drop first;
+    *  - duplicates dedup on (blockHash, txHash, logIndexInBlock) — a
+    *    node re-serving overlapping chunks cannot double-emit;
+    *  - logs key by the (blockHash, txHash) they were OBSERVED on, so
+    *    a reorg racing the range call leaves stale-branch logs keyed
+    *    by the old hash — they simply never match the freshly fetched
+    *    block and fall away (the N+1 path gets this for free because
+    *    receipts are fetched after the block; the range path must
+    *    reconstruct it);
+    *  - block-level `logIndex` re-indexes to the envelope's per-tx
+    *    order (sort by block index within each tx, then 0..n-1).
+    *
+    * Returns one envelope per block present on the node; absent
+    * heights skip exactly like the per-block path (I-14). */
+  def rangeEnvelopes(fetcher: ChainFetcher, from: Long, toIncl: Long,
+                     maxRetries: Int, baseBackoffMs: Long,
+                     receiptConcurrency: Int): Seq[SimChain.SimBlock] = {
+    if (toIncl < from) return Nil
+    val rangeLogs = retry(maxRetries, baseBackoffMs)(fetcher.logsInRange(from, toIncl))
+    val byTx: Map[(String, String), Seq[WireLog]] = rangeLogs
+      .filterNot(_.removed)
+      .distinctBy(l => (l.blockHash, l.txHash, l.logIndexInBlock))
+      .groupBy(l => (l.blockHash, l.txHash))
+      .map { case (k, ls) =>
+        k -> ls.sortBy(_.logIndexInBlock).zipWithIndex.map { case (l, i) =>
+          WireLog(i, l.address, l.topics, l.data)
+        }
+      }
+    (from to toIncl).flatMap { n =>
+      retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(n)).map { b =>
+        val statuses: Map[String, Option[Long]] =
+          fetchBlockStatuses(fetcher, n, maxRetries, baseBackoffMs).getOrElse {
+            fanOutReceipts(fetcher, b, maxRetries, baseBackoffMs, receiptConcurrency)
+              .map { case (h, r) => h -> r.flatMap(_.status) }
+          }
+        SimChain.SimBlock(b.number, b.hash, b.parentHash, b.timestamp,
+          b.txs.sortBy(_.index).map { t =>
+            SimChain.SimTx(t.hash, t.index, t.from, t.to, t.value, t.gas,
+              statuses.getOrElse(t.hash, None),
+              byTx.getOrElse((b.hash, t.hash), Nil).map { l =>
+                SimChain.SimLog(l.logIndex, l.address,
+                  l.topics.lift(0).orNull, l.topics.lift(1), l.topics.lift(2),
+                  l.topics.lift(3), l.data)
+              })
+          })
+      }
+    }
+  }
+
+  /** `eth_getBlockReceipts` with the standard retry; an
+    * unsupported-method signal (None) is NOT retried — it is a stable
+    * property of the node, and the caller's per-tx fallback takes over. */
+  private def fetchBlockStatuses(fetcher: ChainFetcher, n: Long, maxRetries: Int,
+                                 baseBackoffMs: Long): Option[Map[String, Option[Long]]] =
+    retry(maxRetries, baseBackoffMs)(fetcher.blockReceiptStatuses(n))
 
   private def fetchReceipt(fetcher: ChainFetcher, txHash: String,
                            maxRetries: Int, baseBackoffMs: Long): Option[WireReceipt] =

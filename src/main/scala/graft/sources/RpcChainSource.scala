@@ -133,7 +133,9 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
       try mapper.readTree(in) finally in.close()
     val err = root.get("error")
     if (err != null && !err.isNull)
-      throw new java.io.IOException(s"$method: RPC error ${err.toString}")
+      throw new JsonRpcError(method,
+        Option(err.get("code")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+        err.toString)
     root.get("result")
   }
 
@@ -176,6 +178,48 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
     }
   }
 
+  /** `eth_getLogs {fromBlock, toBlock}` — the range strategy's one
+    * log call per range. `logIndex` is the block-level index and
+    * `removed` the node's own reorg flag; both survive into
+    * [[WireRangeLog]] for [[ChainFetch.rangeEnvelopes]]'s alignment. */
+  override def logsInRange(from: Long, to: Long): Seq[WireRangeLog] = {
+    val r = call("eth_getLogs",
+      s"""[{"fromBlock":"${longToHex(from)}","toBlock":"${longToHex(to)}"}]""")
+    iter(r).map { l =>
+      WireRangeLog(hexToLong(l.get("blockNumber").asText()),
+        l.get("blockHash").asText(),
+        l.get("transactionHash").asText(),
+        hexToLong(l.get("logIndex").asText()),
+        l.get("address").asText(),
+        iter(l.get("topics")).map(_.asText()),
+        text(l.get("data")).getOrElse(""),
+        Option(l.get("removed")).exists(n => !n.isNull && n.asBoolean(false)))
+    }
+  }
+
+  // a node that answered eth_getBlockReceipts with method-not-found
+  // once will do so forever — remember and stop asking
+  @volatile private var blockReceiptsUnsupported = false
+
+  /** `eth_getBlockReceipts` → txHash → status. None when the node
+    * does not serve the method (JSON-RPC -32601), which callers treat
+    * as "fall back to per-tx receipts for status" — a stable node
+    * property, cached so only the first block pays the probe. */
+  override def blockReceiptStatuses(n: Long): Option[Map[String, Option[Long]]] = {
+    if (blockReceiptsUnsupported) return None
+    val r =
+      try call("eth_getBlockReceipts", s"""["${longToHex(n)}"]""")
+      catch {
+        case e: JsonRpcError if e.code == -32601 =>
+          blockReceiptsUnsupported = true
+          return None
+      }
+    if (isNull(r)) Some(Map.empty)
+    else Some(iter(r).map { rc =>
+      rc.get("transactionHash").asText() -> text(rc.get("status")).map(hexToLong)
+    }.toMap)
+  }
+
   private def iter(n: JsonNode): Seq[JsonNode] =
     if (isNull(n)) Nil
     else { val b = Seq.newBuilder[JsonNode]; n.forEach(e => b += e); b.result() }
@@ -183,3 +227,10 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
   private def text(n: JsonNode): Option[String] =
     if (isNull(n)) None else Some(n.asText())
 }
+
+/** JSON-RPC `error` member as an exception: still the retryable
+  * IOException category ([[ChainFetch.retry]]), but carrying the code
+  * so capability probes can distinguish method-not-found (-32601, a
+  * stable node property — never retried) from transient errors. */
+class JsonRpcError(method: String, val code: Int, detail: String)
+    extends java.io.IOException(s"$method: RPC error $detail")

@@ -153,6 +153,21 @@ abstract class ChainMicroBatchStream(options: CaseInsensitiveStringMap)
   protected val baseBackoffMs: Long = options.getLong("baseBackoffMs", 10L)
   // MAX_RECEIPT_CONCURRENT = 10 (src/main.rs:26)
   protected val receiptConcurrency: Int = options.getLong("receiptConcurrency", 10L).toInt
+  /** `receipts` (default) = the reference's N+1 per-tx receipt fan-out;
+    * `range` = one `eth_getLogs` per block range + per-block status
+    * (`eth_getBlockReceipts`, with per-tx fallback) — the
+    * highest-impact optimization the reference names (`README.md:90`). */
+  protected val fetchStrategy: String =
+    Option(options.get("fetchStrategy")).getOrElse("receipts")
+  require(fetchStrategy == "receipts" || fetchStrategy == "range",
+    s"fetchStrategy must be 'receipts' or 'range', got '$fetchStrategy'")
+  /** Blocks per `eth_getLogs` call (range strategy only). Also the
+    * partition granularity in range mode — the parallelism/batching
+    * trade: a bigger range is fewer RPCs but coarser executor fan-out
+    * and a larger node-side scan per call (public endpoints commonly
+    * cap it; 2k-10k blocks is typical for production nodes). */
+  protected val logRangeSize: Long =
+    math.max(1L, options.getLong("logRangeSize", blocksPerBatch))
 
   /** I-2: the node's current highest block. */
   protected def chainHead(): Long
@@ -200,14 +215,22 @@ abstract class ChainMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = repairFrom().filter(_ < s0).getOrElse(s0)
     val e = end.asInstanceOf[BlockOffset].n
     planned = math.max(planned, e)
-    (s until e).map(n => ChainBlockPartition(n, conf, maxRetries,
-      baseBackoffMs, receiptConcurrency): InputPartition).toArray
+    if (fetchStrategy == "range")
+      (s until e by logRangeSize).map(r0 => ChainRangePartition(r0,
+        math.min(r0 + logRangeSize, e) - 1, conf, maxRetries,
+        baseBackoffMs, receiptConcurrency): InputPartition).toArray
+    else
+      (s until e).map(n => ChainBlockPartition(n, conf, maxRetries,
+        baseBackoffMs, receiptConcurrency): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new ChainEnvelopeReader(partition.asInstanceOf[ChainBlockPartition])
+        partition match {
+          case p: ChainBlockPartition => new ChainEnvelopeReader(p)
+          case p: ChainRangePartition => new ChainRangeReader(p)
+        }
     }
 
   override def commit(end: Offset): Unit = ()
@@ -232,11 +255,23 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override protected def fetcherConf(): FetcherConf = {
     val (_, forkAt) = SimChainSource.readHeadFile(headFile)
-    SimFetcherConf(forkAt, flakyEveryN, missingBlocks, receiptlessBlocks)
+    SimFetcherConf(forkAt, flakyEveryN, missingBlocks, receiptlessBlocks,
+      noBlockReceipts = options.getBoolean("noBlockReceipts", false),
+      rangeNoise = options.getBoolean("rangeNoise", false),
+      counterKey = Option(options.get("counterKey")))
   }
 }
 
 case class ChainBlockPartition(blockNumber: Long, conf: FetcherConf,
+                               maxRetries: Int, baseBackoffMs: Long,
+                               receiptConcurrency: Int) extends InputPartition
+
+/** One partition per block RANGE (inclusive bounds): the range
+  * strategy's unit of work — one `eth_getLogs` call amortized over
+  * `to - from + 1` blocks. Cross-range parallelism is still Spark's
+  * executor fan-out; within a range, blocks assemble sequentially off
+  * the one shared log response. */
+case class ChainRangePartition(from: Long, to: Long, conf: FetcherConf,
                                maxRetries: Int, baseBackoffMs: Long,
                                receiptConcurrency: Int) extends InputPartition
 
@@ -265,6 +300,27 @@ class ChainEnvelopeReader(p: ChainBlockPartition)
   override def close(): Unit = fetcher.close()
 }
 
+/** Materializes a whole range partition through
+  * [[ChainFetch.rangeEnvelopes]] (one `eth_getLogs` + per-block
+  * status) and serves its blocks one row at a time. */
+class ChainRangeReader(p: ChainRangePartition)
+    extends PartitionReader[InternalRow] {
+  private val serializer = ExpressionEncoder[SimChain.SimBlock]().createSerializer()
+  private val fetcher = p.conf.open()
+  private var it: Iterator[SimChain.SimBlock] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (it == null)
+      it = ChainFetch.rangeEnvelopes(fetcher, p.from, p.to, p.maxRetries,
+        p.baseBackoffMs, p.receiptConcurrency).iterator
+    if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = fetcher.close()
+}
+
 /** In-process fetcher over the deterministic [[SimChain]].
   *
   * The "RPC failure" is injected deterministically for blocks where
@@ -277,8 +333,30 @@ class ChainEnvelopeReader(p: ChainBlockPartition)
   * served — the stand-in for a real node's tx-hash index. A height in
   * `receiptless` indexes nothing, so its receipts come back None. */
 case class SimFetcherConf(forkAt: Option[Long], flakyEveryN: Long,
-                          missing: Set[Long], receiptless: Set[Long]) extends FetcherConf {
+                          missing: Set[Long], receiptless: Set[Long],
+                          noBlockReceipts: Boolean = false,
+                          rangeNoise: Boolean = false,
+                          counterKey: Option[String] = None) extends FetcherConf {
   override def open(): ChainFetcher = new SimFetcher(this)
+}
+
+/** Per-method RPC call counters, shared across every [[SimFetcher]]
+  * opened under the same `counterKey` (partition readers live in one
+  * JVM under local[*]) — the measurement a spec needs to assert the
+  * range strategy's O(ranges + blocks) call complexity against the
+  * N+1 path's O(blocks + txs). */
+object SimFetcherCounters {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.util.concurrent.atomic.AtomicLong]()
+  private[sources] def bump(key: Option[String], method: String): Unit =
+    key.foreach { k =>
+      counters.computeIfAbsent((k, method),
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet(): Unit
+    }
+  def get(key: String, method: String): Long =
+    Option(counters.get((key, method))).map(_.get()).getOrElse(0L)
+  def reset(key: String): Unit =
+    counters.keySet().removeIf(_._1 == key): Unit
 }
 
 class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
@@ -291,6 +369,7 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
       "sim head discovery reads the head file on the driver") // never a partition's job
 
   override def blockWithTxs(n: Long): Option[WireBlock] = {
+    SimFetcherCounters.bump(conf.counterKey, "blockWithTxs")
     val attempt = attempts.merge(n, 1, (a, b) => a + b)
     if (conf.flakyEveryN > 0 && n % conf.flakyEveryN == 0 && attempt == 1)
       throw new RuntimeException(s"injected RPC failure for block $n")
@@ -308,6 +387,55 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
     }
   }
 
-  override def transactionReceipt(txHash: String): Option[WireReceipt] =
+  override def transactionReceipt(txHash: String): Option[WireReceipt] = {
+    SimFetcherCounters.bump(conf.counterKey, "transactionReceipt")
     Option(receiptIndex.get(txHash))
+  }
+
+  /** The node-side view of `eth_getLogs` over the sim chain: logs of
+    * every present, receipt-bearing block in `[from, to]`, with
+    * BLOCK-level `logIndex` (cumulative across the block's txs — the
+    * real wire's numbering, which [[ChainFetch.rangeEnvelopes]] must
+    * re-align to the envelope's per-tx indexes).
+    *
+    * `rangeNoise` emulates the hazards the reference's README warns
+    * the range strategy must dedup/align away: every log is served
+    * TWICE (overlapping-chunk duplicates), a `removed=true` copy is
+    * appended, and a stale branch's logs (block hashes that match no
+    * live block) ride along — all of it must vanish in alignment. */
+  override def logsInRange(from: Long, to: Long): Seq[WireRangeLog] = {
+    SimFetcherCounters.bump(conf.counterKey, "logsInRange")
+    val real = (from to to).filterNot(n => conf.missing(n) || conf.receiptless(n))
+      .flatMap(n => blockRangeLogs(SimChain.blockOn(n, conf.forkAt)))
+    if (!conf.rangeNoise) real
+    else {
+      val stale = (from to to).filterNot(conf.missing)
+        .flatMap(n => blockRangeLogs(SimChain.blockAt(n, "stale", "0x00")))
+      real ++ real ++ real.take(3).map(_.copy(removed = true)) ++ stale
+    }
+  }
+
+  private def blockRangeLogs(b: SimChain.SimBlock): Seq[WireRangeLog] = {
+    var blockIdx = -1L
+    b.transactions.sortBy(_.tx_index_in_block).flatMap { t =>
+      t.logs.sortBy(_.log_index_in_tx).map { l =>
+        blockIdx += 1
+        WireRangeLog(b.block_number, b.block_hash, t.tx_hash, blockIdx,
+          l.contract_address,
+          Seq(l.topic0) ++ l.topic1 ++ l.topic2 ++ l.topic3, l.data)
+      }
+    }
+  }
+
+  /** `eth_getBlockReceipts` status view: a receiptless height answers
+    * with an empty map (block known, no receipts → status=null
+    * downstream); `noBlockReceipts` emulates a node without the
+    * method, forcing the per-tx status fallback. */
+  override def blockReceiptStatuses(n: Long): Option[Map[String, Option[Long]]] = {
+    if (conf.noBlockReceipts) return None
+    SimFetcherCounters.bump(conf.counterKey, "blockReceiptStatuses")
+    if (conf.missing(n) || conf.receiptless(n)) Some(Map.empty)
+    else Some(SimChain.blockOn(n, conf.forkAt).transactions
+      .map(t => t.tx_hash -> t.status).toMap)
+  }
 }

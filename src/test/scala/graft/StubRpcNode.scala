@@ -39,7 +39,8 @@ class StubRpcNode(headFile: String,
                   flakyBlockEveryN: Long = 0L,
                   flakyReceiptBlocks: Set[Long] = Set.empty,
                   missingBlocks: Set[Long] = Set.empty,
-                  receiptlessBlocks: Set[Long] = Set.empty) extends AutoCloseable {
+                  receiptlessBlocks: Set[Long] = Set.empty,
+                  supportsBlockReceipts: Boolean = true) extends AutoCloseable {
 
   private val mapper = new ObjectMapper()
   private val blockAttempts = new ConcurrentHashMap[Long, Integer]()
@@ -49,6 +50,7 @@ class StubRpcNode(headFile: String,
   // AtomicLong, not a @volatile var: handlers run on a 16-thread
   // executor and volatile read-modify-write loses increments
   private val served = new java.util.concurrent.atomic.AtomicLong()
+  private val perMethod = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new HttpHandler {
@@ -58,6 +60,8 @@ class StubRpcNode(headFile: String,
       val method = req.get("method").asText()
       val params = req.get("params")
       served.incrementAndGet(): Unit
+      perMethod.computeIfAbsent(method,
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet(): Unit
       method match {
         case "eth_blockNumber" =>
           val (head, _) = SimChainSource.readHeadFile(headFile)
@@ -84,6 +88,27 @@ class StubRpcNode(headFile: String,
               if (receiptlessBlocks(height)) respond(ex, result(id, "null"))
               else respond(ex, result(id, receipt))
           }
+        case "eth_getLogs" =>
+          val filter = params.get(0)
+          val from = ChainFetch.hexToLong(filter.get("fromBlock").asText())
+          val to = ChainFetch.hexToLong(filter.get("toBlock").asText())
+          val (head, forkAt) = SimChainSource.readHeadFile(headFile)
+          val logs = (from to math.min(to, head))
+            .filterNot(n => missingBlocks(n) || receiptlessBlocks(n))
+            .flatMap(n => rangeLogsJson(n, forkAt))
+          respond(ex, result(id, logs.mkString("[", ",", "]")))
+        case "eth_getBlockReceipts" if supportsBlockReceipts =>
+          val n = ChainFetch.hexToLong(params.get(0).asText())
+          val (head, forkAt) = SimChainSource.readHeadFile(headFile)
+          if (n > head || missingBlocks(n) || receiptlessBlocks(n))
+            respond(ex, result(id, "null"))
+          else {
+            val rcs = SimChain.blockOn(n, forkAt).transactions.map { t =>
+              val status = t.status.map(s => q(ChainFetch.longToHex(s))).getOrElse("null")
+              s"""{"transactionHash":${q(t.tx_hash)},"status":$status}"""
+            }
+            respond(ex, result(id, rcs.mkString("[", ",", "]")))
+          }
         case other =>
           respond(ex,
             s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"unknown method $other"}}""")
@@ -95,6 +120,8 @@ class StubRpcNode(headFile: String,
 
   val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def callsServed: Long = served.get()
+  def callsServed(method: String): Long =
+    Option(perMethod.get(method)).map(_.get()).getOrElse(0L)
 
   override def close(): Unit = server.stop(0)
 
@@ -127,6 +154,26 @@ class StubRpcNode(headFile: String,
     s"""{"number":${q(ChainFetch.longToHex(b.block_number))},"hash":${q(b.block_hash)},""" +
       s""""parentHash":${q(b.parent_hash)},"timestamp":${q(ChainFetch.longToHex(b.timestamp))},""" +
       s""""transactions":$txs}"""
+  }
+
+  /** Wire-encode one block's logs the way `eth_getLogs` does: each log
+    * carries its block context (blockNumber/blockHash/transactionHash)
+    * and a BLOCK-level `logIndex` — cumulative across the block's txs,
+    * NOT the per-tx index receipts use. The fetcher's alignment has to
+    * undo exactly this numbering. */
+  private def rangeLogsJson(n: Long, forkAt: Option[Long]): Seq[String] = {
+    val b = SimChain.blockOn(n, forkAt)
+    var blockIdx = -1L
+    b.transactions.flatMap { t =>
+      t.logs.map { l =>
+        blockIdx += 1
+        val topics = (Seq(l.topic0) ++ l.topic1 ++ l.topic2 ++ l.topic3)
+          .map(q).mkString("[", ",", "]")
+        s"""{"blockNumber":${q(ChainFetch.longToHex(n))},"blockHash":${q(b.block_hash)},""" +
+          s""""transactionHash":${q(t.tx_hash)},"logIndex":${q(ChainFetch.longToHex(blockIdx))},""" +
+          s""""address":${q(l.contract_address)},"topics":$topics,"data":${q(l.data)},"removed":false}"""
+      }
+    }
   }
 
   private def receiptJson(t: SimChain.SimTx): String = {
