@@ -18,12 +18,14 @@ final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                                frames: Long)
 
 /** Multimodal columns: treat image/audio/video as opaque `binary`
-  * with typed metadata; decode / feature-extract runs as a
-  * partition-batched typed transformation (`mapPartitions` over a
-  * `Dataset[MediaRow]`, batches of 64 — the same batch shape a
-  * vectorized decoder / Pandas-UDF analog would use). At scale this
-  * is embarrassingly parallel: no shuffle, one pass, decoder state
-  * amortized per batch.
+  * with typed metadata. Decode / feature-extract is DECLARATIVE
+  * ([[Multimodal.decodeFeaturesExpr]]: codegen'd `md5` +
+  * bounded-head `regexp_extract` projection — map-only, inside
+  * whole-stage codegen); the partition-batched typed form
+  * ([[Multimodal.decodeFeatures]], `mapPartitions` in batches of 64 —
+  * the mapInPandas batch shape) is kept as the seam where a real
+  * codec's per-batch native state would plug in. At scale both are
+  * embarrassingly parallel: no shuffle, one pass.
   */
 object Multimodal {
 
@@ -142,7 +144,14 @@ object Multimodal {
     head match {
       case PpmHeader(w, h, _) if w.length <= 9 && h.length <= 9 =>
         (w.toLong, h.toLong, 1L)
-      case _ if head.startsWith(Y4mMagic) =>
+      // the parameter line's terminating newline must itself sit
+      // inside the sniff window: a line CUT at the window boundary
+      // mid-parameter (e.g. XNFRAMES=300 truncated to XNFRAMES=3)
+      // would otherwise pass the digit checks and parse a silently
+      // wrong value — truncation degrades to unknown, never to a
+      // plausible number. (PPM needs no such guard: every accepted
+      // field is terminated by whitespace the pattern requires.)
+      case _ if head.startsWith(Y4mMagic) && head.indexOf('\n') >= 0 =>
         val params = head.drop(Y4mMagic.length).takeWhile(_ != '\n')
           .split(' ').filter(_.nonEmpty)
         def num(tag: String): Option[Long] =
@@ -175,19 +184,70 @@ object Multimodal {
     // be gigabytes — casting the whole payload to string would scan
     // and allocate the body once per extracted field
     val s = substring(col("payload"), 1, 1024).cast("string")
+    // malformed-header degradation must not depend on the ANSI flag:
+    // a plain cast of a corrupt size/field string returns null only
+    // with ANSI off — under Spark 4's ANSI default it would THROW out
+    // of the scan. Bound fields to matched digit runs (\d{1,9} + a
+    // boundary) and null the no-match "" BEFORE the cast, so every
+    // cast input is digits-or-null under any ANSI setting.
+    def digitsOrNull(c: Column): Column =
+      when(c.rlike("^\\d{1,9}$"), c).cast("long")
     def field(name: String): Column =
-      regexp_extract(s, name + " -i (\\d+)\n", 1).cast("long")
+      digitsOrNull(regexp_extract(s, name + " -i (\\d{1,9})\n", 1))
     media
       .filter(substring(col("payload"), 1, 8) === lit("NIST_1A\n").cast("binary"))
       .select(col("doc_id"),
-        trim(substring(s, 9, 8)).cast("long").as("header_bytes"),
+        digitsOrNull(trim(substring(s, 9, 8))).as("header_bytes"),
         field("sample_rate").as("sample_rate"),
         field("channel_count").as("channel_count"),
         field("sample_count").as("sample_count"),
         length(col("payload")).as("n_bytes"))
-      .withColumn("data_bytes", col("n_bytes") - col("header_bytes"))
+      // a size-lying header (declared size > the payload it arrived
+      // in) must not emit a negative body length: null the row's
+      // data_bytes — the honest "header inconsistent" signal, matching
+      // the degrade-gracefully rule the other parsers follow
+      .withColumn("data_bytes",
+        when(col("n_bytes") >= col("header_bytes"),
+          col("n_bytes") - col("header_bytes")))
       .select(col("doc_id"), col("header_bytes"), col("sample_rate"),
         col("channel_count"), col("sample_count"), col("data_bytes"))
+  }
+
+  /** [[decodeFeatures]] as a DECLARATIVE plan — the registry form: the
+    * same magic-sniffed parse ([[parseHeader]]'s semantics, field for
+    * field) expressed as codegen'd built-ins (`md5`, `regexp_extract`
+    * over a bounded 96-byte head slice), so the decode is a pure
+    * projection inside whole-stage codegen: no object
+    * serialization boundary, no `mapPartitions`, filters/pruning push
+    * straight through. `DecodeParitySpec`-checked equal to the typed
+    * path; the typed path remains the seam where a real codec's
+    * per-batch state would live.
+    *
+    * Parse hardening matches the imperative parser exactly: digit
+    * runs are bounded at 9 (`\d{1,9}` + a boundary — an overlong or
+    * boundary-cut run fails the match and degrades to unknown, and
+    * can never throw under ANSI because only matched digit runs are
+    * ever cast), the Y4M parameter line must carry its terminating
+    * newline inside the window, and frames clamp to >= 1. */
+  def decodeFeaturesExpr(media: DataFrame): DataFrame = {
+    val head = substring(col("payload"), 1, 96).cast("string")
+    // "" (no match) → null BEFORE the cast: ANSI-safe by construction
+    def longOf(c: Column): Column =
+      when(c === "", lit(null)).otherwise(c).cast("long")
+    def ppmNum(group: Int): Column = longOf(regexp_extract(head,
+      "^P6\\s+(\\d{1,9})\\s+(\\d{1,9})\\s+(\\d{1,9})\\s", group))
+    // group = the parameter line WITH its newline present in-window;
+    // a boundary-truncated line extracts "" and parses nothing
+    val y4mLine = regexp_extract(head, "^YUV4MPEG2 ([^\n]*)\n", 1)
+    def y4mNum(tag: String): Column = longOf(
+      regexp_extract(y4mLine, "(?:^|\\s)" + tag + "(\\d{1,9})(?:\\s|$)", 1))
+    media.select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      coalesce(ppmNum(1), y4mNum("W"), lit(0L)).as("width"),
+      coalesce(ppmNum(2), y4mNum("H"), lit(0L)).as("height"),
+      greatest(lit(1L), coalesce(y4mNum("XNFRAMES="), lit(1L))).as("frames"))
   }
 
   /** Decode one batch: md5 checksum over all payload bytes plus the
@@ -202,9 +262,16 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched decode: groups each partition's iterator into
-    * [[BatchSize]] chunks so a real decoder could amortize setup per
-    * batch (the mapInPandas/mapInArrow batch shape, in Scala). */
+  /** Partition-batched TYPED decode — the codec-integration seam, NOT
+    * the registry path ([[decodeFeaturesExpr]] computes the same
+    * features declaratively and is what queries run): groups each
+    * partition's iterator into [[BatchSize]] chunks so a real decoder
+    * (the part that genuinely needs per-batch native state — codec
+    * contexts, pinned buffers) amortizes setup per batch — the
+    * mapInPandas/mapInArrow batch shape, in Scala. Until such a codec
+    * exists, everything this computes is expressible as expressions,
+    * so the expression form is the one in production paths;
+    * parity between the two is spec-pinned. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>

@@ -193,18 +193,22 @@ object PipelineQueries {
       AnnIndex.topK(s, dir, maxQueryId = 8, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
+    // pure projection (PlanAuditSpec pins no object-serialization
+    // boundary in its plan); the typed mapPartitions twin stays as
+    // the non-registry codec seam, parity-pinned in OpsSpec
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir)))
-        .toDF().orderBy(col("doc_id"))),
+      Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
 
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(
-        Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
+        Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir))))
         .orderBy(col("doc_id"))),
 
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
-        Multimodal.decodeFeatures(s, Multimodal.withPayload(Fixtures.documents(s, dir))).toDF())
+        Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir))))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // codec-free REAL feature extraction (size / entropy / brightness

@@ -311,6 +311,90 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(p("P6\n9 9\n255\n" + "x" * 500) == ((9L, 9L, 1L)))
   }
 
+  test("multimodal declarative decode == typed decode (the expression form is the registry path)") {
+    import org.apache.spark.sql.functions.col
+    // mixed formats + a null text: every branch of the parse
+    import spark.implicits._
+    val d = Seq((3L, Option("img body")), (4L, Option("audio body")),
+      (5L, Option("video body")), (6L, None), (7L, None), (8L, None))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withPayload(d)
+    val typed = Multimodal.decodeFeatures(spark, media).toDF()
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val exprs = Multimodal.decodeFeaturesExpr(media)
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(exprs == typed,
+      "decodeFeaturesExpr must reproduce the typed decode row for row")
+  }
+
+  test("multimodal parsers: boundary-cut and adversarial headers degrade to unknown in BOTH forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a Y4M parameter line whose newline falls OUTSIDE the 96-byte
+    // sniff window, cut exactly mid-parameter: XNFRAMES=300 truncates
+    // to XNFRAMES=3 at byte 96 — a parser trusting the cut window
+    // would silently parse frames=3; the newline guard must degrade
+    // the whole parse to unknown instead
+    val cut = "YUV4MPEG2 W64 H64 F25:1 " + " " * 62 + "XNFRAMES=300\nFRAME..."
+    assert(cut.indexOf("XNFRAMES=300") == 86, "fixture must straddle byte 96")
+    assert(Multimodal.parseHeader(cut.getBytes("UTF-8")) == ((0L, 0L, 1L)))
+    // same line with the newline in-window parses normally
+    val ok = "YUV4MPEG2 W64 H64 F25:1 XNFRAMES=300\nFRAME..."
+    assert(Multimodal.parseHeader(ok.getBytes("UTF-8")) == ((64L, 64L, 300L)))
+
+    // the EXPRESSION form must agree on every adversarial shape,
+    // under the session's (ANSI) cast semantics — nothing may throw
+    val adversarial = Seq(
+      1L -> cut,
+      2L -> ok,
+      3L -> "P6\n640 480\n255\ndata",
+      4L -> ("P6\n99999999999999999999 5\n255\nx"),      // overlong digits
+      5L -> "YUV4MPEG2 W99999999999999999999 H5 F25:1\n", // overlong digits
+      6L -> "YUV4MPEG2 W64 H64 F25:1 XNFRAMES=0\n",       // zero clamps
+      7L -> "P6 but not a real header",
+      8L -> "",
+      9L -> "YUV4MPEG2 WxH garbage\n")
+    val media = adversarial.toDF("doc_id", "s")
+      .select(col("doc_id"), org.apache.spark.sql.functions.lit("x").as("media_type"),
+        col("s").cast("binary").as("payload"))
+    val got = Multimodal.decodeFeaturesExpr(media).orderBy(col("doc_id"))
+      .select("width", "height", "frames").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = adversarial.map { case (_, s) => Multimodal.parseHeader(s.getBytes("UTF-8")) }
+    assert(got == want, "expression parse must equal the imperative parse on adversarial bytes")
+  }
+
+  test("multimodal audioMeta: size-lying / corrupt / truncated SPHERE headers degrade, never throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val body = "sample_count -i 10\nsample_rate -i 8010\nchannel_count -i 1\nend_head\n"
+    def sphere(size: String) = "NIST_1A\n" + size + "\n" + body + "audio body"
+    val adversarial = Seq(
+      1L -> sphere(f"${body.length + 17}%8d"),  // honest header (control)
+      2L -> sphere("99999999"),                 // size-lying: declared >> payload
+      3L -> sphere("  12ab56"),                 // corrupt size field
+      4L -> ("NIST_1A\n" + "      84"),          // truncated before the size newline
+      5L -> "NIST_1A\nxxxxxxxx\n")              // no parseable fields at all
+    val media = adversarial.toDF("doc_id", "s")
+      .select(col("doc_id"), org.apache.spark.sql.functions.lit("audio").as("media_type"),
+        col("s").cast("binary").as("payload"))
+    val rows = Multimodal.audioMeta(media).orderBy(col("doc_id")).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "every magic-bearing row must survive the parse (degrade, not drop/throw)")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("data_bytes") == 10L)
+    // size-lying: header_bytes parses but data_bytes must be null, never negative
+    assert(byId(2L).getAs[Long]("header_bytes") == 99999999L)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("data_bytes")))
+    // corrupt size: header_bytes AND data_bytes null, fields still parse
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("header_bytes")))
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("data_bytes")))
+    assert(byId(3L).getAs[Long]("sample_rate") == 8010L)
+    // truncation: whatever the window holds parses, the rest is null
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("sample_rate")))
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("header_bytes")))
+  }
+
   test("multimodal audioMeta: SPHERE fields parsed from bytes; magic routes, media_type doesn't") {
     import org.apache.spark.sql.functions.col
     val d = docs(3L -> "img text", 4L -> "audio body", 5L -> "vid")

@@ -68,6 +68,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("multimodal_decode plans as a pure codegen'd projection — no object-serialization boundary") {
+    // the decode is md5 + bounded-head regexp over a scan: any
+    // mapPartitions/typed hop would show up as (De)SerializeFromObject
+    // and break whole-stage codegen right where 100 TB of payload
+    // bytes stream through
+    val physical = SparkEntry.queries("multimodal_decode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("MapPartitions", "SerializeFromObject", "DeserializeToObject", "AppendColumns"))
+      assert(!physical.contains(op),
+        s"multimodal_decode must stay declarative; found $op in:\n$physical")
+    // without the registry entry's deterministic output sort, the op
+    // itself is one codegen'd shuffle-free stage: scan → project (AQE
+    // off so the printed plan shows the codegen spans statically)
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val raw = graft.ops.Multimodal.decodeFeaturesExpr(
+        graft.ops.Multimodal.withPayload(
+          graft.tables.Fixtures.documents(spark, sfDir)))
+        .queryExecution.executedPlan.toString
+      assert(!raw.contains("Exchange"), s"decode is map-only — no shuffle:\n$raw")
+      // toString renders a whole-stage-codegen span as the `*(n)` prefix
+      assert(raw.startsWith("*("),
+        s"decode projection must run inside whole-stage codegen:\n$raw")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("the query-bounded scans still have their scale-path twins registered") {
     // pins that the LSH/IVF twins exist and stay oracle-checked
     val q = SparkEntry.queries.keySet
