@@ -146,8 +146,13 @@ object Curation {
     * rank-limited window: no self-join, ONE shuffle (the window's). */
   def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // desc_nulls_last EXPLICITLY: a null-text doc scores a null
+    // quality and must rank below every scored doc in both engines.
+    // Spark's .desc and DuckDB's DESC both default to nulls-last, but
+    // the cross-engine agreement is a RULE of this operator, not a
+    // coincidence of two engines' defaults — both sides spell it out.
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score_bp").desc, col("doc_id"))
+      .orderBy(col("quality_score_bp").desc_nulls_last, col("doc_id"))
     TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("source"), col("quality_score_bp"))
       .withColumn("source_rank", row_number().over(w).cast("long"))

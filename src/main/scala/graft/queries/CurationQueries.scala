@@ -200,7 +200,7 @@ object CurationQueries {
         |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp FROM m),
         |r AS (SELECT doc_id, source, quality_score_bp,
         |  row_number() OVER (PARTITION BY source
-        |    ORDER BY quality_score_bp DESC, doc_id) AS source_rank FROM s)
+        |    ORDER BY quality_score_bp DESC NULLS LAST, doc_id) AS source_rank FROM s)
         |SELECT doc_id, source, quality_score_bp, source_rank::BIGINT AS source_rank
         |FROM r WHERE source_rank <= 10 ORDER BY source, source_rank""".stripMargin,
 
