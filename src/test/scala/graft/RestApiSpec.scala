@@ -226,6 +226,95 @@ class RestApiSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("adversarial HTTP pagination property: random-filter cursor walks lose nothing, duplicate nothing (api.rs:162-195)") {
+    // The reference's core pagination claim — a keyset-cursor walk
+    // visits exactly the filtered set, in order, no matter the filter
+    // — proved OVER THE WIRE: every page is a real POST /logs through
+    // the JSON parse, alias handling, and clamp, not a DataFrame call.
+    // `Smoke` walks the DataFrame layer; this pins the HTTP layer to
+    // the same contract.
+    import graft.api.{GetLogsFilter, LogsQuery}
+    import org.apache.spark.sql.functions.{col, max}
+    val logs = EvmDerive.logs(spark, sfDir)
+    // value pools sampled from the data (hits) plus a guaranteed miss
+    val aRows = logs.select("contract_address").distinct().limit(3).collect()
+    val addrs = aRows.map(_.getString(0)).toSeq :+ ("0x" + "ab" * 20)
+    val topics = logs.select("topic0").where(col("topic0").isNotNull)
+      .distinct().limit(2).collect().map(_.getString(0)).toSeq
+    val maxBlock = logs.agg(max("block_number")).head().getLong(0)
+    val rnd = new scala.util.Random(1234)
+
+    def opt[T](v: => T): Option[T] = if (rnd.nextBoolean()) Some(v) else None
+
+    // requested sizes straddle the clamp on both ends: 0 and -5 clamp
+    // to 1, 1000 to 100 (api.rs:26,115)
+    val sizes = Seq(0, 1, 3, 7, 25, 100, 1000, -5)
+
+    def walkOnce(iter: Int): Unit = {
+      val f = GetLogsFilter(
+        fromBlock = opt(rnd.nextLong(maxBlock + 1)),
+        toBlock = opt(rnd.nextLong(maxBlock + 1)),
+        contractAddress = opt(addrs(rnd.nextInt(addrs.length))),
+        topic0 = opt(topics(rnd.nextInt(topics.length))))
+      val requested = sizes(rnd.nextInt(sizes.length))
+      val effective = LogsQuery.clampPageSize(requested)
+      // the page-size key alternates between the canonical name and
+      // the serde alias — both must drive the same clamp
+      val sizeKey = if (iter % 2 == 0) "pageSize" else "limit"
+
+      // ground truth: the library's own predicate fold, UNbounded —
+      // exactly what the walk must reassemble
+      val expected = LogsQuery.predicates(f)
+        .foldLeft(LogsQuery.projection(logs))(_.filter(_))
+        .orderBy(col("block_number").asc, col("id").asc)
+        .select("block_number", "transaction_hash", "log_index")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toVector
+
+      def bodyJson(cb: Long, cl: Long): String = {
+        val fields = Seq(
+          f.fromBlock.map(v => s""""fromBlock":$v"""),
+          f.toBlock.map(v => s""""toBlock":$v"""),
+          // address goes through the reference's field name
+          f.contractAddress.map(v => s""""address":"$v""""),
+          f.topic0.map(v => s""""topic0":"$v""""),
+          Some(s""""cursorBlock":$cb,"cursorLogId":$cl"""),
+          Some(s""""$sizeKey":$requested""")).flatten
+        fields.mkString("{", ",", "}")
+      }
+
+      var walked = Vector.empty[(Long, String, Long)]
+      var cb = -1L
+      var cl = -1L
+      var done = false
+      var pages = 0
+      while (!done) {
+        val (code, body) = post("/logs", bodyJson(cb, cl))
+        assert(code == 200, s"walk $iter page $pages failed: $body")
+        val m = obj(body)
+        val page = m("logs").asInstanceOf[List[Map[String, Any]]]
+        assert(page.length <= effective,
+          s"page exceeds the clamped size ($requested -> $effective)")
+        walked ++= page.map(l => (l("blockNumber").asInstanceOf[Long],
+          l("transactionHash").asInstanceOf[String],
+          l("logIndex").asInstanceOf[Long]))
+        pages += 1
+        assert(pages <= expected.length + 2, s"walk $iter did not terminate")
+        if (page.length < effective) done = true
+        else {
+          cb = m("next_cursor_block").asInstanceOf[Long]
+          cl = m("next_cursor_log_id").asInstanceOf[Long]
+        }
+      }
+      assert(walked == expected,
+        s"walk $iter ($sizeKey=$requested, filter=$f): HTTP walk visited " +
+          s"${walked.length} rows vs ${expected.length} expected " +
+          s"(dups: ${walked.length - walked.distinct.length})")
+    }
+
+    (0 until 8).foreach(walkOnce)
+  }
+
   test("Json codec round-trips escapes, unicode, nested structures") {
     val v = Map("a" -> List(1L, -2L, 3.5), "s" -> "q\"\\\n\tüñ", "b" -> true,
       "n" -> null)
