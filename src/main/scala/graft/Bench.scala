@@ -160,6 +160,13 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fine.getBytes("UTF-8"))
     System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
+    // End-of-run cache hygiene + the measurement that keeps the
+    // SharedCaches cap honest: the high-water mark must sit under the
+    // budget or the LRU evicted mid-run (and some query paid a silent
+    // rebuild — compare against BenchCacheSpec's pinned expectation).
+    System.err.println(s"[bench] shared-cache high-water ${graft.ops.SharedCaches.highWater} " +
+      s"entries (budget ${graft.ops.SharedCaches.DefaultMaxEntries})")
+    graft.ops.SharedCaches.releaseAll()
     spark.stop()
     // Absolute last output: the driver parses this line out of its
     // bounded tail capture, so nothing may print after it.

@@ -53,9 +53,10 @@ object Dedup {
     * share the identical plan and therefore the same cache entry).
     * MEMORY_AND_DISK: the shingle set is ~O(tokens) of the corpus, so
     * at cluster scale it spills rather than OOMs; on executor loss the
-    * lineage recomputes the lost partitions. */
+    * lineage recomputes the lost partitions. Lifetime is owned by the
+    * [[SharedCaches]] budget (LRU beyond the session cap). */
   def sharedShingleRows(docs: DataFrame): DataFrame =
-    shingleRows(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(shingleRows(docs), "dedup")
 
   /** Distinct-shingle count per doc. */
   def shingleSizes(sh: DataFrame): DataFrame =
@@ -124,8 +125,9 @@ object Dedup {
     * shared across queries via CacheManager plan matching, like
     * [[sharedShingleRows]]. */
   def sharedBands(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2): DataFrame =
-    minhashBands(minhashSignature(sharedShingleRows(docs), k), k, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(
+      minhashBands(minhashSignature(sharedShingleRows(docs), k), k, rowsPerBand),
+      "dedup")
 
   /** Full MinHash/LSH near-dup pipeline: shingle → sign → band →
     * bucket self-join (equality on band+signature, so the join is a
@@ -171,7 +173,7 @@ object Dedup {
     * matching, like [[sharedShingleRows]]/[[sharedBands]]. */
   def sharedMinhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
                          threshold: Double = 0.6): DataFrame =
-    minhashPairs(docs, k, rowsPerBand, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(minhashPairs(docs, k, rowsPerBand, threshold), "dedup")
 
   /** Incremental near-dedup: verified MinHash pairs that TOUCH a new
     * batch — fresh×corpus (does an increment doc duplicate anything
@@ -202,29 +204,32 @@ object Dedup {
                               threshold: Double = 0.6,
                               corpusBands: Option[DataFrame] = None,
                               allShingles: Option[DataFrame] = None): DataFrame = {
-    val freshBands = minhashBands(minhashSignature(shingleRows(fresh), k), k, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freshBands = SharedCaches.shared(
+      minhashBands(minhashSignature(shingleRows(fresh), k), k, rowsPerBand), "dedup")
     val cBands = corpusBands.getOrElse(
       minhashBands(minhashSignature(shingleRows(corpus), k), k, rowsPerBand))
     val allBands = cBands.unionByName(freshBands)
-    // unordered candidates with >= 1 fresh side, normalized a < b
-    val cands = allBands.select(col("doc_id").as("id_x"), col("band"), col("band_sig"))
-      .join(freshBands.select(col("doc_id").as("id_y"), col("band"), col("band_sig")),
-        Seq("band", "band_sig"))
-      .filter(col("id_x") =!= col("id_y"))
-      .select(least(col("id_x"), col("id_y")).as("doc_a"),
-        greatest(col("id_x"), col("id_y")).as("doc_b"))
-      .distinct()
-      // referenced from three legs (both sides of the participant
-      // semi-join, then verification) — persist or the band join runs 3×
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // unordered candidates with >= 1 fresh side, normalized a < b —
+    // referenced from three legs (both sides of the participant
+    // semi-join, then verification), so shared-cached or the band
+    // join runs 3×
+    val cands = SharedCaches.shared(
+      allBands.select(col("doc_id").as("id_x"), col("band"), col("band_sig"))
+        .join(freshBands.select(col("doc_id").as("id_y"), col("band"), col("band_sig")),
+          Seq("band", "band_sig"))
+        .filter(col("id_x") =!= col("id_y"))
+        .select(least(col("id_x"), col("id_y")).as("doc_a"),
+          greatest(col("id_x"), col("id_y")).as("doc_b"))
+        .distinct(),
+      "dedup")
     // shingles only for docs that appear in a candidate pair: the
     // semi-join is what keeps the corpus-side explode O(matched)
     val ids = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
-    val sh = allShingles.getOrElse(shingleRows(corpus.unionByName(fresh)))
-      .join(ids, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = SharedCaches.shared(
+      allShingles.getOrElse(shingleRows(corpus.unionByName(fresh)))
+        .join(ids, Seq("doc_id"), "left_semi"),
+      "dedup")
     val inter = cands.join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
@@ -249,8 +254,10 @@ object Dedup {
                              threshold: Double = 0.6,
                              corpusBands: Option[DataFrame] = None,
                              allShingles: Option[DataFrame] = None): DataFrame =
-    incrementalMinhashPairs(corpus, fresh, k, rowsPerBand, threshold,
-      corpusBands, allShingles).persist(StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(
+      incrementalMinhashPairs(corpus, fresh, k, rowsPerBand, threshold,
+        corpusBands, allShingles),
+      "dedup")
 
   /** The incremental APPLY: which docs of the increment survive, given
     * [[incrementalMinhashPairs]]' output. Greedy drop policy: a fresh
@@ -611,7 +618,7 @@ object Dedup {
     * this cache is also a valid shingle base for a filter of the docs:
     * shingling is row-local, so filter and shingle commute. */
   def sharedPositionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame =
-    positionedShingleRows(docs, spanTokens).persist(StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(positionedShingleRows(docs, spanTokens), "substring")
 
   /** NOTE for direct callers: the shingle base is referenced from TWO
     * plan legs (the distinct-doc aggregation and the hits join), so

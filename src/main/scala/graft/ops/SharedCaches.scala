@@ -1,0 +1,117 @@
+package graft.ops
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Sized budget for the engine's session-shared caches.
+  *
+  * The near-dup/segment/shingle bases persist so that one
+  * materialization feeds every plan leg and every query of a family
+  * (see [[Dedup.sharedShingleRows]]); Spark's `CacheManager` dedups
+  * the entries by canonical plan, but nothing ever REMOVES them — a
+  * long-lived session (the bench run, a notebook, a serving process)
+  * accumulates one entry per (operator family × input) until the
+  * block manager starts evicting partitions underneath whichever
+  * query runs next. That failure mode is invisible at fixture scale
+  * and pathological at 100 TB, where a single evicted shingle-base
+  * partition recomputes a tokenize+explode stage mid-join.
+  *
+  * This registry makes the lifetime explicit and BOUNDED:
+  *   - every shared persist site acquires through [[shared]], keyed by
+  *     the plan's canonical form (the same identity `CacheManager`
+  *     uses), so re-acquisition is a cache hit, never a second entry;
+  *   - entries beyond `spark.graft.cache.maxEntries` (default
+  *     [[DefaultMaxEntries]]) evict least-recently-acquired first —
+  *     the budget holds regardless of how many families a session
+  *     touches, and eviction is safe by construction (an unpersisted
+  *     base recomputes from lineage, exactly as on executor loss);
+  *   - [[releaseFamily]] / [[releaseAll]] give batch drivers
+  *     (e.g. [[graft.Bench]]) a deterministic end-of-family /
+  *     end-of-run hook.
+  *
+  * The default cap is sized ABOVE the full registry's distinct shared
+  * plans (~12 at one scale factor), so a normal run never evicts and
+  * bench numbers are unchanged; it exists to turn "unbounded growth"
+  * into "LRU over a budget" for sessions that outlive one registry
+  * sweep. Per-micro-batch persists with an explicit unpersist in the
+  * same scope (e.g. [[graft.ingest.StreamingIngester]]) stay outside
+  * the registry: their lifetime is already exact.
+  */
+object SharedCaches {
+
+  /** Above the registry's ~12 distinct shared plans per scale factor;
+    * below what would let a multi-tenant session hoard the block
+    * manager. */
+  val DefaultMaxEntries = 16
+
+  private final case class Entry(df: DataFrame, family: String)
+
+  /** Insertion-ordered: head = least recently acquired. Keyed by the
+    * owning session + the canonicalized analyzed plan — two DataFrame
+    * objects with the same canonical plan are the same cache entry,
+    * mirroring `CacheManager`'s own identity rule. */
+  private val entries =
+    mutable.LinkedHashMap.empty[(SparkSession, LogicalPlan), Entry]
+
+  /** Peak tracked-entry count since JVM start (observability: a bench
+    * run logs it so cap-vs-actual is measured, not assumed). */
+  @volatile private var highWaterMark = 0
+
+  private def cap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.cache.maxEntries")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(DefaultMaxEntries)
+
+  /** Acquire a shared cache of `df`'s plan: persist-and-register on
+    * first sight, LRU-touch and return the REGISTERED frame on
+    * re-acquisition (so callers always hold the instance whose
+    * `storageLevel` reflects the cache). Evicts least-recently-used
+    * entries beyond the session's cap. */
+  def shared(df: DataFrame, family: String,
+             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+      entries.remove(key) match {
+        case Some(e) =>
+          entries.put(key, e) // re-insert = move to most-recent
+          e.df
+        case None =>
+          df.persist(level)
+          entries.put(key, Entry(df, family))
+          highWaterMark = math.max(highWaterMark, entries.size)
+          val budget = cap(df.sparkSession)
+          while (entries.size > budget) {
+            val (k, e) = entries.head
+            drop(k, e)
+          }
+          df
+      }
+    }
+
+  private def drop(key: (SparkSession, LogicalPlan), e: Entry): Unit = {
+    // non-blocking: eviction must never stall the acquiring query on
+    // block deletion; a stopped session's unpersist is a no-op concern
+    try e.df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    entries.remove(key)
+  }
+
+  /** Unpersist and forget every entry of `family` (end-of-family hook
+    * for batch drivers that sweep families in order). */
+  def releaseFamily(family: String): Unit = synchronized {
+    entries.filter(_._2.family == family).foreach { case (k, e) => drop(k, e) }
+  }
+
+  /** Unpersist and forget everything (end-of-run hook). */
+  def releaseAll(): Unit = synchronized {
+    entries.toList.foreach { case (k, e) => drop(k, e) }
+  }
+
+  def trackedCount: Int = synchronized(entries.size)
+
+  def trackedCount(family: String): Int =
+    synchronized(entries.count(_._2.family == family))
+
+  def highWater: Int = highWaterMark
+}

@@ -236,8 +236,7 @@ object TextAnalysis {
     * same docs shares one materialization (the
     * [[Dedup.sharedShingleRows]] pattern). */
   def sharedSegmentRows(docs: DataFrame, segTokens: Int): DataFrame =
-    segmentRows(docs, segTokens)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedCaches.shared(segmentRows(docs, segTokens), "text")
 
   /** The production segmenter: one row per (doc_id, seg_idx, seg) by
     * newline split — a crawl's page lines, the boundary RefinedWeb/

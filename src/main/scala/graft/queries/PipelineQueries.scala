@@ -267,12 +267,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
       val lang = TextAnalysis.langId(fresh)
         .select(col("doc_id"), col("predicted_lang"))
-      // persisted: the gated increment feeds banding, verification,
-      // and the survivor anti-join — without the persist each leg
+      // shared-cached: the gated increment feeds banding, verification,
+      // and the survivor anti-join — without the cache each leg
       // re-runs the quality/language joins
-      val gated = fresh.join(quality, "doc_id").join(lang, "doc_id")
-        .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gated = graft.ops.SharedCaches.shared(
+        fresh.join(quality, "doc_id").join(lang, "doc_id")
+          .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000),
+        "pipeline")
       // corpus bands + shingles from the session-shared caches, like
       // dedup_incremental (shingles of ungated docs are inert: the
       // verification semi-join keeps only candidate participants)
