@@ -58,17 +58,23 @@ object Bench {
   private def contentionThreshold(): Double =
     math.max(2.0, Runtime.getRuntime.availableProcessors() / 8.0)
 
-  /** Seconds → compact decimal at one of three precision levels.
+  /** Seconds → compact decimal at one of four precision levels.
     * Level 0 (fine): 2 decimals under 1 s, 1 decimal to 10 s, whole
-    * seconds above. Level 1 (coarse): 1 decimal under 10 s. Level 2:
-    * whole seconds everywhere. Each dropped digit sits under the
-    * measurement noise of its range; failures print as -1. */
+    * seconds above. Level 1: 1 decimal under 10 s. Level 2: whole
+    * seconds from 1 s up but 1 decimal kept under 1 s — the registry's
+    * entries are mostly sub-second, where the integer floor would
+    * erase the per-query signal entirely while costing the fewest
+    * characters exactly where precision matters least. Level 3: whole
+    * seconds everywhere (pathological-shape fallback). Each dropped
+    * digit sits under the measurement noise of its range; failures
+    * print as -1. */
   private[graft] def ms(v: Double, level: Int = 0): String =
     if (v < 0) "-1"
     else {
       val scale =
         if (level < 0) 4 // file-copy fidelity: no tail-window budget
-        else if (v >= 10 || level >= 2) 0
+        else if (v >= 10 || level >= 3) 0
+        else if (level >= 2) { if (v >= 1) 0 else 1 }
         else if (v >= 1 || level >= 1) 1
         else 2
       val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
@@ -103,10 +109,10 @@ object Bench {
                                    repeats: Int, contended: Boolean,
                                    loadStart: Double, loadEnd: Double,
                                    budget: Int = 1990): String =
-    (0 to 2).iterator
+    (0 to 3).iterator
       .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l))
       .find(_.length <= budget)
-      .getOrElse(renderLine(results, sfName, repeats, contended, loadStart, loadEnd, 2))
+      .getOrElse(renderLine(results, sfName, repeats, contended, loadStart, loadEnd, 3))
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()

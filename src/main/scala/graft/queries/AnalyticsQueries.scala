@@ -116,6 +116,24 @@ object AnalyticsQueries {
         gapNanos = 3600L * 1000000L)
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // Batch twin of the streaming MinHash near-dup matcher at fixture
+    // scale: documents arrive one per minute starting a day after
+    // epoch (ts = (doc_id + 1440) minutes — deterministic, the oracle
+    // derives the same clock, and the offset keeps doc 0 admissible
+    // under the stream's initial watermark when the spec replays the
+    // same rows), the match horizon is 120 minutes, so the time
+    // condition genuinely bites (roughly half the fixture's
+    // est-agreement pairs lie farther apart). StreamAnalyticsSpec
+    // feeds the same rows through the stateful matcher and
+    // differentially checks it against this plan.
+    "stream_neardup_twin" -> ((s, dir) =>
+      graft.streaming.StreamAnalytics.batchNearDup(
+        Fixtures.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            ((col("doc_id") + 1440L) * 60000000000L).as("ts")),
+        threshold = 0.6, horizonNanos = 120L * 60000000000L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Salting is result-transparent: the oracle states the PLAIN join,
     // so this entry proves the de-skew rewrite changes the shuffle key
     // and nothing else. Quantities are integral in TPC-H, so the
@@ -187,6 +205,34 @@ object AnalyticsQueries {
         |CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Mirrors batchNearDup: KM double-hash signatures (one md5 per
+    // shingle, 13-hex-char slices — the dedup_minhash arithmetic),
+    // band buckets, position-agreement >= ceil(0.6 * 12) = 8, arrival
+    // clock ts = doc_id minutes with a 120-minute horizon.
+    "stream_neardup_twin" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |mh AS (SELECT doc_id, j,
+        |  list_min([('0x' || substr(md5(s), 1, 13))::BIGINT
+        |            + j * ('0x' || substr(md5(s), 14, 13))::BIGINT for s in shingles]) AS m
+        |  FROM sh, range(12) r(j)),
+        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |  md5(string_agg(m::VARCHAR, '|' ORDER BY j)) AS band_sig
+        |  FROM mh GROUP BY doc_id, j // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id - a.doc_id <= 120),
+        |agree AS (SELECT doc_a, doc_b,
+        |  len([i for i in range(1, 13) if x.sig[i] = y.sig[i]])::BIGINT AS n_agree
+        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, (n_agree * 10000) // 12 AS est_jaccard_bp,
+        |  (doc_b + 1440) * 60000000000 AS ts
+        |FROM agree WHERE n_agree >= 8 ORDER BY doc_a, doc_b""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,

@@ -182,6 +182,57 @@ object StreamAnalytics {
       }
   }
 
+  /** Batch twin of [[streamingNearDup]] — the backfill form, and the
+    * oracle that keeps the stateful matcher honest at fixture scale
+    * (registered as the `stream_neardup_twin` query with a DuckDB
+    * oracle; `StreamAnalyticsSpec` differentially checks the streamed
+    * hits against this plan over the documents fixture).
+    *
+    * Same semantics, declaratively: docs sharing ≥ 1 LSH band bucket
+    * whose arrivals lie within `horizonNanos` of each other pair up
+    * when their signatures agree on ≥ ⌈threshold·k⌉ positions — the
+    * MinHash ESTIMATE, exactly what the bounded-state stream matches
+    * on (not the batch pipeline's exact-Jaccard verification, which
+    * needs the shingle sets). Output matches [[NearDupHit]] minus the
+    * at-least-once duplication: one row per pair, `ts` = the later
+    * arrival (the detection time).
+    *
+    * Scale shape: the same banded self-join as
+    * [[graft.ops.Dedup.minhashPairs]] — equality shuffle on the band
+    * signature, per-pair work is a k-element `zip_with`, never an
+    * all-pairs product; the signature base is computed once via the
+    * shared-cache budget (two join legs reference it). */
+  def batchNearDup(docs: DataFrame, threshold: Double = 0.6,
+                   k: Int = 12, rowsPerBand: Int = 2,
+                   horizonNanos: Long = 3600L * 1000000000L): DataFrame = {
+    val minAgree = math.ceil(threshold * k).toLong
+    val base = graft.ops.SharedCaches.shared(
+      docs
+        .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 3)
+        .withColumn("sig", minhashSigExpr(col("text"), k))
+        .select(col("doc_id"), col("sig"),
+          explode(bandSigsExpr(col("sig"), k, rowsPerBand)).as("band_sig"),
+          col("ts")),
+      "stream")
+    val a = base.select(col("doc_id").as("doc_a"), col("band_sig"),
+      col("sig").as("sig_a"), col("ts").as("ts_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("band_sig"),
+      col("sig").as("sig_b"), col("ts").as("ts_b"))
+    a.join(b, Seq("band_sig"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("ts_b") - col("ts_a")) <= horizonNanos)
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).as("agree"),
+        greatest(col("ts_a"), col("ts_b")).as("ts"))
+      .filter(col("agree") >= minAgree)
+      // integer division mirrors the matcher's Long arithmetic
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"agree * 10000 div $k").as("est_jaccard_bp"), col("ts"))
+      .distinct()
+  }
+
   /** Exactly-once near-dup feed, downstream half: the same pair can
     * surface from more than one band bucket of [[streamingNearDup]]
     * (at-least-once by design), so sinks that must see each pair once

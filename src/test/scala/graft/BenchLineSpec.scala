@@ -41,13 +41,14 @@ class BenchLineSpec extends AnyFunSuite {
     val idleLine = Bench.renderFitting(idle, "sf0.1",
       repeats = 4, contended = false, loadStart = 0.5, loadEnd = 0.6)
     assert(idleLine.length < 2000, "idle line must fit the tail window")
-    val finestFitting = (0 to 2).map(l =>
+    val finestFitting = (0 to 3).map(l =>
       Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = l))
       .find(_.length <= 1990).get
     assert(idleLine == finestFitting,
       "renderFitting must choose the finest precision level that fits")
-    assert(idleLine != Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = 2),
-      "an idle-shaped run must never degrade to the integer floor")
+    assert(idleLine != Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = 3),
+      "an idle-shaped run must never degrade to the everywhere-integer floor — " +
+        "sub-second entries (most of the registry) must keep a decimal")
   }
 
   test("ms formatting stays compact and driver-parseable at every level") {
@@ -61,9 +62,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.ms(177.7) == "178")
     assert(Bench.ms(0.004) == "0")      // strips to the shortest form
     assert(Bench.ms(0.77, level = 1) == "0.8")  // coarse caps at 3 chars
-    assert(Bench.ms(0.77, level = 2) == "1")    // integer floor level
-    assert(Bench.ms(42.14, level = 2) == "42")
-    assert(Bench.ms(-1.0, level = 2) == "-1")
+    assert(Bench.ms(0.77, level = 2) == "0.8")  // sub-second keeps a decimal
+    assert(Bench.ms(1.43, level = 2) == "1")    // 1 s+ rounds to integer
+    assert(Bench.ms(9.96, level = 2) == "10")
+    assert(Bench.ms(0.77, level = 3) == "1")    // everywhere-integer floor
+    assert(Bench.ms(42.14, level = 3) == "42")
+    assert(Bench.ms(-1.0, level = 3) == "-1")
     // level -1: the file copy's fidelity — no budget, 4 decimals
     assert(Bench.ms(1.23456, level = -1) == "1.2346")
     assert(Bench.ms(42.14, level = -1) == "42.14")

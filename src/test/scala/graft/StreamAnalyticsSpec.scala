@@ -344,6 +344,47 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     } finally { qK.stop(); qH.stop() }
   }
 
+  test("fixture-scale differential: streamed near-dup hits == batchNearDup over the documents fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full documents fixture through the STATEFUL matcher, in
+    // arrival order across several micro-batches, against the
+    // declarative batch twin (the stream_neardup_twin registry query's
+    // plan) — same clock, same horizon. maxPerBucket is lifted clear
+    // of the fixture's duplicate-group sizes so the comparison tests
+    // matching semantics, not the state cap (the cap's own semantics
+    // are pinned by the planted-input tests above).
+    val minNanos = 60L * 1000000000L
+    val horizon = 120L * minNanos
+    // clock offset keeps doc 0 off epoch 0 (== the initial watermark,
+    // whose late-row filter would silently drop it) — same base the
+    // registry's stream_neardup_twin derives
+    val docs = Fixtures.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") + 1440L) * minNanos).as("ts"))
+    val arrivals = docs.as[StreamTestDoc].collect().sortBy(_.ts)
+    val mem = MemoryStream[StreamTestDoc]
+    val hits = StreamAnalytics.streamingNearDup(mem.toDF(), threshold = 0.6,
+      horizonNanos = horizon, maxPerBucket = 1024)
+    val ckpt = Files.createTempDirectory("neardup-fixture-ck").toString
+    val q = hits.writeStream.format("memory").queryName("neardup_fixture")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      arrivals.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // streamed hits are at-least-once (multi-band): distinct first
+    val streamed = spark.table("neardup_fixture")
+      .select($"doc_a", $"doc_b", $"est_jaccard_bp", $"ts").distinct()
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = StreamAnalytics.batchNearDup(docs, threshold = 0.6, horizonNanos = horizon)
+      .select($"doc_a", $"doc_b", $"est_jaccard_bp", $"ts")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.size >= 20, s"fixture must carry in-horizon near-dup pairs, got ${batch.size}")
+    assert(streamed == batch,
+      s"stream vs batch twin: only-streamed=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("streamingCurate classifier gate: below-threshold docs drop before state, feat_sum rides along") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
