@@ -212,14 +212,21 @@ object Curation {
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic dedup over
-    * embeddings — assign every vector to a coarse k-means cell, then
-    * find near-duplicate pairs ONLY within a cell. The cell assignment
+    * embeddings — assign every vector to a coarse cell, then find
+    * near-duplicate pairs ONLY within a cell. The cell assignment
     * bounds the quadratic term: at 100 TB each cell's pair join is
     * corpus/k wide, and cells process in parallel — the cluster-then-
-    * dedup structure is the whole point of the method. Centroids here
-    * are the fixed md5-derived matrix (oracle-expressible); a
-    * production fit swaps in [[Similarity.kmeansCentroids]] without
-    * touching this plan.
+    * dedup structure is the whole point of the method.
+    *
+    * Centroids are [[Similarity.sampledCentroids]] — a deterministic
+    * md5-ordered sample FROM the corpus (oracle-expressible). This is
+    * load-bearing, not cosmetic: the embeddings scale tiers measured
+    * the earlier fixed md5 matrix leaving ~9% of the corpus in one
+    * cell at every n, which turns this operator's per-cell term
+    * quadratic no matter what k says (SCALING.md, beyond-the-knee
+    * table). Sampled centroids hold candidates at ~n·target/2 flat. A
+    * production fit can still swap in [[Similarity.kmeansCentroids]]
+    * without touching the plan.
     *
     * `nCells` is the scale dial and must TRACK THE CORPUS: the
     * within-cell join does ~(n/k)² comparisons per cell, so a fixed k
@@ -231,22 +238,42 @@ object Curation {
     * threshold. */
   def semdedupPairs(embeddings: DataFrame, threshold: Double,
                     nCells: Int = 8): DataFrame = {
-    val e = Similarity.assignCells(Similarity.prepared(embeddings),
-      Similarity.fixedCentroids(nCells, 64))
+    val prep = Similarity.prepared(embeddings)
+    val e = Similarity.assignCells(prep,
+        Similarity.sampledCentroids(prep, nCells))
+      // Explicit-N repartition on the join key, for two reasons the
+      // tiers measured (SCALING.md). (1) Broadcasting the O(n)
+      // assignment table is a toy-scale accident that pins the
+      // per-pair work to the scan's partition count (a megabyte file
+      // scans as ONE partition). (2) Subtler: this join's OUTPUT is
+      // quadratic in cell occupancy while its map-side INPUT is a few
+      // MB/10⁵ rows, and AQE coalescing sizes reducers on INPUT bytes
+      // — at the 60k-vector tier it folded the pair stage to a single
+      // task (one core, 16+ min, 31 idle). An exploding join must pin
+      // its reducer count; REPARTITION_BY_NUM is exactly the origin
+      // AQE leaves alone, and the merge join below reuses the
+      // distribution, so the corpus still crosses the network once.
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
     val a = e.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    // merge hint: the assignment table is O(n) — broadcasting it is a
-    // toy-scale accident that also pins the heavy per-pair cosine work
-    // to the scan's partition count (a tiny fixture file scans as ONE
-    // partition → one core does every in-cell pair). The sort-merge
-    // shuffle on cell is the shape that holds at every size: pair work
-    // distributes across reducers by cell, spillable at 100 TB.
     a.hint("merge").join(b.hint("merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score",
-        round(Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")), 4))
+      .withColumn("raw", Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")))
+      // Two-stage threshold: round() on DoubleType routes every value
+      // through BigDecimal.setScale — fine on output-sized data, the
+      // dominant per-candidate cost when evaluated on all ~n·target/2
+      // in-cell pairs. The raw-cosine pre-filter is a strict superset
+      // of the rounded filter (round-half-up at 4 decimals can lift a
+      // value by at most 5e-5, so any pair with round(raw) ≥ t has
+      // raw ≥ t − 1e-4), so the cheap double compare prunes ~99.9% of
+      // candidates and the exact rounded filter — unchanged semantics,
+      // same oracle — runs on survivors only.
+      .filter(col("raw") >= threshold - 1e-4)
+      .withColumn("score", round(col("raw"), 4))
       .filter(col("score") >= threshold)
       .select(col("cell"), col("id_a"), col("id_b"), col("score"))
   }
@@ -272,8 +299,8 @@ object Curation {
                         nCells: Int = 8): DataFrame = {
     val pruned = semdedupPairs(embeddings, threshold, nCells)
       .select(col("id_b").as("vec_id")).distinct()
-    Similarity.assignCells(Similarity.prepared(embeddings),
-        Similarity.fixedCentroids(nCells, 64))
+    val prep = Similarity.prepared(embeddings)
+    Similarity.assignCells(prep, Similarity.sampledCentroids(prep, nCells))
       .join(pruned, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }

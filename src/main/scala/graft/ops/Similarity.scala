@@ -118,21 +118,18 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: k dot-product distances per row,
-    * argmin by (distance, cell) — `array_position` over the min keeps
-    * ties deterministic. d(v,c)² = |v|² − 2·v·c + |c|²; |v|² is
-    * constant per row, so comparing −2·v·c + |c|² suffices. */
-  def assignCells(prepared: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scores = array(centroids.map { c =>
-      val cLit = array(c.map(lit): _*)
-      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
-    }: _*)
-    prepared
-      .withColumn("cell_scores", scores)
-      .withColumn("cell",
-        (expr("array_position(cell_scores, array_min(cell_scores))").cast("int") - 1)
-          .cast("int"))
-      .drop("cell_scores")
-  }
+    * argmin by (distance, cell) with first-index tie-break.
+    * d(v,c)² = |v|² − 2·v·c + |c|²; |v|² is constant per row, so
+    * comparing −2·v·c + |c|² suffices. One native codegen'd expression
+    * ([[graft.functions.NearestCellF64]]) rather than k inlined
+    * literal-array dot columns: the matrix rides the plan as a single
+    * referenced constant, so the generated method stays small and
+    * JIT-compiled at corpus-scaled k (the inlined form fell out of
+    * compiled execution past a few dozen cells — see the expression's
+    * scaladoc for the measurement). */
+  def assignCells(prepared: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    prepared.withColumn("cell",
+      graft.functions.NearestCell(col("v"), centroids))
 
   /** Query side of an IVF probe: each query exploded to its `nProbe`
     * nearest cells as `(cell, q_id, qv, qn)` rows. */
@@ -207,6 +204,39 @@ object Similarity {
   def fixedCentroids(nCells: Int = 8, dim: Int = 64): Array[Array[Double]] =
     Array.tabulate(nCells, dim)((c, d) => md5Unit(s"centroid:$c:$d"))
 
+  /** Data-sampled coarse centroids: the embeddings of the k vec_ids
+    * that rank first by md5("seed:" || vec_id) — a deterministic
+    * uniform sample FROM THE CORPUS (k-means++ step-0 seeding, no
+    * Lloyd iterations), fully oracle-expressible because both engines
+    * compute the identical md5 order and read the identical floats.
+    *
+    * Why not [[fixedCentroids]] for anything whose cost is quadratic
+    * in cell occupancy: random off-distribution centroids do not adapt
+    * to data density, so one centroid keeps owning the corpus's dense
+    * region as k grows — measured on the embeddings tiers (SCALING.md),
+    * the hottest cell held ~9% of the corpus at EVERY scale
+    * (occ_max 1145→18466 from 2k→200k vectors) and the within-cell
+    * candidate count grew as n² (candidates/vector 510→4002 for a
+    * 1000-target). Sampling centroids from the data puts ~occupancy/n
+    * of them inside every dense region, splitting it: the same tiers
+    * measure occ_max ~1.2k FLAT and candidates/vector ~502 at every n
+    * — the ~n·target/2 linear cost the SemDeDup cell formula assumes.
+    *
+    * The k·dim collect is bounded and deliberate (same contract as
+    * [[kmeansCentroids]]): centroids ride to executors as one
+    * referenced plan constant ([[graft.functions.NearestCellF64]]),
+    * nothing corpus-sized reaches the driver. That holds to
+    * k ~ thousands; a billion-vector corpus (k ~ 10⁶ at 1000/cell)
+    * outgrows literals and takes the standard two-level quantizer —
+    * √k sampled coarse cells by this method, then the same method
+    * again within each coarse cell — without changing the plan shape
+    * downstream of `cell`. */
+  def sampledCentroids(prepared: DataFrame, k: Int): Array[Array[Double]] =
+    prepared
+      .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
   /** Corpus-scaled LSH banding parameters: (nPlanes, bitsPerBand).
     *
     * The scale invariant is CONSTANT BUCKET OCCUPANCY: with b bits per
@@ -280,8 +310,18 @@ object Similarity {
     // (band, chunk) distributes bucket work across reducers.
     a.hint("merge").join(b.hint("merge"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("na"), col("vb"), col("nb")), 4).as("score"))
+      // raw-cosine pre-filter ahead of round + distinct: round-half-up
+      // at 4 decimals lifts a value by < 5e-5, so raw ≥ t − 1e-4 is a
+      // strict superset of the final rounded predicate — dropping the
+      // sub-threshold majority here keeps the per-candidate BigDecimal
+      // of round() AND the distinct's dedup shuffle at output size
+      // instead of candidate size (a pair's score is a function of the
+      // pair, so distinct-after-filter dedups the same multi-band
+      // collisions). Exact threshold semantics live in the final
+      // rounded filter, unchanged.
+      .withColumn("raw", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("raw") >= threshold - 1e-4)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("score"))
       .distinct()
       .filter(col("score") >= threshold)
   }
@@ -314,9 +354,14 @@ object Similarity {
       .join(freshBands.select(col("band"), col("chunk"), col("vec_id").as("id_y"),
         col("v").as("vy"), col("nrm").as("ny")).hint("merge"), Seq("band", "chunk"))
       .filter(col("id_x") =!= col("id_y"))
+      // same two-stage threshold as [[nearDupPairsLsh]]: cheap raw
+      // pre-filter (strict superset), exact rounded filter on the
+      // output-sized survivors
+      .withColumn("raw", cosine(col("vx"), col("nx"), col("vy"), col("ny")))
+      .filter(col("raw") >= threshold - 1e-4)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
-        round(cosine(col("vx"), col("nx"), col("vy"), col("ny")), 4).as("score"))
+        round(col("raw"), 4).as("score"))
       .distinct()
       .filter(col("score") >= threshold)
   }

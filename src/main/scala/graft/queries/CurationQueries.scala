@@ -114,27 +114,28 @@ object CurationQueries {
 
   /** Shared SemDeDup assignment CTEs, corpus-scaled like the Spark
     * side: k is derived from count(*) with semdedupCellsFor's exact
-    * integer formula, and the centroids are COMPUTED in SQL from the
-    * same md5Unit construction the Spark literals come from
-    * (('0x'||substr(md5(tag),1,12))::BIGINT / 2^48 − 0.5 is bit-exact
-    * IEEE arithmetic in both engines, and list_dot_product(ctr,ctr)
-    * reproduces Scala's left-to-right Σx² literal) — so the oracle
-    * stays differential at every sf without embedding k·64 literals.
-    * ROW_NUMBER over (score, cell) = argmin with first-position
-    * tie-break, identical to Spark's array_position-over-min. The
-    * 65536-cell superset range caps the SQL mirror (~65M-vector
-    * corpora at 1000/cell); the Spark side has no such cap. */
+    * integer formula, and the centroids are the same deterministic
+    * DATA SAMPLE the Spark literals come from — the k vectors ranking
+    * first by (md5('seed:' || vec_id), vec_id), cell index = rank−1
+    * (both engines order the same lowercase-hex strings byte-wise and
+    * read the same parquet floats, so the centroid VALUES are
+    * bit-identical; float→double widening is exact). Sampling from
+    * the corpus, not a fixed random matrix, is what keeps cell
+    * occupancy flat as n grows — see [[graft.ops.Similarity.sampledCentroids]]
+    * and SCALING.md's beyond-the-knee table for the measured skew the
+    * fixed matrix produced. list_dot_product(ctr,ctr) reproduces
+    * Scala's left-to-right Σx² literal; ROW_NUMBER over (score, cell)
+    * = argmin with first-position tie-break, identical to Spark's
+    * array_position-over-min. */
   private lazy val semdedupCte: String =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
        |prm AS (SELECT greatest(1,
        |  ((SELECT count(*) FROM embeddings) + 999) // 1000)::INT AS k),
-       |cen AS (SELECT cc.c::INT AS cell,
-       |  (SELECT list(('0x' || substr(md5('centroid:' || cc.c || ':' || d.d), 1, 12))::BIGINT
-       |               / 281474976710656.0 - 0.5 ORDER BY d.d)
-       |   FROM range(0, 64) d(d)) AS ctr
-       |  FROM range(0, 65536) cc(c), prm WHERE cc.c < prm.k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, prm WHERE s.rnk <= prm.k),
        |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
        |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
        |  FROM n, cen),

@@ -319,6 +319,75 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(surv.toSeq == Seq(1L, 3L))
   }
 
+  /** A dense-blob corpus — the distribution that breaks off-data
+    * centroids: every vector sits near e0 with a small deterministic
+    * jitter, so all of them are nearest the single fixed centroid that
+    * happens to fall closest to the blob. */
+  private def blobEmbeddings(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val v = Array.tabulate(64) { d =>
+        val base = if (d == 0) 1.0 else 0.0
+        (base + 0.1 * graft.ops.Similarity.md5Unit(s"jit:$i:$d")).toFloat
+      }
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("sampled centroids split a dense blob that fixed centroids leave quadratic") {
+    import graft.ops.Similarity
+    val n = 600
+    val target = 50L
+    val k = Curation.semdedupCellsFor(n.toLong, target)
+    val prep = Similarity.prepared(blobEmbeddings(n))
+    def candidates(centroids: Array[Array[Double]]): Long =
+      Similarity.assignCells(prep, centroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        .agg(sum(col("occ") * (col("occ") - 1)).cast("long")).collect()(0).getLong(0) / 2
+    // off-data centroids: the whole blob lands in one cell — the
+    // within-cell term is n²/2 no matter what k says (this is the
+    // shape the embeddings scale tiers measured at 9% of the corpus
+    // in one cell, SCALING.md beyond-the-knee table)
+    val fixedCand = candidates(Similarity.fixedCentroids(k, 64))
+    assert(fixedCand > n.toLong * n / 4,
+      s"expected the blob to collapse into few fixed cells; candidates=$fixedCand")
+    // sampled-from-the-data centroids sit inside the blob and split
+    // it: candidate pairs stay within a small factor of the
+    // n·target/2 linear budget the cell formula assumes
+    val sampledCand = candidates(Similarity.sampledCentroids(prep, k))
+    assert(sampledCand <= 4L * n * target / 2,
+      s"sampled centroids left a hot cell: candidates=$sampledCand (budget ${n * target / 2})")
+  }
+
+  test("sampledCentroids: deterministic md5-ranked sample, k capped by corpus size") {
+    import graft.ops.Similarity
+    val prep = Similarity.prepared(blobEmbeddings(20))
+    val c1 = Similarity.sampledCentroids(prep, 5)
+    val c2 = Similarity.sampledCentroids(prep, 5)
+    assert(c1.length == 5 && c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // more cells than vectors: every vector becomes a centroid, no
+    // padding, no failure (the oracle's WHERE rnk <= k does the same)
+    assert(Similarity.sampledCentroids(prep, 100).length == 20)
+  }
+
+  test("semdedupPairs pins its reducer count — AQE cannot fold the exploding join to one task") {
+    // The pair join's OUTPUT is quadratic in cell occupancy while its
+    // map-side input is tiny; AQE coalescing sizes reducers on input
+    // bytes, so without an explicit-N repartition it folds the whole
+    // pair stage to one task (measured: one core 16+ min at the
+    // 60k-vector tier). REPARTITION_BY_NUM is the shuffle origin AQE
+    // must leave alone.
+    val df = Curation.semdedupPairs(blobEmbeddings(200), threshold = 0.9, nCells = 4)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val n = spark.sessionState.conf.numShufflePartitions
+    val exchange = s"hashpartitioning\\(cell#\\d+L?, $n\\), REPARTITION_BY_NUM".r
+    assert(exchange.findFirstIn(plan).isDefined,
+      s"expected an explicit-N repartition on cell feeding the pair join:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"pair join must stay a shuffled merge join (no broadcast of the O(n) assignment):\n$plan")
+  }
+
   // ---------------------------------------------------------------
   // tokenBudgetSelect: two-pass plan equals the naive prefix rule
   // ---------------------------------------------------------------

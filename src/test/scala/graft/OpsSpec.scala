@@ -134,6 +134,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(got(1L), got(2L)) < hamming(got(1L), got(3L)))
   }
 
+  test("nearest_cell expression: codegen == interpreted == declarative argmin, at a k past the literal form's limit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, array_min, array_position, expr, lit}
+    // 40 centroids × 16 dims from the md5 draw, 300 deterministic
+    // vectors — large enough k that the retired k-inlined-literals
+    // formulation is the shape this expression exists to replace
+    val dim = 16
+    val cs = Array.tabulate(40, dim)((c, d) => Similarity.md5Unit(s"nc:$c:$d"))
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => Similarity.md5Unit(s"ncv:$i:$d").toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val prep = Similarity.prepared(emb)
+    def collectCells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val native = collectCells(Similarity.assignCells(prep, cs))
+    // the declarative reference: k score columns, argmin via
+    // array_position-over-min (the formulation assignCells used before
+    // the native expression)
+    val scores = array(cs.map { c =>
+      lit(-2.0) * Similarity.dot(col("v"), array(c.map(lit): _*)) + lit(c.map(x => x * x).sum)
+    }: _*)
+    val declarative = collectCells(prep.withColumn("cs_", scores)
+      .withColumn("cell", (expr("array_position(cs_, array_min(cs_))").cast("int") - 1)))
+    assert(native == declarative)
+    // interpreted eval path (the non-codegen fallback) agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecs = prep.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val interpCells = vecs.map { case (id, v) =>
+      id -> graft.functions.NearestCellF64(
+        Literal.create(v, ArrayType(DoubleType)),
+        cs.map(_.toIndexedSeq).toIndexedSeq).eval(null).asInstanceOf[Int]
+    }
+    assert(interpCells == native)
+    // ties break to the FIRST minimal cell: duplicate centroids
+    val dup = Array(cs(7), cs(7), cs(3))
+    val tied = collectCells(Similarity.assignCells(prep, dup))
+    assert(tied.values.forall(c => c == 0 || c == 2), s"tie must pick cell 0 over 1: $tied")
+  }
+
   test("similarity topK ranks by cosine (orthogonal basis vectors)") {
     import spark.implicits._
     val e = Seq(
