@@ -19,16 +19,45 @@ import graft.tables.{Bucketed, Fixtures}
   * of cells and nProbe≪cells, a query touches nProbe/cells of the
   * corpus bytes; everything else is never read.
   *
-  * The probe-cell computation collects the query vectors to the driver
-  * first — deliberately: queries are few (a serving request), the
-  * collect is O(queries·dim) like the centroid collects in
+  * Two sizing decisions are corpus-tracked, not constants — the same
+  * fixed-k / off-data-centroid anti-patterns the scale tiers caught on
+  * SemDeDup (SCALING.md, beyond-the-knee section) apply to IVF:
+  *
+  *  - **Cell count** = [[annCellsFor]] ≈ ⌈√n⌉ (classic IVF-flat
+  *    sizing): a probe reads nProbe·n/k vectors and selecting probe
+  *    cells costs k score computations, so k ~ √n balances the two and
+  *    both grow as √n instead of one of them growing as n.
+  *  - **Centroids** = [[Similarity.sampledCentroids]]: data-sampled
+  *    cells stay occupancy-balanced as the corpus grows, which for a
+  *    serving index is a TAIL-LATENCY property — with the fixed
+  *    off-data matrix the measured hottest cell holds ~9% of the
+  *    corpus at every n, so any query probing it reads 9% of the
+  *    corpus instead of 1/k.
+  *
+  * The probe-cell computation runs driver-side over the collected
+  * query vectors — deliberately: queries are few (a serving request),
+  * the collect is O(queries·dim) like the centroid collects in
   * [[Similarity.kmeansCentroids]], and only a driver-side literal cell
-  * list lets the scan prune buckets at plan time.
+  * list lets the scan prune buckets at plan time. (It also sidesteps
+  * the inlined-literal probe expression, which stops being
+  * JIT-compilable at corpus-scaled k — the same generated-code limit
+  * `nearest_cell` exists for.) The score arithmetic and (score, cell)
+  * tie-break are identical to the cluster-side assignment and to the
+  * DuckDB oracle's ROW_NUMBER form, so the registry entry stays
+  * hash-differential.
   */
 object AnnIndex {
 
-  val NCells = 8
   val Dim = 64
+
+  /** Corpus-tracked IVF cell count: the smallest k with k² ≥ n
+    * (⌈√n⌉), found by integer-exact search so the DuckDB oracle can
+    * run the same loop with no floating sqrt whose rounding could
+    * diverge between engines. Capped at 65535 (n > ~4.3B vectors);
+    * past the cap the standard two-level quantizer applies (see
+    * [[Similarity.sampledCentroids]]). */
+  def annCellsFor(n: Long): Int =
+    (1 until 65536).find(x => x.toLong * x >= n).getOrElse(65535)
 
   /** One index table per source directory (sf0.01 and sf0.1 runs in
     * the same warehouse must never read each other's index). */
@@ -37,7 +66,9 @@ object AnnIndex {
 
   /** Build the cell-assignment table if this session/warehouse does
     * not have it yet; returns the table name. Idempotent — the
-    * "write once" of write-once-probe-many. */
+    * "write once" of write-once-probe-many. Cell count and centroids
+    * derive deterministically from the corpus, so a later probe
+    * recomputes the identical quantizer without storing it. */
   def ensureBuilt(spark: SparkSession, dir: String): String = synchronized {
     val t = tableFor(dir)
     if (!spark.catalog.tableExists(t)) {
@@ -45,11 +76,12 @@ object AnnIndex {
       // reusable: the in-memory catalog lost its bucketing metadata,
       // so clear and rebuild deterministically
       Bucketed.resetTable(spark, t)
-      val cs = Similarity.fixedCentroids(NCells, Dim)
+      val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
+      val k = annCellsFor(Fixtures.embeddings(spark, dir).count())
       val assigned = Similarity
-        .assignCells(Similarity.prepared(Fixtures.embeddings(spark, dir)), cs)
+        .assignCells(prep, Similarity.sampledCentroids(prep, k))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-      Bucketed.writeBucketed(assigned, t, "cell", nBuckets = NCells)
+      Bucketed.writeBucketed(assigned, t, "cell", nBuckets = k)
     }
     t
   }
@@ -60,15 +92,35 @@ object AnnIndex {
   def topK(spark: SparkSession, dir: String, maxQueryId: Long,
            k: Int = 5, nProbe: Int = 2): DataFrame = {
     val t = ensureBuilt(spark, dir)
-    val cs = Similarity.fixedCentroids(NCells, Dim)
-    val queries = Similarity.prepared(Fixtures.embeddings(spark, dir))
-      .filter(col("vec_id") < maxQueryId)
-    val probes = Similarity.probeQueries(queries, cs, nProbe)
-    // driver-sized: maxQueryId × nProbe ints — the literal list that
-    // buys bucket pruning on the index scan
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
+    val kc = annCellsFor(Fixtures.embeddings(spark, dir).count())
+    val cs = Similarity.sampledCentroids(prep, kc)
+    val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
+    // driver-sized: maxQueryId vectors in, maxQueryId × nProbe probe
+    // rows out — the literal cell list that buys bucket pruning on
+    // the index scan. Same −2·v·c + |c|² scores and (score, cell)
+    // tie-break as assignCells/the oracle, in plain Scala doubles
+    // (sequential sums — the bit-identical order both engines use).
+    val probes = prep.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        val nrm = r.getDouble(2)
+        val scored = cs.indices.map { c =>
+          val ctr = cs(c)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(ctr.length, v.length)
+          while (i < n) { dot += ctr(i) * v(i); i += 1 }
+          (-2.0 * dot + c2(c), c)
+        }
+        scored.sorted.take(nProbe).map { case (_, c) => (c, id, v.toSeq, nrm) }
+      }
+    import spark.implicits._
+    val probesDf = probes.toSeq.toDF("cell", "q_id", "qv", "qn")
+    val cells = probes.map(_._1).distinct.sorted
     val index = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
-    Similarity.probeIndex(index, probes, k)
+    Similarity.probeIndex(index, probesDf, k)
   }
 }

@@ -602,34 +602,38 @@ object PipelineQueries {
          |ORDER BY q_id, rn""".stripMargin
     },
 
-    // identical math to similarity_topk_kmeans — the persisted index
-    // table holds exactly the assignCells output, so the oracle can
-    // recompute the assignment inline
-    "similarity_topk_indexed" -> {
-      val cs = Similarity.fixedCentroids(8, 64)
-      val scoreExprs = cs.map { c =>
-        s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
-      }.mkString(",\n  ")
+    // the serving index, corpus-scaled: k = smallest x with x² ≥ n
+    // (AnnIndex.annCellsFor's integer-exact search, mirrored here with
+    // no floating sqrt), centroids = the md5-ranked data sample
+    // (Similarity.sampledCentroids — both engines rank the same hex
+    // strings and read the same parquet floats). Assignment and probe
+    // both rank (score, cell) — ROW_NUMBER mirrors Spark's first-min
+    // tie-break driver-side and in nearest_cell.
+    "similarity_topk_indexed" ->
       s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
          |  FROM embeddings),
-         |sc AS (SELECT vec_id, v, nrm, [
-         |  $scoreExprs] AS cs FROM n),
-         |asg AS (SELECT vec_id, v, nrm,
-         |  (list_position(cs, list_min(cs)) - 1) AS cell FROM sc),
-         |qc AS (SELECT vec_id, v, nrm, unnest(cs) AS s, unnest(range(8)) AS c
-         |  FROM sc WHERE vec_id < 8),
-         |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, c) rn FROM qc)
-         |  WHERE rn <= 2),
+         |prm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+         |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+         |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+         |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+         |   FROM n) s, prm WHERE s.rnk <= prm.k),
+         |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+         |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+         |  FROM n, cen),
+         |asg AS (SELECT vec_id, v, nrm, cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+         |  WHERE rn = 1),
+         |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
+         |   FROM sc WHERE vec_id < 8) WHERE rn <= 2),
          |p AS (SELECT q.q_id, x.vec_id,
          |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
          |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, score,
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
          |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
-         |ORDER BY q_id, rn""".stripMargin
-    },
+         |ORDER BY q_id, rn""".stripMargin,
 
     "text_distinct_approx" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

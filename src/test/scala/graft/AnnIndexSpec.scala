@@ -15,13 +15,29 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("probe over the persisted index == inline IVF probe (same centroids)") {
+  test("annCellsFor: integer-exact ceil-sqrt, corpus-tracked, capped") {
+    assert(AnnIndex.annCellsFor(0L) == 1)
+    assert(AnnIndex.annCellsFor(1L) == 1)
+    assert(AnnIndex.annCellsFor(2L) == 2)
+    assert(AnnIndex.annCellsFor(4L) == 2)
+    assert(AnnIndex.annCellsFor(5L) == 3)
+    assert(AnnIndex.annCellsFor(2000L) == 45)
+    assert(AnnIndex.annCellsFor(65535L * 65535L) == 65535)
+    assert(AnnIndex.annCellsFor(Long.MaxValue) == 65535)
+  }
+
+  test("probe over the persisted index == inline IVF probe (same corpus-derived quantizer)") {
+    // also cross-checks AnnIndex's driver-side probe-cell arithmetic
+    // against probeQueries' DataFrame formulation — the two must rank
+    // (score, cell) identically
     Bucketed.resetTable(spark, AnnIndex.tableFor(sf))
     val indexed = AnnIndex.topK(spark, sf, maxQueryId = 8, k = 5, nProbe = 2)
       .orderBy(col("q_id"), col("rn")).collect().toSeq
-    val inline = Similarity.topKIvfKmeans(Fixtures.embeddings(spark, sf),
-        maxQueryId = 8, k = 5, nCells = 8, nProbe = 2,
-        centroids = Some(Similarity.fixedCentroids(8, 64)))
+    val emb = Fixtures.embeddings(spark, sf)
+    val kc = AnnIndex.annCellsFor(emb.count())
+    val cs = Similarity.sampledCentroids(Similarity.prepared(emb), kc)
+    val inline = Similarity.topKIvfKmeans(emb,
+        maxQueryId = 8, k = 5, nCells = kc, nProbe = 2, centroids = Some(cs))
       .orderBy(col("q_id"), col("rn")).collect().toSeq
     assert(indexed.nonEmpty && indexed == inline,
       "persisting the assignment must be a pure physical optimization")
@@ -29,13 +45,15 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
 
   test("the index scan reads only the probed buckets (SelectedBucketsCount)") {
     AnnIndex.ensureBuilt(spark, sf)
-    // two queries probe at most 4 of the 8 cells — pruning must show
+    // two queries probe at most 4 of the corpus-scaled cells — pruning
+    // must show
+    val kc = AnnIndex.annCellsFor(Fixtures.embeddings(spark, sf).count())
     val plan = AnnIndex.topK(spark, sf, maxQueryId = 2, k = 5, nProbe = 2)
       .queryExecution.executedPlan.toString
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(m.isDefined, s"expected a bucket-pruned scan:\n$plan")
     val (selected, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
-    assert(total == AnnIndex.NCells && selected <= 4,
+    assert(total == kc && selected <= 4,
       s"expected <=4 of $total buckets read, got $selected")
   }
 
