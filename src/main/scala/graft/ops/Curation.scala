@@ -131,6 +131,24 @@ object Curation {
       .filter(col("sample_bp") < col("rate_bp"))
   }
 
+  /** Deterministic train/valid/test split: each doc's md5-derived
+    * permille bucket assigns its split, so membership is a pure
+    * function of doc_id — stable across runs, engines, repartitions,
+    * AND corpus growth (new docs land in splits without moving any
+    * existing doc, the property a random split lacks and the reason
+    * held-out sets stay uncontaminated as the corpus is re-crawled).
+    * The holdout permilles claim the TOP of the bucket range so
+    * shrinking or growing them never migrates a doc between valid and
+    * test. Map-only, codegen'd, zero shuffle at any scale. */
+  def splitAssign(docs: DataFrame, validPermille: Int = 10,
+                  testPermille: Int = 10): DataFrame =
+    docs.select(col("doc_id"),
+        hashMod(col("doc_id"), "split", 1000).as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < 1000 - validPermille - testPermille, "train")
+          .when(col("split_bucket") < 1000 - testPermille, "valid")
+          .otherwise("test"))
+
   /** Per-source document cap — the Gopher/RefinedWeb per-domain cap:
     * keep at most `cap` docs per source, highest [[TextAnalysis
     * .quality]] score first (doc_id breaks ties deterministically),

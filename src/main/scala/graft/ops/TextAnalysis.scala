@@ -162,6 +162,88 @@ object TextAnalysis {
       .select(col("token"), expr(s"(n * 1000000) div $total").as("ppm"))
   }
 
+  /** One row per adjacent token pair: (doc_id, prev, token) — the
+    * bigram stream [[lmRef]] trains on and [[lmScore]] scores over.
+    * Built per-row with codegen'd array HOFs and exploded (map-only,
+    * nothing shuffles here); single-token docs emit no pairs, and the
+    * `size >= 2` guard keeps `sequence` away from its descending
+    * start>stop form. */
+  def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("prev"),
+            element_at(col("toks"), i + 1).as("token")))).as("pr"))
+      .select(col("doc_id"), col("pr.prev"), col("pr.token"))
+
+  /** The trained bigram model for [[lmScore]]: the corpus's `topK`
+    * most frequent bigrams (ties broken by (prev, token) —
+    * deterministic across engines), each carrying its CONDITIONAL
+    * relative frequency `P(token | prev)` in integer parts-per-million
+    * (exact `div`; the denominator is `prev`'s occurrence count in
+    * first-of-pair position, the stupid-backoff MLE denominator).
+    * K rows — store it beside the corpus like [[commonnessRef]] and
+    * score every future batch with a single scan.
+    *
+    * Scale: two map-side-combined aggregations over the bigram stream
+    * (pair counts + prev counts), one broadcast-sized join between
+    * them, top-K driver-bounded. The corpus shuffles on token keys
+    * only, never on doc pairs. */
+  def lmRef(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val pairs = bigramRows(docs)
+    val prevCounts = pairs.groupBy(col("prev")).agg(count(lit(1)).as("np"))
+    pairs.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("nb"))
+      .join(prevCounts, Seq("prev"))
+      .orderBy(col("nb").desc, col("prev").asc, col("token").asc)
+      .limit(topK)
+      .select(col("prev"), col("token"),
+        expr("(nb * 1000000) div np").as("cond_ppm"))
+  }
+
+  /** Bigram-LM document score with stupid backoff — the integer-exact
+    * upgrade of [[commonness]]'s unigram stand-in to a real CCNet-style
+    * LM quality filter. Each adjacent pair scores its conditional
+    * frequency `P(token | prev)` from the top-`topK` bigram table;
+    * pairs outside it back off to `unigram_ppm div 10` (stupid backoff,
+    * α = 0.1 as an exact integer div) from the top-`topUni` unigram
+    * table; tokens outside both score 0. A document's `lm_ppm` is the
+    * integer mean over its pairs — high = the corpus's common word
+    * SEQUENCES (low perplexity), low = incoherent or rare-sequence
+    * text, which unigram commonness cannot distinguish (a scrambled
+    * document keeps its unigram score but loses its bigram score).
+    * Floats never appear, so the score is bit-identical in every
+    * engine — a real log-prob LM diverges on libm rounding.
+    *
+    * Scale: both model tables are K-bounded broadcasts probed by
+    * per-pair equi-joins; the only shuffle is the final per-doc
+    * aggregation, partial map-side. Production trains ONCE
+    * ([[lmRef]] + [[commonnessRef]], stored beside the corpus like the
+    * dedup band tables) and passes them as `ref`/`uniRef` — scoring
+    * any batch is then a single scan, O(batch) not O(corpus).
+    * Single-token docs have no pairs and score (0, 0) via the corpus
+    * left join, mirrored by the oracle. */
+  def lmScore(docs: DataFrame, topK: Int = 1000, topUni: Int = 1000,
+              ref: Option[DataFrame] = None,
+              uniRef: Option[DataFrame] = None): DataFrame = {
+    val pairs = bigramRows(docs)
+    val model = ref.getOrElse(lmRef(docs, topK))
+    val uni = uniRef.getOrElse(commonnessRef(docs, topUni))
+      .withColumnRenamed("ppm", "uni_ppm")
+    val scored = pairs
+      .join(broadcast(model), Seq("prev", "token"), "left")
+      .join(broadcast(uni), Seq("token"), "left")
+      .withColumn("s",
+        coalesce(col("cond_ppm"), expr("uni_ppm div 10"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(1)").as("lm_ppm"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+  }
+
   /** Document frequency per token, top N. */
   def docFrequency(docs: DataFrame, topN: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))

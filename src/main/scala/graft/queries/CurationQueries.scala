@@ -34,6 +34,14 @@ object CurationQueries {
       Curation.sampleStratified(Fixtures.documents(s, dir), SampleRates)
         .orderBy(col("doc_id"))),
 
+    // deterministic hash split (98/1/1 permille): membership is a pure
+    // function of doc_id, so the holdout survives re-crawls and
+    // repartitions — the md5 bucket arithmetic is mirrored verbatim
+    // in the oracle
+    "split_assign" -> ((s, dir) =>
+      Curation.splitAssign(Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // per-source cap (the Gopher/RefinedWeb per-domain cap): best 10
     // docs per source by quality score, rank-pushdown window
     "source_cap" -> ((s, dir) =>
@@ -188,6 +196,15 @@ object CurationQueries {
         |      WHEN 'fr' THEN 1000 ELSE 500 END)::BIGINT AS rate_bp
         |  FROM documents)
         |WHERE sample_bp < rate_bp ORDER BY doc_id""".stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 980 THEN 'train'
+        |       WHEN split_bucket < 990 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))::BIGINT % 1000 AS split_bucket
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
 
     // the quality CTEs restate text_quality's integer formula; the
     // rank filter mirrors the operator's row_number <= cap

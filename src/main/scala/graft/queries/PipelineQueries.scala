@@ -174,6 +174,14 @@ object PipelineQueries {
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // bigram-LM quality score with stupid backoff — the sequence-aware
+    // upgrade of text_commonness (top-500 conditional-bigram table +
+    // top-100 unigram backoff, both K-bounded broadcasts; the model
+    // build and the scoring join are BOTH mirrored in the oracle)
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Fixtures.documents(s, dir), topK = 500, topUni = 100)
+        .orderBy(col("doc_id"))),
+
     // IVF probe+rank with FIXED md5-derived centroid literals shared
     // with the oracle SQL — the whole assignment/probe/rank stage is
     // differential. The Lloyd *fit* (not single-statement SQL) stays
@@ -676,6 +684,36 @@ object PipelineQueries {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS commonness_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // every stage mirrored: bigram stream (parallel unnest), prev /
+    // pair counts, top-500 conditional table, top-100 unigram backoff,
+    // stupid-backoff coalesce, per-doc integer mean, corpus left join
+    // for pairless docs
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |pr AS (SELECT doc_id,
+        |  unnest([ts[i] for i in range(1, len(ts))]) AS prev,
+        |  unnest([ts[i+1] for i in range(1, len(ts))]) AS token
+        |  FROM t WHERE len(ts) >= 2),
+        |pc AS (SELECT prev, count(*) AS np FROM pr GROUP BY prev),
+        |bc AS (SELECT prev, token, count(*) AS nb FROM pr GROUP BY prev, token),
+        |ref AS (SELECT bc.prev, bc.token,
+        |  CAST((nb * 1000000) // np AS BIGINT) AS cond_ppm
+        |  FROM bc JOIN pc USING (prev)
+        |  ORDER BY nb DESC, bc.prev ASC, bc.token ASC LIMIT 500),
+        |tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS c FROM tk),
+        |uref AS (SELECT token,
+        |  CAST((count(*) * 1000000) // (SELECT c FROM tot) AS BIGINT) AS uni_ppm
+        |  FROM tk GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100),
+        |j AS (SELECT pr.doc_id, coalesce(ref.cond_ppm, uref.uni_ppm // 10, 0) AS s
+        |  FROM pr LEFT JOIN ref ON pr.prev = ref.prev AND pr.token = ref.token
+        |  LEFT JOIN uref ON pr.token = uref.token),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS lm_ppm FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.lm_ppm, 0) AS lm_ppm
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) td FROM documents),

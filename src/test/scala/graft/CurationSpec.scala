@@ -200,6 +200,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
   // sampleStratified: hash gate per stratum
   // ---------------------------------------------------------------
 
+  test("splitAssign: buckets match the documented md5 arithmetic; splits partition; holdouts nest") {
+    import java.security.MessageDigest
+    val ids = spark.range(2000).select(col("id").as("doc_id"))
+    val got = Curation.splitAssign(ids).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("split_bucket"), r.getAs[String]("split")))).toMap
+    // independent reference: first 13 hex chars of md5("<id>:split") mod 1000
+    def refBucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16) % 1000
+    }
+    (0L until 2000L).foreach { id =>
+      val b = refBucket(id)
+      val want = if (b < 980) "train" else if (b < 990) "valid" else "test"
+      assert(got(id) == ((b, want)), s"doc $id")
+    }
+    // every doc in exactly one split; holdouts within 3 binomial sds
+    assert(got.size == 2000)
+    val byCounts = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCounts.values.sum == 2000)
+    assert(byCounts.getOrElse("valid", 0) > 2 && byCounts("valid") < 45)
+    assert(byCounts.getOrElse("test", 0) > 2 && byCounts("test") < 45)
+    // widening the holdout only promotes docs toward the holdout end:
+    // no test doc ever returns to train/valid, no train doc jumps to test
+    // past the valid band boundaries
+    val wide = Curation.splitAssign(ids, validPermille = 50, testPermille = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (0L until 2000L).foreach { id =>
+      (got(id)._2, wide(id)) match {
+        case ("test", w)  => assert(w == "test")
+        case ("valid", w) => assert(w == "valid" || w == "test")
+        case _            => // train may promote anywhere
+      }
+    }
+    // corpus growth never moves an existing doc (pure function of id)
+    val subset = Curation.splitAssign(ids.filter(col("doc_id") < 500))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    subset.foreach { case (id, s) => assert(s == got(id)._2) }
+  }
+
   test("sampleStratified: kept set is exactly the md5-draw-under-rate set per language") {
     val rates = Map("en" -> 5000, "de" -> 1000)
     val rows = (1L to 80L).map { i =>

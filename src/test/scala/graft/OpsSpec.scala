@@ -224,6 +224,56 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"K-row ref table must broadcast, not shuffle the corpus:\n${plan.take(2000)}")
   }
 
+  test("lmScore: hand-computed conditional ppm; backoff fires only outside the bigram table") {
+    // pairs: (a,b)x4, (b,a)x1, (b,c)x1, (c,a)x1; prev counts a=4 b=2 c=1
+    // cond_ppm: (a,b)=1000000, (b,a)=(b,c)=500000, (c,a)=1000000
+    // unigrams: a=4 b=4 c=2 z=1 of 11 → ppm 363636/363636/181818/90909
+    val d = docs(1L -> "a b a b c", 2L -> "a b", 3L -> "z", 4L -> "c a b")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_ppm")))).toMap
+    val full = collect(TextAnalysis.lmScore(d, topK = 10, topUni = 10))
+    assert(full(1L) == ((4L, (1000000L + 500000L + 1000000L + 500000L) / 4)))
+    assert(full(2L) == ((1L, 1000000L)))
+    assert(full(3L) == ((0L, 0L)), "pairless doc scores (0,0) via the corpus left join")
+    assert(full(4L) == ((2L, 1000000L)))
+    // topK=1 keeps only (a,b); the rest back off to uni_ppm div 10 of
+    // the SECOND token: (b,a)→36363, (b,c)→18181, (c,a)→36363
+    val cut = collect(TextAnalysis.lmScore(d, topK = 1, topUni = 10))
+    assert(cut(1L) == ((4L, (1000000L + 36363L + 1000000L + 18181L) / 4)))
+    assert(cut(4L) == ((2L, (36363L + 1000000L) / 2)))
+    // topUni=1 keeps only 'a' (count tie with b, token asc): the
+    // (b,c) backoff now misses both tables and scores 0
+    val cutU = collect(TextAnalysis.lmScore(d, topK = 1, topUni = 1))
+    assert(cutU(1L) == ((4L, (1000000L + 36363L + 1000000L + 0L) / 4)))
+    // a scrambled doc keeps its unigram commonness but loses its
+    // bigram score — the signal unigram commonness cannot see. Model
+    // trained on a coherent corpus ("a b" sequences only); the two
+    // scored docs are unigram-identical anagram twins.
+    val corpus = docs(1L -> "a b a b a b a b")
+    val lm = collect(TextAnalysis.lmScore(
+      docs(10L -> "a b a b", 11L -> "a a b b"),
+      ref = Some(TextAnalysis.lmRef(corpus, topK = 10)),
+      uniRef = Some(TextAnalysis.commonnessRef(corpus, topK = 10))))
+    assert(lm(11L)._2 < lm(10L)._2, "scrambled sequence must score below coherent one")
+    // production shape: stored model tables score identically cold
+    val refDir = java.nio.file.Files.createTempDirectory("lmref").toString
+    TextAnalysis.lmRef(d, topK = 10).write.mode("overwrite").parquet(s"$refDir/bi")
+    TextAnalysis.commonnessRef(d, topK = 10).write.mode("overwrite").parquet(s"$refDir/uni")
+    val viaStored = collect(TextAnalysis.lmScore(d,
+      ref = Some(spark.read.parquet(s"$refDir/bi")),
+      uniRef = Some(spark.read.parquet(s"$refDir/uni"))))
+    assert(viaStored == full)
+  }
+
+  test("lmScore plan broadcasts both model tables (the corpus never shuffles on pair keys)") {
+    val d = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.lmScore(d, topK = 100, topUni = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"K-row model tables must broadcast:\n${plan.take(2000)}")
+  }
+
   test("snapshotDiff: added/removed/changed statuses; metadata-only rewrite is silent") {
     import spark.implicits._
     val old = Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "en"))
