@@ -177,6 +177,15 @@ object TextAnalysis {
             element_at(col("toks"), i + 1).as("token")))).as("pr"))
       .select(col("doc_id"), col("pr.prev"), col("pr.token"))
 
+  /** [[bigramRows]], persisted — [[lmScore]] with an inline model
+    * references the bigram stream from three plan legs (pair counts,
+    * prev counts, the scoring probe), and the session-shared cache
+    * makes them one materialization (the [[Dedup.sharedShingleRows]]
+    * pattern, LRU-bounded by [[SharedCaches]]). Production with
+    * stored model tables scores in a single scan and skips this. */
+  def sharedBigramRows(docs: DataFrame): DataFrame =
+    SharedCaches.shared(bigramRows(docs), "text")
+
   /** The trained bigram model for [[lmScore]]: the corpus's `topK`
     * most frequent bigrams (ties broken by (prev, token) —
     * deterministic across engines), each carrying its CONDITIONAL
@@ -190,8 +199,9 @@ object TextAnalysis {
     * (pair counts + prev counts), one broadcast-sized join between
     * them, top-K driver-bounded. The corpus shuffles on token keys
     * only, never on doc pairs. */
-  def lmRef(docs: DataFrame, topK: Int = 1000): DataFrame = {
-    val pairs = bigramRows(docs)
+  def lmRef(docs: DataFrame, topK: Int = 1000,
+            pairsIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(bigramRows(docs))
     val prevCounts = pairs.groupBy(col("prev")).agg(count(lit(1)).as("np"))
     pairs.groupBy(col("prev"), col("token")).agg(count(lit(1)).as("nb"))
       .join(prevCounts, Seq("prev"))
@@ -225,9 +235,10 @@ object TextAnalysis {
     * left join, mirrored by the oracle. */
   def lmScore(docs: DataFrame, topK: Int = 1000, topUni: Int = 1000,
               ref: Option[DataFrame] = None,
-              uniRef: Option[DataFrame] = None): DataFrame = {
-    val pairs = bigramRows(docs)
-    val model = ref.getOrElse(lmRef(docs, topK))
+              uniRef: Option[DataFrame] = None,
+              pairsIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(bigramRows(docs))
+    val model = ref.getOrElse(lmRef(docs, topK, pairsIn = Some(pairs)))
     val uni = uniRef.getOrElse(commonnessRef(docs, topUni))
       .withColumnRenamed("ppm", "uni_ppm")
     val scored = pairs
@@ -243,6 +254,51 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
   }
+
+  /** [[lmScore]]'s per-row Column form — the STREAMING gate shape: a
+    * stateless projection usable before any stateful stage (the
+    * [[classifierFeatSum]] pattern; a streaming explode + groupBy
+    * would turn the scorer into keyed state it doesn't need). The
+    * K-bounded model travels as two map LITERALS — one `typedlit`
+    * each, O(1) plan size — built from STORED [[lmRef]] /
+    * [[commonnessRef]] tables via [[lmModelLiterals]] (the bounded
+    * driver-collect precedent of `Similarity.fixedCentroids`). Bigram
+    * keys are `prev \u0001 token` (tokens are whitespace-split, so the
+    * separator cannot occur inside one); `uniBackoffPpm` carries
+    * `ppm div 10` pre-divided, so the row expression only probes and
+    * sums. The `aggregate` lambda evaluates interpreted — the wrong
+    * trade for batch (use [[lmScore]]'s exploded codegen form there),
+    * fine at ingest rates where the trigger bounds the batch. Docs
+    * with < 2 tokens (null included) score 0, matching [[lmScore]]'s
+    * corpus left join. */
+  def lmPpm(text: Column, bigramPpm: Map[String, Long],
+            uniBackoffPpm: Map[String, Long]): Column = {
+    val bi = typedlit(bigramPpm)
+    val un = typedlit(uniBackoffPpm)
+    val toks = tokens(text)
+    val pairSum = aggregate(
+      sequence(lit(1), size(toks) - 1), lit(0L), (acc, i) =>
+        acc + coalesce(
+          element_at(bi, concat(element_at(toks, i), lit("\u0001"),
+            element_at(toks, i + 1))),
+          element_at(un, element_at(toks, i + 1)),
+          lit(0L)))
+    when(size(toks) >= 2, call_function("div", pairSum, size(toks) - 1))
+      .otherwise(lit(0L))
+  }
+
+  /** Collect stored [[lmRef]] + [[commonnessRef]] tables into
+    * [[lmPpm]]'s literal maps. Bounded by construction (both tables
+    * are top-K); the unigram side is pre-divided to its backoff value
+    * (`ppm div 10`, α = 0.1) here so the per-row expression stays a
+    * pure probe-and-sum. */
+  def lmModelLiterals(ref: DataFrame,
+                      uniRef: DataFrame): (Map[String, Long], Map[String, Long]) = (
+    ref.collect().map(r =>
+      (r.getAs[String]("prev") + "\u0001" + r.getAs[String]("token")) ->
+        r.getAs[Long]("cond_ppm")).toMap,
+    uniRef.collect().map(r =>
+      r.getAs[String]("token") -> (r.getAs[Long]("ppm") / 10)).toMap)
 
   /** Document frequency per token, top N. */
   def docFrequency(docs: DataFrame, topN: Int = 20): DataFrame =

@@ -178,9 +178,12 @@ object PipelineQueries {
     // upgrade of text_commonness (top-500 conditional-bigram table +
     // top-100 unigram backoff, both K-bounded broadcasts; the model
     // build and the scoring join are BOTH mirrored in the oracle)
-    "text_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScore(Fixtures.documents(s, dir), topK = 500, topUni = 100)
-        .orderBy(col("doc_id"))),
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.lmScore(docs, topK = 500, topUni = 100,
+          pairsIn = Some(TextAnalysis.sharedBigramRows(docs)))
+        .orderBy(col("doc_id"))
+    }),
 
     // IVF probe+rank with FIXED md5-derived centroid literals shared
     // with the oracle SQL — the whole assignment/probe/rank stage is

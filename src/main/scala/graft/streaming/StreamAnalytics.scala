@@ -372,7 +372,13 @@ object StreamAnalytics {
                       rowsPerBand: Int = 2,
                       horizonNanos: Long = 3600L * 1000000000L,
                       maxPerBucket: Int = 64,
-                      minFeatSum: Option[Long] = None): (DataFrame, Dataset[NearDupHit]) = {
+                      minFeatSum: Option[Long] = None,
+                      minLmPpm: Option[Long] = None,
+                      lmModel: Option[(Map[String, Long], Map[String, Long])] = None)
+    : (DataFrame, Dataset[NearDupHit]) = {
+    require(minLmPpm.isEmpty || lmModel.nonEmpty,
+      "minLmPpm needs lmModel — load stored lmRef/commonnessRef tables " +
+        "via TextAnalysis.lmModelLiterals")
     // Optional model gate: the hashed-linear classifier as a stateless
     // per-row projection ([[TextAnalysis.classifierFeatSum]]), applied
     // with the other gates BEFORE the matcher so rejected docs never
@@ -381,11 +387,22 @@ object StreamAnalytics {
     val qualityGated = graft.ops.TextAnalysis.withQuality(docs)
       .withColumn("predicted_lang", graft.ops.TextAnalysis.predictedLang(col("text")))
       .filter(col("n_tokens") >= minTokens && col("quality_score_bp") >= minQualityBp)
-    val gated = minFeatSum match {
+    val clsGated = minFeatSum match {
       case None => qualityGated
       case Some(m) => qualityGated
         .withColumn("feat_sum", graft.ops.TextAnalysis.classifierFeatSum(col("text")))
         .filter(col("feat_sum") >= m)
+    }
+    // Optional bigram-LM gate: the stored-model per-row form
+    // ([[TextAnalysis.lmPpm]] over [[lmModelLiterals]] maps) — the
+    // trained counterpart of the classifier gate, same stateless
+    // placement before the matcher. None adds neither column nor
+    // filter.
+    val gated = (minLmPpm, lmModel) match {
+      case (Some(m), Some((bi, un))) => clsGated
+        .withColumn("lm_ppm", graft.ops.TextAnalysis.lmPpm(col("text"), bi, un))
+        .filter(col("lm_ppm") >= m)
+      case _ => clsGated
     }
     val hits = streamingNearDup(
       gated.select(col("doc_id"), col("text"), col("ts")),

@@ -266,6 +266,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(viaStored == full)
   }
 
+  test("lmPpm per-row form matches lmScore bit-for-bit against stored model tables") {
+    val d = docs(1L -> "a b a b c", 2L -> "a b", 3L -> "z", 4L -> "c a b")
+    val ref = TextAnalysis.lmRef(d, topK = 10)
+    val uni = TextAnalysis.commonnessRef(d, topK = 10)
+    def scores(base: org.apache.spark.sql.DataFrame) = {
+      val batch = TextAnalysis.lmScore(base, ref = Some(ref), uniRef = Some(uni))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+      val (bi, un) = TextAnalysis.lmModelLiterals(ref, uni)
+      val perRow = base.select(col("doc_id"),
+          TextAnalysis.lmPpm(col("text"), bi, un).as("lm_ppm"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+      (batch, perRow)
+    }
+    val (batch, perRow) = scores(d)
+    assert(perRow == batch, "per-row gate form must be bit-identical to the batch plan")
+    assert(batch(3L) == 0L, "single-token doc scores 0 in both forms")
+    // the whole sf0.001 fixture through both forms, model trained there
+    val fx = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val fxRef = TextAnalysis.lmRef(fx, topK = 200)
+    val fxUni = TextAnalysis.commonnessRef(fx, topK = 100)
+    val fb = TextAnalysis.lmScore(fx, ref = Some(fxRef), uniRef = Some(fxUni))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+    val (fbi, fun) = TextAnalysis.lmModelLiterals(fxRef, fxUni)
+    val fr = fx.select(col("doc_id"), TextAnalysis.lmPpm(col("text"), fbi, fun).as("lm_ppm"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+    assert(fr == fb)
+    // null text scores 0 (the batch corpus left join, mirrored per-row)
+    import spark.implicits._
+    val z = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.lmPpm(col("text"), Map("a\u0001b" -> 1L),
+        Map("b" -> 1L)).as("s")).head.getAs[Long]("s")
+    assert(z == 0L)
+  }
+
   test("lmScore plan broadcasts both model tables (the corpus never shuffles on pair keys)") {
     val d = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
     val plan = TextAnalysis.lmScore(d, topK = 100, topUni = 100)

@@ -416,4 +416,43 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(rows.head.getLong(1) >= 0L)
     } finally q.stop()
   }
+
+  test("streamingCurate LM gate: stored-model per-row score drops the scrambled doc before state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    // model trained on a coherent corpus (w1..w40 in order); the two
+    // candidates are unigram-identical anagram twins, so quality and
+    // commonness cannot split them — only the bigram model can
+    val coherent = (1 to 40).map(i => s"w$i").mkString(" ")
+    val scrambled = (1 to 40).reverse.map(i => s"w$i").mkString(" ")
+    val corpus = Seq((100L, coherent, "en", "s", coherent.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = graft.ops.TextAnalysis.lmModelLiterals(
+      graft.ops.TextAnalysis.lmRef(corpus, topK = 100),
+      graft.ops.TextAnalysis.commonnessRef(corpus, topK = 100))
+    // batch scores via the exploded plan: coherent pairs are all
+    // in-model (1e6 each), scrambled pairs are all backoff
+    val mem = MemoryStream[StreamTestDoc]
+    val (kept, _) = StreamAnalytics.streamingCurate(mem.toDF(),
+      horizonNanos = 10 * minNanos,
+      minLmPpm = Some(100000L), lmModel = Some(model))
+    val dir = Files.createTempDirectory("curlm").toString
+    val q = kept.writeStream.format("memory").queryName("curate_lm")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      mem.addData(StreamTestDoc(1, coherent, t0), StreamTestDoc(2, scrambled, t0))
+      q.processAllAvailable()
+      val rows = spark.table("curate_lm").select("doc_id", "lm_ppm").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L),
+        "the LM gate must drop the scrambled doc before any state")
+      assert(rows.head.getLong(1) == 1000000L,
+        "coherent doc's pairs are all in-model at cond_ppm 1e6")
+    } finally q.stop()
+    // misuse guard: a threshold without a model must fail loudly
+    intercept[IllegalArgumentException] {
+      StreamAnalytics.streamingCurate(mem.toDF(), minLmPpm = Some(1L))
+    }
+  }
 }
