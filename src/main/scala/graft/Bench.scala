@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   * `rep`(eats) count — single-letter-ish keys because every metadata
   * character competes with a per-query value for the same tail-window
   * budget. A reader comparing runs uses them to see whether even the
-  * min was taken under load.
+  * min was taken under load. At the degraded precision levels (>= 2,
+  * budget-constrained by definition) they collapse to one integer
+  * `l` = peak load — their characters are per-query decimals there,
+  * and the file copy keeps the full set.
   *
   * Reading per-query numbers: entries with session-persistent side
   * effects (the shared dedup caches, the persisted ANN index) pay
@@ -85,34 +88,86 @@ object Bench {
   /** One JSON line at a fixed precision level. Key brevity is
     * load-bearing: the line must fit the driver's 2000-char tail
     * window beside the full registry's query entries, so the sf dir
-    * is echoed as its basename. */
+    * is echoed as its basename — and at the degraded levels (>= 2,
+    * the budget-constrained regime by definition) the telemetry keys
+    * (rep/cont/l0/l1) are omitted entirely: every one of their
+    * characters competes with a per-query decimal for the same
+    * budget, and the full-fidelity file copy always carries them. */
   private[graft] def renderLine(results: Seq[(String, Double)], sfName: String,
                                 repeats: Int, contended: Boolean,
                                 loadStart: Double, loadEnd: Double,
-                                level: Int = 0): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v, level) }
+                                level: Int = 0): String =
+    renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
+      { case (_, v) => ms(v, level) }, level)
+
+  /** [[renderLine]] with the per-value formatting injected — the seam
+    * [[renderAdaptive]] reuses so the two renderings cannot drift in
+    * envelope shape. */
+  private def renderWith(results: Seq[(String, Double)], sfName: String,
+                         repeats: Int, contended: Boolean,
+                         loadStart: Double, loadEnd: Double,
+                         fmt: ((String, Double)) => String,
+                         level: Int): String = {
+    val qs = results.map { case e @ (k, _) => "\"" + k + "\":" + fmt(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName","rep":$repeats,"cont":$contended,"l0":${ms(loadStart max 0, level)},"l1":${ms(loadEnd max 0, level)}}"""
+    val telemetry =
+      if (level >= 2)
+        // budget-constrained: the one signal a reader can't live
+        // without is "was the box loaded" — peak 1-min load, integer
+        s""","l":${ms(loadStart max loadEnd max 0, 3)}"""
+      else s""","rep":$repeats,"cont":$contended,"l0":${ms(loadStart max 0, level)},"l1":${ms(loadEnd max 0, level)}"""
+    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName"$telemetry}"""
+  }
+
+  /** The graceful floor between level 2 and the everywhere-integer
+    * level 3: sub-second entries get their level-2 decimal in
+    * DESCENDING value order (ties by name) until the budget is spent,
+    * the rest render as integers. The entries whose decimal carries
+    * real signal — the expensive ones a reader actually compares —
+    * keep it at any registry size; only the noise floor flattens.
+    * Deterministic: the same results always render the same line. */
+  private[graft] def renderAdaptive(results: Seq[(String, Double)], sfName: String,
+                                    repeats: Int, contended: Boolean,
+                                    loadStart: Double, loadEnd: Double,
+                                    budget: Int): String = {
+    val upgradeOrder = results.filter { case (_, v) => v >= 0 && v < 10 }
+      .sortBy { case (k, v) => (-v, k) }.map(_._1)
+    def render(nUpgraded: Int): String = {
+      val fine = upgradeOrder.take(nUpgraded).toSet
+      renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
+        { case (k, v) => ms(v, if (fine(k)) 2 else 3) }, level = 3)
+    }
+    // monotone in k: binary-search the largest upgrade count that fits
+    var lo = 0
+    var hi = upgradeOrder.size
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (render(mid).length <= budget) lo = mid else hi = mid - 1
+    }
+    render(lo)
   }
 
   /** The stdout line, guaranteed to fit the tail window: rendered at
-    * the finest precision level that stays under budget (76 query
-    * keys alone cost ~1620 chars, so a run where most entries render
-    * 4 chars — e.g. many sub-second queries — must degrade to 3-char
-    * values; BenchLineSpec pins every profile against the real
-    * registry). The full-fidelity (level -1)
-    * line always goes to `target/bench.json` regardless — only
-    * stdout degrades. */
+    * the finest precision level that stays under budget (the ~80
+    * query keys alone cost ~1700 chars, so a run where most entries
+    * render 4 chars — e.g. many sub-second queries — must degrade to
+    * 3-char values; BenchLineSpec pins every profile against the real
+    * registry). Past level 2 the degradation is PER-ENTRY
+    * ([[renderAdaptive]]): the most expensive entries keep their
+    * decimal at any registry size instead of the whole line cliffing
+    * to integers. The full-fidelity (level -1) line always goes to
+    * `target/bench.json` regardless — only stdout degrades. */
   private[graft] def renderFitting(results: Seq[(String, Double)], sfName: String,
                                    repeats: Int, contended: Boolean,
                                    loadStart: Double, loadEnd: Double,
                                    budget: Int = 1990): String =
-    (0 to 3).iterator
+    (0 to 2).iterator
       .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l))
       .find(_.length <= budget)
-      .getOrElse(renderLine(results, sfName, repeats, contended, loadStart, loadEnd, 3))
+      .getOrElse(renderAdaptive(results, sfName, repeats, contended,
+        loadStart, loadEnd, budget))
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()

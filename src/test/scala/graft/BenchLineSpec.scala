@@ -51,6 +51,48 @@ class BenchLineSpec extends AnyFunSuite {
         "sub-second entries (most of the registry) must keep a decimal")
   }
 
+  test("past level 2 the degradation is per-entry: the hottest sub-second entries keep decimals") {
+    // the next-rounds'-growth regime: the REAL registry plus synthetic
+    // additions until uniform level 2 overflows the budget — then
+    // renderFitting must go adaptive, not cliff to all-integers.
+    // values: a 1.43 s band (integers at level 2 regardless), a warm
+    // 0.77 band, a 0.31 noise floor
+    def valueOf(i: Int) = if (i % 6 == 0) 1.43 else if (i % 6 == 1) 0.77 else 0.31
+    def mk(extra: Int) = (names ++ (0 until extra).map(i => f"synthetic_extra_$i%02d"))
+      .zipWithIndex.map { case (n, i) => n -> valueOf(i) }
+    val results = Iterator.from(1)
+      .map(mk)
+      .find(r => Bench.renderLine(r, "sf0.1", 2, false, 0.5, 0.6, level = 2).length > 1990)
+      .get
+    val line = Bench.renderFitting(results, "sf0.1",
+      repeats = 2, contended = false, loadStart = 0.5, loadEnd = 0.6)
+    assert(line.length <= 1990, s"adaptive line must fit, got ${line.length}")
+    // valid JSON end to end (the driver json.loads this line)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val qs = tree.get("queries")
+    assert(qs.size() == results.size)
+    val rendered = results.map { case (n, v) => (v, qs.get(n).asText()) }
+    // every entry is its level-2 or level-3 form, nothing else
+    rendered.foreach {
+      case (1.43, s) => assert(s == "1")
+      case (0.77, s) => assert(s == "0.8" || s == "1")
+      case (0.31, s) => assert(s == "0.3" || s == "0")
+      case other     => fail(s"unexpected $other")
+    }
+    // prefix property: decimals go to the hottest sub-second entries
+    // first — a cold entry may only keep its decimal if every warmer
+    // one did
+    if (rendered.exists { case (v, s) => v == 0.31 && s == "0.3" })
+      assert(rendered.forall { case (v, s) => v != 0.77 || s == "0.8" },
+        "no 0.31 entry may out-rank a 0.77 entry for the decimal budget")
+    // the adaptive regime actually upgraded something (the budget gap
+    // between level 3 and the overflow line is real)
+    assert(rendered.exists { case (v, s) => v == 0.77 && s == "0.8" },
+      "at least the hottest sub-second entries must keep their decimal")
+    // determinism: same inputs, same line
+    assert(line == Bench.renderFitting(results, "sf0.1", 2, false, 0.5, 0.6))
+  }
+
   test("ms formatting stays compact and driver-parseable at every level") {
     assert(Bench.ms(-1.0) == "-1")
     assert(Bench.ms(0.0) == "0")
