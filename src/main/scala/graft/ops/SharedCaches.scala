@@ -41,10 +41,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object SharedCaches {
 
-  /** Above the registry's ~12 distinct shared plans per scale factor;
-    * below what would let a multi-tenant session hoard the block
-    * manager. */
-  val DefaultMaxEntries = 16
+  /** Above the registry's distinct shared plans per scale factor
+    * (measured high-water 15 at the 80-query registry — the bench
+    * logs it every run); below what would let a multi-tenant session
+    * hoard the block manager. */
+  val DefaultMaxEntries = 24
 
   private final case class Entry(df: DataFrame, family: String)
 

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Per-family wall-time sums over two bench recordings (the SCALING.md
+Results table). Usage: family_sums.py <sf0.1.json> <sf1.json>"""
+import json, sys
+
+FAMILIES = {
+    "doc dedup, scale paths": [
+        "dedup_exact", "dedup_minhash", "dedup_incremental",
+        "dedup_incremental_apply", "dedup_apply", "dedup_simhash",
+        "dedup_ngram_jaccard_banded"],
+    "dedup, raw yardsticks": ["dedup_ngram_jaccard", "dedup_simhash_md5"],
+    "substring / boilerplate / classifier": [
+        "dedup_substring_spans", "dedup_substring_incremental",
+        "dedup_substring_apply", "text_boilerplate", "text_boilerplate_apply",
+        "text_boilerplate_lines", "quality_classifier",
+        "quality_classifier_weighted"],
+    "embedding near-dup (LSH)": [
+        "embed_neardup_lsh", "embed_neardup_incremental",
+        "embed_neardup_incremental_apply"],
+    "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
+    "ANN / similarity top-k": [
+        "similarity_topk", "similarity_topk_ivf", "similarity_topk_kmeans",
+        "similarity_topk_indexed"],
+    "text analysis": [
+        "text_lang_id", "text_quality", "text_token_counts",
+        "text_token_modes", "text_doc_frequency", "text_distinct_approx",
+        "text_fingerprint", "text_commonness", "text_repetition",
+        "text_pii_scrub", "text_lm_score"],
+    "curation": [
+        "decontaminate", "sample_stratified", "split_assign", "source_cap",
+        "mix_weighted", "pack_sequences", "quality_budget",
+        "quality_budget_by_lang", "corpus_snapshot_diff", "pipeline_curate",
+        "pipeline_curate_incremental"],
+    "multimodal": [
+        "multimodal_decode", "multimodal_resize", "multimodal_frames",
+        "multimodal_byte_stats", "multimodal_audio_meta"],
+    "export": ["export_shards", "export_manifest"],
+    "relational / TPC-H-ish": [
+        "q1_agg", "q3_revenue_by_segment", "q5_nation_revenue",
+        "top3_purchases_per_user", "skew_salted_join"],
+    "EVM logs / lookups": [
+        "logs_filter_range", "logs_filter_address", "logs_filter_topics",
+        "logs_blockhash_precedence", "logs_cursor_page", "logs_offset_page",
+        "logs_json", "logs_topics_array", "block_by_hash", "block_by_number",
+        "tx_by_hash", "tx_value_decimal", "latest_block_at_height",
+        "evm_stats"],
+    "ingest / events / streaming twins": [
+        "ingest_explode", "ingest_idempotent", "reorg_rollback",
+        "events_hourly", "events_sessions", "stream_neardup_twin"],
+}
+
+
+def main(p01, p1):
+    a = json.load(open(p01))["queries"]
+    b = json.load(open(p1))["queries"]
+    assigned = [q for qs in FAMILIES.values() for q in qs]
+    assert len(assigned) == len(set(assigned)), "duplicate assignment"
+    missing = set(a) - set(assigned)
+    assert not missing, f"unassigned queries: {missing}"
+    gone = set(assigned) - set(a)
+    assert not gone, f"assigned but not in bench: {gone}"
+    print("| family | queries | sf0.1 s | sf1 s | ratio |")
+    print("|---|---|---|---|---|")
+    for fam, qs in FAMILIES.items():
+        sa = sum(a[q] for q in qs)
+        sb = sum(b[q] for q in qs)
+        print(f"| {fam} | {len(qs)} | {sa:.1f} | {sb:.1f} | {sb/sa:.1f}x |")
+    ta, tb = sum(a.values()), sum(b.values())
+    print(f"totals: sf0.1 {ta:.1f} s, sf1 {tb:.1f} s, ratio {tb/ta:.1f}x")
+    worst = sorted(((b[q]/a[q] if a[q] > 0.05 else 0, q) for q in a), reverse=True)
+    print("worst ratios:", [(q, round(r, 1)) for r, q in worst[:8]])
+    print("heaviest sf1:", sorted(b.items(), key=lambda kv: -kv[1])[:8])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
