@@ -300,6 +300,55 @@ object TextAnalysis {
     uniRef.collect().map(r =>
       r.getAs[String]("token") -> (r.getAs[Long]("ppm") / 10)).toMap)
 
+  /** BM25-shaped keyword relevance: top-N documents for a fixed term
+    * set, integer-exact so the whole ranking is bit-identical in every
+    * engine. Two deliberate deviations from textbook BM25, both forced
+    * by the no-floats rule and both rank-preserving here: idf is the
+    * LOG-FREE inverse frequency `(N * 1000) div df` (monotone in 1/df;
+    * the log only dampens — with a handful of query terms the ranking
+    * is driven by the same ordering; the ×1000 scale keeps the
+    * idf·tf·220 product under 2^63 out to ~10^12 docs), and the tf
+    * saturation
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` is evaluated in
+    * scaled integer arithmetic (k1 = k1_x100/100, b = b_x100/100,
+    * every division an exact `div` mirrored verbatim in the oracle).
+    *
+    * Scale: the exploded token stream is filtered to the query terms
+    * BEFORE anything shuffles — a 3-term query over 100 TB moves only
+    * the matching tokens (`O(matches)`, usually a vanishing fraction)
+    * into one map-side-combined (doc, term) count that carries dl
+    * along (no second join against a doc-length table). The df table
+    * is |terms| rows (broadcast), corpus stats are one bounded
+    * 1-row aggregate collected to literals (the commonnessRef total
+    * pattern), and the result is a driver-bounded top-N. */
+  def searchBm25(docs: DataFrame, terms: Seq[String],
+                 k1X100: Int = 120, bX100: Int = 75,
+                 topN: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val stats = docs.select(toks.as("ts"))
+      .agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tot")).head()
+    val nDocs = stats.getAs[Long]("n")
+    val avgdlX100 = stats.getAs[Long]("tot") * 100 / nDocs
+    val termArr = array(terms.map(lit): _*)
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode(filter(toks, t => array_contains(termArr, t))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("term_score", expr(
+        s"((${nDocs}L * 1000) div df) * (tf * ${100 + k1X100}) div " +
+          s"(tf * 100 + ($k1X100 * ((100 - $bX100) + " +
+          s"($bX100 * dl * 100) div ${avgdlX100}L)) div 100)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("term_score")).as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col("doc_id").asc)
+      .limit(topN)
+      .select(col("doc_id"), col("n_terms_matched"), col("score_x1000"))
+  }
+
   /** Document frequency per token, top N. */
   def docFrequency(docs: DataFrame, topN: Int = 20): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))

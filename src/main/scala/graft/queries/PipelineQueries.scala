@@ -174,6 +174,14 @@ object PipelineQueries {
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // BM25-shaped keyword search: top 20 docs for a fixed 3-term
+    // query, integer-exact (log-free idf, scaled saturation) — the
+    // token stream is filtered to the query terms before any shuffle
+    "text_search_bm25" -> ((s, dir) =>
+      TextAnalysis.searchBm25(Fixtures.documents(s, dir),
+          Seq("hash", "join", "merge"))
+        .orderBy(col("score_x1000").desc, col("doc_id"))),
+
     // bigram-LM quality score with stupid backoff — the sequence-aware
     // upgrade of text_commonness (top-500 conditional-bigram table +
     // top-100 unigram backoff, both K-bounded broadcasts; the model
@@ -687,6 +695,26 @@ object PipelineQueries {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS commonness_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the corpus stats the Spark side collects to literals are stated
+    // as subqueries on the same data — identical values by
+    // construction; every div mirrored in the operator's order
+    "text_search_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS tot FROM t),
+        |m AS (SELECT doc_id, len(ts) AS dl,
+        |  unnest(list_filter(ts, x -> x IN ('hash','join','merge'))) AS token FROM t),
+        |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM m GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT doc_id, count(*) AS n_terms_matched,
+        |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * (tf.tf * 220)
+        |   // (tf.tf * 100 + (120 * ((100 - 75) +
+        |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)
+        |  ) AS BIGINT) AS score_x1000
+        |  FROM tf JOIN df USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_terms_matched, score_x1000 FROM sc
+        |ORDER BY score_x1000 DESC, doc_id LIMIT 20""".stripMargin,
 
     // every stage mirrored: bigram stream (parallel unnest), prev /
     // pair counts, top-500 conditional table, top-100 unigram backoff,
