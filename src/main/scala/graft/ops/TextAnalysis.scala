@@ -255,6 +255,23 @@ object TextAnalysis {
         coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
   }
 
+  /** [[searchBm25]]'s storable corpus statistics: one row (n, tot) —
+    * doc count and total token count. Store beside the corpus; a
+    * stale-by-one-batch stats row shifts every score identically, so
+    * rankings degrade gracefully between refreshes. */
+  def bm25StatsRef(docs: DataFrame): DataFrame =
+    docs.select(tokens(col("text")).as("ts"))
+      .agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tot"))
+
+  /** [[searchBm25]]'s storable document-frequency table: (token, df)
+    * over the FULL vocabulary — O(vocab) rows, one map-side-combined
+    * distinct count, computed once and probed per query by the terms
+    * filter. Identical semantics to the inline per-query df (distinct
+    * docs containing the token). */
+  def bm25DfRef(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
   /** [[lmScore]]'s per-row Column form — the STREAMING gate shape: a
     * stateless projection usable before any stateful stage (the
     * [[classifierFeatSum]] pattern; a streaming explode + groupBy
@@ -323,10 +340,18 @@ object TextAnalysis {
     * pattern), and the result is a driver-bounded top-N. */
   def searchBm25(docs: DataFrame, terms: Seq[String],
                  k1X100: Int = 120, bX100: Int = 75,
-                 topN: Int = 20): DataFrame = {
+                 topN: Int = 20,
+                 dfRef: Option[DataFrame] = None,
+                 statsRef: Option[DataFrame] = None): DataFrame = {
+    // `dfRef`/`statsRef`: the production path — [[bm25DfRef]] /
+    // [[bm25StatsRef]] computed ONCE over the corpus and stored beside
+    // it (the commonnessRef pattern); a query then touches only the
+    // matching tokens and |terms| stored-df rows, O(matches) per
+    // query with zero corpus-wide aggregation.
     val toks = tokens(col("text"))
-    val stats = docs.select(toks.as("ts"))
-      .agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tot")).head()
+    val stats = statsRef.getOrElse(
+      docs.select(toks.as("ts"))
+        .agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tot"))).head()
     val nDocs = stats.getAs[Long]("n")
     val avgdlX100 = stats.getAs[Long]("tot") * 100 / nDocs
     val termArr = array(terms.map(lit): _*)
@@ -335,7 +360,8 @@ object TextAnalysis {
         explode(filter(toks, t => array_contains(termArr, t))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = dfRef.map(_.filter(col("token").isInCollection(terms)))
+      .getOrElse(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
     tf.join(broadcast(df), Seq("token"))
       .withColumn("term_score", expr(
         s"((${nDocs}L * 1000) div df) * (tf * ${100 + k1X100}) div " +

@@ -246,6 +246,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // topN clamps the result
     assert(TextAnalysis.searchBm25(d, Seq("hash", "join", "merge"), topN = 1)
       .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // production shape: stored stats + full-vocab df tables read back
+    // cold score identically to the inline build
+    val refDir = java.nio.file.Files.createTempDirectory("bm25ref").toString
+    TextAnalysis.bm25StatsRef(d).write.mode("overwrite").parquet(s"$refDir/stats")
+    TextAnalysis.bm25DfRef(d).write.mode("overwrite").parquet(s"$refDir/df")
+    val viaStored = TextAnalysis.searchBm25(d, Seq("hash", "join", "merge"),
+        dfRef = Some(spark.read.parquet(s"$refDir/df")),
+        statsRef = Some(spark.read.parquet(s"$refDir/stats")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_matched"),
+        r.getAs[Long]("score_x1000")))
+    assert(viaStored.toSeq == got.toSeq)
   }
 
   test("searchBm25 plan: the token stream is filtered to the query terms before the shuffle") {

@@ -25,7 +25,8 @@ FAMILIES = {
         "text_lang_id", "text_quality", "text_token_counts",
         "text_token_modes", "text_doc_frequency", "text_distinct_approx",
         "text_fingerprint", "text_commonness", "text_repetition",
-        "text_pii_scrub", "text_lm_score"],
+        "text_pii_scrub", "text_lm_score",
+        "text_search_bm25"],
     "curation": [
         "decontaminate", "sample_stratified", "split_assign", "source_cap",
         "mix_weighted", "pack_sequences", "quality_budget",
