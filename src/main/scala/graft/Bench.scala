@@ -132,7 +132,11 @@ object Bench {
                                     repeats: Int, contended: Boolean,
                                     loadStart: Double, loadEnd: Double,
                                     budget: Int): String = {
-    val upgradeOrder = results.filter { case (_, v) => v >= 0 && v < 10 }
+    // only sub-second entries differ between levels 2 and 3 (ms gives
+    // v >= 1 the same integer at both), so only they are upgrade
+    // candidates — anything else would be dead entries padding the
+    // order and silently relying on that formatting accident
+    val upgradeOrder = results.filter { case (_, v) => v >= 0 && v < 1 }
       .sortBy { case (k, v) => (-v, k) }.map(_._1)
     def render(nUpgraded: Int): String = {
       val fine = upgradeOrder.take(nUpgraded).toSet

@@ -132,14 +132,19 @@ object Curation {
   }
 
   /** Deterministic train/valid/test split: each doc's md5-derived
-    * permille bucket assigns its split, so membership is a pure
-    * function of doc_id — stable across runs, engines, repartitions,
-    * AND corpus growth (new docs land in splits without moving any
-    * existing doc, the property a random split lacks and the reason
-    * held-out sets stay uncontaminated as the corpus is re-crawled).
-    * The holdout permilles claim the TOP of the bucket range so
-    * shrinking or growing them never migrates a doc between valid and
-    * test. Map-only, codegen'd, zero shuffle at any scale. */
+    * permille bucket assigns its split, so membership at FIXED
+    * permilles is a pure function of doc_id — stable across runs,
+    * engines, repartitions, AND corpus growth (new docs land in
+    * splits without moving any existing doc, the property a random
+    * split lacks and the reason held-out sets stay uncontaminated as
+    * the corpus is re-crawled). The holdout permilles claim the TOP
+    * of the bucket range, so GROWING a holdout only promotes docs
+    * toward it: no test doc ever returns to train or valid, and no
+    * train doc skips into the band above (valid may promote to test
+    * as the expanding test band overtakes its buckets — spec-pinned).
+    * SHRINKING a holdout, by construction, returns its upper buckets
+    * to train — do that only if previously-held-out data may enter
+    * training. Map-only, codegen'd, zero shuffle at any scale. */
   def splitAssign(docs: DataFrame, validPermille: Int = 10,
                   testPermille: Int = 10): DataFrame =
     docs.select(col("doc_id"),

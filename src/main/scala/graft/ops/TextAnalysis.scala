@@ -280,8 +280,12 @@ object TextAnalysis {
     * each, O(1) plan size — built from STORED [[lmRef]] /
     * [[commonnessRef]] tables via [[lmModelLiterals]] (the bounded
     * driver-collect precedent of `Similarity.fixedCentroids`). Bigram
-    * keys are `prev \u0001 token` (tokens are whitespace-split, so the
-    * separator cannot occur inside one); `uniBackoffPpm` carries
+    * keys are LENGTH-PREFIXED — `"<len(prev)>:" + prev + token` — so
+    * no token content can forge another pair's key (tokens are only
+    * whitespace-split: a separator character could be smuggled inside
+    * one, but the length prefix decodes the split point uniquely,
+    * keeping this form bit-identical to the batch (prev, token)
+    * equi-join on adversarial text too); `uniBackoffPpm` carries
     * `ppm div 10` pre-divided, so the row expression only probes and
     * sums. The `aggregate` lambda evaluates interpreted — the wrong
     * trade for batch (use [[lmScore]]'s exploded codegen form there),
@@ -296,8 +300,9 @@ object TextAnalysis {
     val pairSum = aggregate(
       sequence(lit(1), size(toks) - 1), lit(0L), (acc, i) =>
         acc + coalesce(
-          element_at(bi, concat(element_at(toks, i), lit("\u0001"),
-            element_at(toks, i + 1))),
+          element_at(bi, concat(
+            length(element_at(toks, i)).cast("string"), lit(":"),
+            element_at(toks, i), element_at(toks, i + 1))),
           element_at(un, element_at(toks, i + 1)),
           lit(0L)))
     when(size(toks) >= 2, call_function("div", pairSum, size(toks) - 1))
@@ -311,9 +316,11 @@ object TextAnalysis {
     * pure probe-and-sum. */
   def lmModelLiterals(ref: DataFrame,
                       uniRef: DataFrame): (Map[String, Long], Map[String, Long]) = (
-    ref.collect().map(r =>
-      (r.getAs[String]("prev") + "\u0001" + r.getAs[String]("token")) ->
-        r.getAs[Long]("cond_ppm")).toMap,
+    ref.collect().map { r =>
+      val prev = r.getAs[String]("prev")
+      (s"${prev.length}:$prev" + r.getAs[String]("token")) ->
+        r.getAs[Long]("cond_ppm")
+    }.toMap,
     uniRef.collect().map(r =>
       r.getAs[String]("token") -> (r.getAs[Long]("ppm") / 10)).toMap)
 
@@ -349,11 +356,14 @@ object TextAnalysis {
     // matching tokens and |terms| stored-df rows, O(matches) per
     // query with zero corpus-wide aggregation.
     val toks = tokens(col("text"))
-    val stats = statsRef.getOrElse(
-      docs.select(toks.as("ts"))
-        .agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("tot"))).head()
-    val nDocs = stats.getAs[Long]("n")
-    val avgdlX100 = stats.getAs[Long]("tot") * 100 / nDocs
+    // empty corpus (or a stats table recorded from one): zero hits,
+    // not a divide-by-zero out of the avgdl literal
+    val stats = statsRef.getOrElse(bm25StatsRef(docs)).collect().headOption
+    val nDocs = stats.map(_.getAs[Long]("n")).getOrElse(0L)
+    if (nDocs == 0)
+      return docs.limit(0).select(col("doc_id"),
+        lit(0L).as("n_terms_matched"), lit(0L).as("score_x1000"))
+    val avgdlX100 = stats.get.getAs[Long]("tot") * 100 / nDocs
     val termArr = array(terms.map(lit): _*)
     val tf = docs
       .select(col("doc_id"), size(toks).as("dl"),

@@ -396,13 +396,16 @@ object StreamAnalytics {
     // Optional bigram-LM gate: the stored-model per-row form
     // ([[TextAnalysis.lmPpm]] over [[lmModelLiterals]] maps) — the
     // trained counterpart of the classifier gate, same stateless
-    // placement before the matcher. None adds neither column nor
+    // placement before the matcher. A model WITHOUT a threshold still
+    // scores (lm_ppm rides along for downstream thresholding, the
+    // feat_sum convention); neither supplied adds neither column nor
     // filter.
-    val gated = (minLmPpm, lmModel) match {
-      case (Some(m), Some((bi, un))) => clsGated
-        .withColumn("lm_ppm", graft.ops.TextAnalysis.lmPpm(col("text"), bi, un))
-        .filter(col("lm_ppm") >= m)
-      case _ => clsGated
+    val gated = lmModel match {
+      case Some((bi, un)) =>
+        val scored = clsGated
+          .withColumn("lm_ppm", graft.ops.TextAnalysis.lmPpm(col("text"), bi, un))
+        minLmPpm.fold(scored)(m => scored.filter(col("lm_ppm") >= m))
+      case None => clsGated
     }
     val hits = streamingNearDup(
       gated.select(col("doc_id"), col("text"), col("ts")),

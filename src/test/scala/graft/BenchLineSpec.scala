@@ -32,23 +32,27 @@ class BenchLineSpec extends AnyFunSuite {
           "the driver tail-captures 2000; shorten keys or values")
     }
     // idle-shaped runs (many fast entries, modest tail): renderFitting
-    // must pick the FINEST level whose rendering fits the budget —
-    // asserted against that derived level rather than a hard-coded
-    // one, so the test tracks the registry's size instead of breaking
-    // when queries are added or removed. It must also never need the
-    // integer floor (level 2) for a realistic shape.
+    // must pick the finest UNIFORM level that fits the budget, or the
+    // per-entry adaptive rendering when none does — asserted against
+    // that derived choice rather than a hard-coded level, so the test
+    // tracks the registry's size instead of breaking when queries are
+    // added or removed. Either way the idle line must keep decimals:
+    // the everywhere-integer floor erases the per-query signal.
     val idle = names.zipWithIndex.map { case (n, i) => n -> (if (i % 6 == 0) 1.43 else 0.31) }
     val idleLine = Bench.renderFitting(idle, "sf0.1",
       repeats = 4, contended = false, loadStart = 0.5, loadEnd = 0.6)
     assert(idleLine.length < 2000, "idle line must fit the tail window")
-    val finestFitting = (0 to 3).map(l =>
-      Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = l))
-      .find(_.length <= 1990).get
-    assert(idleLine == finestFitting,
-      "renderFitting must choose the finest precision level that fits")
+    val expected = (0 to 2).map(l =>
+        Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = l))
+      .find(_.length <= 1990)
+      .getOrElse(Bench.renderAdaptive(idle, "sf0.1", 4, false, 0.5, 0.6, 1990))
+    assert(idleLine == expected,
+      "renderFitting must choose the finest uniform level that fits, else the adaptive rendering")
     assert(idleLine != Bench.renderLine(idle, "sf0.1", 4, false, 0.5, 0.6, level = 3),
       "an idle-shaped run must never degrade to the everywhere-integer floor — " +
         "sub-second entries (most of the registry) must keep a decimal")
+    assert(idleLine.contains("0.3"),
+      "the idle line must carry sub-second decimals, uniform or adaptive")
   }
 
   test("past level 2 the degradation is per-entry: the hottest sub-second entries keep decimals") {

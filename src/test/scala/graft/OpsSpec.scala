@@ -257,6 +257,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_matched"),
         r.getAs[Long]("score_x1000")))
     assert(viaStored.toSeq == got.toSeq)
+    // empty corpus (or an empty/zero stats table): zero hits, not a
+    // divide-by-zero out of the avgdl literal
+    val none = d.filter(col("doc_id") < 0)
+    assert(TextAnalysis.searchBm25(none, Seq("hash")).collect().isEmpty)
+    assert(TextAnalysis.searchBm25(none, Seq("hash"),
+      statsRef = Some(TextAnalysis.bm25StatsRef(none))).collect().isEmpty)
+    assert(TextAnalysis.searchBm25(d, Seq("hash"),
+      statsRef = Some(TextAnalysis.bm25StatsRef(d).limit(0))).collect().isEmpty)
   }
 
   test("searchBm25 plan: the token stream is filtered to the query terms before the shuffle") {
@@ -342,9 +350,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // null text scores 0 (the batch corpus left join, mirrored per-row)
     import spark.implicits._
     val z = Seq((9L, null: String)).toDF("doc_id", "text")
-      .select(TextAnalysis.lmPpm(col("text"), Map("a\u0001b" -> 1L),
+      .select(TextAnalysis.lmPpm(col("text"), Map("1:ab" -> 1L),
         Map("b" -> 1L)).as("s")).head.getAs[Long]("s")
     assert(z == 0L)
+    // adversarial tokens: a separator-bearing token must NOT forge
+    // another pair's key — the length prefix decodes the split point,
+    // so per-row stays bit-identical to the batch (prev, token) join
+    // trained values DIFFER across the would-collide pairs: under a
+    // plain separator key both rows would share one map slot and one
+    // of the two docs would probe the other's cond_ppm
+    val evil = docs(
+      20L -> "a b\u0001c a d",        // (a, "b\u0001c") cond = 500000
+      21L -> "a\u0001b c x y z w q") // ("a\u0001b", c) cond = 1000000
+    val eRef = TextAnalysis.lmRef(evil, topK = 10)
+    val eUni = TextAnalysis.commonnessRef(evil, topK = 10)
+    val eBatch = TextAnalysis.lmScore(evil, ref = Some(eRef), uniRef = Some(eUni))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+    val (eBi, eUn) = TextAnalysis.lmModelLiterals(eRef, eUni)
+    val ePerRow = evil.select(col("doc_id"),
+        TextAnalysis.lmPpm(col("text"), eBi, eUn).as("lm_ppm"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_ppm")).toMap
+    assert(ePerRow == eBatch,
+      s"separator-forged key must not collide: perRow=$ePerRow batch=$eBatch")
   }
 
   test("lmScore plan broadcasts both model tables (the corpus never shuffles on pair keys)") {

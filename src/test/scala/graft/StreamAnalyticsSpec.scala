@@ -454,5 +454,12 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       StreamAnalytics.streamingCurate(mem.toDF(), minLmPpm = Some(1L))
     }
+    // a model WITHOUT a threshold still scores: lm_ppm rides along on
+    // the kept stream for downstream thresholding (the feat_sum
+    // convention) instead of being silently dropped
+    val (scoredOnly, _) = StreamAnalytics.streamingCurate(mem.toDF(),
+      lmModel = Some(model))
+    assert(scoredOnly.schema.fieldNames.contains("lm_ppm"),
+      "lmModel without minLmPpm must add the lm_ppm column, not ignore the model")
   }
 }

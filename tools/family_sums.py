@@ -56,10 +56,13 @@ def main(p01, p1):
     b = json.load(open(p1))["queries"]
     assigned = [q for qs in FAMILIES.values() for q in qs]
     assert len(assigned) == len(set(assigned)), "duplicate assignment"
-    missing = set(a) - set(assigned)
-    assert not missing, f"unassigned queries: {missing}"
-    gone = set(assigned) - set(a)
-    assert not gone, f"assigned but not in bench: {gone}"
+    for name, qs in (("sf0.1", a), ("sf1", b)):
+        missing = set(qs) - set(assigned)
+        assert not missing, f"unassigned queries in {name}: {missing}"
+        gone = set(assigned) - set(qs)
+        assert not gone, f"assigned but not in {name} recording (stale file?): {gone}"
+        bad = {q: v for q, v in qs.items() if v < 0}
+        assert not bad, f"{name} carries failure sentinels (-1) — rerecord: {bad}"
     print("| family | queries | sf0.1 s | sf1 s | ratio |")
     print("|---|---|---|---|---|")
     for fam, qs in FAMILIES.items():
