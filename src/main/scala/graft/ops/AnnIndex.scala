@@ -64,37 +64,59 @@ object AnnIndex {
   def tableFor(dir: String): String =
     "ann_cells_" + graft.evm.EvmDerive.md5hex(dir).take(8)
 
-  /** Build the cell-assignment table if this session/warehouse does
-    * not have it yet; returns the table name. Idempotent — the
-    * "write once" of write-once-probe-many. Cell count and centroids
-    * derive deterministically from the corpus, so a later probe
-    * recomputes the identical quantizer without storing it. */
+  /** The quantizer stored BESIDE the assignment table: (cell,
+    * centroid) — k rows. The quantizer is part of the index, not a
+    * derivable property of the corpus: a probe must score against the
+    * exact centroids that assigned the cells, and re-deriving them
+    * from the LIVE corpus silently decoheres the moment the corpus
+    * grows past the build (count → different k → different sample →
+    * probes scan the wrong buckets with no error). Storing k rows also
+    * removes two full-corpus jobs (count + md5-ranked sample) from
+    * every serving query — the write-once/probe-many claim made real. */
+  def quantizerTableFor(dir: String): String = tableFor(dir) + "_q"
+
+  /** Build the cell-assignment table + its quantizer if this
+    * session/warehouse does not have them yet; returns the assignment
+    * table name. Idempotent — the "write once" of
+    * write-once-probe-many. */
   def ensureBuilt(spark: SparkSession, dir: String): String = synchronized {
     val t = tableFor(dir)
-    if (!spark.catalog.tableExists(t)) {
+    val qt = quantizerTableFor(dir)
+    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qt)) {
       // an orphaned location from a previous JVM is stale, not
       // reusable: the in-memory catalog lost its bucketing metadata,
-      // so clear and rebuild deterministically
+      // so clear and rebuild deterministically — the quantizer
+      // location too (saveAsTable dies on a leftover directory the
+      // in-memory catalog no longer knows about)
       Bucketed.resetTable(spark, t)
-      val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
-      val k = annCellsFor(Fixtures.embeddings(spark, dir).count())
-      val assigned = Similarity
-        .assignCells(prep, Similarity.sampledCentroids(prep, k))
+      Bucketed.resetTable(spark, qt)
+      val emb = Fixtures.embeddings(spark, dir)
+      val prep = Similarity.prepared(emb)
+      val k = annCellsFor(emb.count())
+      val cs = Similarity.sampledCentroids(prep, k)
+      val assigned = Similarity.assignCells(prep, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       Bucketed.writeBucketed(assigned, t, "cell", nBuckets = k)
+      import spark.implicits._
+      cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").saveAsTable(qt)
     }
     t
   }
 
   /** Top-k probe over the persisted index: compute each query's
-    * `nProbe` nearest cells driver-side, scan only those buckets
-    * (literal IN filter → bucket pruning), rank by exact cosine. */
+    * `nProbe` nearest cells driver-side against the STORED quantizer
+    * (k rows — no corpus-wide job at serving time), scan only those
+    * buckets (literal IN filter → bucket pruning), rank by exact
+    * cosine. */
   def topK(spark: SparkSession, dir: String, maxQueryId: Long,
            k: Int = 5, nProbe: Int = 2): DataFrame = {
     val t = ensureBuilt(spark, dir)
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
-    val kc = annCellsFor(Fixtures.embeddings(spark, dir).count())
-    val cs = Similarity.sampledCentroids(prep, kc)
+    val cs: Array[Array[Double]] = spark.table(quantizerTableFor(dir))
+      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
     val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
     // driver-sized: maxQueryId vectors in, maxQueryId × nProbe probe
     // rows out — the literal cell list that buys bucket pruning on

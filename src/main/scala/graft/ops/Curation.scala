@@ -262,8 +262,17 @@ object Curation {
   def semdedupPairs(embeddings: DataFrame, threshold: Double,
                     nCells: Int = 8): DataFrame = {
     val prep = Similarity.prepared(embeddings)
-    val e = Similarity.assignCells(prep,
-        Similarity.sampledCentroids(prep, nCells))
+    semdedupPairsWith(prep, threshold, Similarity.sampledCentroids(prep, nCells))
+  }
+
+  /** [[semdedupPairs]] over an already-prepared frame and an
+    * already-drawn centroid sample — the seam [[semdedupSurvivors]]
+    * shares so one deterministic sample (a full-corpus md5-rank job)
+    * serves both the pair join and the survivor-side assignment
+    * instead of being drawn twice. */
+  private def semdedupPairsWith(prep: DataFrame, threshold: Double,
+                                centroids: Array[Array[Double]]): DataFrame = {
+    val e = Similarity.assignCells(prep, centroids)
       // Explicit-N repartition on the join key, for two reasons the
       // tiers measured (SCALING.md). (1) Broadcasting the O(n)
       // assignment table is a toy-scale accident that pins the
@@ -277,7 +286,7 @@ object Curation {
       // AQE leaves alone, and the merge join below reuses the
       // distribution, so the corpus still crosses the network once.
       .repartition(
-        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        prep.sparkSession.sessionState.conf.numShufflePartitions,
         col("cell"))
     val a = e.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
@@ -320,10 +329,13 @@ object Curation {
     * AQE broadcasts it. */
   def semdedupSurvivors(embeddings: DataFrame, threshold: Double,
                         nCells: Int = 8): DataFrame = {
-    val pruned = semdedupPairs(embeddings, threshold, nCells)
-      .select(col("id_b").as("vec_id")).distinct()
+    // ONE centroid draw serves both legs: the sample is deterministic,
+    // but drawing it twice costs a second full-corpus md5-rank job
     val prep = Similarity.prepared(embeddings)
-    Similarity.assignCells(prep, Similarity.sampledCentroids(prep, nCells))
+    val cs = Similarity.sampledCentroids(prep, nCells)
+    val pruned = semdedupPairsWith(prep, threshold, cs)
+      .select(col("id_b").as("vec_id")).distinct()
+    Similarity.assignCells(prep, cs)
       .join(pruned, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }

@@ -234,13 +234,20 @@ object Multimodal {
     // "" (no match) → null BEFORE the cast: ANSI-safe by construction
     def longOf(c: Column): Column =
       when(c === "", lit(null)).otherwise(c).cast("long")
+    // maxval (group 3) is matched but never parsed, exactly like the
+    // imperative PpmHeader whose length guards cover w/h only — an
+    // overlong maxval must not diverge the two paths
     def ppmNum(group: Int): Column = longOf(regexp_extract(head,
-      "^P6\\s+(\\d{1,9})\\s+(\\d{1,9})\\s+(\\d{1,9})\\s", group))
+      "^P6\\s+(\\d{1,9})\\s+(\\d{1,9})\\s+(\\d+)\\s", group))
     // group = the parameter line WITH its newline present in-window;
     // a boundary-truncated line extracts "" and parses nothing
     val y4mLine = regexp_extract(head, "^YUV4MPEG2 ([^\n]*)\n", 1)
+    // parameter boundaries are SPACES, not \s: the imperative parser
+    // splits the line on ' ' alone, so a tab-bearing token is one
+    // non-numeric parameter there — \s boundaries would silently
+    // accept what the imperative path rejects
     def y4mNum(tag: String): Column = longOf(
-      regexp_extract(y4mLine, "(?:^|\\s)" + tag + "(\\d{1,9})(?:\\s|$)", 1))
+      regexp_extract(y4mLine, "(?:^| )" + tag + "(\\d{1,9})(?: |$)", 1))
     media.select(
       col("doc_id"), col("media_type"),
       length(col("payload")).cast("long").as("n_bytes"),

@@ -23,9 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *     the plan's canonical form (the same identity `CacheManager`
   *     uses), so re-acquisition is a cache hit, never a second entry;
   *   - entries beyond `spark.graft.cache.maxEntries` (default
-  *     [[DefaultMaxEntries]]) evict least-recently-acquired first —
-  *     the budget holds regardless of how many families a session
-  *     touches, and eviction is safe by construction (an unpersisted
+  *     [[DefaultMaxEntries]]) evict least-recently-acquired first,
+  *     PER SESSION — a session's budget counts and evicts only its
+  *     own entries, so one small-capped tenant cannot drain another's
+  *     caches — and eviction is safe by construction (an unpersisted
   *     base recomputes from lineage, exactly as on executor loss);
   *   - [[releaseFamily]] / [[releaseAll]] give batch drivers
   *     (e.g. [[graft.Bench]]) a deterministic end-of-family /
@@ -67,12 +68,23 @@ object SharedCaches {
   /** Acquire a shared cache of `df`'s plan: persist-and-register on
     * first sight, LRU-touch and return the REGISTERED frame on
     * re-acquisition (so callers always hold the instance whose
-    * `storageLevel` reflects the cache). Evicts least-recently-used
-    * entries beyond the session's cap. */
+    * `storageLevel` reflects the cache). Budget and eviction are
+    * PER SESSION: each session's cap counts and evicts only its own
+    * entries — a small-capped session must not drain another
+    * session's caches out of the shared registry (they live in
+    * different block-manager accountings anyway), and a stopped
+    * session's leftovers must not occupy a live session's LRU slots.
+    * Entries of stopped sessions are swept opportunistically on any
+    * acquisition. */
   def shared(df: DataFrame, family: String,
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
-      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+      // a stopped session's entries are dead weight: unpersist is a
+      // no-op there, and they'd otherwise hold registry slots forever
+      entries.filter(_._1._1.sparkContext.isStopped).toList
+        .foreach { case (k, e) => drop(k, e) }
+      val session = df.sparkSession
+      val key = (session, df.queryExecution.analyzed.canonicalized)
       entries.remove(key) match {
         case Some(e) =>
           entries.put(key, e) // re-insert = move to most-recent
@@ -81,9 +93,9 @@ object SharedCaches {
           df.persist(level)
           entries.put(key, Entry(df, family))
           highWaterMark = math.max(highWaterMark, entries.size)
-          val budget = cap(df.sparkSession)
-          while (entries.size > budget) {
-            val (k, e) = entries.head
+          val budget = cap(session)
+          while (entries.count(_._1._1 eq session) > budget) {
+            val (k, e) = entries.find(_._1._1 eq session).get
             drop(k, e)
           }
           df

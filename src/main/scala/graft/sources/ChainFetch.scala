@@ -172,13 +172,28 @@ object ChainFetch {
     *  - duplicates dedup on (blockHash, txHash, logIndexInBlock) — a
     *    node re-serving overlapping chunks cannot double-emit;
     *  - logs key by the (blockHash, txHash) they were OBSERVED on, so
-    *    a reorg racing the range call leaves stale-branch logs keyed
-    *    by the old hash — they simply never match the freshly fetched
-    *    block and fall away (the N+1 path gets this for free because
-    *    receipts are fetched after the block; the range path must
-    *    reconstruct it);
+    *    stale-branch logs keyed by an old hash never attach to a
+    *    fresh block (the N+1 path gets this for free because receipts
+    *    are fetched after the block; the range path must reconstruct
+    *    it);
     *  - block-level `logIndex` re-indexes to the envelope's per-tx
     *    order (sort by block index within each tx, then 0..n-1).
+    *
+    * A reorg RACING the window is the one hazard keying alone cannot
+    * absorb: stale-keyed logs falling away would leave fresh-branch
+    * blocks persisted with silently EMPTY logs — data the N+1 path
+    * cannot lose. So the window must prove the block and log views
+    * describe ONE branch: blocks are fetched FIRST (their hashes pin
+    * the branch), then the range logs, and the pair counts as stable
+    * only if (a) no height carries log evidence exclusively for a
+    * foreign hash (logs observed at n but none matching the fetched
+    * block — extra stale/duplicate entries beside matching ones are
+    * fine, the alignment drops them) and (b) one head re-fetch after
+    * the log call returns the same hash for the window's last present
+    * block (any reorg touching the window rewrites its suffix,
+    * including that block). An unstable window falls back to the
+    * per-block N+1 path — receipts carry authoritative logs — costing
+    * O(txs) for that one rare window instead of a silent hole.
     *
     * Returns one envelope per block present on the node; absent
     * heights skip exactly like the per-block path (I-14). */
@@ -186,9 +201,24 @@ object ChainFetch {
                      maxRetries: Int, baseBackoffMs: Long,
                      receiptConcurrency: Int): Seq[SimChain.SimBlock] = {
     if (toIncl < from) return Nil
-    val rangeLogs = retry(maxRetries, baseBackoffMs)(fetcher.logsInRange(from, toIncl))
-    val byTx: Map[(String, String), Seq[WireLog]] = rangeLogs
+    val blocks = (from to toIncl).flatMap(n =>
+      retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(n)))
+    val live = retry(maxRetries, baseBackoffMs)(fetcher.logsInRange(from, toIncl))
       .filterNot(_.removed)
+    val hashesAt: Map[Long, Set[String]] =
+      live.groupBy(_.blockNumber).map { case (n, ls) => n -> ls.map(_.blockHash).toSet }
+    val foreignOnlyEvidence = blocks.exists { b =>
+      val hs = hashesAt.getOrElse(b.number, Set.empty)
+      hs.nonEmpty && !hs.contains(b.hash)
+    }
+    val headStable = blocks.lastOption.forall { last =>
+      retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(last.number))
+        .exists(_.hash == last.hash)
+    }
+    if (foreignOnlyEvidence || !headStable)
+      return (from to toIncl).flatMap(n =>
+        envelope(fetcher, n, maxRetries, baseBackoffMs, receiptConcurrency))
+    val byTx: Map[(String, String), Seq[WireLog]] = live
       .distinctBy(l => (l.blockHash, l.txHash, l.logIndexInBlock))
       .groupBy(l => (l.blockHash, l.txHash))
       .map { case (k, ls) =>
@@ -196,24 +226,27 @@ object ChainFetch {
           WireLog(i, l.address, l.topics, l.data)
         }
       }
-    (from to toIncl).flatMap { n =>
-      retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(n)).map { b =>
-        val statuses: Map[String, Option[Long]] =
-          fetchBlockStatuses(fetcher, n, maxRetries, baseBackoffMs).getOrElse {
-            fanOutReceipts(fetcher, b, maxRetries, baseBackoffMs, receiptConcurrency)
-              .map { case (h, r) => h -> r.flatMap(_.status) }
-          }
-        SimChain.SimBlock(b.number, b.hash, b.parentHash, b.timestamp,
-          b.txs.sortBy(_.index).map { t =>
-            SimChain.SimTx(t.hash, t.index, t.from, t.to, t.value, t.gas,
-              statuses.getOrElse(t.hash, None),
-              byTx.getOrElse((b.hash, t.hash), Nil).map { l =>
-                SimChain.SimLog(l.logIndex, l.address,
-                  l.topics.lift(0).orNull, l.topics.lift(1), l.topics.lift(2),
-                  l.topics.lift(3), l.data)
-              })
-          })
-      }
+    blocks.map { b =>
+      // a persistently ERRORING eth_getBlockReceipts (anything but the
+      // clean method-absent None) degrades to the per-tx status
+      // fallback exactly like the absent method — the fallback exists,
+      // so a broken aggregate endpoint must not sink the partition
+      val statuses: Map[String, Option[Long]] =
+        (try fetchBlockStatuses(fetcher, b.number, maxRetries, baseBackoffMs)
+         catch { case _: Exception => None }).getOrElse {
+          fanOutReceipts(fetcher, b, maxRetries, baseBackoffMs, receiptConcurrency)
+            .map { case (h, r) => h -> r.flatMap(_.status) }
+        }
+      SimChain.SimBlock(b.number, b.hash, b.parentHash, b.timestamp,
+        b.txs.sortBy(_.index).map { t =>
+          SimChain.SimTx(t.hash, t.index, t.from, t.to, t.value, t.gas,
+            statuses.getOrElse(t.hash, None),
+            byTx.getOrElse((b.hash, t.hash), Nil).map { l =>
+              SimChain.SimLog(l.logIndex, l.address,
+                l.topics.lift(0).orNull, l.topics.lift(1), l.topics.lift(2),
+                l.topics.lift(3), l.data)
+            })
+        })
     }
   }
 

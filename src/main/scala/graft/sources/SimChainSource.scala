@@ -336,7 +336,19 @@ case class SimFetcherConf(forkAt: Option[Long], flakyEveryN: Long,
                           missing: Set[Long], receiptless: Set[Long],
                           noBlockReceipts: Boolean = false,
                           rangeNoise: Boolean = false,
-                          counterKey: Option[String] = None) extends FetcherConf {
+                          counterKey: Option[String] = None,
+                          // race-reorg injection: the node's branch flips to
+                          // fork@raceForkAt after `raceAfterBlockCalls`
+                          // block fetches have been served (and/or after the
+                          // first logsInRange call) — the mid-window reorg
+                          // the range strategy's stability check must catch
+                          raceForkAt: Option[Long] = None,
+                          raceAfterBlockCalls: Long = 0L,
+                          raceAfterLogsCall: Boolean = false,
+                          // eth_getBlockReceipts that ERRORS on every call
+                          // (not the clean method-absent None) — must fall
+                          // back to per-tx statuses, not sink the partition
+                          brokenBlockReceipts: Boolean = false) extends FetcherConf {
   override def open(): ChainFetcher = new SimFetcher(this)
 }
 
@@ -363,6 +375,18 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
   private val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
   private val receiptIndex =
     new java.util.concurrent.ConcurrentHashMap[String, WireReceipt]()
+  private val servedBlockCalls = new java.util.concurrent.atomic.AtomicLong()
+  private val servedLogsCalls = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The branch this node is on RIGHT NOW: the pre-race branch until
+    * the injected reorg trigger fires, the race fork after. */
+  private def branch: Option[Long] =
+    if (conf.raceForkAt.isDefined &&
+        ((conf.raceAfterBlockCalls > 0 &&
+          servedBlockCalls.get() >= conf.raceAfterBlockCalls) ||
+         (conf.raceAfterLogsCall && servedLogsCalls.get() >= 1)))
+      conf.raceForkAt
+    else conf.forkAt
 
   override def blockNumber(): Long =
     throw new UnsupportedOperationException(
@@ -373,9 +397,11 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
     val attempt = attempts.merge(n, 1, (a, b) => a + b)
     if (conf.flakyEveryN > 0 && n % conf.flakyEveryN == 0 && attempt == 1)
       throw new RuntimeException(s"injected RPC failure for block $n")
+    val onBranch = branch
+    servedBlockCalls.incrementAndGet(): Unit
     if (conf.missing(n)) None
     else {
-      val b = SimChain.blockOn(n, conf.forkAt)
+      val b = SimChain.blockOn(n, onBranch)
       if (!conf.receiptless(n)) b.transactions.foreach { t =>
         receiptIndex.put(t.tx_hash, WireReceipt(t.status, t.logs.map(l =>
           WireLog(l.log_index_in_tx, l.contract_address,
@@ -405,8 +431,10 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
     * live block) ride along — all of it must vanish in alignment. */
   override def logsInRange(from: Long, to: Long): Seq[WireRangeLog] = {
     SimFetcherCounters.bump(conf.counterKey, "logsInRange")
+    val onBranch = branch
+    servedLogsCalls.incrementAndGet(): Unit
     val real = (from to to).filterNot(n => conf.missing(n) || conf.receiptless(n))
-      .flatMap(n => blockRangeLogs(SimChain.blockOn(n, conf.forkAt)))
+      .flatMap(n => blockRangeLogs(SimChain.blockOn(n, onBranch)))
     if (!conf.rangeNoise) real
     else {
       val stale = (from to to).filterNot(conf.missing)
@@ -433,9 +461,11 @@ class SimFetcher(conf: SimFetcherConf) extends ChainFetcher {
     * method, forcing the per-tx status fallback. */
   override def blockReceiptStatuses(n: Long): Option[Map[String, Option[Long]]] = {
     if (conf.noBlockReceipts) return None
+    if (conf.brokenBlockReceipts)
+      throw new RuntimeException("injected eth_getBlockReceipts failure")
     SimFetcherCounters.bump(conf.counterKey, "blockReceiptStatuses")
     if (conf.missing(n) || conf.receiptless(n)) Some(Map.empty)
-    else Some(SimChain.blockOn(n, conf.forkAt).transactions
+    else Some(SimChain.blockOn(n, branch).transactions
       .map(t => t.tx_hash -> t.status).toMap)
   }
 }

@@ -57,6 +57,40 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"expected <=4 of $total buckets read, got $selected")
   }
 
+  test("probes stay coherent with the stored quantizer after the corpus grows past the build") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("ann-drift").toString
+    val embDir = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(embDir)
+    Files.copy(Paths.get(sf, "embeddings.parquet"),
+      embDir.resolve("part-00000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val before = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.nonEmpty)
+    // the corpus grows past the next cell knee: a live re-derivation
+    // would use a DIFFERENT k and centroid sample than the build did —
+    // the stored quantizer must keep probes coherent with the stored
+    // assignment (the index is a snapshot; new vectors join at rebuild)
+    val staging = Files.createTempDirectory("ann-drift-extra").toString
+    Fixtures.embeddings(spark, dir)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .write.mode("overwrite").parquet(staging)
+    Files.list(Paths.get(staging)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.copy(p, embDir.resolve(f"part-grown-$i%05d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    val grown = Fixtures.embeddings(spark, dir).count()
+    assert(AnnIndex.annCellsFor(grown) !=
+      AnnIndex.annCellsFor(grown / 2),
+      "sanity: the growth actually crosses a cell knee")
+    val after = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after == before,
+      "a grown corpus must not decohere probes from the stored index")
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(

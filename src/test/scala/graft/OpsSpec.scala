@@ -553,7 +553,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       6L -> "YUV4MPEG2 W64 H64 F25:1 XNFRAMES=0\n",       // zero clamps
       7L -> "P6 but not a real header",
       8L -> "",
-      9L -> "YUV4MPEG2 WxH garbage\n")
+      9L -> "YUV4MPEG2 WxH garbage\n",
+      10L -> "YUV4MPEG2 W64\tH64 F25:1\n", // tab-glued token: one NON-numeric param
+      11L -> "P6\n640 480\n1234567890\ndata", // 10-digit maxval: accepted by both (matched, never cast)
+      12L -> "YUV4MPEG2 W1234567890 H5 F25:1\n") // 10-digit W degrades in both
     val media = adversarial.toDF("doc_id", "s")
       .select(col("doc_id"), org.apache.spark.sql.functions.lit("x").as("media_type"),
         col("s").cast("binary").as("payload"))

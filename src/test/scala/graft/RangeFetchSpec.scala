@@ -86,7 +86,8 @@ class RangeFetchSpec extends AnyFunSuite with SparkSpec {
     assert(SimFetcherCounters.get("cc-range", "transactionReceipt") == 0,
       "no per-tx receipt calls when the node serves eth_getBlockReceipts")
     assert(SimFetcherCounters.get("cc-range", "blockReceiptStatuses") == blocks.size)
-    assert(SimFetcherCounters.get("cc-range", "blockWithTxs") == blocks.size)
+    // + one branch-stability head re-fetch per range (still O(ranges))
+    assert(SimFetcherCounters.get("cc-range", "blockWithTxs") == blocks.size + 4)
 
     // fallback node (no eth_getBlockReceipts): receipts return for
     // STATUS only — logs still cost O(ranges)
@@ -97,6 +98,49 @@ class RangeFetchSpec extends AnyFunSuite with SparkSpec {
       ChainFetch.rangeEnvelopes(fb, chunk.head, chunk.last, 3, 1, 10)) finally fb.close()
     assert(SimFetcherCounters.get("cc-fb", "logsInRange") == 4)
     assert(SimFetcherCounters.get("cc-fb", "transactionReceipt") == totalTxs)
+  }
+
+  test("a reorg racing the range window falls back to the N+1 path — no empty-log holes") {
+    // the branch flips AFTER the 10 block fetches but BEFORE the log
+    // call: the range logs describe branch B while the fetched blocks
+    // are branch A. Without the stability check, B's logs are keyed by
+    // B hashes, 'fall away' against the A blocks, and heights >= 5
+    // persist with silently EMPTY logs — the hole the N+1 path cannot
+    // produce. The check must detect the foreign-only log evidence
+    // (and the moved head) and re-resolve the window per block.
+    val conf = SimFetcherConf(None, 0L, Set.empty, Set.empty,
+      raceForkAt = Some(5L), raceAfterBlockCalls = 10L)
+    val got = { val f = conf.open(); try ChainFetch.rangeEnvelopes(f, 0L, 9L, 3, 1, 10) finally f.close() }
+    val want = (0L to 9L).map(n => SimChain.blockOn(n, Some(5L)))
+    assert(want.drop(5).exists(_.transactions.exists(_.logs.nonEmpty)),
+      "sanity: the post-reorg branch carries logs the hole would lose")
+    assert(got == want, "the window must re-resolve onto the post-reorg branch, logs included")
+
+    // the race landing between the log call and the stability re-check:
+    // blocks and logs agree (branch A) but the head moved — the
+    // conservative fallback refetches and lands on B
+    val conf2 = SimFetcherConf(None, 0L, Set.empty, Set.empty,
+      raceForkAt = Some(5L), raceAfterLogsCall = true)
+    val got2 = { val f = conf2.open(); try ChainFetch.rangeEnvelopes(f, 0L, 9L, 3, 1, 10) finally f.close() }
+    assert(got2 == want, "a head moved during the window must trigger the fallback")
+  }
+
+  test("a persistently erroring eth_getBlockReceipts degrades to per-tx statuses, not task death") {
+    val blocks = 0L to 9L
+    SimFetcherCounters.reset("cc-broken")
+    val clean = {
+      val f = SimFetcherConf(None, 0L, Set.empty, Set.empty).open()
+      try ChainFetch.rangeEnvelopes(f, 0L, 9L, 3, 1, 10) finally f.close()
+    }
+    val broken = {
+      val f = SimFetcherConf(None, 0L, Set.empty, Set.empty,
+        brokenBlockReceipts = true, counterKey = Some("cc-broken")).open()
+      try ChainFetch.rangeEnvelopes(f, 0L, 9L, 3, 1, 10) finally f.close()
+    }
+    assert(broken == clean,
+      "an erroring aggregate-status endpoint must fall back, byte-identically")
+    assert(SimFetcherCounters.get("cc-broken", "transactionReceipt") ==
+      blocks.map(txCount).sum, "statuses came through the per-tx fallback")
   }
 
   /** Name-sorted projection before comparing: parquet appendfiles may

@@ -68,6 +68,24 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("budget and eviction are per session: a small-capped tenant cannot drain another's caches") {
+    withCap(8) {
+      SharedCaches.releaseAll()
+      val mine = SharedCaches.shared(range(41), "famA")
+      val tenant = spark.newSession()
+      tenant.conf.set("spark.graft.cache.maxEntries", "1")
+      // the tenant churns well past ITS cap — only its own entries may
+      // cycle; ours must stay persisted and registered
+      (50 until 54).foreach(i =>
+        SharedCaches.shared(tenant.range(i).toDF("v"), "famB"))
+      assert(mine.storageLevel != StorageLevel.NONE,
+        "another session's eviction churn must not unpersist our cache")
+      assert(SharedCaches.trackedCount("famA") == 1)
+      assert(SharedCaches.trackedCount("famB") == 1,
+        "the tenant's own cap must still hold for the tenant")
+    }
+  }
+
   test("the cache-heavy registry families stay under the default budget end to end") {
     SharedCaches.releaseAll()
     val preexistingRdds = spark.sparkContext.getPersistentRDDs.size
