@@ -330,12 +330,18 @@ object TextAnalysis {
     * by the no-floats rule and both rank-preserving here: idf is the
     * LOG-FREE inverse frequency `(N * 1000) div df` (monotone in 1/df;
     * the log only dampens — with a handful of query terms the ranking
-    * is driven by the same ordering; the ×1000 scale keeps the
-    * idf·tf·220 product under 2^63 out to ~10^12 docs), and the tf
-    * saturation
+    * is driven by the same ordering), and the tf saturation
     * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` is evaluated in
     * scaled integer arithmetic (k1 = k1_x100/100, b = b_x100/100,
     * every division an exact `div` mirrored verbatim in the oracle).
+    *
+    * Overflow contract: the saturation term is computed FIRST, at
+    * ×1000 scale — it is bounded by (k1+1)·1000 ≈ 2200 REGARDLESS of
+    * tf (numerator tf·(k1+1)·10⁵ over denominator ≥ tf·100), so the
+    * subsequent idf multiply is ≤ N·1000·2200 < 2^63 out to ~4·10^12
+    * docs with NO assumption on tf or document length. (The previous
+    * form multiplied idf·tf·220 before the saturation divide — at
+    * N = 10^12 with df = 1, any tf ≥ 42 silently wrapped.)
     *
     * Scale: the exploded token stream is filtered to the query terms
     * BEFORE anything shuffles — a 3-term query over 100 TB moves only
@@ -374,9 +380,9 @@ object TextAnalysis {
       .getOrElse(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
     tf.join(broadcast(df), Seq("token"))
       .withColumn("term_score", expr(
-        s"((${nDocs}L * 1000) div df) * (tf * ${100 + k1X100}) div " +
+        s"((${nDocs}L * 1000) div df) * ((tf * ${(100 + k1X100) * 1000}) div " +
           s"(tf * 100 + ($k1X100 * ((100 - $bX100) + " +
-          s"($bX100 * dl * 100) div ${avgdlX100}L)) div 100)"))
+          s"($bX100 * dl * 100) div ${avgdlX100}L)) div 100)) div 1000"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("term_score")).as("score_x1000"))

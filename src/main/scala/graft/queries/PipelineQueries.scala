@@ -708,9 +708,9 @@ object PipelineQueries {
         |  FROM m GROUP BY doc_id, token),
         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
         |sc AS (SELECT doc_id, count(*) AS n_terms_matched,
-        |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * (tf.tf * 220)
+        |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * ((tf.tf * 220000)
         |   // (tf.tf * 100 + (120 * ((100 - 75) +
-        |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)
+        |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)) // 1000
         |  ) AS BIGINT) AS score_x1000
         |  FROM tf JOIN df USING (token) GROUP BY doc_id)
         |SELECT doc_id, n_terms_matched, score_x1000 FROM sc

@@ -188,12 +188,26 @@ object ChainFetch {
     * only if (a) no height carries log evidence exclusively for a
     * foreign hash (logs observed at n but none matching the fetched
     * block — extra stale/duplicate entries beside matching ones are
-    * fine, the alignment drops them) and (b) one head re-fetch after
+    * fine, the alignment drops them), (b) one head re-fetch after
     * the log call returns the same hash for the window's last present
     * block (any reorg touching the window rewrites its suffix,
-    * including that block). An unstable window falls back to the
-    * per-block N+1 path — receipts carry authoritative logs — costing
-    * O(txs) for that one rare window instead of a silent hole.
+    * including that block), and (c) the fetched blocks themselves are
+    * parent-hash linked across every pair of CONSECUTIVE present
+    * heights (`b.parentHash == previous.hash` — the same linkage rule
+    * the ingester's reorg detection applies, reference
+    * `src/main.rs:168-199`). (c) closes the remaining corner (a)+(b)
+    * miss: a reorg landing mid-BLOCK-fetch leaves the window's prefix
+    * on the stale branch and its suffix on the fresh one — the suffix
+    * satisfies the head re-check, and if the fresh branch happens to
+    * carry no logs at the stale heights there is no foreign-only log
+    * evidence either — but the seam between the branches always
+    * breaks parent linkage. (Heights absent from the node interrupt
+    * the chain, so linkage is only checkable between ADJACENT present
+    * heights; a mid-fetch reorg within such a gap still trips (a)/(b)
+    * or lands wholly on one branch.) An unstable window falls back to
+    * the per-block N+1 path — receipts carry authoritative logs —
+    * costing O(txs) for that one rare window instead of a silent
+    * hole.
     *
     * Returns one envelope per block present on the node; absent
     * heights skip exactly like the per-block path (I-14). */
@@ -211,11 +225,14 @@ object ChainFetch {
       val hs = hashesAt.getOrElse(b.number, Set.empty)
       hs.nonEmpty && !hs.contains(b.hash)
     }
+    val parentLinked = blocks.zip(blocks.drop(1)).forall { case (prev, b) =>
+      b.number != prev.number + 1 || b.parentHash == prev.hash
+    }
     val headStable = blocks.lastOption.forall { last =>
       retry(maxRetries, baseBackoffMs)(fetcher.blockWithTxs(last.number))
         .exists(_.hash == last.hash)
     }
-    if (foreignOnlyEvidence || !headStable)
+    if (foreignOnlyEvidence || !parentLinked || !headStable)
       return (from to toIncl).flatMap(n =>
         envelope(fetcher, n, maxRetries, baseBackoffMs, receiptConcurrency))
     val byTx: Map[(String, String), Seq[WireLog]] = live

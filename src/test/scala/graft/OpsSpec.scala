@@ -228,8 +228,10 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // N=4, tot=17, avgdl_x100 = 425; norm(dl=4) = 25 + 30000 div 425 = 95
     // denom(tf) = tf*100 + (120*95) div 100 = tf*100 + 114
     // idf_x1000: hash = 4000 div 2 = 2000; join = merge = 4000
-    // doc1: hash tf2 → 2000*440 div 314 = 2802; join tf1 → 4000*220 div 214 = 4112
-    // doc2: merge tf1 → 4112; doc4: hash tf1 → 2000*220 div 214 = 2056
+    // saturation-first (overflow-safe) order: sat = tf*220000 div denom
+    // doc1: hash tf2 → sat = 440000 div 314 = 1401, 2000*1401 div 1000 = 2802
+    //       join tf1 → sat = 220000 div 214 = 1028, 4000*1028 div 1000 = 4112
+    // doc2: merge tf1 → 4112; doc4: hash tf1 → 2000*1028 div 1000 = 2056
     val d = docs(
       1L -> "hash join hash scan",
       2L -> "merge sort loop x",
@@ -265,6 +267,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       statsRef = Some(TextAnalysis.bm25StatsRef(none))).collect().isEmpty)
     assert(TextAnalysis.searchBm25(d, Seq("hash"),
       statsRef = Some(TextAnalysis.bm25StatsRef(d).limit(0))).collect().isEmpty)
+  }
+
+  test("searchBm25 survives planet-scale stats without Long overflow (forged N=10^12 refs)") {
+    // The stored-ref seam lets the scorer run against corpus stats far
+    // beyond what a fixture can materialize. N=10^12, df=1, tf=50 is
+    // exactly the regime where the previous idf·tf·220-first order
+    // wrapped past 2^63 (any tf >= 42 at that N/df) and, non-ANSI,
+    // silently corrupted the ranking with a negative score. The
+    // saturation-first order keeps the product at N·1000·sat ≤ 2.2e18.
+    // Hand-computed: avgdl_x100 = 400; dl = 50; norm = 25 + 937 = 962;
+    // denom = 5000 + (120*962) div 100 = 6154; sat = 11000000 div 6154
+    // = 1787; score = 10^15 * 1787 div 1000 = 1787 * 10^12.
+    import spark.implicits._
+    val d = docs(1L -> Seq.fill(50)("hash").mkString(" "))
+    val stats = Seq((1000000000000L, 4000000000000L)).toDF("n", "tot")
+    val dfTab = Seq(("hash", 1L)).toDF("token", "df")
+    val got = TextAnalysis.searchBm25(d, Seq("hash"),
+        dfRef = Some(dfTab), statsRef = Some(stats)).collect()
+    assert(got.length == 1)
+    val score = got(0).getAs[Long]("score_x1000")
+    assert(score == 1787L * 1000000000000L, s"got $score")
   }
 
   test("searchBm25 plan: the token stream is filtered to the query terms before the shuffle") {

@@ -125,6 +125,33 @@ class RangeFetchSpec extends AnyFunSuite with SparkSpec {
     assert(got2 == want, "a head moved during the window must trigger the fallback")
   }
 
+  test("a reorg landing mid-BLOCK-fetch with log-silent raced heights trips the parent-linkage check") {
+    // The corner the foreign-evidence + head-re-fetch pair misses: the
+    // branch flips after 8 of the 10 block fetches, so heights 0-7 are
+    // fetched from the stale branch and 8-9 from the fresh one. The
+    // head re-fetch (block 9) matches — 9 was already fetched
+    // post-reorg. And with heights 5-7 receiptless, the fresh branch
+    // serves NO logs there, so the stale blocks at 5-7 draw no
+    // foreign-only log evidence either. Without linkage validation
+    // they would persist from the dead branch (wrong hashes, wrong
+    // txs) with silently empty logs. The seam between the branches —
+    // block 8's parentHash pointing at the fresh block 7, not the
+    // fetched stale one — is what the check must catch.
+    val conf = SimFetcherConf(None, 0L, Set.empty,
+      receiptless = Set(5L, 6L, 7L),
+      raceForkAt = Some(5L), raceAfterBlockCalls = 8L)
+    val got = { val f = conf.open(); try ChainFetch.rangeEnvelopes(f, 0L, 9L, 3, 1, 10) finally f.close() }
+    val want = {
+      val f = SimFetcherConf(Some(5L), 0L, Set.empty, Set(5L, 6L, 7L)).open()
+      try (0L to 9L).flatMap(n => ChainFetch.envelope(f, n, 3, 1, 10)) finally f.close()
+    }
+    assert(got.map(_.block_hash) == want.map(_.block_hash),
+      "heights >= 5 must re-resolve onto the post-reorg branch, not persist stale blocks")
+    assert(got == want, "the fallback must reproduce the N+1 envelopes exactly")
+    assert(got(5).block_hash == SimChain.blockOn(5, Some(5L)).block_hash,
+      "sanity: height 5 is the fresh-branch block, not the raced stale one")
+  }
+
   test("a persistently erroring eth_getBlockReceipts degrades to per-tx statuses, not task death") {
     val blocks = 0L to 9L
     SimFetcherCounters.reset("cc-broken")
