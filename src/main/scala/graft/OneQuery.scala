@@ -35,6 +35,21 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Mirror Bench's measurement conditions (override with
+    // SPARK_GRAFT_PRELUDE=off to profile a truly cold session):
+    // session bring-up warmed by a tiny noop write, and — when any
+    // requested query consumes the session-shared MinHash bases — the
+    // same eager family prelude Bench runs before timing.
+    if (sys.env.getOrElse("SPARK_GRAFT_PRELUDE", "on") != "off") {
+      graft.tables.Fixtures.events(spark, sfDir).limit(100)
+        .write.mode("overwrite").format("noop").save()
+      val minhashConsumers = Set("dedup_minhash", "dedup_apply", "pipeline_curate")
+      if (names.exists(minhashConsumers)) {
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.prewarmShared(graft.tables.Fixtures.documents(spark, sfDir))
+        println(f"[onequery] prelude (shared dedup bases): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     fns.zipWithIndex.foreach { case ((name, fn), idx) =>
       (1 to repeats).foreach { i =>
         val t0 = System.nanoTime()

@@ -51,11 +51,13 @@ object SharedCaches {
   private final case class Entry(df: DataFrame, family: String)
 
   /** Insertion-ordered: head = least recently acquired. Keyed by the
-    * owning session + the canonicalized analyzed plan — two DataFrame
-    * objects with the same canonical plan are the same cache entry,
-    * mirroring `CacheManager`'s own identity rule. */
+    * owning session + the canonicalized analyzed plan (+ whether the
+    * entry is a checkpoint CUT — a same-plan frame acquired through
+    * [[shared]] and [[sharedCut]] is two different artifacts) — two
+    * DataFrame objects with the same canonical plan are the same cache
+    * entry, mirroring `CacheManager`'s own identity rule. */
   private val entries =
-    mutable.LinkedHashMap.empty[(SparkSession, LogicalPlan), Entry]
+    mutable.LinkedHashMap.empty[(SparkSession, LogicalPlan, Boolean), Entry]
 
   /** Peak tracked-entry count since JVM start (observability: a bench
     * run logs it so cap-vs-actual is measured, not assumed). */
@@ -78,31 +80,51 @@ object SharedCaches {
     * acquisition. */
   def shared(df: DataFrame, family: String,
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    acquire(df, family, level, cut = false)
+
+  /** Like [[shared]], but the stored artifact is an EAGER
+    * `localCheckpoint()` of `df` — materialized AND plan-truncated on
+    * first acquisition, returned as-is on every later one. This is
+    * the registry form of "one checkpoint cut per shared input": an
+    * iterative consumer (e.g. [[Dedup.clusterLabels]]'s min-label
+    * rounds) that must reference a frame from 2^rounds plan legs cuts
+    * it once per session instead of once per invocation — the
+    * re-materialization was the dominant cold cost of `dedup_apply`
+    * and the query the r9/r11 contended driver runs inflated most.
+    * Eviction here only forgets the reference: a checkpoint's blocks
+    * are not CacheManager entries (unpersist is a no-op on them) and
+    * are reclaimed by the ContextCleaner once the RDD is unreachable —
+    * same lifecycle as any superseded checkpoint generation. */
+  def sharedCut(df: DataFrame, family: String): DataFrame =
+    acquire(df, family, StorageLevel.MEMORY_AND_DISK, cut = true)
+
+  private def acquire(df: DataFrame, family: String, level: StorageLevel,
+                      cut: Boolean): DataFrame =
     synchronized {
       // a stopped session's entries are dead weight: unpersist is a
       // no-op there, and they'd otherwise hold registry slots forever
       entries.filter(_._1._1.sparkContext.isStopped).toList
         .foreach { case (k, e) => drop(k, e) }
       val session = df.sparkSession
-      val key = (session, df.queryExecution.analyzed.canonicalized)
+      val key = (session, df.queryExecution.analyzed.canonicalized, cut)
       entries.remove(key) match {
         case Some(e) =>
           entries.put(key, e) // re-insert = move to most-recent
           e.df
         case None =>
-          df.persist(level)
-          entries.put(key, Entry(df, family))
+          val stored = if (cut) df.localCheckpoint() else { df.persist(level); df }
+          entries.put(key, Entry(stored, family))
           highWaterMark = math.max(highWaterMark, entries.size)
           val budget = cap(session)
           while (entries.count(_._1._1 eq session) > budget) {
             val (k, e) = entries.find(_._1._1 eq session).get
             drop(k, e)
           }
-          df
+          stored
       }
     }
 
-  private def drop(key: (SparkSession, LogicalPlan), e: Entry): Unit = {
+  private def drop(key: (SparkSession, LogicalPlan, Boolean), e: Entry): Unit = {
     // non-blocking: eviction must never stall the acquiring query on
     // block deletion; a stopped session's unpersist is a no-op concern
     try e.df.unpersist(blocking = false)

@@ -53,6 +53,30 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sharedCut: one eager checkpoint cut per plan, distinct from a same-plan shared persist") {
+    withCap(8) {
+      SharedCaches.releaseAll()
+      val plan = range(30).filter(col("v") % 3 === 0)
+      val a = SharedCaches.sharedCut(plan, "t")
+      // the cut is EAGER (already materialized) and TRUNCATED: the
+      // stored frame scans a checkpoint, not the original plan
+      assert(a.queryExecution.analyzed.collectLeaves()
+        .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+        "sharedCut must return a plan-truncated (LogicalRDD) frame")
+      val before = SharedCaches.trackedCount
+      val b = SharedCaches.sharedCut(range(30).filter(col("v") % 3 === 0), "t")
+      assert(b eq a, "same input plan → the SAME materialized cut, no re-checkpoint")
+      assert(SharedCaches.trackedCount == before)
+      // a shared() acquisition of the same input plan is a different
+      // artifact — it must not collide with (or return) the cut
+      val c = SharedCaches.shared(range(30).filter(col("v") % 3 === 0), "t")
+      assert(!(c eq a), "persist and cut of one plan are distinct entries")
+      assert(SharedCaches.trackedCount == before + 1)
+      assert(a.collect().map(_.getLong(0)).sorted.toSeq ==
+        c.collect().map(_.getLong(0)).sorted.toSeq)
+    }
+  }
+
   test("releaseFamily unpersists exactly its family; releaseAll empties the registry") {
     withCap(8) {
       SharedCaches.releaseAll()
