@@ -286,6 +286,63 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel decode for the uncompressed format: binary-PPM (P6)
+    * bodies are raw interleaved 8-bit RGB triplets straight after the
+    * ASCII header, so per-channel statistics need no codec library —
+    * this genuinely reads pixel VALUES, upgrading the container story
+    * from "header parse" to decode where the format allows it
+    * (compressed formats would need the codec libs this container
+    * lacks; they keep the [[decodeFeatures]] seam).
+    *
+    * Pipeline shape: rows are gated on the MAGIC (sniffed from bytes,
+    * never trusted from `media_type`), the header length is recovered
+    * from a bounded 96-byte head slice (same hardened `\d{1,9}`
+    * bounds as [[decodeFeaturesExpr]] — an overlong or
+    * window-cut field degrades to "not a PPM", never a wrong offset),
+    * the body is sliced off at byte precision, and
+    * [[graft.functions.PixelStats]] folds it in one codegen'd pass.
+    * Map-only, no shuffle; only complete triplets count (floor(len/3)
+    * pixels — fixture bodies are not multiple-of-3 in general), and a
+    * body with zero complete pixels yields null means, the engine's
+    * explicit-null-over-div-by-zero rule. All outputs integer-exact:
+    * mean_*_x100 and brightness_x100 (mean over all counted channel
+    * bytes) are ×100-scaled `div`s mirrored verbatim in the oracle. */
+  def decodePixels(media: DataFrame): DataFrame = {
+    val head = substring(col("payload"), 1, 96).cast("string")
+    def longOf(c: Column): Column =
+      when(c === "", lit(null)).otherwise(c).cast("long")
+    def ppmNum(group: Int): Column = longOf(regexp_extract(head,
+      "^P6\\s+(\\d{1,9})\\s+(\\d{1,9})\\s+(\\d+)\\s", group))
+    media
+      .withColumn("hdr",
+        regexp_extract(head, "^(P6\\s+\\d{1,9}\\s+\\d{1,9}\\s+\\d{1,9}\\s)", 1))
+      .filter(col("hdr") =!= "")
+      // the header is pure ASCII, so its CHAR length equals its BYTE
+      // length and the byte-precise binary substring below is exact
+      // even when the body is not valid UTF-8
+      .withColumn("hlen", length(col("hdr")))
+      .withColumn("body", expr("substring(payload, hlen + 1, length(payload))"))
+      .select(col("doc_id"),
+        ppmNum(1).as("width"), ppmNum(2).as("height"),
+        graft.functions.PixelStats.of(col("body")).as("ps"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ps.n_pixels").as("n_pixels"),
+        col("ps.sum_r").as("sum_r"), col("ps.sum_g").as("sum_g"),
+        col("ps.sum_b").as("sum_b"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        chanMean(col("sum_r"), col("n_pixels"), 1).as("mean_r_x100"),
+        chanMean(col("sum_g"), col("n_pixels"), 1).as("mean_g_x100"),
+        chanMean(col("sum_b"), col("n_pixels"), 1).as("mean_b_x100"),
+        chanMean(col("sum_r") + col("sum_g") + col("sum_b"),
+          col("n_pixels"), 3).as("brightness_x100"))
+  }
+
+  /** ×100-scaled integer channel mean; exact `div`, explicit null on
+    * an empty (zero-complete-pixel) body. */
+  private def chanMean(sum: Column, nPixels: Column, perPixel: Int): Column =
+    when(nPixels === 0, lit(null).cast("long"))
+      .otherwise(call_function("div", sum * 100, nPixels * lit(perPixel.toLong)))
+
   /** Resize to a bounded box preserving aspect ratio — pure metadata
     * arithmetic on the decoded features (a real resizer transforms the
     * pixels too; the scale factor math is the part a pipeline plans

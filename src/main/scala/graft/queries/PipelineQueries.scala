@@ -246,6 +246,14 @@ object PipelineQueries {
       Multimodal.audioMeta(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // REAL pixel decode for the uncompressed format: P6 bodies are raw
+    // interleaved RGB — per-channel means + brightness from the body
+    // BYTES (magic-gated, header-offset, one codegen'd PixelStats
+    // pass), not from planted metadata
+    "multimodal_pixels" -> ((s, dir) =>
+      Multimodal.decodePixels(Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
@@ -818,6 +826,36 @@ object PipelineQueries {
           |    ELSE ((list_sum([('0x' || x)::BIGINT for x in bp]) * 100) // payload_len)::BIGINT
           |  END AS mean_byte_x100
           |FROM b ORDER BY doc_id""".stripMargin),
+
+    // the oracle strips the SAME header the decoder must recover from
+    // the bytes, then mirrors the triplet arithmetic per position:
+    // channel c of pixel j = body byte 3j+c, complete pixels only
+    // (floor(len/3)), null means on a zero-pixel body — so the
+    // differential check verifies the actual pixel-value sums, not
+    // just the container metadata
+    "multimodal_pixels" ->
+      (mediaPayloadCte +
+        """, img AS (SELECT doc_id, width, height,
+          |  encode(substr(payload,
+          |    length('P6' || chr(10) || width || ' ' || height || chr(10) || '255' || chr(10)) + 1)) AS body
+          |  FROM p WHERE media_type = 'image'),
+          |bs AS (SELECT doc_id, width, height,
+          |  (octet_length(body) // 3)::BIGINT AS n_pixels,
+          |  [('0x' || substr(hex(body), 2*i-1, 2))::BIGINT
+          |   for i in range(1, octet_length(body)+1)] AS bytes
+          |  FROM img),
+          |ch AS (SELECT doc_id, width, height, n_pixels,
+          |  list_sum([bytes[3*j+1] for j in range(0, n_pixels::INT)]) AS sum_r,
+          |  list_sum([bytes[3*j+2] for j in range(0, n_pixels::INT)]) AS sum_g,
+          |  list_sum([bytes[3*j+3] for j in range(0, n_pixels::INT)]) AS sum_b
+          |  FROM bs)
+          |SELECT doc_id, width, height, n_pixels,
+          |  CASE WHEN n_pixels = 0 THEN NULL ELSE ((sum_r * 100) // n_pixels)::BIGINT END AS mean_r_x100,
+          |  CASE WHEN n_pixels = 0 THEN NULL ELSE ((sum_g * 100) // n_pixels)::BIGINT END AS mean_g_x100,
+          |  CASE WHEN n_pixels = 0 THEN NULL ELSE ((sum_b * 100) // n_pixels)::BIGINT END AS mean_b_x100,
+          |  CASE WHEN n_pixels = 0 THEN NULL
+          |    ELSE (((sum_r + sum_g + sum_b) * 100) // (3 * n_pixels))::BIGINT END AS brightness_x100
+          |FROM ch ORDER BY doc_id""".stripMargin),
 
     // closed-form plant vs parsed values; the WHERE restates the
     // magic routing (fixture audio rows are exactly the SPHERE rows)

@@ -534,6 +534,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(p("P6\n9 9\n255\n" + "x" * 500) == ((9L, 9L, 1L)))
   }
 
+  test("decodePixels: channel sums from the BODY bytes; truncated pixel ignored; empty body null; magic-gated") {
+    import spark.implicits._
+    // 3 complete RGB triplets + 2 stray bytes that must not count
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2)
+    val img = "P6\n2 2\n255\n".getBytes("UTF-8") ++ px
+    val empty = "P6\n5 5\n255\n".getBytes("UTF-8") // header only, no body
+    val notPpm = "NIST_1A\nnot pixels".getBytes("UTF-8")
+    val d = Seq((1L, "image", img), (2L, "image", empty), (3L, "audio", notPpm))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.decodePixels(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "non-PPM rows are magic-gated out")
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("width") == 2L && r1.getAs[Long]("height") == 2L)
+    assert(r1.getAs[Long]("n_pixels") == 3L, "floor(11/3) complete pixels")
+    assert(r1.getAs[Long]("mean_r_x100") == 4000L) // (10+40+70)*100 div 3
+    assert(r1.getAs[Long]("mean_g_x100") == 5000L)
+    assert(r1.getAs[Long]("mean_b_x100") == 6000L)
+    assert(r1.getAs[Long]("brightness_x100") == 5000L) // 450*100 div 9
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_pixels") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("mean_r_x100")) &&
+      r2.isNullAt(r2.fieldIndex("brightness_x100")),
+      "zero-pixel body yields explicit null means")
+    // high-bit bytes must read unsigned (a signed-byte bug would go
+    // negative): one pixel of 0xFF 0x80 0x00
+    val hi = "P6\n1 1\n255\n".getBytes("UTF-8") ++ Array[Byte](-1, -128, 0)
+    val rh = Multimodal.decodePixels(
+      Seq((9L, "image", hi)).toDF("doc_id", "media_type", "payload")).collect()(0)
+    assert(rh.getAs[Long]("mean_r_x100") == 25500L)
+    assert(rh.getAs[Long]("mean_g_x100") == 12800L)
+    assert(rh.getAs[Long]("mean_b_x100") == 0L)
+  }
+
   test("multimodal declarative decode == typed decode (the expression form is the registry path)") {
     import org.apache.spark.sql.functions.col
     // mixed formats + a null text: every branch of the parse
