@@ -182,6 +182,15 @@ object PipelineQueries {
           Seq("hash", "join", "merge"))
         .orderBy(col("score_x1000").desc, col("doc_id"))),
 
+    // the PRODUCTION serving shape: df + corpus stats written once as
+    // warehouse tables (TextRefs.ensureBm25), scoring reads the corpus
+    // once (term-filtered) and probes |terms| stored-df rows — zero
+    // corpus-wide aggregation in the plan (PlanAuditSpec-pinned).
+    // Same model, same ranking: the oracle is text_search_bm25's.
+    "text_search_bm25_stored" -> ((s, dir) =>
+      graft.ops.TextRefs.searchBm25Stored(s, dir, Seq("hash", "join", "merge"))
+        .orderBy(col("score_x1000").desc, col("doc_id"))),
+
     // bigram-LM quality score with stupid backoff — the sequence-aware
     // upgrade of text_commonness (top-500 conditional-bigram table +
     // top-100 unigram backoff, both K-bounded broadcasts; the model
@@ -192,6 +201,13 @@ object PipelineQueries {
           pairsIn = Some(TextAnalysis.sharedBigramRows(docs)))
         .orderBy(col("doc_id"))
     }),
+
+    // the stored-model serving shape: bigram + unigram tables written
+    // once (TextRefs.ensureLm), scoring is the per-batch bigram stream
+    // probing two K-row broadcasts — the plan's ONLY aggregation is
+    // the per-doc mean (PlanAuditSpec-pinned). Oracle = text_lm_score's.
+    "text_lm_score_stored" -> ((s, dir) =>
+      graft.ops.TextRefs.lmScoreStored(s, dir).orderBy(col("doc_id"))),
 
     // IVF probe+rank with FIXED md5-derived centroid literals shared
     // with the oracle SQL — the whole assignment/probe/rank stage is
@@ -707,52 +723,18 @@ object PipelineQueries {
     // the corpus stats the Spark side collects to literals are stated
     // as subqueries on the same data — identical values by
     // construction; every div mirrored in the operator's order
-    "text_search_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS tot FROM t),
-        |m AS (SELECT doc_id, len(ts) AS dl,
-        |  unnest(list_filter(ts, x -> x IN ('hash','join','merge'))) AS token FROM t),
-        |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
-        |  FROM m GROUP BY doc_id, token),
-        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |sc AS (SELECT doc_id, count(*) AS n_terms_matched,
-        |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * ((tf.tf * 220000)
-        |   // (tf.tf * 100 + (120 * ((100 - 75) +
-        |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)) // 1000
-        |  ) AS BIGINT) AS score_x1000
-        |  FROM tf JOIN df USING (token) GROUP BY doc_id)
-        |SELECT doc_id, n_terms_matched, score_x1000 FROM sc
-        |ORDER BY score_x1000 DESC, doc_id LIMIT 20""".stripMargin,
+    "text_search_bm25" -> bm25OracleSql,
+    // the stored-table path serves the SAME model over the same corpus
+    // — identical ranking is exactly the claim the differential check
+    // should enforce, so the oracle is shared verbatim
+    "text_search_bm25_stored" -> bm25OracleSql,
+    "text_lm_score_stored" -> lmScoreOracleSql,
 
     // every stage mirrored: bigram stream (parallel unnest), prev /
     // pair counts, top-500 conditional table, top-100 unigram backoff,
     // stupid-backoff coalesce, per-doc integer mean, corpus left join
     // for pairless docs
-    "text_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |pr AS (SELECT doc_id,
-        |  unnest([ts[i] for i in range(1, len(ts))]) AS prev,
-        |  unnest([ts[i+1] for i in range(1, len(ts))]) AS token
-        |  FROM t WHERE len(ts) >= 2),
-        |pc AS (SELECT prev, count(*) AS np FROM pr GROUP BY prev),
-        |bc AS (SELECT prev, token, count(*) AS nb FROM pr GROUP BY prev, token),
-        |ref AS (SELECT bc.prev, bc.token,
-        |  CAST((nb * 1000000) // np AS BIGINT) AS cond_ppm
-        |  FROM bc JOIN pc USING (prev)
-        |  ORDER BY nb DESC, bc.prev ASC, bc.token ASC LIMIT 500),
-        |tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |tot AS (SELECT count(*) AS c FROM tk),
-        |uref AS (SELECT token,
-        |  CAST((count(*) * 1000000) // (SELECT c FROM tot) AS BIGINT) AS uni_ppm
-        |  FROM tk GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100),
-        |j AS (SELECT pr.doc_id, coalesce(ref.cond_ppm, uref.uni_ppm // 10, 0) AS s
-        |  FROM pr LEFT JOIN ref ON pr.prev = ref.prev AND pr.token = ref.token
-        |  LEFT JOIN uref ON pr.token = uref.token),
-        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(s) // count(*) AS BIGINT) AS lm_ppm FROM j GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
-        |  coalesce(sc.lm_ppm, 0) AS lm_ppm
-        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "text_lm_score" -> lmScoreOracleSql,
 
     "text_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) td FROM documents),
@@ -882,6 +864,57 @@ object PipelineQueries {
         """SELECT doc_id, media_type, frames, unnest(range(0, frames, 10))::BIGINT AS frame_idx
           |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)
   )
+
+  /** BM25 oracle — shared verbatim by the inline and stored-ref
+    * entries: the stored tables hold the SAME model computed once, so
+    * "identical ranking" is precisely the differential claim. The
+    * corpus stats the Spark side collects to literals are stated as
+    * subqueries on the same data; every div mirrored in the
+    * operator's (saturation-first, overflow-safe) order. */
+  private lazy val bm25OracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS tot FROM t),
+      |m AS (SELECT doc_id, len(ts) AS dl,
+      |  unnest(list_filter(ts, x -> x IN ('hash','join','merge'))) AS token FROM t),
+      |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+      |  FROM m GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |sc AS (SELECT doc_id, count(*) AS n_terms_matched,
+      |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * ((tf.tf * 220000)
+      |   // (tf.tf * 100 + (120 * ((100 - 75) +
+      |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)) // 1000
+      |  ) AS BIGINT) AS score_x1000
+      |  FROM tf JOIN df USING (token) GROUP BY doc_id)
+      |SELECT doc_id, n_terms_matched, score_x1000 FROM sc
+      |ORDER BY score_x1000 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Bigram-LM oracle — shared verbatim by the inline and stored-model
+    * entries (same rationale as [[bm25OracleSql]]). */
+  private lazy val lmScoreOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |pr AS (SELECT doc_id,
+      |  unnest([ts[i] for i in range(1, len(ts))]) AS prev,
+      |  unnest([ts[i+1] for i in range(1, len(ts))]) AS token
+      |  FROM t WHERE len(ts) >= 2),
+      |pc AS (SELECT prev, count(*) AS np FROM pr GROUP BY prev),
+      |bc AS (SELECT prev, token, count(*) AS nb FROM pr GROUP BY prev, token),
+      |ref AS (SELECT bc.prev, bc.token,
+      |  CAST((nb * 1000000) // np AS BIGINT) AS cond_ppm
+      |  FROM bc JOIN pc USING (prev)
+      |  ORDER BY nb DESC, bc.prev ASC, bc.token ASC LIMIT 500),
+      |tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS c FROM tk),
+      |uref AS (SELECT token,
+      |  CAST((count(*) * 1000000) // (SELECT c FROM tot) AS BIGINT) AS uni_ppm
+      |  FROM tk GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100),
+      |j AS (SELECT pr.doc_id, coalesce(ref.cond_ppm, uref.uni_ppm // 10, 0) AS s
+      |  FROM pr LEFT JOIN ref ON pr.prev = ref.prev AND pr.token = ref.token
+      |  LEFT JOIN uref ON pr.token = uref.token),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(s) // count(*) AS BIGINT) AS lm_ppm FROM j GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sc.lm_ppm, 0) AS lm_ppm
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors [[graft.ops.Multimodal.withPayload]]: the synthesized
     * header-bearing payload per media type (binary-PPM for images,

@@ -95,6 +95,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
+  test("stored-ref scoring plans carry no corpus-wide aggregation — the O(batch) serving claim") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // the corpus is read path-based (no catalog entry); the stored
+    // refs are catalog tables — that difference classifies every leaf
+    def corpusScans(p: LogicalPlan): Int = p.collectLeaves().count {
+      case r: LogicalRelation => r.catalogTable.isEmpty
+      case _ => false
+    }
+    def tableScan(p: LogicalPlan, prefix: String): Boolean =
+      p.collectLeaves().exists {
+        case r: LogicalRelation =>
+          r.catalogTable.exists(_.identifier.table.startsWith(prefix))
+        case _ => false
+      }
+    // BM25 from stored refs: the plan's ONLY aggregations are the
+    // term-filtered (doc, term) tf count and the per-doc score sum —
+    // the corpus-wide df and stats aggregations are gone (df is a
+    // stored-table probe; stats collapse to driver literals from the
+    // stored 1-row table). The corpus itself is scanned exactly once.
+    val bm25 = SparkEntry.queries("text_search_bm25_stored")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val bmAggs = bm25.collect { case a: Aggregate => a }
+    assert(bmAggs.size == 2,
+      s"bm25 stored-ref plan must aggregate only tf + per-doc score, found ${bmAggs.size}:\n$bm25")
+    assert(corpusScans(bm25) == 1,
+      s"bm25 stored-ref plan must scan the corpus once, found ${corpusScans(bm25)}:\n$bm25")
+    assert(tableScan(bm25, "text_bm25df_"),
+      "the stored df table must appear in the scoring plan")
+
+    // LM score from the stored model: the only aggregation is the
+    // per-doc mean; the pair/prev/unigram/total counts are stored-table
+    // broadcasts. The corpus appears twice by design (bigram stream +
+    // the left join that scores pairless docs 0) — both O(batch) scans.
+    val lm = SparkEntry.queries("text_lm_score_stored")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val lmAggs = lm.collect { case a: Aggregate => a }
+    assert(lmAggs.size == 1,
+      s"lm stored-model plan must aggregate only the per-doc mean, found ${lmAggs.size}:\n$lm")
+    assert(corpusScans(lm) <= 2,
+      s"lm stored-model plan must scan the batch at most twice, found ${corpusScans(lm)}:\n$lm")
+    assert(tableScan(lm, "text_lmbi_") && tableScan(lm, "text_lmuni_"),
+      "both stored model tables must appear in the scoring plan")
+  }
+
   test("the query-bounded scans still have their scale-path twins registered") {
     // pins that the LSH/IVF twins exist and stay oracle-checked
     val q = SparkEntry.queries.keySet
