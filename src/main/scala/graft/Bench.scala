@@ -107,18 +107,26 @@ object Bench {
                          repeats: Int, contended: Boolean,
                          loadStart: Double, loadEnd: Double,
                          fmt: ((String, Double)) => String,
-                         level: Int): String = {
-    val qs = results.map { case e @ (k, _) => "\"" + k + "\":" + fmt(e) }
+                         level: Int,
+                         omit: Set[String] = Set.empty): String = {
+    // `omit` drops entries from the per-query MAP only — the floor
+    // below the floor ([[renderAdaptive]]): total/failed still cover
+    // every result, and the dropped count is declared as "drop" so a
+    // reader knows the map is partial (the full-fidelity file copy
+    // always carries everything)
+    val qs = results.filterNot(e => omit(e._1))
+      .map { case e @ (k, _) => "\"" + k + "\":" + fmt(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    val dropped = if (omit.isEmpty) "" else s""","drop":${omit.size}"""
     val telemetry =
       if (level >= 2)
         // budget-constrained: the one signal a reader can't live
         // without is "was the box loaded" — peak 1-min load, integer
         s""","l":${ms(loadStart max loadEnd max 0, 3)}"""
       else s""","rep":$repeats,"cont":$contended,"l0":${ms(loadStart max 0, level)},"l1":${ms(loadEnd max 0, level)}"""
-    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName"$telemetry}"""
+    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName"$dropped$telemetry}"""
   }
 
   /** The graceful floor between level 2 and the everywhere-integer
@@ -127,7 +135,11 @@ object Bench {
     * the rest render as integers. The entries whose decimal carries
     * real signal — the expensive ones a reader actually compares —
     * keep it at any registry size; only the noise floor flattens.
-    * Deterministic: the same results always render the same line. */
+    * Below even that, when key length alone overflows the budget
+    * (pathological every-entry-slow or mass-failure profiles at a
+    * large registry), the fastest entries shed from the map with an
+    * explicit "drop" count — see the in-body comment. Deterministic:
+    * the same results always render the same line. */
   private[graft] def renderAdaptive(results: Seq[(String, Double)], sfName: String,
                                     repeats: Int, contended: Boolean,
                                     loadStart: Double, loadEnd: Double,
@@ -150,7 +162,33 @@ object Bench {
       val mid = (lo + hi + 1) / 2
       if (render(mid).length <= budget) lo = mid else hi = mid - 1
     }
-    render(lo)
+    val floor = render(lo)
+    if (floor.length <= budget) floor
+    else {
+      // The floor below the floor: at a large-enough registry a
+      // pathological profile (every entry ≥ 10 s, or mass failure)
+      // overflows the budget on KEY length alone — no value rendering
+      // can save it. Shed entries from the per-query map, FASTEST
+      // first (ascending (value, name): they carry the least
+      // total-time signal per character) and failed entries last of
+      // all (-1 is an alarm a reader should see; when even alarms must
+      // shed, "failed":N plus the stderr FAILED lines still name the
+      // loss), and declare the count as "drop". total/failed still
+      // cover every query, and target/bench.json keeps the full map
+      // at 4 decimals.
+      val shedOrder = (results.filter(_._2 >= 0).sortBy { case (k, v) => (v, k) }
+        ++ results.filter(_._2 < 0).sortBy(_._1)).map(_._1)
+      def renderShed(k: Int): String =
+        renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
+          { case (_, v) => ms(v, 3) }, level = 3, omit = shedOrder.take(k).toSet)
+      var slo = 1
+      var shi = shedOrder.size
+      while (slo < shi) { // smallest shed count that fits
+        val mid = (slo + shi) / 2
+        if (renderShed(mid).length <= budget) shi = mid else slo = mid + 1
+      }
+      renderShed(slo)
+    }
   }
 
   /** The stdout line, guaranteed to fit the tail window: rendered at
@@ -173,7 +211,13 @@ object Bench {
       .getOrElse(renderAdaptive(results, sfName, repeats, contended,
         loadStart, loadEnd, budget))
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+
+  /** The whole benchmark against one sf directory — extracted so tier
+    * entry points ([[BenchSf1]]) can target a directory without
+    * re-execing the JVM to change `SPARK_GRAFT_SF_DIR`. */
+  def run(sfDir: String): Unit = {
     val loadStart = loadAvg()
     val repeatsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
     val repeats = repeatsEnv.flatMap(_.toIntOption).filter(_ >= 1)
@@ -184,7 +228,6 @@ object Bench {
         else if (loadStart > 1.0) 3
         else 2
       }
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -46,6 +46,14 @@ import graft.tables.{Bucketed, Fixtures}
   * DuckDB oracle's ROW_NUMBER form, so the registry entry stays
   * hash-differential.
   */
+/** [[AnnIndex.requantizeAdvice]]'s measurement: corpus size, cell
+  * count, hottest-cell and mean occupancy, and the two documented
+  * triggers. `needed` = either trigger fired. */
+final case class RequantizeAdvice(nVectors: Long, nCells: Int, occMax: Long,
+                                  occMean: Long, knee: Boolean, skewed: Boolean) {
+  def needed: Boolean = knee || skewed
+}
+
 object AnnIndex {
 
   val Dim = 64
@@ -105,6 +113,73 @@ object AnnIndex {
     t
   }
 
+  /** The stored quantizer read back as the centroid matrix (k·dim —
+    * bounded, same contract as the build-time collect). */
+  def storedQuantizer(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.table(quantizerTableFor(dir))
+      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** MAINTENANCE half of write-once/probe-many: append a fresh vector
+    * batch to the existing index WITHOUT a rebuild. The batch is
+    * assigned against the STORED quantizer — the exact centroids every
+    * existing row was assigned with, so probe coherence is preserved
+    * by construction — and appended into the bucketed table with the
+    * build's bucket count (= quantizer rows, the build invariant), so
+    * bucket pruning keeps working: each append adds one file per
+    * touched bucket and a probe still reads only its cells' files.
+    * Cost is O(batch): one batch-sized assignment + write, no corpus
+    * scan. Caller contract: `fresh` carries embeddings-schema rows
+    * with vec_ids not already in the index (the ingest layer's
+    * idempotent-insert anti-join is the place to enforce that, as in
+    * [[graft.ingest.Ingest]]).
+    *
+    * Appends intentionally do NOT touch the quantizer: cell sizing
+    * (⌈√n⌉) and centroid placement decay as the corpus grows, which is
+    * a QUALITY decay (hotter cells → bigger probe reads), never a
+    * correctness one. [[requantizeAdvice]] is the documented trigger
+    * for when to pay the full rebuild. */
+  def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = {
+    val t = ensureBuilt(spark, dir)
+    val cs = storedQuantizer(spark, dir)
+    val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    assigned.write.mode("append").format("parquet")
+      .bucketBy(cs.length, "cell").sortBy("cell")
+      .saveAsTable(t)
+  }
+
+  /** When to pay the re-quantize (full [[ensureBuilt]] rebuild after
+    * [[graft.tables.Bucketed.resetTable]]): advice, not automation —
+    * the rebuild is a corpus-wide job the operator schedules.
+    *
+    * Trigger (a) — KNEE: the corpus has outgrown the cell count.
+    * ⌈√n⌉ sizing balances probe reads (n/k) against probe-cell
+    * selection (k); once annCellsFor(n) > 2·k the corpus is ≥ ~4× the
+    * build size and every probe reads ≥ ~2× the bytes an optimally
+    * sized index would.
+    * Trigger (b) — SKEW: the hottest cell holds > `skewBound`× the
+    * mean occupancy. Sampled centroids keep cells balanced for the
+    * corpus they were sampled FROM (SCALING.md's occ_max
+    * measurements); a drifted append distribution concentrates in few
+    * cells, and a probe of a hot cell reads skew× the expected bytes
+    * — the exact tail-latency pathology the sampled quantizer exists
+    * to prevent. One map-side-combined groupBy(cell) over the index
+    * measures it. */
+  def requantizeAdvice(spark: SparkSession, dir: String,
+                       skewBound: Long = 8L): RequantizeAdvice = {
+    val t = ensureBuilt(spark, dir)
+    val k = storedQuantizer(spark, dir).length
+    val occ = spark.table(t).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("occMax")).collect()(0)
+    val n = occ.getAs[Long]("total")
+    val occMax = occ.getAs[Long]("occMax")
+    val occMean = math.max(1L, n / k)
+    RequantizeAdvice(n, k, occMax, occMean,
+      knee = annCellsFor(n) > 2 * k,
+      skewed = occMax > skewBound * occMean)
+  }
+
   /** Top-k probe over the persisted index: compute each query's
     * `nProbe` nearest cells driver-side against the STORED quantizer
     * (k rows — no corpus-wide job at serving time), scan only those
@@ -114,9 +189,7 @@ object AnnIndex {
            k: Int = 5, nProbe: Int = 2): DataFrame = {
     val t = ensureBuilt(spark, dir)
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
-    val cs: Array[Array[Double]] = spark.table(quantizerTableFor(dir))
-      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cs: Array[Array[Double]] = storedQuantizer(spark, dir)
     val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
     // driver-sized: maxQueryId vectors in, maxQueryId × nProbe probe
     // rows out — the literal cell list that buys bucket pruning on

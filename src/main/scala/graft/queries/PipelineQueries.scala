@@ -678,9 +678,17 @@ object PipelineQueries {
          |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin,
 
+    // honestly differential on BOTH columns: each engine runs its own
+    // HLL sketch (Spark's approx_count_distinct vs DuckDB's) and
+    // derives the within-10% verdict from its own estimate against the
+    // exact count — the sketches differ, the ±10% CLAIM must not.
+    // (A hardcoded `true` here would have made the column vacuous:
+    // only the exact count would be checked.)
     "text_distinct_approx" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |SELECT count(DISTINCT token) AS exact_distinct, true AS hll_within_10pct
+        |SELECT count(DISTINCT token) AS exact_distinct,
+        |  (abs(approx_count_distinct(token)::BIGINT - count(DISTINCT token)) * 10
+        |     <= count(DISTINCT token)) AS hll_within_10pct
         |FROM tk""".stripMargin,
 
     "similarity_topk" ->

@@ -235,9 +235,17 @@ object ChainFetch {
     if (foreignOnlyEvidence || !parentLinked || !headStable)
       return (from to toIncl).flatMap(n =>
         envelope(fetcher, n, maxRetries, baseBackoffMs, receiptConcurrency))
-    val byTx: Map[(String, String), Seq[WireLog]] = live
-      .distinctBy(l => (l.blockHash, l.txHash, l.logIndexInBlock))
-      .groupBy(l => (l.blockHash, l.txHash))
+    // keyed by (blockNumber, blockHash, txHash), number included: a
+    // lying/buggy node serving the SAME hash at two heights (a hash
+    // "collision" cannot happen honestly — the hash identifies the
+    // block) must not get its logs merged across heights; each height
+    // keeps only the logs observed at that height for that hash.
+    // Duplicates with conflicting payloads at one key keep the first
+    // occurrence (deterministic in response order) — the honest-node
+    // case is byte-identical duplicates from overlapping chunks.
+    val byTx: Map[(Long, String, String), Seq[WireLog]] = live
+      .distinctBy(l => (l.blockNumber, l.blockHash, l.txHash, l.logIndexInBlock))
+      .groupBy(l => (l.blockNumber, l.blockHash, l.txHash))
       .map { case (k, ls) =>
         k -> ls.sortBy(_.logIndexInBlock).zipWithIndex.map { case (l, i) =>
           WireLog(i, l.address, l.topics, l.data)
@@ -258,7 +266,7 @@ object ChainFetch {
         b.txs.sortBy(_.index).map { t =>
           SimChain.SimTx(t.hash, t.index, t.from, t.to, t.value, t.gas,
             statuses.getOrElse(t.hash, None),
-            byTx.getOrElse((b.hash, t.hash), Nil).map { l =>
+            byTx.getOrElse((b.number, b.hash, t.hash), Nil).map { l =>
               SimChain.SimLog(l.logIndex, l.address,
                 l.topics.lift(0).orNull, l.topics.lift(1), l.topics.lift(2),
                 l.topics.lift(3), l.data)

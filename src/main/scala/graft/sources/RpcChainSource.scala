@@ -136,29 +136,54 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
       throw new JsonRpcError(method,
         Option(err.get("code")).filterNot(_.isNull).map(_.asInt()).getOrElse(0),
         err.toString)
+    // a response carrying NEITHER result NOR error is malformed — it
+    // must throw (retryable), never read as the legitimate
+    // `result: null` "node has no such block/receipt" signal
+    if (!root.has("result"))
+      throw new java.io.IOException(s"$method: malformed response (no result/error member)")
     root.get("result")
   }
 
   private def isNull(n: JsonNode): Boolean = n == null || n.isNull
 
+  /** A REQUIRED textual wire field. Wrong-type and missing fields
+    * throw (the retryable IOException category) instead of silently
+    * degrading: Jackson's `asText()` renders a missing/object/array
+    * node as ""/"{...}", which [[ChainFetch.hexToLong]] would read as
+    * 0 or garbage — a silently corrupted block number/hash is the one
+    * failure mode worse than a loud one. Ethereum's wire encodes every
+    * quantity and hash as a 0x-hex STRING, so textual-or-throw is
+    * exactly the spec. */
+  private def req(n: JsonNode, field: String): String =
+    if (isNull(n) || !n.isTextual)
+      throw new java.io.IOException(
+        s"malformed RPC field '$field': ${String.valueOf(n)}")
+    else n.asText()
+
+  /** An OPTIONAL wire field (nullable on the wire — tx `to`, receipt
+    * `status`): absent/null → None, present-but-wrong-type → throw. */
+  private def opt(n: JsonNode, field: String): Option[String] =
+    if (isNull(n)) None else Some(req(n, field))
+
   override def blockNumber(): Long =
-    hexToLong(call("eth_blockNumber", "[]").asText())
+    hexToLong(req(call("eth_blockNumber", "[]"), "blockNumber result"))
 
   override def blockWithTxs(n: Long): Option[WireBlock] = {
     val r = call("eth_getBlockByNumber", s"""["${longToHex(n)}",true]""")
     if (isNull(r)) None
     else {
       val txs = iter(r.get("transactions")).map { t =>
-        WireTx(t.get("hash").asText(),
-          hexToLong(t.get("transactionIndex").asText()),
-          t.get("from").asText(),
-          text(t.get("to")).orNull, // contract creation: to == null
-          hexToDec(t.get("value").asText()),
-          hexToDec(t.get("gas").asText()))
+        WireTx(req(t.get("hash"), "tx.hash"),
+          hexToLong(req(t.get("transactionIndex"), "tx.transactionIndex")),
+          req(t.get("from"), "tx.from"),
+          opt(t.get("to"), "tx.to").orNull, // contract creation: to == null
+          hexToDec(req(t.get("value"), "tx.value")),
+          hexToDec(req(t.get("gas"), "tx.gas")))
       }
-      Some(WireBlock(hexToLong(r.get("number").asText()),
-        r.get("hash").asText(), r.get("parentHash").asText(),
-        hexToLong(r.get("timestamp").asText()), txs))
+      Some(WireBlock(hexToLong(req(r.get("number"), "block.number")),
+        req(r.get("hash"), "block.hash"),
+        req(r.get("parentHash"), "block.parentHash"),
+        hexToLong(req(r.get("timestamp"), "block.timestamp")), txs))
     }
   }
 
@@ -167,14 +192,14 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
     if (isNull(r)) None
     else {
       val logs = iter(r.get("logs")).map { l =>
-        WireLog(hexToLong(l.get("logIndex").asText()),
-          l.get("address").asText(),
-          iter(l.get("topics")).map(_.asText()),
-          text(l.get("data")).getOrElse(""))
+        WireLog(hexToLong(req(l.get("logIndex"), "log.logIndex")),
+          req(l.get("address"), "log.address"),
+          iter(l.get("topics")).map(tn => req(tn, "log.topic")),
+          opt(l.get("data"), "log.data").getOrElse(""))
       }
       // pre-Byzantium receipts have no status field (the reference's
       // Option<U64> — models.rs MyTransaction.status)
-      Some(WireReceipt(text(r.get("status")).map(hexToLong), logs))
+      Some(WireReceipt(opt(r.get("status"), "receipt.status").map(hexToLong), logs))
     }
   }
 
@@ -186,13 +211,13 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
     val r = call("eth_getLogs",
       s"""[{"fromBlock":"${longToHex(from)}","toBlock":"${longToHex(to)}"}]""")
     iter(r).map { l =>
-      WireRangeLog(hexToLong(l.get("blockNumber").asText()),
-        l.get("blockHash").asText(),
-        l.get("transactionHash").asText(),
-        hexToLong(l.get("logIndex").asText()),
-        l.get("address").asText(),
-        iter(l.get("topics")).map(_.asText()),
-        text(l.get("data")).getOrElse(""),
+      WireRangeLog(hexToLong(req(l.get("blockNumber"), "log.blockNumber")),
+        req(l.get("blockHash"), "log.blockHash"),
+        req(l.get("transactionHash"), "log.transactionHash"),
+        hexToLong(req(l.get("logIndex"), "log.logIndex")),
+        req(l.get("address"), "log.address"),
+        iter(l.get("topics")).map(tn => req(tn, "log.topic")),
+        opt(l.get("data"), "log.data").getOrElse(""),
         Option(l.get("removed")).exists(n => !n.isNull && n.asBoolean(false)))
     }
   }
@@ -216,7 +241,8 @@ class JsonRpcFetcher(conf: RpcFetcherConf) extends ChainFetcher {
       }
     if (isNull(r)) Some(Map.empty)
     else Some(iter(r).map { rc =>
-      rc.get("transactionHash").asText() -> text(rc.get("status")).map(hexToLong)
+      req(rc.get("transactionHash"), "receipt.transactionHash") ->
+        opt(rc.get("status"), "receipt.status").map(hexToLong)
     }.toMap)
   }
 

@@ -258,7 +258,15 @@ class SimChainMicroBatchStream(options: CaseInsensitiveStringMap)
     SimFetcherConf(forkAt, flakyEveryN, missingBlocks, receiptlessBlocks,
       noBlockReceipts = options.getBoolean("noBlockReceipts", false),
       rangeNoise = options.getBoolean("rangeNoise", false),
-      counterKey = Option(options.get("counterKey")))
+      counterKey = Option(options.get("counterKey")),
+      // race-reorg injection through the STREAMING path: each partition
+      // reader's fetcher races independently (per-fetcher counters), so
+      // a range window longer than raceAfterBlockCalls sees the branch
+      // flip mid-window — the e2e form of RangeFetchSpec's fallback
+      // scenarios
+      raceForkAt = Option(options.get("raceForkAt")).map(_.toLong),
+      raceAfterBlockCalls = options.getLong("raceAfterBlockCalls", 0L),
+      raceAfterLogsCall = options.getBoolean("raceAfterLogsCall", false))
   }
 }
 

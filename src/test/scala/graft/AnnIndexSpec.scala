@@ -91,6 +91,84 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "a grown corpus must not decohere probes from the stored index")
   }
 
+  /** A throwaway corpus dir seeded from the sf0.001 embeddings, so
+    * index-mutation tests never touch the shared fixture's index. */
+  private def tempCorpus(tag: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory(s"ann-$tag").toString
+    val embDir = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(embDir)
+    Files.copy(Paths.get(sf, "embeddings.parquet"),
+      embDir.resolve("part-00000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("appendBatch: stored-quantizer assignment, probes coherent, buckets still pruned") {
+    val dir = tempCorpus("append")
+    AnnIndex.ensureBuilt(spark, dir)
+    val cs = AnnIndex.storedQuantizer(spark, dir)
+    val before = spark.table(AnnIndex.tableFor(dir)).count()
+    // the batch clones existing vectors under fresh ids: each clone
+    // lands in ITS original's cell (same vector, same stored quantizer
+    // => same assignment), so a query must now find its own clone at
+    // cosine 1.0 — appended vectors are provably SERVED, not just rows
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.appendBatch(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + 500000L))
+    assert(spark.table(AnnIndex.tableFor(dir)).count() == before * 2)
+    val probed = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan).isDefined,
+      s"append must keep the scan bucket-pruned:\n$plan")
+    val rows = probed.orderBy(col("q_id"), col("rn")).collect()
+    (0L until 5L).foreach { q =>
+      val top = rows.filter(_.getAs[Long]("q_id") == q).minBy(_.getAs[Int]("rn"))
+      assert(top.getAs[Long]("vec_id") == q + 500000L &&
+        top.getAs[Double]("score") == 1.0,
+        s"query $q must find its appended clone at cosine 1.0, got $top")
+    }
+    // and the appended index is exactly what assigning (corpus ∪
+    // batch) against the stored quantizer would build — the append is
+    // a pure physical optimization, like the build itself
+    val unionAssigned = Similarity.assignCells(
+        Similarity.prepared(emb.union(emb.withColumn("vec_id", col("vec_id") + 500000L))), cs)
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val stored = spark.table(AnnIndex.tableFor(dir))
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(stored == unionAssigned,
+      "appended assignment must match the inline stored-quantizer assignment")
+  }
+
+  test("requantizeAdvice: fresh build clean; knee fires on 5x growth; skew fires on a hot cell") {
+    val dir = tempCorpus("advice")
+    AnnIndex.ensureBuilt(spark, dir)
+    val fresh0 = AnnIndex.requantizeAdvice(spark, dir)
+    assert(!fresh0.needed, s"a just-built index must not advise a rebuild: $fresh0")
+    // 4 appended replicas => n = 5 * n0; annCellsFor(2500) = 50 > 2*23
+    val emb = Fixtures.embeddings(spark, dir)
+    (1 to 4).foreach(r => AnnIndex.appendBatch(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L))))
+    val grown = AnnIndex.requantizeAdvice(spark, dir)
+    assert(grown.knee && grown.needed,
+      s"a corpus past 4x the build size must advise re-quantize: $grown")
+
+    // skew in isolation: a drifted batch concentrating in one cell
+    val dir2 = tempCorpus("skew")
+    AnnIndex.ensureBuilt(spark, dir2)
+    val one = Fixtures.embeddings(spark, dir2).orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    import spark.implicits._
+    val hot = (0 until 600).map(i => (700000L + i, one, "hot"))
+      .toDF("vec_id", "embedding", "label")
+    AnnIndex.appendBatch(spark, dir2, hot)
+    val skewed = AnnIndex.requantizeAdvice(spark, dir2)
+    assert(!skewed.knee, s"growth alone must not be the trigger here: $skewed")
+    assert(skewed.skewed && skewed.needed,
+      s"600 identical vectors in one cell must trip the skew bound: $skewed")
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(

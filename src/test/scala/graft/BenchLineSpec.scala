@@ -24,12 +24,33 @@ class BenchLineSpec extends AnyFunSuite {
       "realistic contended" ->
         names.zipWithIndex.map { case (n, i) => n -> (if (i % 4 == 0) 3.91 else 0.77) },
       "all failed" -> names.map(_ -> -1.0))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     for ((label, results) <- profiles) {
       val line = Bench.renderFitting(results, "sf0.1",
         repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45)
       assert(line.length < 2000,
         s"'$label' renders ${line.length} chars for ${names.size} queries — " +
           "the driver tail-captures 2000; shorten keys or values")
+      // whatever the degradation level — including the shed floor —
+      // the line stays valid JSON with the envelope the driver parses,
+      // and a partial query map always declares itself via "drop"
+      val tree = mapper.readTree(line)
+      assert(tree.get("metric").asText() == "total" && tree.get("failed") != null)
+      val qn = tree.get("queries").size()
+      if (qn < names.size)
+        assert(tree.get("drop").asInt() == names.size - qn,
+          s"'$label': partial map ($qn of ${names.size}) must declare its drop count")
+      val expectedFailed = results.count(_._2 < 0)
+      assert(tree.get("failed").asInt() == expectedFailed,
+        s"'$label': failed count must cover every query, shed or not")
+    }
+    // the shed floor is reserved for pathological profiles: the
+    // realistic shapes above level 3 must never drop an entry
+    for (label <- Seq("all sub-second", "realistic contended")) {
+      val line = Bench.renderFitting(profiles.toMap.apply(label), "sf0.1",
+        repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45)
+      assert(mapper.readTree(line).get("queries").size() == names.size,
+        s"'$label' must keep every entry in the map")
     }
     // idle-shaped runs (many fast entries, modest tail): renderFitting
     // must pick the finest UNIFORM level that fits the budget, or the

@@ -204,6 +204,96 @@ class RangeFetchSpec extends AnyFunSuite with SparkSpec {
     store
   }
 
+  test("streaming e2e: a reorg racing the FIRST range window falls back inside the run; store converges byte-identically") {
+    // The full loop for the mid-window reorg: the first micro-batch's
+    // single range partition (blocksPerBatch = logRangeSize = 10) races
+    // onto the fork after 8 of its 10 block fetches, with the raced
+    // heights 5-7 receiptless (log-silent on the fresh branch) — the
+    // parent-linkage fallback must fire INSIDE the streaming read and
+    // the store must land wholly on the post-race branch; afterwards
+    // the head advances on that branch and ingestion continues.
+    SimFetcherCounters.reset("e2e-race")
+    val headFile = Files.createTempFile("race-head", ".txt").toString
+    SimChainSource.writeHeadFile(headFile, 9, None)
+    val store = new ChainStore(spark,
+      Files.createTempDirectory("race-store").toString, bucketSize = 10)
+    val checkpoint = Files.createTempDirectory("race-ckpt").toString
+    val envelopes = spark.readStream.format("graft-simchain")
+      .option("headFile", headFile)
+      .option("blocksPerBatch", 10)
+      .option("fetchStrategy", "range")
+      .option("receiptlessBlocks", "5,6,7")
+      .option("raceForkAt", 5)
+      .option("raceAfterBlockCalls", 8)
+      .option("counterKey", "e2e-race")
+      .load()
+    val query = StreamingIngester.start(envelopes, store, checkpoint,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      query.processAllAvailable()
+      // the node is now durably on the fork branch; the head advances
+      SimChainSource.writeHeadFile(headFile, 16, Some(5L))
+      query.processAllAvailable()
+      assert(store.lastSyncedBlock.contains(16L))
+    } finally query.stop()
+
+    // ground truth: the same chain ingested over the N+1 path from a
+    // node that was on the fork branch all along
+    val wantStore = ingestWant(Some(5L), Set(5L, 6L, 7L))
+    for (table <- Seq("blocks", "transactions", "logs"))
+      assert(sortedRows(store.read(table).get) == sortedRows(wantStore.read(table).get),
+        s"table $table must converge byte-identically after the raced window's fallback")
+    // the fallback fired exactly once, for the raced window: per-tx
+    // receipts were fetched only there (blocks 0-9: sum of txCount),
+    // while every later window stayed on block-level statuses
+    assert(SimFetcherCounters.get("e2e-race", "transactionReceipt") ==
+      (0L to 9L).map(txCount).sum,
+      "per-tx receipts must come only from the raced window's N+1 fallback")
+    assert(SimFetcherCounters.get("e2e-race", "logsInRange") <= 4,
+      "log calls must stay O(ranges)")
+  }
+
+  test("streaming e2e: range strategy on a node WITHOUT eth_getBlockReceipts — logs ride ranges, statuses per tx") {
+    SimFetcherCounters.reset("e2e-nobr")
+    val viaReceipts = ingestScenario("receipts")
+    val viaRange = ingestScenario("range",
+      Map("noBlockReceipts" -> "true", "counterKey" -> "e2e-nobr"))
+    for (table <- Seq("blocks", "transactions", "logs"))
+      assert(sortedRows(viaRange.read(table).get) == sortedRows(viaReceipts.read(table).get),
+        s"table $table must be byte-identical on a receipts-method-absent node")
+    assert(SimFetcherCounters.get("e2e-nobr", "logsInRange") > 0 &&
+      SimFetcherCounters.get("e2e-nobr", "logsInRange") <= 8,
+      "logs must ride O(ranges) eth_getLogs calls")
+    assert(SimFetcherCounters.get("e2e-nobr", "blockReceiptStatuses") == 0,
+      "the node has no eth_getBlockReceipts to call")
+    assert(SimFetcherCounters.get("e2e-nobr", "transactionReceipt") > 0,
+      "statuses must arrive through the per-tx fallback")
+  }
+
+  /** An N+1-strategy ingest of the canonical-then-fork chain — the
+    * ground-truth store the raced-range run must converge to. */
+  private def ingestWant(forkAt: Option[Long], receiptless: Set[Long]): ChainStore = {
+    val headFile = Files.createTempFile("race-want-head", ".txt").toString
+    SimChainSource.writeHeadFile(headFile, 9, forkAt)
+    val store = new ChainStore(spark,
+      Files.createTempDirectory("race-want-store").toString, bucketSize = 10)
+    val checkpoint = Files.createTempDirectory("race-want-ckpt").toString
+    val envelopes = spark.readStream.format("graft-simchain")
+      .option("headFile", headFile)
+      .option("blocksPerBatch", 10)
+      .option("receiptlessBlocks", receiptless.mkString(","))
+      .load()
+    val query = StreamingIngester.start(envelopes, store, checkpoint,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      query.processAllAvailable()
+      SimChainSource.writeHeadFile(headFile, 16, forkAt)
+      query.processAllAvailable()
+      assert(store.lastSyncedBlock.contains(16L))
+    } finally query.stop()
+    store
+  }
+
   test("streaming e2e: range-strategy store is byte-identical to the receipt-strategy store") {
     val viaReceipts = ingestScenario("receipts")
     val viaRange = ingestScenario("range", Map("rangeNoise" -> "true"))

@@ -40,6 +40,116 @@ class RpcChainSourceSpec extends AnyFunSuite with SparkSpec {
     } finally node.close()
   }
 
+  /** A node that answers every call with the next canned RAW body —
+    * the adversarial-input seam [[StubRpcNode]] (which always encodes
+    * honestly) cannot provide. */
+  private final class RawRpcStub(bodies: String*) extends AutoCloseable {
+    private val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    bodies.foreach(queue.add)
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val body = Option(queue.poll()).getOrElse("""{"jsonrpc":"2.0","id":1,"result":null}""")
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+
+  private def fuzzCall[T](bodies: Seq[String])(op: graft.sources.ChainFetcher => T): T = {
+    val node = new RawRpcStub(bodies: _*)
+    try {
+      val f = RpcFetcherConf(node.url).open()
+      try op(f) finally f.close()
+    } finally node.close()
+  }
+
+  test("wire fuzz: truncated / wrong-typed / member-less responses throw the retryable category — never parse as zeros") {
+    import java.io.IOException
+    // truncated JSON mid-object → parse error (an IOException subclass)
+    intercept[IOException] {
+      fuzzCall(Seq("""{"jsonrpc":"2.0","id":1,"res"""))(_.blockNumber())
+    }
+    // a response with NEITHER result NOR error: malformed, must throw —
+    // not read as the legitimate result:null absence signal
+    intercept[IOException] {
+      fuzzCall(Seq("""{"jsonrpc":"2.0","id":1}"""))(_.blockWithTxs(0L))
+    }
+    // wrong-typed quantity (object where a hex string belongs): asText
+    // would render "" and hexToLong would read 0 — a silently corrupted
+    // block number. Must throw instead.
+    intercept[IOException] {
+      fuzzCall(Seq("""{"jsonrpc":"2.0","id":1,"result":{}}"""))(_.blockNumber())
+    }
+    intercept[IOException] {
+      fuzzCall(Seq(
+        """{"jsonrpc":"2.0","id":1,"result":{"number":{},"hash":"0xabc","parentHash":"0xdef","timestamp":"0x1","transactions":[]}}"""
+      ))(_.blockWithTxs(0L))
+    }
+    // wrong-typed OPTIONAL field (receipt.status as an array): present
+    // but malformed must throw, while absent stays the legal None
+    intercept[IOException] {
+      fuzzCall(Seq(
+        """{"jsonrpc":"2.0","id":1,"result":{"status":[1],"logs":[]}}"""
+      ))(_.transactionReceipt("0x" + "a" * 64))
+    }
+    val preByzantium = fuzzCall(Seq(
+      """{"jsonrpc":"2.0","id":1,"result":{"logs":[]}}"""
+    ))(_.transactionReceipt("0x" + "a" * 64))
+    assert(preByzantium.exists(_.status.isEmpty),
+      "a receipt without a status member is the legal pre-Byzantium shape")
+    // numeric instead of hex-string quantity: Ethereum's wire is
+    // strings-only — a number here is a lying node, not a dialect
+    intercept[IOException] {
+      fuzzCall(Seq("""{"jsonrpc":"2.0","id":1,"result":12345}"""))(_.blockNumber())
+    }
+    // and a legal result still parses right after all that hardening
+    assert(fuzzCall(Seq("""{"jsonrpc":"2.0","id":1,"result":"0x10"}"""))(_.blockNumber()) == 16L)
+  }
+
+  test("range-log alignment fuzz: duplicate logIndex and cross-height hash collisions cannot corrupt envelopes") {
+    import graft.sources.{WireRangeLog, SimFetcherConf}
+    // build the honest envelopes for [0,3], then replay rangeEnvelopes
+    // against a fetcher whose logsInRange is adversarially decorated
+    val clean = {
+      val f = SimFetcherConf(None, 0L, Set.empty, Set.empty).open()
+      try ChainFetch.rangeEnvelopes(f, 0L, 3L, 3, 1, 10) finally f.close()
+    }
+    final class EvilFetcher extends graft.sources.ChainFetcher {
+      private val inner = SimFetcherConf(None, 0L, Set.empty, Set.empty).open()
+      override def blockNumber(): Long = inner.blockNumber()
+      override def blockWithTxs(n: Long) = inner.blockWithTxs(n)
+      override def transactionReceipt(h: String) = inner.transactionReceipt(h)
+      override def blockReceiptStatuses(n: Long) = inner.blockReceiptStatuses(n)
+      override def logsInRange(from: Long, to: Long): Seq[WireRangeLog] = {
+        val real = inner.logsInRange(from, to)
+        val b3 = SimChain.blockOn(3L, None)
+        val victimTx = b3.transactions.head.tx_hash
+        // (a) duplicate logIndex with CONFLICTING payload: the honest
+        //     copy arrives first, the forgery second — dedup must keep
+        //     the first, deterministically
+        val forged = real.filter(l => l.blockNumber == 3L && l.txHash == victimTx)
+          .map(_.copy(address = "0xforged", data = "0xevil"))
+        // (b) cross-height hash collision: block 1's logs re-served
+        //     claiming block 3's HASH at height 1 — without the height
+        //     in the alignment key these would merge into block 3's
+        //     envelope through its (hash, tx) key
+        val collided = real.filter(_.blockNumber == 1L)
+          .map(l => l.copy(blockHash = b3.block_hash, txHash = victimTx))
+        real ++ forged ++ collided
+      }
+      override def close(): Unit = inner.close()
+    }
+    val evil = new EvilFetcher
+    val got = try ChainFetch.rangeEnvelopes(evil, 0L, 3L, 3, 1, 10) finally evil.close()
+    assert(got == clean,
+      "forged duplicates and cross-height hash collisions must vanish in alignment")
+  }
+
   test("streaming e2e over the RPC wire: bounded batches, block+receipt retries, fork recovery") {
     val headFile = Files.createTempFile("rpc-head", ".txt").toString
     SimChainSource.writeHeadFile(headFile, 9, None)

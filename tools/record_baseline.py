@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Record the per-query contract envelope BASELINE_BENCH.json: run
+graft.Bench N times (idle box expected) and take the ELEMENTWISE MIN
+across runs — the least-contended observation per query, the same
+logic Bench's min-of-repeats applies within a run, applied across
+runs.
+
+Usage: python3 tools/record_baseline.py [--runs 3] [--sf /root/testdata/sf0.1]
+                                        [--out BASELINE_BENCH.json]
+                                        [--repeats 4]
+
+Refuses to record if any run reports failures or the box looks
+contended (l0/l1 above 2), so a bad envelope can't silently become
+the contract.
+"""
+import argparse, json, os, subprocess, sys
+
+
+def one_run(sf, repeats):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf,
+               SPARK_GRAFT_BENCH_REPEATS=str(repeats))
+    rc = subprocess.call(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    if rc != 0:
+        sys.exit(f"[baseline] bench exited rc={rc}")
+    with open("target/bench.json") as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="BASELINE_BENCH.json")
+    ap.add_argument("--repeats", type=int, default=4)
+    args = ap.parse_args()
+
+    envelope = {}
+    meta = []
+    for i in range(args.runs):
+        d = one_run(args.sf, args.repeats)
+        if d["failed"]:
+            sys.exit(f"[baseline] run {i}: {d['failed']} queries failed — not recording")
+        l0, l1 = float(d.get("l0", 0)), float(d.get("l1", 0))
+        if max(l0, l1) > 2.0 + args.repeats:  # the bench itself raises load
+            print(f"[baseline] WARNING run {i}: load l0={l0} l1={l1} — contended?")
+        meta.append({"total": d["value"], "l0": l0, "l1": l1})
+        for k, v in d["queries"].items():
+            envelope[k] = min(envelope.get(k, v), v)
+        print(f"[baseline] run {i}: total {d['value']:.1f}s (l0={l0}, l1={l1})")
+
+    out = {
+        "metric": "total",
+        "value": round(sum(envelope.values()), 1),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in sorted(envelope.items())},
+        "sf": os.path.basename(args.sf),
+        "envelope_of_runs": args.runs,
+        "repeats_per_run": args.repeats,
+        "runs": meta,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[baseline] wrote {args.out}: {len(envelope)} queries, "
+          f"envelope total {out['value']}s")
+
+
+if __name__ == "__main__":
+    main()
