@@ -489,4 +489,104 @@ object Curation {
       .filter(col("status").isNotNull)
       .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
   }
+
+  /** DSIR-style hashed-feature distribution: the add-one-smoothed
+    * bucket frequencies of a corpus's tokens over `dim` md5 buckets
+    * ([[TextAnalysis.featBucket]] — the classifier's feature space),
+    * in integer parts-per-million: `ppm_b = (count_b + 1)·10⁶ div
+    * (total + dim)`. The table is exactly `dim` rows (absent buckets
+    * carry the smoothed floor), storable beside the corpus like
+    * [[TextAnalysis.commonnessRef]], and is the model half of
+    * importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate the target
+    * and raw feature distributions once, then score any batch against
+    * the two stored tables.
+    *
+    * Integer contract: ppm arithmetic is overflow-safe to ~9·10^12
+    * token occurrences; a bucket whose smoothed ppm floors to 0 (a
+    * corpus past 10⁶ tokens with a near-empty bucket) is
+    * well-defined downstream — the magnitude measure `length(bin(x))`
+    * gives 0 and 1 the same magnitude in both engines.
+    *
+    * Scale: one map-side-combined bucket count (tokens shuffle only
+    * as dim-bounded partials), a `dim`-row left join to fill absent
+    * buckets, one bounded total. */
+  /** The hashed-feature stream (doc_id, lang, bucket) every DSIR leg
+    * consumes — tokenize + md5-hash ONCE per session via the shared
+    * cache: the target distribution (a lang filter of it), the raw
+    * distribution, and the scoring probe are all projections of this
+    * one materialization (the [[TextAnalysis.sharedBigramRows]]
+    * pattern; without it the family pays ~5 tokenize scans per
+    * query). */
+  def sharedFeatureRows(docs: DataFrame, dim: Int = 1024): DataFrame =
+    SharedCaches.shared(
+      docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.featBucket(col("token"), dim).as("bucket")),
+      "curation")
+
+  def dsirBucketPpm(docs: DataFrame, dim: Int = 1024,
+                    bucketRows: Option[DataFrame] = None): DataFrame = {
+    val bk = bucketRows.getOrElse(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(TextAnalysis.featBucket(col("token"), dim).as("bucket")))
+    val counts = bk.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    // the total token count IS the sum of the dim-bounded bucket
+    // counts — one bounded aggregate over ≤dim rows, never a second
+    // corpus scan (empty corpus → 0, the smoothing floor still holds)
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+      .collect()(0).getLong(0)
+    docs.sparkSession.range(dim).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("bucket"),
+        expr(s"((c + 1) * 1000000) div (${total}L + $dim)").as("ppm"))
+  }
+
+  /** Per-document DSIR importance score against stored target/raw
+    * feature distributions: `Σ_tokens (log₂⌊p_ppm⌋ − log₂⌊q_ppm⌋)`,
+    * with the integer floor-log₂ computed as `length(bin(x))` — the
+    * binary-digit count, bit-identical in Spark and DuckDB, so the
+    * whole importance weight is engine-exact where the textbook
+    * log-ratio would drift on libm rounding. High = the document's
+    * hashed features look more like the TARGET corpus than like the
+    * raw pool — the signal DSIR resamples on.
+    *
+    * Scale: the batch explodes to tokens (map-only), probes two
+    * `dim`-row broadcasts, and aggregates per doc with map-side
+    * combine — O(batch) with stored distributions, the
+    * commonness/classifier serving shape. */
+  def importanceWeights(raw: DataFrame, targetPpm: DataFrame,
+                        rawPpm: DataFrame, dim: Int = 1024,
+                        bucketRows: Option[DataFrame] = None): DataFrame =
+    bucketRows.map(_.select(col("doc_id"), col("bucket"))).getOrElse(
+        raw.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .withColumn("bucket", TextAnalysis.featBucket(col("token"), dim))
+          .select(col("doc_id"), col("bucket")))
+      .join(broadcast(targetPpm.select(col("bucket"), col("ppm").as("p_ppm"))), Seq("bucket"))
+      .join(broadcast(rawPpm.select(col("bucket"), col("ppm").as("q_ppm"))), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((length(bin(col("p_ppm"))) - length(bin(col("q_ppm"))))
+          .cast("long")).as("dsir_score"))
+
+  /** The selection step: keep the `topN` raw documents most
+    * target-like by importance score (desc, doc_id tiebreak), with
+    * their metadata. TopN is driver-bounded; a production variant
+    * thresholds on score instead (same plan minus the limit) or
+    * samples Gumbel-perturbed scores — the ranking this computes is
+    * the input to either. */
+  def importanceResample(raw: DataFrame, targetPpm: DataFrame,
+                         rawPpm: DataFrame, topN: Int,
+                         dim: Int = 1024,
+                         bucketRows: Option[DataFrame] = None): DataFrame = {
+    val w = importanceWeights(raw, targetPpm, rawPpm, dim, bucketRows)
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(topN)
+    raw.join(w, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("dsir_score"))
+  }
 }

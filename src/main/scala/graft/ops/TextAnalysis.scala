@@ -568,12 +568,20 @@ object TextAnalysis {
     * md5 calls inside whole-stage codegen. The groupBy partial-aggregates
     * map-side, so the exploded token rows never cross the network —
     * the shuffle carries one partial (sum, count) per doc per mapper. */
+  /** The engine-wide hashed-feature bucket: first 8 md5 hex chars of
+    * "feat:"+token, mod dim — non-negative, codegen'd, and mirrored
+    * verbatim by every oracle that consumes it (classifier, DSIR).
+    * ONE owner so the classifier and the importance-resampling family
+    * can never drift onto different feature spaces. */
+  def featBucket(t: Column, dim: Int): Column =
+    conv(substring(md5(concat(lit("feat:"), t)), 1, 8), 16, 10)
+      .cast("long") % dim
+
   def classifierScore(docs: DataFrame, dim: Int = 1024): DataFrame = {
-    // bucket(t) = first 8 md5 hex chars of "feat:"+t, mod dim (non-negative)
-    // weight(b) = first 8 md5 hex chars of "w:"+b, centered on 2^31
+    // bucket(t) = featBucket; weight(b) = first 8 md5 hex chars of
+    // "w:"+b, centered on 2^31
     def weight(t: Column): Column = {
-      val bucket = conv(substring(md5(concat(lit("feat:"), t)), 1, 8), 16, 10)
-        .cast("long") % dim
+      val bucket = featBucket(t, dim)
       conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8), 16, 10)
         .cast("long") - 2147483648L
     }

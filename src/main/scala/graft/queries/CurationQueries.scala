@@ -81,6 +81,31 @@ object CurationQueries {
     // snapshot bookkeeping: old = docs without the %7 residue, new =
     // docs without the %5 residue with %13 texts rewritten — yielding
     // all three statuses deterministically from the one fixture
+    // DSIR importance weights: target = the English slice, raw = the
+    // full pool; both hashed-feature distributions (storable dim-row
+    // tables) and the integer floor-log2 score are mirrored verbatim
+    // in the oracle — the whole selection signal is hash-checked
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val fb = Curation.sharedFeatureRows(docs)
+      Curation.importanceWeights(docs,
+          Curation.dsirBucketPpm(docs, bucketRows = Some(fb.filter(col("lang") === "en"))),
+          Curation.dsirBucketPpm(docs, bucketRows = Some(fb)),
+          bucketRows = Some(fb))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ...and the selection step: the 100 most target-like documents
+    "dsir_resample" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val fb = Curation.sharedFeatureRows(docs)
+      Curation.importanceResample(docs,
+          Curation.dsirBucketPpm(docs, bucketRows = Some(fb.filter(col("lang") === "en"))),
+          Curation.dsirBucketPpm(docs, bucketRows = Some(fb)),
+          topN = 100, bucketRows = Some(fb))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_snapshot_diff" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val old = docs.filter(col("doc_id") % 7 =!= 0)
@@ -135,6 +160,35 @@ object CurationQueries {
     * Scala's left-to-right Σx² literal; ROW_NUMBER over (score, cell)
     * = argmin with first-position tie-break, identical to Spark's
     * array_position-over-min. */
+  /** Shared DSIR CTEs: hashed-feature buckets over the token stream
+    * (the classifier's md5 feature space, mirrored verbatim), add-one
+    * smoothed ppm distributions for the target (lang='en') and raw
+    * pools over the FULL range(1024), and the per-doc floor-log2
+    * importance score — `length(bin(x))` is the same binary-digit
+    * count in both engines. */
+  private lazy val dsirCte: String =
+    """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |bk AS (SELECT doc_id, lang,
+      |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % 1024 AS bucket FROM tk),
+      |tt AS (SELECT count(*) AS c FROM bk WHERE lang = 'en'),
+      |rt AS (SELECT count(*) AS c FROM bk),
+      |tp AS (SELECT r.range AS bucket,
+      |  ((coalesce(c.c, 0) + 1) * 1000000) // ((SELECT c FROM tt) + 1024) AS p_ppm
+      |  FROM range(1024) r LEFT JOIN
+      |    (SELECT bucket, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY bucket) c
+      |    ON r.range = c.bucket),
+      |qp AS (SELECT r.range AS bucket,
+      |  ((coalesce(c.c, 0) + 1) * 1000000) // ((SELECT c FROM rt) + 1024) AS q_ppm
+      |  FROM range(1024) r LEFT JOIN
+      |    (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket) c
+      |    ON r.range = c.bucket),
+      |sc AS (SELECT bk.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(length(bin(tp.p_ppm)) - length(bin(qp.q_ppm))) AS BIGINT) AS dsir_score
+      |  FROM bk JOIN tp USING (bucket) JOIN qp USING (bucket)
+      |  GROUP BY bk.doc_id)
+      |""".stripMargin
+
   private lazy val semdedupCte: String =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
@@ -252,6 +306,19 @@ object CurationQueries {
         |SELECT vec_id, cell FROM asg
         |WHERE NOT EXISTS (SELECT 1 FROM pruned WHERE pruned.id_b = asg.vec_id)
         |ORDER BY vec_id""".stripMargin),
+
+    // every stage mirrored: md5 feature buckets, add-one-smoothed ppm
+    // over the FULL range(dim) (absent buckets carry the floor), and
+    // the floor-log2 magnitude as length(bin(x)) — identical binary
+    // rendering in both engines, including bin(0) = '0'
+    "dsir_weights" -> (dsirCte +
+      """SELECT doc_id, n_tokens, dsir_score FROM sc ORDER BY doc_id""".stripMargin),
+
+    "dsir_resample" -> (dsirCte +
+      """, top AS (SELECT doc_id, n_tokens, dsir_score FROM sc
+        |  ORDER BY dsir_score DESC, doc_id ASC LIMIT 100)
+        |SELECT d.doc_id, d.lang, d.source, t.n_tokens, t.dsir_score
+        |FROM documents d JOIN top t USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
     "corpus_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 7 <> 0),

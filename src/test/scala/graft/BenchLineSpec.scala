@@ -77,21 +77,22 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("past level 2 the degradation is per-entry: the hottest sub-second entries keep decimals") {
-    // the next-rounds'-growth regime: the REAL registry plus synthetic
-    // additions until uniform level 2 overflows the budget — then
-    // renderFitting must go adaptive, not cliff to all-integers.
-    // values: a 1.43 s band (integers at level 2 regardless), a warm
-    // 0.77 band, a 0.31 noise floor
+    // the adaptive regime between uniform level 2 and the shed floor,
+    // tested at a DERIVED budget (the all-integer floor's length plus
+    // a partial upgrade allowance) so the test tracks registry growth
+    // instead of hunting for an overflow point that may now land in
+    // the shed regime. values: a 1.43 s band (integers at level 2
+    // regardless), a warm 0.77 band, a 0.31 noise floor
     def valueOf(i: Int) = if (i % 6 == 0) 1.43 else if (i % 6 == 1) 0.77 else 0.31
-    def mk(extra: Int) = (names ++ (0 until extra).map(i => f"synthetic_extra_$i%02d"))
-      .zipWithIndex.map { case (n, i) => n -> valueOf(i) }
-    val results = Iterator.from(1)
-      .map(mk)
-      .find(r => Bench.renderLine(r, "sf0.1", 2, false, 0.5, 0.6, level = 2).length > 1990)
-      .get
-    val line = Bench.renderFitting(results, "sf0.1",
-      repeats = 2, contended = false, loadStart = 0.5, loadEnd = 0.6)
-    assert(line.length <= 1990, s"adaptive line must fit, got ${line.length}")
+    val results = names.zipWithIndex.map { case (n, i) => n -> valueOf(i) }
+    val floorLen = Bench.renderLine(results, "sf0.1", 2, false, 0.5, 0.6, level = 3).length
+    // each upgraded sub-second entry costs +2 chars ("0.8" vs "1"):
+    // this budget admits ~20 upgrades, far fewer than the sub-second
+    // population — squarely the partial-upgrade regime
+    val budget = floorLen + 40
+    val line = Bench.renderAdaptive(results, "sf0.1",
+      repeats = 2, contended = false, loadStart = 0.5, loadEnd = 0.6, budget = budget)
+    assert(line.length <= budget, s"adaptive line must fit, got ${line.length} for $budget")
     // valid JSON end to end (the driver json.loads this line)
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     val qs = tree.get("queries")
@@ -115,7 +116,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(rendered.exists { case (v, s) => v == 0.77 && s == "0.8" },
       "at least the hottest sub-second entries must keep their decimal")
     // determinism: same inputs, same line
-    assert(line == Bench.renderFitting(results, "sf0.1", 2, false, 0.5, 0.6))
+    assert(line == Bench.renderAdaptive(results, "sf0.1", 2, false, 0.5, 0.6, budget))
   }
 
   test("ms formatting stays compact and driver-parseable at every level") {

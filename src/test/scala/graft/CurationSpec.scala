@@ -652,4 +652,42 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(idsFp == ids.map(docH).reduce(_ ^ _), s"shard $shard fingerprint")
     }
   }
+
+  test("DSIR importance: identical target/raw scores 0 everywhere; an English target ranks English up") {
+    import graft.ops.Curation
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    // invariant 1: target == raw → p_ppm == q_ppm bucket for bucket →
+    // every log-ratio term is 0 and every document scores exactly 0
+    val pool = Curation.dsirBucketPpm(docs)
+    val self = Curation.importanceWeights(docs, pool, pool).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Long]("dsir_score") == 0L),
+      "importance against the corpus's own distribution must be identically 0")
+    // invariant 2: the distribution table is exactly dim rows and
+    // smoothed ppm mass ~ 1e6 (floor losses only)
+    val ppm = pool.collect()
+    assert(ppm.length == 1024)
+    val mass = ppm.map(_.getAs[Long]("ppm")).sum
+    assert(mass > 900000L && mass <= 1000000L, s"smoothed ppm mass $mass")
+    // validity: with the English slice as target, English documents
+    // must outscore the non-Latin slice on average — the signal DSIR
+    // actually selects on (language here is a stand-in for any
+    // target-vs-pool distribution shift)
+    val scored = Curation.importanceWeights(docs,
+        Curation.dsirBucketPpm(docs.filter(col("lang") === "en")), pool)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("dsir_score"))
+    def mean(l: String) = { val v = scored.filter(_._1 == l).map(_._2); v.sum.toDouble / v.length }
+    assert(mean("en") > mean("zh"),
+      s"en mean ${mean("en")} must exceed zh mean ${mean("zh")} under an en target")
+    // the resample step keeps the top-N by (score desc, id): verify
+    // against an independent sort of the full weight set
+    val full = Curation.importanceWeights(docs,
+        Curation.dsirBucketPpm(docs.filter(col("lang") === "en")), pool)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dsir_score")))
+    val expectIds = full.sortBy { case (id, s) => (-s, id) }.take(50).map(_._1).toSet
+    val got = Curation.importanceResample(docs,
+        Curation.dsirBucketPpm(docs.filter(col("lang") === "en")), pool, topN = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expectIds, "resample must keep exactly the top-N by (score, id)")
+  }
 }
