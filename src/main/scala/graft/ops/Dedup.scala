@@ -489,6 +489,34 @@ object Dedup {
       .select(col("doc_id"), col("cluster_size"))
   }
 
+  /** [[applyNearDedup]] with a caller-supplied survivor METRIC: each
+    * cluster keeps its best member by (metric desc, doc_id asc)
+    * instead of the arbitrary min-id — the production rule when a
+    * quality signal exists (near-dup crawl copies differ in
+    * boilerplate/truncation, and keeping the best-scoring copy is the
+    * point of having scored them). `scored` is (doc_id, metric) —
+    * e.g. [[TextAnalysis.quality]]'s `quality_score_bp`, or a stored
+    * model's score table.
+    *
+    * Scale: identical label propagation to [[applyNearDedup]] (same
+    * shared checkpoint cut), one metric join, and a per-CLUSTER window
+    * (never global — clusters are near-dup groups, bounded in
+    * practice; a pathological mega-cluster is a dedup-threshold
+    * problem before it is a window problem). */
+  def applyNearDedupBy(docs: DataFrame, pairs: DataFrame, scored: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    val labels = clusterLabels(docs, pairs, iters)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("metric").desc, col("doc_id").asc)
+    labels.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("metric"))
+  }
+
   /** SimHash near-dup on md5-derived 60-bit hashes — the
     * differentially-testable twin of [[simhashPairs]]. The native
     * murmur [[graft.functions.SimHash64]] is the fast path (one

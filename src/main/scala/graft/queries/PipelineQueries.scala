@@ -278,6 +278,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ...and the survivor rule a production pipeline actually wants:
+    // each cluster keeps its BEST-quality member (metric desc, id
+    // tiebreak), not the arbitrary min-id
+    "dedup_apply_best" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Dedup.applyNearDedupBy(docs, Dedup.sharedMinhashPairs(docs),
+          TextAnalysis.quality(docs)
+            .select(col("doc_id"), col("quality_score_bp").as("metric")))
+        .orderBy(col("doc_id"))
+    }),
+
     // the curation story end to end, as ONE declarative plan: keep
     // each near-dup cluster's representative, gate on quality, tag
     // language — what a corpus-prep user actually runs. Catalyst fuses
@@ -461,6 +472,17 @@ object PipelineQueries {
 
     "dedup_apply" -> (survCte +
       """SELECT doc_id, cluster_size FROM surv ORDER BY doc_id""".stripMargin),
+
+    // same 3-round labels; the survivor is the best-quality member
+    // per cluster (metric desc, doc_id asc) instead of doc_id==cluster
+    "dedup_apply_best" -> (survCte + qualityLangCte +
+      """, ranked AS (SELECT l3.doc_id, l3.cluster, sizes.cluster_size,
+        |  cq.quality_score_bp AS metric,
+        |  row_number() OVER (PARTITION BY l3.cluster
+        |    ORDER BY cq.quality_score_bp DESC, l3.doc_id ASC) AS rn
+        |  FROM l3 JOIN cq USING (doc_id) JOIN sizes ON sizes.cluster = l3.cluster)
+        |SELECT doc_id, cluster, cluster_size, metric FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     // The incremental form never builds the corpus self-join, but its
     // OUTPUT contract is exactly the full pair set restricted to pairs

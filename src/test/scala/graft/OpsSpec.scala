@@ -269,6 +269,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       statsRef = Some(TextAnalysis.bm25StatsRef(d).limit(0))).collect().isEmpty)
   }
 
+  test("applyNearDedupBy keeps each cluster's best-metric member; ties fall to min id; singletons survive") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 10L), (2L, 50L), (3L, 7L), (4L, 7L), (5L, 3L))
+      .toDF("doc_id", "metric")
+    val got = graft.ops.Dedup.applyNearDedupBy(d, pairs, scored)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"), r.getAs[Long]("metric"))))
+      .toMap
+    assert(got == Map(
+      2L -> ((1L, 2L, 50L)), // best metric wins over the min-id rule
+      3L -> ((3L, 2L, 7L)),  // metric tie -> min doc_id
+      5L -> ((5L, 1L, 3L))), // singleton survives as its own cluster
+      s"got $got")
+  }
+
   test("searchBm25 survives planet-scale stats without Long overflow (forged N=10^12 refs)") {
     // The stored-ref seam lets the scorer run against corpus stats far
     // beyond what a fixture can materialize. N=10^12, df=1, tf=50 is
