@@ -36,12 +36,23 @@ final case class TransactionInfo(
   * missing rows are `None` (its 400/404, `src/api.rs:65-74,342-346`);
   * only real failures throw (its 500).
   *
-  * Serving caveat (SURVEY §7.4): Spark job-launch latency makes this a
-  * batch-analytics surface, not a sub-millisecond point-lookup store —
-  * callers needing the reference's indexed-lookup latency put these
-  * DataFrames behind `.cache()` or a key-value projection.
+  * Serving caveat (SURVEY §7.4): Spark job-launch latency makes a
+  * COLD lookup ~100 ms regardless of scan pruning — inherent to the
+  * engine choice. Repeats are a different story: the optional
+  * [[LookupCache]] (default-on in both factories) answers a repeated
+  * point lookup in-process with zero Spark jobs, invalidating
+  * wholesale whenever the backing store's mutation version moves
+  * (append or reorg rollback — a rollback can change the answer at an
+  * existing height, so per-key invalidation would be wrong).
   */
-final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) {
+final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
+                   cache: Option[LookupCache] = None) {
+
+  private def memo[T](kind: String, key: String)(compute: => T): T =
+    cache match {
+      case Some(c) => c.getOrCompute(kind, key)(compute)
+      case None => compute
+    }
 
   /** `GET /stats` (`src/api.rs:242-267`). */
   def stats(): IndexerStats = {
@@ -58,7 +69,7 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
 
   /** `GET /block/{identifier}` (`src/api.rs:284-320`): 0x-hash or
     * decimal height; None = 404 (or 400 on an unparsable identifier). */
-  def block(identifier: String): Option[BlockInfo] =
+  def block(identifier: String): Option[BlockInfo] = memo("block", identifier.toLowerCase) {
     Lookups.blockByIdentifier(blocks, identifier)
       .flatMap(_.collect().headOption).map { r =>
         def get[T](name: String): Option[T] =
@@ -71,9 +82,10 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
           get[String]("gas_limit"), get[String]("base_fee_per_gas"),
           get[Long]("tx_count"))
       }
+  }
 
   /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). */
-  def transaction(txHash: String): Option[TransactionInfo] =
+  def transaction(txHash: String): Option[TransactionInfo] = memo("tx", txHash.toLowerCase) {
     Lookups.txByHash(transactions, txHash)
       .flatMap(_.collect().headOption).map { r =>
         def get[T](name: String): Option[T] =
@@ -88,22 +100,49 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame) 
           get[String]("max_fee_per_gas"), get[String]("max_priority_fee_per_gas"),
           get[String]("input_data"), get[Long]("nonce"), get[Long]("status"))
       }
+  }
 }
 
 object EvmApi {
-  /** Facade over the derived fixture tables. */
+  /** Facade over the derived fixture tables — immutable source, so the
+    * lookup memo never needs invalidating (version constant). */
   def onFixtures(spark: SparkSession, sfDir: String): EvmApi =
     new EvmApi(
       graft.evm.EvmDerive.blocks(spark, sfDir),
       graft.evm.EvmDerive.transactions(spark, sfDir),
-      graft.evm.EvmDerive.logs(spark, sfDir))
+      graft.evm.EvmDerive.logs(spark, sfDir),
+      Some(new LookupCache()))
 
   /** Facade over an ingested [[graft.ingest.ChainStore]] — the serving
-    * side of the reference's concurrent ingest+serve design (I-13). */
+    * side of the reference's concurrent ingest+serve design (I-13).
+    * The lookup memo invalidates on the store's in-process mutation
+    * version, so a reorg rollback is visible on the very next
+    * request. */
   def onStore(store: graft.ingest.ChainStore): Option[EvmApi] =
+    onStoreWith(store, new LookupCache(version = () => store.mutationCount))
+
+  private def onStoreWith(store: graft.ingest.ChainStore,
+                          cache: LookupCache): Option[EvmApi] =
     for {
       b <- store.read("blocks")
       t <- store.read("transactions")
       l <- store.read("logs")
-    } yield new EvmApi(b, t, l)
+    } yield new EvmApi(b, t, l, Some(cache))
+
+  /** The live-serving provider for [[RestServer]]: a FRESH facade per
+    * request (fresh parquet listing, so appends and rollback rewrites
+    * are visible — a fixed DataFrame freezes its file index at
+    * construction) sharing ONE version-aware lookup memo across
+    * requests. Without the shared memo, per-request facades would
+    * each allocate a cold cache and the repeat-lookup win would
+    * never materialize. Throws if the store has no tables yet —
+    * serve after the first committed batch, like the reference's API
+    * server over an initialized schema. */
+  def providerOnStore(store: graft.ingest.ChainStore,
+                      cache: LookupCache): () => EvmApi =
+    () => onStoreWith(store, cache).getOrElse(
+      throw new IllegalStateException("chain store has no tables yet"))
+
+  def providerOnStore(store: graft.ingest.ChainStore): () => EvmApi =
+    providerOnStore(store, new LookupCache(version = () => store.mutationCount))
 }

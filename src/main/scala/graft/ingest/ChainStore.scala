@@ -299,8 +299,18 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * existing-keys anti-join scans only the block range the batch
     * touches (partition pruning on bucket), so the append cost is
     * O(batch), not O(store). */
+  /** In-process mutation version: bumped by every call that can change
+    * a QUERY ANSWER ([[append]], [[rollback]]) — the invalidation
+    * signal a co-located serving cache ([[graft.api.LookupCache]])
+    * keys its entries on. Compaction rewrites bytes, not answers, and
+    * does not bump. Cross-process readers see no signal (the counter
+    * is this JVM's) and must serve uncached. */
+  def mutationCount: Long = mutations.get()
+  private val mutations = new java.util.concurrent.atomic.AtomicLong()
+
   def append(blocks: DataFrame, transactions: DataFrame, logs: DataFrame): Unit = {
     ensureWriteLock()
+    mutations.incrementAndGet(): Unit
     val dfs = Map("blocks" -> blocks, "transactions" -> transactions, "logs" -> logs)
     dfs.foreach { case (t, incoming) =>
       ensureRecovered(t)
@@ -337,6 +347,7 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
     * across all tables, children first (`src/db.rs:34-50`). */
   def rollback(forkHeight: Long): Unit = {
     ensureWriteLock()
+    mutations.incrementAndGet(): Unit
     val forkBucket = forkHeight / bucketSize
     // children first: logs, transactions, then blocks
     Seq("logs", "transactions", "blocks").foreach { t =>

@@ -53,6 +53,53 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
     assert(page.nextCursorBlock.isDefined && page.nextCursorLogId.isDefined)
   }
 
+  test("repeated point lookups are memoized: identical result, zero Spark jobs on the repeat") {
+    val cache = new graft.api.LookupCache()
+    val api = new EvmApi(EvmDerive.blocks(spark, sfDir),
+      EvmDerive.transactions(spark, sfDir), EvmDerive.logs(spark, sfDir),
+      Some(cache))
+    val first = api.block("42")
+    assert(first.isDefined && cache.misses == 1 && cache.hits == 0)
+    // job-count proof: run the repeat inside its own job group — a
+    // memoized answer must launch NOTHING there
+    spark.sparkContext.setJobGroup("lookup-repeat", "repeat probe")
+    val again = try api.block("42") finally spark.sparkContext.clearJobGroup()
+    assert(again == first && cache.hits == 1)
+    // status-tracker attribution is async; give it time, then require
+    // the repeat group stayed empty
+    Thread.sleep(500)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup("lookup-repeat").isEmpty,
+      "a memoized repeat must launch zero Spark jobs")
+    // hash keys canonicalize: upper/lowercase hit the same entry
+    val hash = first.get.blockHash
+    assert(api.block(hash) == first)
+    assert(api.block(hash.toUpperCase.replace("0X", "0x")).isDefined)
+    // negative results memoize too — the 404-for-unmined-hash repeat
+    assert(api.block("999999999").isEmpty)
+    val missesBefore = cache.misses
+    assert(api.block("999999999").isEmpty)
+    assert(cache.misses == missesBefore, "a repeated 404 must hit the memo")
+  }
+
+  test("store-backed provider: memo shared across request facades, invalidated by a reorg") {
+    import spark.implicits._
+    val store = new ChainStore(spark, Files.createTempDirectory("apicache").toString, 10)
+    StreamingIngester.processBatch(store, SimChain.canonical(12).toDF())
+    val cache = new graft.api.LookupCache(version = () => store.mutationCount)
+    val p = EvmApi.providerOnStore(store, cache)
+    val before = p().block("8").get
+    assert(before.blockHash == SimChain.blockOn(8, None).block_hash)
+    // a FRESH facade instance (new request) must still hit the memo
+    assert(p().block("8").get == before && cache.hits == 1)
+    // a reorg CHANGES the answer at height 8: the rollback+append bumps
+    // the store's mutation version, so the stale entry must not serve
+    StreamingIngester.processBatch(store, SimChain.forked(6, 13).toDF())
+    val after = p().block("8").get
+    assert(after.blockHash == SimChain.blockOn(8, Some(6L)).block_hash,
+      "post-reorg lookups must see the fork branch")
+    assert(after != before, "the memo must not have served the dead branch")
+  }
+
   test("store facade: same endpoints serve an ingested chain") {
     import spark.implicits._
     val store = new ChainStore(spark, Files.createTempDirectory("apistore").toString, 10)
