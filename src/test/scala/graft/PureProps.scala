@@ -33,6 +33,26 @@ object PureProps extends Properties("graft.pure") {
       hamming(h, SimHash64.ofTokens(edited)) <= hamming(h, SimHash64.ofTokens(rewritten)) + 8
     }
 
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+
+  property("PixelStats.compute == independent fold (unsigned, complete triplets only)") =
+    Prop.forAll(bytesGen) { bytes =>
+      val row = graft.functions.PixelStats.compute(bytes)
+      val n = bytes.length / 3
+      val triplets = bytes.take(n * 3).map(_ & 0xff).grouped(3).toSeq
+      row.getLong(0) == n.toLong &&
+        row.getLong(1) == triplets.map(_(0).toLong).sum &&
+        row.getLong(2) == triplets.map(_(1).toLong).sum &&
+        row.getLong(3) == triplets.map(_(2).toLong).sum
+    }
+
+  property("PixelStats channel sums are bounded by 255 * n_pixels") =
+    Prop.forAll(bytesGen) { bytes =>
+      val row = graft.functions.PixelStats.compute(bytes)
+      (1 to 3).forall(i => row.getLong(i) >= 0 && row.getLong(i) <= 255L * row.getLong(0))
+    }
+
   property("md5hex is lowercase 32-hex") = Prop.forAll(Gen.alphaNumStr) { s =>
     val h = graft.evm.EvmDerive.md5hex(s)
     h.length == 32 && h.forall(c => "0123456789abcdef".contains(c))
