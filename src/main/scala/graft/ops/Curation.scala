@@ -572,6 +572,36 @@ object Curation {
         sum((length(bin(col("p_ppm"))) - length(bin(col("q_ppm"))))
           .cast("long")).as("dsir_score"))
 
+  /** [[importanceWeights]]'s per-row Column form — the STREAMING gate
+    * shape (the [[TextAnalysis.lmPpm]] / `classifierFeatSum` pattern):
+    * the two stored distributions travel as dim-entry map LITERALS
+    * (every bucket present by construction, so no null branch), and
+    * the score is a stateless projection usable before any stateful
+    * stage. The `aggregate` lambda evaluates interpreted — the wrong
+    * trade for batch (use [[importanceWeights]]'s exploded codegen
+    * form there), fine at ingest rates where the trigger bounds the
+    * batch. Addition commutes, so the per-row sum is bit-identical to
+    * the batch groupBy's `dsir_score` (spec-pinned). */
+  def dsirScorePerRow(text: Column, pPpm: Map[Long, Long],
+                      qPpm: Map[Long, Long], dim: Int = 1024): Column = {
+    val p = typedlit(pPpm)
+    val q = typedlit(qPpm)
+    aggregate(TextAnalysis.tokens(text), lit(0L), (acc, t) => {
+      val b = TextAnalysis.featBucket(t, dim)
+      acc + (length(bin(element_at(p, b))) - length(bin(element_at(q, b)))).cast("long")
+    })
+  }
+
+  /** Collect stored [[dsirBucketPpm]] tables into [[dsirScorePerRow]]'s
+    * literal maps — dim-bounded by construction (the
+    * `lmModelLiterals` precedent). */
+  def dsirModelLiterals(targetPpm: DataFrame,
+                        rawPpm: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+    def toMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("ppm")).toMap
+    (toMap(targetPpm), toMap(rawPpm))
+  }
+
   /** The selection step: keep the `topN` raw documents most
     * target-like by importance score (desc, doc_id tiebreak), with
     * their metadata. TopN is driver-bounded; a production variant

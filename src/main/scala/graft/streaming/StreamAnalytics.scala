@@ -374,11 +374,16 @@ object StreamAnalytics {
                       maxPerBucket: Int = 64,
                       minFeatSum: Option[Long] = None,
                       minLmPpm: Option[Long] = None,
-                      lmModel: Option[(Map[String, Long], Map[String, Long])] = None)
+                      lmModel: Option[(Map[String, Long], Map[String, Long])] = None,
+                      minDsirScore: Option[Long] = None,
+                      dsirModel: Option[(Map[Long, Long], Map[Long, Long])] = None)
     : (DataFrame, Dataset[NearDupHit]) = {
     require(minLmPpm.isEmpty || lmModel.nonEmpty,
       "minLmPpm needs lmModel — load stored lmRef/commonnessRef tables " +
         "via TextAnalysis.lmModelLiterals")
+    require(minDsirScore.isEmpty || dsirModel.nonEmpty,
+      "minDsirScore needs dsirModel — load stored dsirBucketPpm tables " +
+        "via Curation.dsirModelLiterals")
     // Optional model gate: the hashed-linear classifier as a stateless
     // per-row projection ([[TextAnalysis.classifierFeatSum]]), applied
     // with the other gates BEFORE the matcher so rejected docs never
@@ -400,12 +405,23 @@ object StreamAnalytics {
     // scores (lm_ppm rides along for downstream thresholding, the
     // feat_sum convention); neither supplied adds neither column nor
     // filter.
-    val gated = lmModel match {
+    val lmGated = lmModel match {
       case Some((bi, un)) =>
         val scored = clsGated
           .withColumn("lm_ppm", graft.ops.TextAnalysis.lmPpm(col("text"), bi, un))
         minLmPpm.fold(scored)(m => scored.filter(col("lm_ppm") >= m))
       case None => clsGated
+    }
+    // Optional DSIR gate: the stored-distribution per-row importance
+    // score ([[graft.ops.Curation.dsirScorePerRow]]) — target-vs-pool
+    // selection at ingest time, same stateless placement and same
+    // score-rides-along convention as the LM gate.
+    val gated = dsirModel match {
+      case Some((p, q)) =>
+        val scored = lmGated
+          .withColumn("dsir_score", graft.ops.Curation.dsirScorePerRow(col("text"), p, q))
+        minDsirScore.fold(scored)(m => scored.filter(col("dsir_score") >= m))
+      case None => lmGated
     }
     val hits = streamingNearDup(
       gated.select(col("doc_id"), col("text"), col("ts")),

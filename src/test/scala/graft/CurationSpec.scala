@@ -689,5 +689,14 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         Curation.dsirBucketPpm(docs.filter(col("lang") === "en")), pool, topN = 50)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(got == expectIds, "resample must keep exactly the top-N by (score, id)")
+    // the per-row streaming form over the collected literal maps is
+    // bit-identical to the batch groupBy score (addition commutes)
+    val (pm, qm) = Curation.dsirModelLiterals(
+      Curation.dsirBucketPpm(docs.filter(col("lang") === "en")), pool)
+    val perRow = docs.select(col("doc_id"),
+        Curation.dsirScorePerRow(col("text"), pm, qm).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == full.toMap,
+      "dsirScorePerRow must reproduce importanceWeights' dsir_score exactly")
   }
 }

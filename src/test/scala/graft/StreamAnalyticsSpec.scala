@@ -462,4 +462,48 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(scoredOnly.schema.fieldNames.contains("lm_ppm"),
       "lmModel without minLmPpm must add the lm_ppm column, not ignore the model")
   }
+
+  test("streamingCurate DSIR gate: off-target doc drops before state, dsir_score rides along") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minNanos = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNanos
+    // target distribution trained on a-tokens; the pool also carries
+    // the junk z-tokens. The on-target doc's buckets have near-equal
+    // p/q magnitudes (score ~ 0); the junk doc's buckets sit at the
+    // target's smoothing floor (score ~ -40) — the gate splits them.
+    val targetText = (1 to 40).map(i => s"a$i").mkString(" ")
+    val junkText = (1 to 40).map(i => s"z$i").mkString(" ")
+    def corpus(texts: String*) = texts.zipWithIndex
+      .map { case (t, i) => (100L + i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = graft.ops.Curation.dsirModelLiterals(
+      graft.ops.Curation.dsirBucketPpm(corpus(targetText)),
+      graft.ops.Curation.dsirBucketPpm(corpus(targetText, junkText)))
+    val mem = MemoryStream[StreamTestDoc]
+    val (kept, _) = StreamAnalytics.streamingCurate(mem.toDF(),
+      horizonNanos = 10 * minNanos,
+      minDsirScore = Some(-20L), dsirModel = Some(model))
+    val dir = Files.createTempDirectory("curdsir").toString
+    val q = kept.writeStream.format("memory").queryName("curate_dsir")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      mem.addData(StreamTestDoc(1, targetText, t0), StreamTestDoc(2, junkText, t0))
+      q.processAllAvailable()
+      val rows = spark.table("curate_dsir").select("doc_id", "dsir_score").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L),
+        "the DSIR gate must drop the off-target doc before any state")
+      assert(rows.head.getLong(1) > -20L, "the kept doc's score rides along")
+    } finally q.stop()
+    // misuse guard: a threshold without a model must fail loudly
+    intercept[IllegalArgumentException] {
+      StreamAnalytics.streamingCurate(mem.toDF(), minDsirScore = Some(0L))
+    }
+    // a model WITHOUT a threshold still scores (the feat_sum/lm_ppm
+    // rides-along convention)
+    val (scoredOnly2, _) = StreamAnalytics.streamingCurate(mem.toDF(),
+      dsirModel = Some(model))
+    assert(scoredOnly2.schema.fieldNames.contains("dsir_score"),
+      "dsirModel without minDsirScore must add the dsir_score column")
+  }
 }
