@@ -43,7 +43,8 @@ object OneQuery {
     if (sys.env.getOrElse("SPARK_GRAFT_PRELUDE", "on") != "off") {
       graft.tables.Fixtures.events(spark, sfDir).limit(100)
         .write.mode("overwrite").format("noop").save()
-      val minhashConsumers = Set("dedup_minhash", "dedup_apply", "pipeline_curate")
+      val minhashConsumers =
+        Set("dedup_minhash", "dedup_apply", "dedup_apply_best", "pipeline_curate")
       if (names.exists(minhashConsumers)) {
         val t0 = System.nanoTime()
         graft.ops.Dedup.prewarmShared(graft.tables.Fixtures.documents(spark, sfDir))

@@ -129,11 +129,11 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
-    "similarity_topk" -> ((s, dir) =>
+    "topk" -> ((s, dir) =>
       Similarity.topK(Fixtures.embeddings(s, dir), maxQueryId = 5, k = 10)
         .orderBy(col("q_id"), col("rn"))),
 
-    "similarity_topk_ivf" -> ((s, dir) =>
+    "topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(Fixtures.embeddings(s, dir), maxQueryId = 20, k = 3)
         .orderBy(col("q_id"), col("rn"))),
 
@@ -213,7 +213,7 @@ object PipelineQueries {
     // with the oracle SQL — the whole assignment/probe/rank stage is
     // differential. The Lloyd *fit* (not single-statement SQL) stays
     // pinned by the OpsSpec planted-cluster + recall-vs-brute tests.
-    "similarity_topk_kmeans" -> ((s, dir) =>
+    "topk_kmeans" -> ((s, dir) =>
       Similarity.topKIvfKmeans(Fixtures.embeddings(s, dir), maxQueryId = 5,
         k = 10, nCells = 8, nProbe = 2,
         centroids = Some(Similarity.fixedCentroids(8, 64)))
@@ -224,7 +224,7 @@ object PipelineQueries {
     // buckets — the scan is bucket-pruned (AnnIndexSpec pins
     // SelectedBucketsCount < total), unlike the kmeans entry that
     // recomputes the assignment per query
-    "similarity_topk_indexed" -> ((s, dir) =>
+    "topk_indexed" -> ((s, dir) =>
       AnnIndex.topK(s, dir, maxQueryId = 8, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rn"))),
 
@@ -232,16 +232,16 @@ object PipelineQueries {
     // pure projection (PlanAuditSpec pins no object-serialization
     // boundary in its plan); the typed mapPartitions twin stays as
     // the non-registry codec seam, parity-pinned in OpsSpec
-    "multimodal_decode" -> ((s, dir) =>
+    "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
-    "multimodal_resize" -> ((s, dir) =>
+    "mm_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(
         Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir))))
         .orderBy(col("doc_id"))),
 
-    "multimodal_frames" -> ((s, dir) =>
+    "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.decodeFeaturesExpr(Multimodal.withPayload(Fixtures.documents(s, dir))))
         .orderBy(col("doc_id"), col("frame_idx"))),
@@ -249,7 +249,7 @@ object PipelineQueries {
     // codec-free REAL feature extraction (size / entropy / brightness
     // proxies over raw bytes) — every value genuinely computed and
     // oracle-checked
-    "multimodal_byte_stats" -> ((s, dir) =>
+    "mm_byte_stats" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
@@ -258,7 +258,7 @@ object PipelineQueries {
     // and body offset read the way a real reader seeks — the oracle
     // states the planted values in closed form, so the differential
     // proves the parse AND the magic routing
-    "multimodal_audio_meta" -> ((s, dir) =>
+    "mm_audio_meta" -> ((s, dir) =>
       Multimodal.audioMeta(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
@@ -266,7 +266,7 @@ object PipelineQueries {
     // interleaved RGB — per-channel means + brightness from the body
     // BYTES (magic-gated, header-offset, one codegen'd PixelStats
     // pass), not from planted metadata
-    "multimodal_pixels" -> ((s, dir) =>
+    "mm_pixels" -> ((s, dir) =>
       Multimodal.decodePixels(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
@@ -641,7 +641,7 @@ object PipelineQueries {
     // mirroring Spark's array_position); each query probes its 2
     // nearest cells (ROW_NUMBER over (score, cell) mirrors Spark's
     // array_sort on struct(s, c)).
-    "similarity_topk_kmeans" -> {
+    "topk_kmeans" -> {
       val cs = Similarity.fixedCentroids(8, 64)
       val scoreExprs = cs.map { c =>
         s"-2.0 * list_dot_product(v, ${c.mkString("[", ", ", "]")}) + ${c.map(x => x * x).sum}"
@@ -674,7 +674,7 @@ object PipelineQueries {
     // strings and read the same parquet floats). Assignment and probe
     // both rank (score, cell) — ROW_NUMBER mirrors Spark's first-min
     // tie-break driver-side and in nearest_cell.
-    "similarity_topk_indexed" ->
+    "topk_indexed" ->
       s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
          |  FROM embeddings),
@@ -713,7 +713,7 @@ object PipelineQueries {
         |     <= count(DISTINCT token)) AS hll_within_10pct
         |FROM tk""".stripMargin,
 
-    "similarity_topk" ->
+    "topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
         |  FROM embeddings),
@@ -725,7 +725,7 @@ object PipelineQueries {
         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin,
 
-    "similarity_topk_ivf" ->
+    "topk_ivf" ->
       """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] v,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
         |  FROM embeddings),
@@ -819,14 +819,14 @@ object PipelineQueries {
     // the oracle REBUILDS the header-bearing payload byte-for-byte and
     // states the expected parse in closed form from the planted dims —
     // the differential check is therefore parse(synthesize(w,h))==(w,h)
-    "multimodal_decode" ->
+    "mm_decode" ->
       (mediaPayloadCte +
         """SELECT doc_id, media_type,
           |  octet_length(encode(payload))::BIGINT AS n_bytes,
           |  md5(payload) AS checksum, width, height, frames
           |FROM p ORDER BY doc_id""".stripMargin),
 
-    "multimodal_byte_stats" ->
+    "mm_byte_stats" ->
       (mediaPayloadCte +
         """, b AS (SELECT doc_id, media_type,
           |  octet_length(encode(payload))::BIGINT AS payload_len,
@@ -845,7 +845,7 @@ object PipelineQueries {
     // (floor(len/3)), null means on a zero-pixel body — so the
     // differential check verifies the actual pixel-value sums, not
     // just the container metadata
-    "multimodal_pixels" ->
+    "mm_pixels" ->
       (mediaPayloadCte +
         """, img AS (SELECT doc_id, width, height,
           |  encode(substr(payload,
@@ -871,14 +871,14 @@ object PipelineQueries {
 
     // closed-form plant vs parsed values; the WHERE restates the
     // magic routing (fixture audio rows are exactly the SPHERE rows)
-    "multimodal_audio_meta" ->
+    "mm_audio_meta" ->
       (mediaPayloadCte +
         """SELECT doc_id, sphere_hdr AS header_bytes, sr::BIGINT AS sample_rate,
           |  ch::BIGINT AS channel_count, sc::BIGINT AS sample_count,
           |  sc::BIGINT AS data_bytes
           |FROM p WHERE media_type = 'audio' ORDER BY doc_id""".stripMargin),
 
-    "multimodal_resize" ->
+    "mm_resize" ->
       (mediaFeatsCte +
         """, scaled AS (SELECT *,
           |  (CASE WHEN greatest(width, height) <= 256 THEN 1000
@@ -889,7 +889,7 @@ object PipelineQueries {
           |  (height * scale_pm // 1000)::BIGINT AS out_height
           |FROM scaled ORDER BY doc_id""".stripMargin),
 
-    "multimodal_frames" ->
+    "mm_frames" ->
       (mediaFeatsCte +
         """SELECT doc_id, media_type, frames, unnest(range(0, frames, 10))::BIGINT AS frame_idx
           |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)

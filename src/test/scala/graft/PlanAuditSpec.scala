@@ -11,15 +11,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** `similarity_topk` broadcasts a LIMIT-bounded query set (q rows,
+  /** `topk` broadcasts a LIMIT-bounded query set (q rows,
     * `vec_id < maxQueryId`) against the corpus — a BroadcastNestedLoop
     * shape, but O(q·n) with q fixed, not O(n²); its IVF twins
-    * (`similarity_topk_ivf`/`_kmeans`) are the sub-linear scale path.
+    * (`topk_ivf`/`_kmeans`) are the sub-linear scale path.
     * Nothing data-sized-by-data-sized is allowlisted anymore: the
     * former `embed_neardup` cartesian baseline now lives only in
     * OpsSpec as the LSH recall yardstick. */
   private val queryBoundedScans =
-    Set("similarity_topk")
+    Set("topk")
 
   /** Cross-joins whose inputs are single-row scalar aggregates by
     * construction (1×1×1) — `Lookups.stats` combines three global
@@ -68,16 +68,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
-  test("multimodal_decode plans as a pure codegen'd projection — no object-serialization boundary") {
+  test("mm_decode plans as a pure codegen'd projection — no object-serialization boundary") {
     // the decode is md5 + bounded-head regexp over a scan: any
     // mapPartitions/typed hop would show up as (De)SerializeFromObject
     // and break whole-stage codegen right where 100 TB of payload
     // bytes stream through
-    val physical = SparkEntry.queries("multimodal_decode")(spark, sfDir)
+    val physical = SparkEntry.queries("mm_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString
     for (op <- Seq("MapPartitions", "SerializeFromObject", "DeserializeToObject", "AppendColumns"))
       assert(!physical.contains(op),
-        s"multimodal_decode must stay declarative; found $op in:\n$physical")
+        s"mm_decode must stay declarative; found $op in:\n$physical")
     // without the registry entry's deterministic output sort, the op
     // itself is one codegen'd shuffle-free stage: scan → project (AQE
     // off so the printed plan shows the codegen spans statically)
@@ -145,8 +145,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q("embed_neardup_lsh") && o("embed_neardup_lsh"))
-    assert(q("similarity_topk_ivf") && o("similarity_topk_ivf"))
-    assert(q("similarity_topk_kmeans") && o("similarity_topk_kmeans"))
+    assert(q("topk_ivf") && o("topk_ivf"))
+    assert(q("topk_kmeans") && o("topk_kmeans"))
   }
 
   test("every registered query has a DuckDB oracle, except the documented rows-only set") {

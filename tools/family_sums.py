@@ -6,8 +6,8 @@ import json, sys
 FAMILIES = {
     "doc dedup, scale paths": [
         "dedup_exact", "dedup_minhash", "dedup_incremental",
-        "dedup_incremental_apply", "dedup_apply", "dedup_simhash",
-        "dedup_ngram_jaccard_banded"],
+        "dedup_incremental_apply", "dedup_apply", "dedup_apply_best",
+        "dedup_simhash", "dedup_ngram_jaccard_banded"],
     "dedup, raw yardsticks": ["dedup_ngram_jaccard", "dedup_simhash_md5"],
     "substring / boilerplate / classifier": [
         "dedup_substring_spans", "dedup_substring_incremental",
@@ -19,22 +19,23 @@ FAMILIES = {
         "embed_neardup_incremental_apply"],
     "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
     "ANN / similarity top-k": [
-        "similarity_topk", "similarity_topk_ivf", "similarity_topk_kmeans",
-        "similarity_topk_indexed"],
+        "topk", "topk_ivf", "topk_kmeans",
+        "topk_indexed"],
     "text analysis": [
         "text_lang_id", "text_quality", "text_token_counts",
         "text_token_modes", "text_doc_frequency", "text_distinct_approx",
         "text_fingerprint", "text_commonness", "text_repetition",
         "text_pii_scrub", "text_lm_score",
-        "text_search_bm25"],
+        "text_search_bm25", "text_search_bm25_stored",
+        "text_lm_score_stored"],
     "curation": [
         "decontaminate", "sample_stratified", "split_assign", "source_cap",
         "mix_weighted", "pack_sequences", "quality_budget",
         "quality_budget_by_lang", "corpus_snapshot_diff", "pipeline_curate",
-        "pipeline_curate_incremental"],
+        "pipeline_curate_incremental", "dsir_weights", "dsir_resample"],
     "multimodal": [
-        "multimodal_decode", "multimodal_resize", "multimodal_frames",
-        "multimodal_byte_stats", "multimodal_audio_meta"],
+        "mm_decode", "mm_resize", "mm_frames",
+        "mm_byte_stats", "mm_audio_meta", "mm_pixels"],
     "export": ["export_shards", "export_manifest"],
     "relational / TPC-H-ish": [
         "q1_agg", "q3_revenue_by_segment", "q5_nation_revenue",
