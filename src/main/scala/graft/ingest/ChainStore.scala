@@ -302,15 +302,28 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   /** In-process mutation version: bumped by every call that can change
     * a QUERY ANSWER ([[append]], [[rollback]]) — the invalidation
     * signal a co-located serving cache ([[graft.api.LookupCache]])
-    * keys its entries on. Compaction rewrites bytes, not answers, and
-    * does not bump. Cross-process readers see no signal (the counter
-    * is this JVM's) and must serve uncached. */
+    * keys its entries on. Bumped on ENTRY **and** EXIT of each
+    * mutator: a concurrent lookup that reads the version mid-mutation
+    * and computes against half-written state would otherwise cache
+    * its (possibly inconsistent) answer under the post-entry version
+    * and serve it stale until the NEXT mutation; the exit bump
+    * guarantees any answer computed before or during a mutation
+    * carries a version older than the settled state's. Compaction
+    * rewrites bytes, not answers, and does not bump. Cross-process
+    * readers see no signal (the counter is this JVM's) and must serve
+    * uncached. */
   def mutationCount: Long = mutations.get()
   private val mutations = new java.util.concurrent.atomic.AtomicLong()
 
   def append(blocks: DataFrame, transactions: DataFrame, logs: DataFrame): Unit = {
     ensureWriteLock()
     mutations.incrementAndGet(): Unit
+    try appendImpl(blocks, transactions, logs)
+    finally mutations.incrementAndGet(): Unit
+  }
+
+  private def appendImpl(blocks: DataFrame, transactions: DataFrame,
+                         logs: DataFrame): Unit = {
     val dfs = Map("blocks" -> blocks, "transactions" -> transactions, "logs" -> logs)
     dfs.foreach { case (t, incoming) =>
       ensureRecovered(t)
@@ -348,6 +361,11 @@ class ChainStore(spark: SparkSession, root: String, bucketSize: Long = 100L) {
   def rollback(forkHeight: Long): Unit = {
     ensureWriteLock()
     mutations.incrementAndGet(): Unit
+    try rollbackImpl(forkHeight)
+    finally mutations.incrementAndGet(): Unit
+  }
+
+  private def rollbackImpl(forkHeight: Long): Unit = {
     val forkBucket = forkHeight / bucketSize
     // children first: logs, transactions, then blocks
     Seq("logs", "transactions", "blocks").foreach { t =>

@@ -93,7 +93,13 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
     assert(p().block("8").get == before && cache.hits == 1)
     // a reorg CHANGES the answer at height 8: the rollback+append bumps
     // the store's mutation version, so the stale entry must not serve
+    val vBefore = store.mutationCount
     StreamingIngester.processBatch(store, SimChain.forked(6, 13).toDF())
+    // entry AND exit bumps per mutator: an answer computed against
+    // half-written state mid-mutation can never share the settled
+    // state's version (rollback + append here => >= 4 bumps)
+    assert(store.mutationCount >= vBefore + 4,
+      s"expected entry+exit bumps for rollback and append, got ${store.mutationCount - vBefore}")
     val after = p().block("8").get
     assert(after.blockHash == SimChain.blockOn(8, Some(6L)).block_hash,
       "post-reorg lookups must see the fork branch")
