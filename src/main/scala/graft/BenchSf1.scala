@@ -15,15 +15,24 @@ package graft
   * `target/bench.json` exactly like the sf0.1 run.
   */
 object BenchSf1 {
+  /** Every table the registry reads: the presence probe must cover ALL
+    * of them — an interrupted generation (kill/OOM mid-run) leaves a
+    * prefix of these on disk, and probing only the first-written file
+    * would wedge the tier as permanently half-built. Any missing table
+    * triggers a full (idempotent, overwriting) regeneration. */
+  private val RequiredTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "localdata/sf1"
-    val probe = new java.io.File(dir, "lineitem.parquet")
-    if (!probe.exists()) {
-      System.err.println(s"[bench-sf1] $dir absent — generating (deterministic, ~1 min)")
+    def missing() = RequiredTables.filterNot(t => new java.io.File(dir, s"$t.parquet").exists())
+    if (missing().nonEmpty) {
+      System.err.println(s"[bench-sf1] $dir incomplete (missing ${missing().mkString(", ")}) " +
+        "— generating (deterministic, ~1 min)")
       val rc = new ProcessBuilder("python3", "tools/gen_sf1.py", dir)
         .inheritIO().start().waitFor()
       require(rc == 0, s"tools/gen_sf1.py exited $rc")
-      require(probe.exists(), s"generator ran but $probe is still missing")
+      require(missing().isEmpty, s"generator ran but ${missing().mkString(", ")} still missing")
     }
     Bench.run(dir)
   }

@@ -43,8 +43,12 @@ object OneQuery {
     if (sys.env.getOrElse("SPARK_GRAFT_PRELUDE", "on") != "off") {
       graft.tables.Fixtures.events(spark, sfDir).limit(100)
         .write.mode("overwrite").format("noop").save()
+      // every registry entry that consumes the session-shared MinHash
+      // bases (shingles/bands/pairs/edge cut) — the incremental forms
+      // read the shared band/shingle tables too
       val minhashConsumers =
-        Set("dedup_minhash", "dedup_apply", "dedup_apply_best", "pipeline_curate")
+        Set("dedup_minhash", "dedup_apply", "dedup_apply_best", "pipeline_curate",
+          "dedup_incremental", "dedup_incremental_apply", "pipeline_curate_incremental")
       if (names.exists(minhashConsumers)) {
         val t0 = System.nanoTime()
         graft.ops.Dedup.prewarmShared(graft.tables.Fixtures.documents(spark, sfDir))

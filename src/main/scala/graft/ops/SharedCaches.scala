@@ -91,20 +91,58 @@ object SharedCaches {
     * it once per session instead of once per invocation — the
     * re-materialization was the dominant cold cost of `dedup_apply`
     * and the query the r9/r11 contended driver runs inflated most.
-    * Eviction here only forgets the reference: a checkpoint's blocks
-    * are not CacheManager entries (unpersist is a no-op on them) and
-    * are reclaimed by the ContextCleaner once the RDD is unreachable —
-    * same lifecycle as any superseded checkpoint generation. */
-  def sharedCut(df: DataFrame, family: String): DataFrame =
-    acquire(df, family, StorageLevel.MEMORY_AND_DISK, cut = true)
+    *
+    * The materialization (a full Spark job, seconds at scale) runs
+    * OUTSIDE the registry lock — `shared`'s lazy persist() is cheap
+    * under the lock, an eager checkpoint is not, and holding it would
+    * stall every unrelated acquisition in the JVM for the duration.
+    * Two threads racing the same cold key may both materialize; the
+    * second registration loses and its checkpoint blocks are
+    * reclaimed by the ContextCleaner — duplicate work once, never a
+    * serialized registry. Eviction likewise only forgets the
+    * reference: a checkpoint's blocks are not CacheManager entries
+    * (unpersist is a no-op on them) and free once the RDD is
+    * unreachable. */
+  def sharedCut(df: DataFrame, family: String): DataFrame = {
+    val session = df.sparkSession
+    val key = (session, df.queryExecution.analyzed.canonicalized, true)
+    lookup(key) match {
+      case Some(existing) => existing
+      case None =>
+        val cutDf = df.localCheckpoint() // outside the lock: a full job
+        registerIfAbsent(key, cutDf, family)
+    }
+  }
+
+  private def lookup(key: (SparkSession, LogicalPlan, Boolean)): Option[DataFrame] =
+    synchronized {
+      sweepStopped()
+      entries.remove(key).map { e =>
+        entries.put(key, e) // re-insert = move to most-recent
+        e.df
+      }
+    }
+
+  /** Register `stored` under `key` unless a racing thread already did
+    * — the existing entry wins so every caller converges on ONE
+    * artifact. Runs the budget eviction either way. */
+  private def registerIfAbsent(key: (SparkSession, LogicalPlan, Boolean),
+                               stored: DataFrame, family: String): DataFrame =
+    synchronized {
+      val winner = entries.remove(key) match {
+        case Some(e) => e // raced: the first registration wins
+        case None => Entry(stored, family)
+      }
+      entries.put(key, winner)
+      highWaterMark = math.max(highWaterMark, entries.size)
+      evictOver(key._1)
+      winner.df
+    }
 
   private def acquire(df: DataFrame, family: String, level: StorageLevel,
                       cut: Boolean): DataFrame =
     synchronized {
-      // a stopped session's entries are dead weight: unpersist is a
-      // no-op there, and they'd otherwise hold registry slots forever
-      entries.filter(_._1._1.sparkContext.isStopped).toList
-        .foreach { case (k, e) => drop(k, e) }
+      sweepStopped()
       val session = df.sparkSession
       val key = (session, df.queryExecution.analyzed.canonicalized, cut)
       entries.remove(key) match {
@@ -112,17 +150,29 @@ object SharedCaches {
           entries.put(key, e) // re-insert = move to most-recent
           e.df
         case None =>
-          val stored = if (cut) df.localCheckpoint() else { df.persist(level); df }
-          entries.put(key, Entry(stored, family))
+          df.persist(level) // lazy: cheap under the lock
+          entries.put(key, Entry(df, family))
           highWaterMark = math.max(highWaterMark, entries.size)
-          val budget = cap(session)
-          while (entries.count(_._1._1 eq session) > budget) {
-            val (k, e) = entries.find(_._1._1 eq session).get
-            drop(k, e)
-          }
-          stored
+          evictOver(session)
+          df
       }
     }
+
+  /** Callers hold the lock. */
+  private def sweepStopped(): Unit =
+    // a stopped session's entries are dead weight: unpersist is a
+    // no-op there, and they'd otherwise hold registry slots forever
+    entries.filter(_._1._1.sparkContext.isStopped).toList
+      .foreach { case (k, e) => drop(k, e) }
+
+  /** Callers hold the lock. */
+  private def evictOver(session: SparkSession): Unit = {
+    val budget = cap(session)
+    while (entries.count(_._1._1 eq session) > budget) {
+      val (k, e) = entries.find(_._1._1 eq session).get
+      drop(k, e)
+    }
+  }
 
   private def drop(key: (SparkSession, LogicalPlan, Boolean), e: Entry): Unit = {
     // non-blocking: eviction must never stall the acquiring query on

@@ -169,13 +169,15 @@ object ChainFetch {
     * The "careful deduplication and schema alignment" the reference's
     * README calls out (`README.md:90`) is this method:
     *  - `removed=true` logs (node-flagged reorg casualties) drop first;
-    *  - duplicates dedup on (blockHash, txHash, logIndexInBlock) — a
-    *    node re-serving overlapping chunks cannot double-emit;
-    *  - logs key by the (blockHash, txHash) they were OBSERVED on, so
-    *    stale-branch logs keyed by an old hash never attach to a
-    *    fresh block (the N+1 path gets this for free because receipts
-    *    are fetched after the block; the range path must reconstruct
-    *    it);
+    *  - duplicates dedup on (blockNumber, blockHash, txHash,
+    *    logIndexInBlock) — a node re-serving overlapping chunks cannot
+    *    double-emit;
+    *  - logs key by the (blockNumber, blockHash, txHash) they were
+    *    OBSERVED at, so stale-branch logs keyed by an old hash never
+    *    attach to a fresh block, and a lying node serving the SAME
+    *    hash at two heights cannot merge logs across them (the N+1
+    *    path gets this for free because receipts are fetched after
+    *    the block; the range path must reconstruct it);
     *  - block-level `logIndex` re-indexes to the envelope's per-tx
     *    order (sort by block index within each tx, then 0..n-1).
     *

@@ -9,9 +9,11 @@ Usage: python3 tools/record_baseline.py [--runs 3] [--sf /root/testdata/sf0.1]
                                         [--out BASELINE_BENCH.json]
                                         [--repeats 4]
 
-Refuses to record if any run reports failures or the box looks
-contended (l0/l1 above 2), so a bad envelope can't silently become
-the contract.
+Refuses to record if any run reports failures, or if any run STARTED
+on a contended box (l0 > 2 — the pre-run load; the post-run l1
+reflects the bench's own 32-way work and only warns), so a bad
+envelope can't silently become the contract. Override the contention
+refusal with --force when the load is known-benign.
 """
 import argparse, json, os, subprocess, sys
 
@@ -33,6 +35,8 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="BASELINE_BENCH.json")
     ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--force", action="store_true",
+                    help="record even if a run started under load")
     args = ap.parse_args()
 
     envelope = {}
@@ -42,8 +46,15 @@ def main():
         if d["failed"]:
             sys.exit(f"[baseline] run {i}: {d['failed']} queries failed — not recording")
         l0, l1 = float(d.get("l0", 0)), float(d.get("l1", 0))
-        if max(l0, l1) > 2.0 + args.repeats:  # the bench itself raises load
-            print(f"[baseline] WARNING run {i}: load l0={l0} l1={l1} — contended?")
+        # same box-scaled meaning as Bench.contentionThreshold: one busy
+        # core on a 32-thread host is not contention
+        threshold = max(2.0, (os.cpu_count() or 8) / 8.0)
+        if l0 > threshold and not args.force:
+            sys.exit(f"[baseline] run {i} STARTED under load l0={l0} (> {threshold}) — "
+                     "refusing to record a contended envelope (rerun idle, or pass --force)")
+        if l1 > 2.0 + args.repeats:  # the bench itself raises load
+            print(f"[baseline] WARNING run {i}: post-run load l1={l1} — "
+                  "another workload may have joined mid-run")
         meta.append({"total": d["value"], "l0": l0, "l1": l1})
         for k, v in d["queries"].items():
             envelope[k] = min(envelope.get(k, v), v)
