@@ -68,9 +68,19 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
     LogsQuery.run(logs, filter)
 
   /** `GET /block/{identifier}` (`src/api.rs:284-320`): 0x-hash or
-    * decimal height; None = 404 (or 400 on an unparsable identifier). */
-  def block(identifier: String): Option[BlockInfo] = memo("block", identifier.toLowerCase) {
-    Lookups.blockByIdentifier(blocks, identifier)
+    * decimal height; None = 404 (or 400 on an unparsable identifier).
+    *
+    * The identifier is lowercased ONCE and that normalized form is
+    * both the memo key and the value handed to [[Lookups]] — so the
+    * cached answer always agrees with what a fresh compute of the
+    * same key would return ('0X<hash>' and '0x<hash>' are one key AND
+    * one answer; keying on a normalized form while computing on the
+    * raw one would let an upper-cased-prefix miss poison the entry
+    * for the valid lowercase spelling). */
+  def block(identifier: String): Option[BlockInfo] = {
+    val id = identifier.toLowerCase
+    memo("block", id) {
+    Lookups.blockByIdentifier(blocks, id)
       .flatMap(_.collect().headOption).map { r =>
         def get[T](name: String): Option[T] =
           if (!r.schema.fieldNames.contains(name) || r.isNullAt(r.fieldIndex(name))) None
@@ -82,11 +92,16 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
           get[String]("gas_limit"), get[String]("base_fee_per_gas"),
           get[Long]("tx_count"))
       }
+    }
   }
 
-  /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). */
-  def transaction(txHash: String): Option[TransactionInfo] = memo("tx", txHash.toLowerCase) {
-    Lookups.txByHash(transactions, txHash)
+  /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). Same
+    * normalize-once contract as [[block]]: memo key and computed
+    * answer derive from the identical lowercased hash. */
+  def transaction(txHash: String): Option[TransactionInfo] = {
+    val id = txHash.toLowerCase
+    memo("tx", id) {
+    Lookups.txByHash(transactions, id)
       .flatMap(_.collect().headOption).map { r =>
         def get[T](name: String): Option[T] =
           if (!r.schema.fieldNames.contains(name) || r.isNullAt(r.fieldIndex(name))) None
@@ -100,6 +115,7 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
           get[String]("max_fee_per_gas"), get[String]("max_priority_fee_per_gas"),
           get[String]("input_data"), get[Long]("nonce"), get[Long]("status"))
       }
+    }
   }
 }
 

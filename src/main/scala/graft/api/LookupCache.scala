@@ -42,6 +42,16 @@ final class LookupCache(maxEntries: Int = 4096, version: () => Long = () => 0L) 
   // observability for specs and ops: how often the memo actually works
   private val hitCount = new java.util.concurrent.atomic.AtomicLong()
   private val missCount = new java.util.concurrent.atomic.AtomicLong()
+  private val coalescedCount = new java.util.concurrent.atomic.AtomicLong()
+
+  // Per-(kind, key, version) single-flight: a thundering herd on one
+  // cold hot key runs ONE Spark compute; the followers block on the
+  // leader's future and share its answer. The version is part of the
+  // in-flight key so a compute raced by a store mutation never serves
+  // a stale answer to callers who arrived after the version moved —
+  // they start their own flight under the new version.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), java.util.concurrent.CompletableFuture[Any]]()
 
   def getOrCompute[T](kind: String, key: String)(compute: => T): T = {
     val v = version()
@@ -52,16 +62,40 @@ final class LookupCache(maxEntries: Int = 4096, version: () => Long = () => 0L) 
         hitCount.incrementAndGet()
         value.asInstanceOf[T]
       case _ =>
-        // compute OUTSIDE the lock: a Spark job must never serialize
-        // every other serving thread behind this map
-        missCount.incrementAndGet()
-        val r = compute
-        map.synchronized { map.put(k, (v, r)); () }
-        r
+        val fk = (kind, key, v)
+        val mine = new java.util.concurrent.CompletableFuture[Any]()
+        val prior = inflight.putIfAbsent(fk, mine)
+        if (prior != null) {
+          // somebody is already computing this exact (key, version):
+          // wait for their answer instead of launching a duplicate job
+          coalescedCount.incrementAndGet()
+          try prior.join().asInstanceOf[T]
+          catch {
+            // surface the leader's original failure, not the wrapper
+            case e: java.util.concurrent.CompletionException
+                if e.getCause != null => throw e.getCause
+          }
+        } else {
+          // compute OUTSIDE the lock: a Spark job must never serialize
+          // every other serving thread behind this map
+          missCount.incrementAndGet()
+          try {
+            val r = compute
+            map.synchronized { map.put(k, (v, r)); () }
+            mine.complete(r)
+            r
+          } catch {
+            case e: Throwable =>
+              mine.completeExceptionally(e)
+              throw e
+          } finally inflight.remove(fk, mine)
+        }
     }
   }
 
   def hits: Long = hitCount.get()
   def misses: Long = missCount.get()
+  /** Requests that piggybacked on another thread's in-flight compute. */
+  def coalesced: Long = coalescedCount.get()
   def size: Int = map.synchronized(map.size())
 }

@@ -584,6 +584,15 @@ object Curation {
     * the batch groupBy's `dsir_score` (spec-pinned). */
   def dsirScorePerRow(text: Column, pPpm: Map[Long, Long],
                       qPpm: Map[Long, Long], dim: Int = 1024): Column = {
+    // `element_at` on a map literal yields null for an absent bucket,
+    // and that null would propagate through the whole aggregate —
+    // every row's score silently null (and a minDsirScore gate then
+    // drops every doc). A truncated or hand-built ppm table must fail
+    // HERE, loudly, not downstream as an empty corpus.
+    require(pPpm.size == dim && pPpm.keySet == (0L until dim.toLong).toSet,
+      s"target ppm table must cover all $dim buckets exactly (got ${pPpm.size})")
+    require(qPpm.size == dim && qPpm.keySet == (0L until dim.toLong).toSet,
+      s"raw ppm table must cover all $dim buckets exactly (got ${qPpm.size})")
     val p = typedlit(pPpm)
     val q = typedlit(qPpm)
     aggregate(TextAnalysis.tokens(text), lit(0L), (acc, t) => {

@@ -502,15 +502,22 @@ object Dedup {
     * shared checkpoint cut), one metric join, and a per-CLUSTER window
     * (never global — clusters are near-dup groups, bounded in
     * practice; a pathological mega-cluster is a dedup-threshold
-    * problem before it is a window problem). */
+    * problem before it is a window problem).
+    *
+    * Coverage contract: `scored` need NOT cover every doc. The metric
+    * join is a LEFT join and the window orders `desc_nulls_last`, so
+    * an unscored member ranks below every scored one and falls back
+    * to the doc_id tiebreak — a cluster whose members are all
+    * unscored still keeps its min-id survivor (with a null metric)
+    * instead of silently vanishing from the deduped corpus. */
   def applyNearDedupBy(docs: DataFrame, pairs: DataFrame, scored: DataFrame,
                        iters: Int = 3): DataFrame = {
     val labels = clusterLabels(docs, pairs, iters)
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
-      .orderBy(col("metric").desc, col("doc_id").asc)
-    labels.join(scored, "doc_id")
+      .orderBy(col("metric").desc_nulls_last, col("doc_id").asc)
+    labels.join(scored, Seq("doc_id"), "left")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .join(sizes, "cluster")

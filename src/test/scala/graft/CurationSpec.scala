@@ -699,4 +699,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(perRow == full.toMap,
       "dsirScorePerRow must reproduce importanceWeights' dsir_score exactly")
   }
+
+  test("dsirScorePerRow rejects ppm tables that do not cover every bucket " +
+      "(a truncated table must fail loudly, not null every score)") {
+    val full = (0L until 1024L).map(_ -> 1000L).toMap
+    val truncated = full - 7L
+    val e = intercept[IllegalArgumentException] {
+      Curation.dsirScorePerRow(col("text"), truncated, full)
+    }
+    assert(e.getMessage.contains("target ppm"))
+    intercept[IllegalArgumentException] {
+      Curation.dsirScorePerRow(col("text"), full, truncated)
+    }
+    // a re-keyed table of the right SIZE but wrong bucket ids is just
+    // as poisonous — coverage is by key set, not cardinality
+    val shifted = (1L until 1025L).map(_ -> 1000L).toMap
+    intercept[IllegalArgumentException] {
+      Curation.dsirScorePerRow(col("text"), shifted, full)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.{EvmApi, GetLogsFilter}
 import graft.evm.EvmDerive
@@ -79,6 +80,58 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
     val missesBefore = cache.misses
     assert(api.block("999999999").isEmpty)
     assert(cache.misses == missesBefore, "a repeated 404 must hit the memo")
+  }
+
+  test("memo coherence: an upper-cased '0X' identifier computes the SAME answer " +
+      "as its lowercase spelling and never poisons the shared entry") {
+    val cache = new graft.api.LookupCache()
+    val api = new EvmApi(EvmDerive.blocks(spark, sfDir),
+      EvmDerive.transactions(spark, sfDir), EvmDerive.logs(spark, sfDir),
+      Some(cache))
+    val hash = api.block("42").get.blockHash
+    // the poisoning order: '0X…' FIRST. Under the normalize-once
+    // contract it resolves (prefix case-folds with the rest), and the
+    // entry it caches is the valid answer — a subsequent lowercase
+    // lookup must be served that same answer, not a stale 404.
+    val upper = api.block("0X" + hash.drop(2).toUpperCase)
+    assert(upper.isDefined, "'0X'-prefixed hash must resolve like '0x'")
+    val hitsBefore = cache.hits
+    val lower = api.block(hash)
+    assert(lower == upper, "lowercase lookup must serve the shared entry's answer")
+    assert(cache.hits == hitsBefore + 1, "both spellings must share ONE memo key")
+    // same contract on the tx endpoint
+    val txHash = EvmDerive.txHashOf(3)
+    val upTx = api.transaction("0X" + txHash.drop(2).toUpperCase)
+    assert(upTx.isDefined && api.transaction(txHash) == upTx)
+  }
+
+  test("single-flight: a thundering herd on one cold key runs ONE compute; " +
+      "followers share the leader's answer") {
+    val cache = new graft.api.LookupCache()
+    val computes = new java.util.concurrent.atomic.AtomicInteger()
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() => {
+        val r = cache.getOrCompute("k", "hot") {
+          computes.incrementAndGet()
+          entered.countDown()
+          proceed.await() // hold the flight open until all herd members arrive
+          42
+        }
+        results.add(r)
+      })
+      t.start(); t
+    }
+    entered.await() // leader is inside compute
+    Thread.sleep(200) // followers reach the in-flight join
+    proceed.countDown()
+    threads.foreach(_.join())
+    assert(computes.get() == 1,
+      s"herd must coalesce onto one compute, ran ${computes.get()}")
+    assert(results.size == 8 && results.asScala.forall(_ == 42))
+    assert(cache.misses == 1 && cache.hits + cache.coalesced == 7)
   }
 
   test("store-backed provider: memo shared across request facades, invalidated by a reorg") {

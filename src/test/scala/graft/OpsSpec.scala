@@ -286,6 +286,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"got $got")
   }
 
+  test("applyNearDedupBy partial metric coverage: unscored members rank last, " +
+      "all-unscored clusters keep their min-id survivor (never vanish)") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // cluster {1,2}: only 1 scored -> the scored member beats the unscored
+    // cluster {3,4}: nobody scored  -> min-id 3 survives with null metric
+    // singleton 5:   unscored       -> survives
+    val scored = Seq((1L, 10L)).toDF("doc_id", "metric")
+    val got = graft.ops.Dedup.applyNearDedupBy(d, pairs, scored)
+      .collect().map { r =>
+        val m = if (r.isNullAt(r.fieldIndex("metric"))) None
+                else Some(r.getAs[Long]("metric"))
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("cluster_size"), m))
+      }.toMap
+    assert(got == Map(
+      1L -> ((2L, Some(10L))),
+      3L -> ((2L, None)),
+      5L -> ((1L, None))), s"got $got")
+  }
+
   test("searchBm25 survives planet-scale stats without Long overflow (forged N=10^12 refs)") {
     // The stored-ref seam lets the scorer run against corpus stats far
     // beyond what a fixture can materialize. N=10^12, df=1, tf=50 is
