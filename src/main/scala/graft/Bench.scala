@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   * load (load_avg > 1 — the r07/r08 driver runs started at 2.5-4.5 and
   * min-of-2 still inflated several entries), 4 above the core-scaled
   * contention threshold; override with SPARK_GRAFT_BENCH_REPEATS.
+  * On top of the repeats, the recorded idle ENVELOPE defends the mins
+  * structurally ([[remeasureOutliers]]): after the full pass, any
+  * entry still >2× its per-query envelope entry (BASELINE_BENCH.json /
+  * BENCH_SF1.json, tier-matched; SPARK_GRAFT_ENVELOPE overrides) is
+  * re-sampled repeats+2 more times — a load spike that inflated it has
+  * passed by then and the min recovers, while a real plan regression
+  * stays >2× and reads as exactly that. The JSON carries the
+  * re-measurement count as `re` when nonzero.
   *
   * The JSON line is ALSO written to `target/bench.json` (path printed
   * on stderr) at full 4-decimal precision: stdout capture has truncated
@@ -50,6 +58,74 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** The recorded idle envelope for this sf tier, if one exists: the
+    * per-query elementwise-min of repeated idle runs
+    * (tools/record_baseline.py → BASELINE_BENCH.json). Candidates are
+    * checked in order and the first whose "sf" field matches this
+    * run's tier wins — SPARK_GRAFT_ENVELOPE prepends a path. A
+    * missing/unparsable file or a tier mismatch degrades to "no
+    * envelope" (empty map): the envelope only ever ADDS re-measurement,
+    * never blocks the line. */
+  private[graft] def loadEnvelope(sfName: String): Map[String, Double] = {
+    val candidates = sys.env.get("SPARK_GRAFT_ENVELOPE").toSeq ++
+      Seq("BASELINE_BENCH.json", "BENCH_SF1.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    candidates.iterator.flatMap { path =>
+      try {
+        val f = new java.io.File(path)
+        if (!f.isFile) None
+        else {
+          val tree = mapper.readTree(f)
+          if (tree.path("sf").asText() != sfName || !tree.has("queries")) None
+          else {
+            val qs = tree.get("queries")
+            val m = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames())
+              .asScala.map(k => k -> qs.get(k).asDouble()).toMap
+            if (m.nonEmpty) Some(m) else None
+          }
+        }
+      } catch { case _: Throwable => None }
+    }.nextOption().getOrElse(Map.empty)
+  }
+
+  /** Structural contention immunity (the r9/r11/r12 pattern killer):
+    * after the normal pass, any entry whose min still exceeds 2× its
+    * recorded idle-envelope entry is re-measured with `extraRepeats`
+    * fresh samples — under a transient load spike the re-measures land
+    * after the spike and the min recovers; a REAL plan regression
+    * stays >2× no matter how many samples it gets, which is exactly
+    * the signal a reader wants. Up to `maxRounds` passes so a spike
+    * spanning the first re-measure gets one more chance. Returns the
+    * improved results plus how many re-measurements ran (the `re`
+    * count in the JSON — nonzero tells a reader the mins were
+    * defended, not first-shot). Failed entries (-1) are never
+    * re-measured here: a failure is a correctness alarm, not noise. */
+  private[graft] def remeasureOutliers(
+      results: Seq[(String, Double)], envelope: Map[String, Double],
+      extraRepeats: Int, maxRounds: Int = 2)(
+      sample: String => Double): (Seq[(String, Double)], Int) = {
+    def isOutlier(name: String, v: Double): Boolean =
+      v >= 0 && envelope.get(name).exists(env => env > 0 && v > 2 * env)
+    var current = results
+    var reCount = 0
+    var round = 0
+    while (round < maxRounds && current.exists((isOutlier _).tupled)) {
+      current = current.map { case (name, v) =>
+        if (!isOutlier(name, v)) name -> v
+        else {
+          reCount += 1
+          val fresh = (1 to extraRepeats).map(_ => sample(name)).filter(_ >= 0)
+          val better = if (fresh.isEmpty) v else math.min(v, fresh.min)
+          System.err.println(
+            f"[bench] re-measured $name: $v%.3f -> $better%.3f s (envelope ${envelope(name)}%.3f)")
+          name -> better
+        }
+      }
+      round += 1
+    }
+    (current, reCount)
+  }
 
   /** Contention threshold scaled to the box: one busy core (plus the
     * launcher's own startup blip) on a 32-thread host is ~3%
@@ -96,9 +172,9 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double)], sfName: String,
                                 repeats: Int, contended: Boolean,
                                 loadStart: Double, loadEnd: Double,
-                                level: Int = 0): String =
+                                level: Int = 0, re: Int = 0): String =
     renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
-      { case (_, v) => ms(v, level) }, level)
+      { case (_, v) => ms(v, level) }, level, re = re)
 
   /** [[renderLine]] with the per-value formatting injected — the seam
     * [[renderAdaptive]] reuses so the two renderings cannot drift in
@@ -108,7 +184,8 @@ object Bench {
                          loadStart: Double, loadEnd: Double,
                          fmt: ((String, Double)) => String,
                          level: Int,
-                         omit: Set[String] = Set.empty): String = {
+                         omit: Set[String] = Set.empty,
+                         re: Int = 0): String = {
     // `omit` drops entries from the per-query MAP only — the floor
     // below the floor ([[renderAdaptive]]): total/failed still cover
     // every result, and the dropped count is declared as "drop" so a
@@ -120,13 +197,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val dropped = if (omit.isEmpty) "" else s""","drop":${omit.size}"""
+    // envelope re-measurement count: only rendered when nonzero — a
+    // reader seeing "re" knows the mins were DEFENDED against a load
+    // spike, and a zero would spend tail-window chars to say nothing
+    val reMeasured = if (re <= 0) "" else s""","re":$re"""
     val telemetry =
       if (level >= 2)
         // budget-constrained: the one signal a reader can't live
         // without is "was the box loaded" — peak 1-min load, integer
         s""","l":${ms(loadStart max loadEnd max 0, 3)}"""
       else s""","rep":$repeats,"cont":$contended,"l0":${ms(loadStart max 0, level)},"l1":${ms(loadEnd max 0, level)}"""
-    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName"$dropped$telemetry}"""
+    s"""{"metric":"total","value":${ms(total, level)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfName"$dropped$reMeasured$telemetry}"""
   }
 
   /** The graceful floor between level 2 and the everywhere-integer
@@ -143,7 +224,7 @@ object Bench {
   private[graft] def renderAdaptive(results: Seq[(String, Double)], sfName: String,
                                     repeats: Int, contended: Boolean,
                                     loadStart: Double, loadEnd: Double,
-                                    budget: Int): String = {
+                                    budget: Int, re: Int = 0): String = {
     // only sub-second entries differ between levels 2 and 3 (ms gives
     // v >= 1 the same integer at both), so only they are upgrade
     // candidates — anything else would be dead entries padding the
@@ -153,7 +234,7 @@ object Bench {
     def render(nUpgraded: Int): String = {
       val fine = upgradeOrder.take(nUpgraded).toSet
       renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
-        { case (k, v) => ms(v, if (fine(k)) 2 else 3) }, level = 3)
+        { case (k, v) => ms(v, if (fine(k)) 2 else 3) }, level = 3, re = re)
     }
     // monotone in k: binary-search the largest upgrade count that fits
     var lo = 0
@@ -180,7 +261,8 @@ object Bench {
         ++ results.filter(_._2 < 0).sortBy(_._1)).map(_._1)
       def renderShed(k: Int): String =
         renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
-          { case (_, v) => ms(v, 3) }, level = 3, omit = shedOrder.take(k).toSet)
+          { case (_, v) => ms(v, 3) }, level = 3, omit = shedOrder.take(k).toSet,
+          re = re)
       var slo = 1
       var shi = shedOrder.size
       while (slo < shi) { // smallest shed count that fits
@@ -204,12 +286,12 @@ object Bench {
   private[graft] def renderFitting(results: Seq[(String, Double)], sfName: String,
                                    repeats: Int, contended: Boolean,
                                    loadStart: Double, loadEnd: Double,
-                                   budget: Int = 1990): String =
+                                   budget: Int = 1990, re: Int = 0): String =
     (0 to 2).iterator
-      .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l))
+      .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l, re))
       .find(_.length <= budget)
       .getOrElse(renderAdaptive(results, sfName, repeats, contended,
-        loadStart, loadEnd, budget))
+        loadStart, loadEnd, budget, re))
 
   def main(args: Array[String]): Unit =
     run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -273,19 +355,31 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to repeats).map(_ => timeOnce(name, fn))
       // any failed repetition marks the query failed; otherwise min
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     val sfName = new java.io.File(sfDir).getName
+    // Envelope defense pass: any entry still >2× its recorded idle
+    // envelope after the min-of-repeats gets fresh samples AFTER the
+    // whole pass (a load spike that inflated it has had the rest of
+    // the run to pass) — structural immunity to the transient-load
+    // false-regression pattern, with the count declared as "re".
+    val queryByName = SparkEntry.queries
+    val (results, reCount) = remeasureOutliers(
+      firstPass, loadEnvelope(sfName), extraRepeats = repeats + 2) { name =>
+      timeOnce(name, queryByName(name))
+    }
     val contended = loadStart > contentionThreshold()
     val loadEnd = loadAvg()
     // stdout gets the tail-window-fitting rendering; the file copy
     // keeps full 4-decimal precision (level -1) for readers of the
     // repo — it has no tail-window budget to respect
-    val json = renderFitting(results, sfName, repeats, contended, loadStart, loadEnd)
-    val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd, level = -1)
+    val json = renderFitting(results, sfName, repeats, contended, loadStart, loadEnd,
+      re = reCount)
+    val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd,
+      level = -1, re = reCount)
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fine.getBytes("UTF-8"))

@@ -119,6 +119,61 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line == Bench.renderAdaptive(results, "sf0.1", 2, false, 0.5, 0.6, budget))
   }
 
+  test("envelope re-measurement: outliers get fresh samples, recovered mins win, " +
+      "real regressions survive, failures are left alone") {
+    val envelope = Map("a" -> 0.5, "b" -> 0.5, "c" -> 0.5, "d" -> 0.5)
+    // a: inflated by a spike, recovers on re-measure; b: real 4×
+    // regression, re-measures never help; c: inside 2×, untouched;
+    // d: failed, must not be re-measured; e: no envelope entry
+    val results = Seq("a" -> 2.0, "b" -> 2.0, "c" -> 0.9, "d" -> -1.0, "e" -> 3.0)
+    var sampled = List.empty[String]
+    val (out, re) = Bench.remeasureOutliers(results, envelope, extraRepeats = 3) {
+      name => sampled ::= name; if (name == "a") 0.4 else 2.1
+    }
+    val m = out.toMap
+    assert(m("a") == 0.4, "spike victim must recover to the fresh min")
+    assert(m("b") == 2.0, "a real regression keeps its (better) min and stays >2x")
+    assert(m("c") == 0.9 && m("d") == -1.0 && m("e") == 3.0)
+    assert(!sampled.contains("c") && !sampled.contains("d") && !sampled.contains("e"),
+      "only envelope outliers may be re-sampled")
+    // a recovered in round 1; b stayed an outlier and got round 2 too
+    assert(sampled.count(_ == "a") == 3 && sampled.count(_ == "b") == 6)
+    assert(re == 3, s"re counts re-measurement runs (a once, b twice), got $re")
+    // no envelope -> identity, zero cost
+    val (same, zero) = Bench.remeasureOutliers(results, Map.empty, 3)(
+      _ => fail("must not sample without an envelope"))
+    assert(same == results && zero == 0)
+    // all-failed fresh samples keep the original value
+    val (kept, _) = Bench.remeasureOutliers(Seq("a" -> 2.0), envelope, 2)(_ => -1.0)
+    assert(kept.toMap.apply("a") == 2.0)
+  }
+
+  test("the 're' count renders when nonzero, is omitted at zero, and survives degradation") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val small = Seq("q1" -> 0.5, "q2" -> 1.5)
+    val withRe = Bench.renderLine(small, "sf0.1", 2, false, 0.5, 0.6, level = 0, re = 3)
+    assert(mapper.readTree(withRe).get("re").asInt() == 3)
+    val noRe = Bench.renderLine(small, "sf0.1", 2, false, 0.5, 0.6, level = 0)
+    assert(!noRe.contains("\"re\""))
+    // at the budget-constrained levels the count still renders — a
+    // reader must know the mins were defended
+    val big = names.map(_ -> 0.99)
+    val line = Bench.renderFitting(big, "sf0.1", 4, true, 12.3, 23.4, re = 2)
+    assert(line.length < 2000 && mapper.readTree(line).get("re").asInt() == 2)
+  }
+
+  test("loadEnvelope: tier-matched file loads, mismatched tier is ignored") {
+    // the repo's recorded envelope is sf0.1 — it must load there and
+    // refuse everywhere else (sf0.001 has no recorded envelope)
+    val env = Bench.loadEnvelope("sf0.1")
+    assert(env.size == names.size || env.nonEmpty,
+      s"recorded envelope must cover the registry, got ${env.size}")
+    assert(env.values.forall(_ > 0))
+    assert(Bench.loadEnvelope("sf0.002").isEmpty)
+    // the sf1 tier record doubles as that tier's envelope
+    assert(Bench.loadEnvelope("sf1").nonEmpty)
+  }
+
   test("ms formatting stays compact and driver-parseable at every level") {
     assert(Bench.ms(-1.0) == "-1")
     assert(Bench.ms(0.0) == "0")
