@@ -9,19 +9,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: 64-bit SimHash of a token array.
+/** Native Catalyst expression: 60-bit SimHash of a token array.
   *
   * SimHash (Charikar 2002; used by near-dup detection in large-scale
-  * web/LLM corpora): each token hashes to 64 bits; per bit position,
-  * +1 if set else -1, summed over tokens; the output bit is 1 iff the
-  * sum is positive. Documents within small Hamming distance are
+  * web/LLM corpora): each token hashes to `Bits` bits; per bit
+  * position, +1 if set else -1, summed over tokens; the output bit is
+  * 1 iff the sum is >= 0. Documents within small Hamming distance are
   * near-duplicates.
+  *
+  * There is ONE simhash in this engine. The per-token hash is the
+  * md5-derived 60-bit value `conv(substring(md5(token), 1, 15), 16,
+  * 10)` — the first 15 hex chars (= top 60 bits) of the token's MD5 —
+  * computed here as a native digest loop. That makes this expression
+  * bit-identical to the pure-DataFrame twin
+  * [[graft.ops.Dedup.simhashSigsMd5]] AND to the DuckDB oracle's
+  * `('0x' || substr(md5(tok), 1, 15))::BIGINT`, so the registry's
+  * `dedup_simhash` is hash-checked end to end (it was rows-only when
+  * this expression used MurmurHash3, which has no DuckDB form —
+  * round-12 verdict task 2). 60 bits rather than 64 keeps the packed
+  * signature inside a non-negative BIGINT in both engines, where bit
+  * 63 would read as a sign flip on the DuckDB side.
   *
   * Implemented as a custom `Expression` with `doGenCode` (not a Scala
   * UDF) so it stays inside whole-stage codegen: one virtual call per
-  * row, no Encoder round-trip, null-safe. The per-token 64-bit hash is
-  * two seeded MurmurHash3 32-bit runs over the UTF-8 bytes —
-  * deterministic across JVMs and partitions.
+  * row, no Encoder round-trip, null-safe — and ONE digest per token,
+  * where the DataFrame twin pays explode + shuffle of a 60-column
+  * vote aggregate (the twin exists as the differential mirror, not
+  * the fast path).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -46,22 +60,42 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  private final val Seed1 = 0x9747b28c
-  private final val Seed2 = 0x5bd1e995
+  /** Signature width: 15 md5 hex chars = 60 bits (see class doc). */
+  final val Bits = 60
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  // MessageDigest is stateful and not thread-safe; one per executor
+  // thread amortizes the allocation across every row the task hashes
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The per-token 60-bit hash: top 60 bits of the MD5 digest's first
+    * 8 bytes — exactly `('0x' || substr(md5(tok), 1, 15))::BIGINT`. */
+  private def tokenHash(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val top64 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top64 >>> 4
+  }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Vote rule: bit set iff the ±1 sum is >= 0 (ties set the bit) —
+    * the twin's `WHEN s >= 0` branch, kept identical so an empty or
+    * tie-heavy doc hashes the same everywhere. */
   def compute(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](Bits)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val bytes = tokens.getUTF8String(i).getBytes
-        val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed1).toLong
-        val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed2).toLong
-        val h = (h1 << 32) | (h2 & 0xffffffffL)
+        val h = tokenHash(tokens.getUTF8String(i).getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < Bits) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -70,8 +104,8 @@ object SimHash64 {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
+    while (b < Bits) {
+      if (counts(b) >= 0) out |= (1L << b)
       b += 1
     }
     out

@@ -524,15 +524,18 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("cluster_size"), col("metric"))
   }
 
-  /** SimHash near-dup on md5-derived 60-bit hashes — the
+  /** SimHash near-dup as pure DataFrame arithmetic — the
     * differentially-testable twin of [[simhashPairs]]. The native
-    * murmur [[graft.functions.SimHash64]] is the fast path (one
-    * codegen'd expression per row), but murmur has no DuckDB
-    * counterpart, so that entry is rows-only; here every stage — token
-    * hash (15 md5 hex chars = 60 bits), per-bit ±1 vote, signature
-    * packing, 4×15-bit banding (pigeonhole: Hamming ≤ 3 guarantees a
-    * shared band), exact Hamming verify — is plain integer arithmetic
-    * both engines compute bit-for-bit.
+    * [[graft.functions.SimHash64]] is the fast path (one codegen'd
+    * digest loop per row) and computes the IDENTICAL md5-derived
+    * signature; this twin spells every stage out in plain column
+    * expressions — token hash (15 md5 hex chars = 60 bits), per-bit
+    * ±1 vote, signature packing, 4×15-bit banding (pigeonhole:
+    * Hamming ≤ 3 guarantees a shared band), exact Hamming verify —
+    * integer arithmetic Spark, DuckDB, and the native expression all
+    * compute bit-for-bit. SimHashCrossSpec pins native == twin per
+    * signature; the registry serves the native path against the
+    * twin-shaped oracle.
     *
     * Scale shape matches [[simhashPairs]]: per-token map work, one
     * map-side-combined groupBy for the votes, band-equality candidate
@@ -601,17 +604,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** SimHash near-dup: 64-bit signature via the native
+  /** SimHash near-dup: 60-bit md5-derived signature via the native
     * [[graft.functions.SimHash64]] expression, banded into
     * maxHamming+1 bit chunks ([[hammingBands]] — Hamming <= maxHamming
     * guarantees a shared band by pigeonhole), candidates verified by
     * exact Hamming distance.
+    *
+    * ONE simhash, two implementations: this native path (one codegen'd
+    * digest loop per row — the production hash) and the
+    * pure-DataFrame twin [[simhashSigsMd5]] compute the identical
+    * signature (spec-pinned bit-for-bit), and the DuckDB oracle
+    * mirrors the same arithmetic — so the registry's `dedup_simhash`
+    * is hash-checked, not rows-only (r12 verdict task 2).
     */
-  /** The murmur-SimHash signature stage of [[simhashPairs]] (requires
-    * [[graft.functions.GraftFunctions.register]]). */
+  /** The native-expression signature stage of [[simhashPairs]]
+    * (requires [[graft.functions.GraftFunctions.register]]). Docs with
+    * zero tokens are dropped, matching the twin (whose explode emits
+    * no vote rows for them) and the oracle's empty unnest. */
   def simhashSigs(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
       .withColumn("simhash", expr("simhash64(toks)"))
       .select(col("doc_id"), col("simhash"))
   }
@@ -619,7 +632,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSigs(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunkExprs(col("simhash"), 64, maxHamming): _*))
+      posexplode(array(chunkExprs(col("simhash"),
+          graft.functions.SimHash64.Bits, maxHamming): _*))
         .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -633,7 +647,7 @@ object Dedup {
     a.hint("merge").join(b.hint("merge"), Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -72,17 +72,16 @@ object PipelineQueries {
       Dedup.ngramJaccardPairsBanded(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
 
+    // ONE simhash: the native codegen'd expression computes the
+    // md5-derived 60-bit signature the oracle mirrors arithmetically,
+    // so this entry is hash-checked end to end (the former murmur path
+    // was rows-only; the pure-DataFrame twin Dedup.simhashPairsMd5
+    // stays as the spec-level differential mirror, unregistered)
     "dedup_simhash" -> ((s, dir) => {
       GraftFunctions.register(s)
       Dedup.simhashPairs(Fixtures.documents(s, dir), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
-
-    // the differential twin: md5-derived 60-bit simhash, every stage
-    // mirrored in the oracle — see Dedup.simhashPairsMd5
-    "dedup_simhash_md5" -> ((s, dir) =>
-      Dedup.simhashPairsMd5(Fixtures.documents(s, dir), maxHamming = 3)
-        .orderBy(col("doc_a"), col("doc_b"))),
 
     // the brute-force O(n²) twin (Similarity.nearDupPairs) is NOT
     // registered: a cartesian has no place in a timed registry at any
@@ -550,11 +549,11 @@ object PipelineQueries {
         |SELECT source, doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM p
         |WHERE inter * 1000 >= uni * 200 ORDER BY source, doc_a, doc_b""".stripMargin,
 
-    // md5-simhash twin: token hash = 15 md5 hex chars (60 bits),
-    // per-bit ±1 vote (ties → 1), packed signature, 4×15-bit band
-    // join, exact Hamming — all integer arithmetic, bit-for-bit in
-    // both engines.
-    "dedup_simhash_md5" ->
+    // simhash: token hash = 15 md5 hex chars (60 bits), per-bit ±1
+    // vote (ties → 1), packed signature, 4×15-bit band join, exact
+    // Hamming — all integer arithmetic, bit-for-bit against the
+    // native SimHash64 expression the Spark side serves.
+    "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
         |bitsum AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s

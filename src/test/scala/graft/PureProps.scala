@@ -24,6 +24,17 @@ object PureProps extends Properties("graft.pure") {
       SimHash64.ofTokens(ts) == SimHash64.ofTokens(ts.reverse)
     }
 
+  property("single-token simhash == the oracle's md5 arithmetic " +
+      "(('0x' || substr(md5(tok),1,15))::BIGINT)") =
+    // one token: every vote is ±1 with no ties broken by other tokens,
+    // so the signature IS the token hash — pinning the native digest
+    // loop to an independent hex-string computation of the same spec
+    Prop.forAll(Gen.identifier.map(_.take(12))) { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      SimHash64.ofTokens(Seq(t)) == java.lang.Long.parseLong(hex, 16)
+    }
+
   property("single-token edit moves hamming less than disjoint rewrite") =
     Prop.forAll(Gen.listOfN(40, Gen.identifier.map(_.take(6))).suchThat(_.nonEmpty)) { ts =>
       def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -8,7 +8,7 @@ FAMILIES = {
         "dedup_exact", "dedup_minhash", "dedup_incremental",
         "dedup_incremental_apply", "dedup_apply", "dedup_apply_best",
         "dedup_simhash", "dedup_ngram_jaccard_banded"],
-    "dedup, raw yardsticks": ["dedup_ngram_jaccard", "dedup_simhash_md5"],
+    "dedup, raw yardsticks": ["dedup_ngram_jaccard"],
     "substring / boilerplate / classifier": [
         "dedup_substring_spans", "dedup_substring_incremental",
         "dedup_substring_apply", "text_boilerplate", "text_boilerplate_apply",
