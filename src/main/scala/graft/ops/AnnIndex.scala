@@ -95,9 +95,13 @@ object AnnIndex {
       // reusable: the in-memory catalog lost its bucketing metadata,
       // so clear and rebuild deterministically — the quantizer
       // location too (saveAsTable dies on a leftover directory the
-      // in-memory catalog no longer knows about)
-      Bucketed.resetTable(spark, t)
-      Bucketed.resetTable(spark, qt)
+      // in-memory catalog no longer knows about), and any stage/old
+      // generation a crashed [[requantize]] left behind (recovery
+      // contract: a crash mid-swap rebuilds from the source corpus;
+      // appended batches re-enter through their producer's ledger,
+      // the same source-of-truth rule ChainStore's replay makes)
+      Seq(t, qt, t + "__stage", qt + "__stage", t + "__old", qt + "__old")
+        .foreach(Bucketed.resetTable(spark, _))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
       val k = annCellsFor(emb.count())
@@ -137,8 +141,8 @@ object AnnIndex {
     * Appends intentionally do NOT touch the quantizer: cell sizing
     * (⌈√n⌉) and centroid placement decay as the corpus grows, which is
     * a QUALITY decay (hotter cells → bigger probe reads), never a
-    * correctness one. [[requantizeAdvice]] is the documented trigger
-    * for when to pay the full rebuild. */
+    * correctness one. [[requantizeAdvice]] is the trigger for when to
+    * pay the full rebuild; [[requantize]] executes it. */
   def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = {
     val t = ensureBuilt(spark, dir)
     val cs = storedQuantizer(spark, dir)
@@ -149,9 +153,9 @@ object AnnIndex {
       .saveAsTable(t)
   }
 
-  /** When to pay the re-quantize (full [[ensureBuilt]] rebuild after
-    * [[graft.tables.Bucketed.resetTable]]): advice, not automation —
-    * the rebuild is a corpus-wide job the operator schedules.
+  /** When to pay the re-quantize ([[requantize]]): advice, not
+    * automation — the rebuild is a corpus-wide job the operator
+    * schedules.
     *
     * Trigger (a) — KNEE: the corpus has outgrown the cell count.
     * ⌈√n⌉ sizing balances probe reads (n/k) against probe-cell
@@ -178,6 +182,81 @@ object AnnIndex {
     RequantizeAdvice(n, k, occMax, occMean,
       knee = annCellsFor(n) > 2 * k,
       skewed = occMax > skewBound * occMean)
+  }
+
+  /** Execute the rebuild [[requantizeAdvice]] recommends: re-fit the
+    * quantizer over the CURRENT corpus (build rows ∪ every appended
+    * batch — the live assignment table is the one place they all
+    * exist), reassign everything, and swap the new generation in.
+    *
+    * Sizing and sampling are exactly [[ensureBuilt]]'s — k =
+    * [[annCellsFor]](n) over the grown n, centroids =
+    * [[Similarity.sampledCentroids]] over the grown corpus — so a
+    * probe after the rebuild is bit-identical to an inline IVF
+    * pipeline built fresh from the combined corpus (spec-pinned):
+    * the index stays a pure physical optimization across its whole
+    * build → append → requantize lifecycle.
+    *
+    * Commit protocol = temp-write-then-swap at table granularity (the
+    * [[graft.ingest.ChainStore]] `swapBucket` pattern): the new
+    * generation is fully written BESIDE the live pair (readers keep
+    * serving the old index during the corpus-wide reassignment — no
+    * downtime window the length of a rebuild), then swapped in via
+    * catalog renames, old generation dropped last. A crash mid-swap
+    * never strands data silently: every pre-commit crash leaves the
+    * live pair untouched, and a crash inside the rename window is
+    * healed by [[ensureBuilt]]'s orphan sweep (rebuild from the source
+    * corpus; append producers replay from their ledger — documented
+    * there). Mutators serialize on this object's lock, same
+    * single-maintainer contract as the store's write lock; probes are
+    * lock-free and coherent before/after (a probe RACING the swap can
+    * see a mixed view — run requantize in the maintenance window,
+    * like any index rebuild).
+    *
+    * Clears the KNEE trigger by construction and the SKEW trigger
+    * whenever skew came from quantizer drift (appends the old sample
+    * never saw). A literal point-mass — thousands of identical
+    * vectors — cannot be split by ANY quantizer; the advice keeps
+    * flagging it, correctly: that cell IS hot, and the fix is
+    * upstream dedup, not a rebuild.
+    *
+    * Returns the post-rebuild advice so the caller sees the cleared
+    * (or legitimately persisting) triggers. */
+  def requantize(spark: SparkSession, dir: String,
+                 skewBound: Long = 8L): RequantizeAdvice = synchronized {
+    val t = ensureBuilt(spark, dir)
+    val qt = quantizerTableFor(dir)
+    val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
+    val n = live.count()
+    require(n > 0, s"cannot requantize an empty index ($t)")
+    val k = annCellsFor(n)
+    val cs = Similarity.sampledCentroids(live, k)
+    // stage the new generation beside the live one
+    val tStage = t + "__stage"
+    val qtStage = qt + "__stage"
+    Bucketed.resetTable(spark, tStage)
+    Bucketed.resetTable(spark, qtStage)
+    Bucketed.writeBucketed(
+      Similarity.assignCells(live, cs)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+      tStage, "cell", nBuckets = k)
+    import spark.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(qtStage)
+    // commit: rename the live pair aside, promote the stage, drop the
+    // old generation last — each rename is one atomic catalog+dir move
+    val tOld = t + "__old"
+    val qtOld = qt + "__old"
+    Bucketed.resetTable(spark, tOld)
+    Bucketed.resetTable(spark, qtOld)
+    spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
+    spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
+    spark.sql(s"ALTER TABLE $qt RENAME TO $qtOld")
+    spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
+    Bucketed.resetTable(spark, tOld)
+    Bucketed.resetTable(spark, qtOld)
+    requantizeAdvice(spark, dir, skewBound)
   }
 
   /** Top-k probe over the persisted index: compute each query's
