@@ -22,7 +22,15 @@ import org.apache.spark.sql.SparkSession
   * re-sampled repeats+2 more times — a load spike that inflated it has
   * passed by then and the min recovers, while a real plan regression
   * stays >2× and reads as exactly that. The JSON carries the
-  * re-measurement count as `re` when nonzero.
+  * re-measurement count as `re` when nonzero. The defense is
+  * deliberately ONE-SIDED: only above-envelope entries are re-sampled,
+  * and min() can only lower them — upward noise is corrected while
+  * nothing can raise an accidentally-too-fast min, so a defended total
+  * is a slightly lower-biased estimator than a plain min-of-N run.
+  * To keep both estimators visible the line carries the PRE-defense
+  * total as `pre` whenever `re` is nonzero; readers comparing defended
+  * vs undefended runs should compare `pre` to `value` of an
+  * undefended line, and `value` to `value` of another defended one.
   *
   * The JSON line is ALSO written to `target/bench.json` (path printed
   * on stderr) at full 4-decimal precision: stdout capture has truncated
@@ -172,9 +180,10 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double)], sfName: String,
                                 repeats: Int, contended: Boolean,
                                 loadStart: Double, loadEnd: Double,
-                                level: Int = 0, re: Int = 0): String =
+                                level: Int = 0, re: Int = 0,
+                                pre: Double = -1.0): String =
     renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
-      { case (_, v) => ms(v, level) }, level, re = re)
+      { case (_, v) => ms(v, level) }, level, re = re, pre = pre)
 
   /** [[renderLine]] with the per-value formatting injected — the seam
     * [[renderAdaptive]] reuses so the two renderings cannot drift in
@@ -185,7 +194,8 @@ object Bench {
                          fmt: ((String, Double)) => String,
                          level: Int,
                          omit: Set[String] = Set.empty,
-                         re: Int = 0): String = {
+                         re: Int = 0,
+                         pre: Double = -1.0): String = {
     // `omit` drops entries from the per-query MAP only — the floor
     // below the floor ([[renderAdaptive]]): total/failed still cover
     // every result, and the dropped count is declared as "drop" so a
@@ -199,8 +209,14 @@ object Bench {
     val dropped = if (omit.isEmpty) "" else s""","drop":${omit.size}"""
     // envelope re-measurement count: only rendered when nonzero — a
     // reader seeing "re" knows the mins were DEFENDED against a load
-    // spike, and a zero would spend tail-window chars to say nothing
-    val reMeasured = if (re <= 0) "" else s""","re":$re"""
+    // spike, and a zero would spend tail-window chars to say nothing.
+    // Because the defense is one-sided (min can only come DOWN), the
+    // PRE-defense total rides along as "pre" so both estimators are
+    // visible: pre↔undefended-run value, value↔defended-run value.
+    val reMeasured =
+      if (re <= 0) ""
+      else if (pre >= 0) s""","re":$re,"pre":${ms(pre, level)}"""
+      else s""","re":$re"""
     val telemetry =
       if (level >= 2)
         // budget-constrained: the one signal a reader can't live
@@ -224,7 +240,8 @@ object Bench {
   private[graft] def renderAdaptive(results: Seq[(String, Double)], sfName: String,
                                     repeats: Int, contended: Boolean,
                                     loadStart: Double, loadEnd: Double,
-                                    budget: Int, re: Int = 0): String = {
+                                    budget: Int, re: Int = 0,
+                                    pre: Double = -1.0): String = {
     // only sub-second entries differ between levels 2 and 3 (ms gives
     // v >= 1 the same integer at both), so only they are upgrade
     // candidates — anything else would be dead entries padding the
@@ -234,7 +251,8 @@ object Bench {
     def render(nUpgraded: Int): String = {
       val fine = upgradeOrder.take(nUpgraded).toSet
       renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
-        { case (k, v) => ms(v, if (fine(k)) 2 else 3) }, level = 3, re = re)
+        { case (k, v) => ms(v, if (fine(k)) 2 else 3) }, level = 3, re = re,
+        pre = pre)
     }
     // monotone in k: binary-search the largest upgrade count that fits
     var lo = 0
@@ -262,7 +280,7 @@ object Bench {
       def renderShed(k: Int): String =
         renderWith(results, sfName, repeats, contended, loadStart, loadEnd,
           { case (_, v) => ms(v, 3) }, level = 3, omit = shedOrder.take(k).toSet,
-          re = re)
+          re = re, pre = pre)
       var slo = 1
       var shi = shedOrder.size
       while (slo < shi) { // smallest shed count that fits
@@ -286,12 +304,13 @@ object Bench {
   private[graft] def renderFitting(results: Seq[(String, Double)], sfName: String,
                                    repeats: Int, contended: Boolean,
                                    loadStart: Double, loadEnd: Double,
-                                   budget: Int = 1990, re: Int = 0): String =
+                                   budget: Int = 1990, re: Int = 0,
+                                   pre: Double = -1.0): String =
     (0 to 2).iterator
-      .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l, re))
+      .map(l => renderLine(results, sfName, repeats, contended, loadStart, loadEnd, l, re, pre))
       .find(_.length <= budget)
       .getOrElse(renderAdaptive(results, sfName, repeats, contended,
-        loadStart, loadEnd, budget, re))
+        loadStart, loadEnd, budget, re, pre))
 
   def main(args: Array[String]): Unit =
     run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -371,15 +390,19 @@ object Bench {
       firstPass, loadEnvelope(sfName), extraRepeats = repeats + 2) { name =>
       timeOnce(name, queryByName(name))
     }
+    // pre-defense total (the plain min-of-repeats estimator) — ridden
+    // along as "pre" whenever the one-sided defense fired, so readers
+    // can compare like estimators across defended/undefended runs
+    val preTotal = firstPass.map(_._2).filter(_ >= 0).sum
     val contended = loadStart > contentionThreshold()
     val loadEnd = loadAvg()
     // stdout gets the tail-window-fitting rendering; the file copy
     // keeps full 4-decimal precision (level -1) for readers of the
     // repo — it has no tail-window budget to respect
     val json = renderFitting(results, sfName, repeats, contended, loadStart, loadEnd,
-      re = reCount)
+      re = reCount, pre = preTotal)
     val fine = renderLine(results, sfName, repeats, contended, loadStart, loadEnd,
-      level = -1, re = reCount)
+      level = -1, re = reCount, pre = preTotal)
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fine.getBytes("UTF-8"))

@@ -70,15 +70,19 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
   /** `GET /block/{identifier}` (`src/api.rs:284-320`): 0x-hash or
     * decimal height; None = 404 (or 400 on an unparsable identifier).
     *
-    * The identifier is lowercased ONCE and that normalized form is
+    * Hash-vs-number routing is decided on the RAW identifier —
+    * `api.rs:290` checks `starts_with("0x")` before any case-fold, so
+    * `'0X…'` is NOT a hash (the reference rejects it; here it falls
+    * through to the number parse and misses). Only an ACCEPTED `0x`
+    * identifier has its body lowercased, and that normalized form is
     * both the memo key and the value handed to [[Lookups]] — so the
     * cached answer always agrees with what a fresh compute of the
-    * same key would return ('0X<hash>' and '0x<hash>' are one key AND
-    * one answer; keying on a normalized form while computing on the
-    * raw one would let an upper-cased-prefix miss poison the entry
-    * for the valid lowercase spelling). */
+    * same key would return ('0xAB…' and '0xab…' are one key AND one
+    * answer; keying on a normalized form while computing on the raw
+    * one would let a mixed-case miss poison the entry for the valid
+    * lowercase spelling). */
   def block(identifier: String): Option[BlockInfo] = {
-    val id = identifier.toLowerCase
+    val id = if (identifier.startsWith("0x")) identifier.toLowerCase else identifier
     memo("block", id) {
     Lookups.blockByIdentifier(blocks, id)
       .flatMap(_.collect().headOption).map { r =>
@@ -96,10 +100,12 @@ final class EvmApi(blocks: DataFrame, transactions: DataFrame, logs: DataFrame,
   }
 
   /** `GET /transaction/{tx_hash}` (`src/api.rs:338-387`). Same
-    * normalize-once contract as [[block]]: memo key and computed
-    * answer derive from the identical lowercased hash. */
+    * raw-prefix-then-fold contract as [[block]] (`api.rs:342-346`
+    * validates `starts_with("0x")` on the raw param): a `'0X…'` hash
+    * never reaches the lookup; an accepted one is lowercased once and
+    * that form is both the memo key and the computed answer's key. */
   def transaction(txHash: String): Option[TransactionInfo] = {
-    val id = txHash.toLowerCase
+    val id = if (txHash.startsWith("0x")) txHash.toLowerCase else txHash
     memo("tx", id) {
     Lookups.txByHash(transactions, id)
       .flatMap(_.collect().headOption).map { r =>

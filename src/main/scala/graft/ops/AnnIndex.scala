@@ -142,8 +142,15 @@ object AnnIndex {
     * (⌈√n⌉) and centroid placement decay as the corpus grows, which is
     * a QUALITY decay (hotter cells → bigger probe reads), never a
     * correctness one. [[requantizeAdvice]] is the trigger for when to
-    * pay the full rebuild; [[requantize]] executes it. */
-  def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = {
+    * pay the full rebuild; [[requantize]] executes it.
+    *
+    * Synchronized on the mutator lock (O(batch) work, so holding it is
+    * cheap): an append racing [[requantize]] would otherwise land in
+    * the generation snapshotted BEFORE the batch and be silently
+    * dropped when the old generation is — serializing mutators makes
+    * every append either fully inside the rebuilt corpus or fully
+    * after it. */
+  def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = synchronized {
     val t = ensureBuilt(spark, dir)
     val cs = storedQuantizer(spark, dir)
     val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
@@ -193,25 +200,36 @@ object AnnIndex {
     * [[annCellsFor]](n) over the grown n, centroids =
     * [[Similarity.sampledCentroids]] over the grown corpus — so a
     * probe after the rebuild is bit-identical to an inline IVF
-    * pipeline built fresh from the combined corpus (spec-pinned):
-    * the index stays a pure physical optimization across its whole
-    * build → append → requantize lifecycle.
+    * pipeline built fresh from the combined corpus (`AnnIndexSpec`'s
+    * requantize-cycle test pins exactly this, and the
+    * `topk_requantized` registry entry hash-checks the rebuilt index
+    * against the oracle's inline IVF SQL): the index stays a pure
+    * physical optimization across its whole build → append →
+    * requantize lifecycle.
     *
     * Commit protocol = temp-write-then-swap at table granularity (the
     * [[graft.ingest.ChainStore]] `swapBucket` pattern): the new
     * generation is fully written BESIDE the live pair (readers keep
     * serving the old index during the corpus-wide reassignment — no
     * downtime window the length of a rebuild), then swapped in via
-    * catalog renames, old generation dropped last. A crash mid-swap
-    * never strands data silently: every pre-commit crash leaves the
-    * live pair untouched, and a crash inside the rename window is
-    * healed by [[ensureBuilt]]'s orphan sweep (rebuild from the source
-    * corpus; append producers replay from their ledger — documented
-    * there). Mutators serialize on this object's lock, same
-    * single-maintainer contract as the store's write lock; probes are
-    * lock-free and coherent before/after (a probe RACING the swap can
-    * see a mixed view — run requantize in the maintenance window,
-    * like any index rebuild).
+    * catalog renames. Rename ORDER is load-bearing: the live
+    * assignment table is renamed aside FIRST and the staged one
+    * promoted LAST, so every crash point inside the window leaves the
+    * assignment table ABSENT — which is exactly the state
+    * [[ensureBuilt]]'s orphan sweep detects and heals (rebuild from
+    * the source corpus; append producers replay from their ledger —
+    * documented there). Promoting the assignment table before the
+    * quantizer swap would open a silent-wrong-buckets window (both
+    * tables present but from different generations, so no sweep
+    * triggers and probes scan wrong cells with no error); this
+    * ordering makes that state unreachable. Mutators ([[appendBatch]],
+    * this method) serialize on this object's lock, the same
+    * single-maintainer contract as the store's write lock — an append
+    * can therefore never land in the old generation mid-swap and be
+    * dropped with it. Probes call [[ensureBuilt]] (same lock), so an
+    * in-JVM probe issued during the swap blocks until commit; a probe
+    * that planned BEFORE the swap can still see a mixed view — run
+    * requantize in the maintenance window, like any index rebuild.
     *
     * Clears the KNEE trigger by construction and the SKEW trigger
     * whenever skew came from quantizer drift (appends the old sample
@@ -244,16 +262,19 @@ object AnnIndex {
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode("overwrite").saveAsTable(qtStage)
-    // commit: rename the live pair aside, promote the stage, drop the
-    // old generation last — each rename is one atomic catalog+dir move
+    // commit: rename the live pair aside, promote the stage — each
+    // rename is one atomic catalog+dir move, and the ASSIGNMENT table
+    // is promoted LAST so any crash inside the window leaves it
+    // absent (ensureBuilt's rebuild trigger), never a mixed
+    // new-assignment/old-quantizer pair (see scaladoc)
     val tOld = t + "__old"
     val qtOld = qt + "__old"
     Bucketed.resetTable(spark, tOld)
     Bucketed.resetTable(spark, qtOld)
     spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
-    spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
     spark.sql(s"ALTER TABLE $qt RENAME TO $qtOld")
     spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
+    spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
     Bucketed.resetTable(spark, tOld)
     Bucketed.resetTable(spark, qtOld)
     requantizeAdvice(spark, dir, skewBound)

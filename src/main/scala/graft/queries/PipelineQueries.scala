@@ -227,6 +227,21 @@ object PipelineQueries {
       AnnIndex.topK(s, dir, maxQueryId = 8, k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the MAINTENANCE path end to end: a full requantize (stage the
+    // new generation beside the live pair, reassign, catalog-rename
+    // swap) and then a probe over the swapped-in index. Over an
+    // unchanged corpus the rebuild is deterministic-identical to the
+    // build (same n → same k → same md5-ranked centroid sample), so
+    // the inline-IVF oracle hash-checks the whole stage→swap→probe
+    // machinery from the driver — a wrong rename order, a stale
+    // quantizer, or a half-committed generation all surface as a hash
+    // mismatch, not just a spec failure
+    "topk_requantized" -> ((s, dir) => {
+      AnnIndex.requantize(s, dir)
+      AnnIndex.topK(s, dir, maxQueryId = 6, k = 4, nProbe = 2)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
     // pure projection (PlanAuditSpec pins no object-serialization
     // boundary in its plan); the typed mapPartitions twin stays as
@@ -673,31 +688,13 @@ object PipelineQueries {
     // strings and read the same parquet floats). Assignment and probe
     // both rank (score, cell) — ROW_NUMBER mirrors Spark's first-min
     // tie-break driver-side and in nearest_cell.
-    "topk_indexed" ->
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-         |  FROM embeddings),
-         |prm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
-         |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
-         |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
-         |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
-         |   FROM n) s, prm WHERE s.rnk <= prm.k),
-         |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
-         |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
-         |  FROM n, cen),
-         |asg AS (SELECT vec_id, v, nrm, cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
-         |  WHERE rn = 1),
-         |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
-         |   FROM sc WHERE vec_id < 8) WHERE rn <= 2),
-         |p AS (SELECT q.q_id, x.vec_id,
-         |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
-         |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, score,
-         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
-         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
-         |ORDER BY q_id, rn""".stripMargin,
+    "topk_indexed" -> annIndexOracleSql(maxQueryId = 8, topK = 5),
+
+    // requantize over an unchanged corpus rebuilds the identical index
+    // (same n → same k → same md5-ranked sample), so the SAME inline
+    // IVF statement is the oracle — the differential claim is exactly
+    // "the stage→swap cycle is a pure physical no-op on the results"
+    "topk_requantized" -> annIndexOracleSql(maxQueryId = 6, topK = 4),
 
     // honestly differential on BOTH columns: each engine runs its own
     // HLL sketch (Spark's approx_count_distinct vs DuckDB's) and
@@ -893,6 +890,36 @@ object PipelineQueries {
         """SELECT doc_id, media_type, frames, unnest(range(0, frames, 10))::BIGINT AS frame_idx
           |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)
   )
+
+  /** The persisted-ANN-index oracle: inline IVF over the md5-ranked
+    * data-sampled quantizer, parameterized on the probe scope —
+    * shared by topk_indexed (the build) and topk_requantized (the
+    * rebuild, identical over an unchanged corpus). */
+  private def annIndexOracleSql(maxQueryId: Int, topK: Int): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |prm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, prm WHERE s.rnk <= prm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
+       |   FROM sc WHERE vec_id < $maxQueryId) WHERE rn <= 2),
+       |p AS (SELECT q.q_id, x.vec_id,
+       |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
 
   /** BM25 oracle — shared verbatim by the inline and stored-ref
     * entries: the stored tables hold the SAME model computed once, so

@@ -169,6 +169,76 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"600 identical vectors in one cell must trip the skew bound: $skewed")
   }
 
+  test("requantize cycle: append past the knee fires advice, rebuild clears it, probes == inline IVF on the combined corpus") {
+    val dir = tempCorpus("requant")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    val k0 = AnnIndex.storedQuantizer(spark, dir).length
+    // 4 appended replicas push n to 5× the build size — past the
+    // annCellsFor knee (advice spec above pins the trigger itself)
+    (1 to 4).foreach(r => AnnIndex.appendBatch(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L))))
+    assert(AnnIndex.requantizeAdvice(spark, dir).knee, "sanity: growth crosses the knee")
+    val after = AnnIndex.requantize(spark, dir)
+    assert(!after.knee,
+      s"requantize must resize cells to the grown corpus and clear the knee: $after")
+    // the combined corpus = build rows ∪ every appended batch; the
+    // rebuilt index must be bit-identical to an inline IVF pipeline
+    // built fresh from it — k resized, centroids re-sampled
+    val combined = (0 to 4).map(r =>
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L))).reduce(_ union _)
+    val k = AnnIndex.annCellsFor(combined.count())
+    assert(k > k0 && AnnIndex.storedQuantizer(spark, dir).length == k,
+      s"quantizer must be re-sized to the grown corpus ($k0 -> $k)")
+    val indexed = AnnIndex.topK(spark, dir, maxQueryId = 8, k = 5, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val cs = Similarity.sampledCentroids(Similarity.prepared(combined), k)
+    val inline = Similarity.topKIvfKmeans(combined, maxQueryId = 8, k = 5,
+        nCells = k, nProbe = 2, centroids = Some(cs))
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(indexed.nonEmpty && indexed == inline,
+      "the requantized index must stay a pure physical optimization")
+    // the commit left no stage/old generation behind
+    Seq("__stage", "__old").foreach { sfx =>
+      assert(!spark.catalog.tableExists(AnnIndex.tableFor(dir) + sfx) &&
+        !spark.catalog.tableExists(AnnIndex.quantizerTableFor(dir) + sfx),
+        s"generation leftovers ($sfx) must be dropped at commit")
+    }
+  }
+
+  test("a crash inside the rename window is healed: t is absent at every crash point, ensureBuilt sweeps and rebuilds") {
+    val dir = tempCorpus("crash")
+    val t = AnnIndex.ensureBuilt(spark, dir)
+    val qt = AnnIndex.quantizerTableFor(dir)
+    val before = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.nonEmpty)
+    // Simulate the DEEPEST mid-window crash the reordered commit can
+    // produce: live pair renamed aside AND the new quantizer already
+    // promoted, but the assignment promotion (the LAST rename) never
+    // ran — t absent, qt present, stage + old leftovers on disk. Under
+    // the pre-fix order (assignment promoted first) this state was
+    // instead both-tables-present-but-mismatched, which no sweep could
+    // detect; the reorder makes "t absent" the invariant of EVERY
+    // crash point, so one detection rule heals them all.
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+    spark.sql(s"ALTER TABLE $qt RENAME TO ${qt}__old")
+    import spark.implicits._
+    Seq((0, Seq(0.0))).toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(qt) // the promoted new-gen quantizer
+    spark.range(3).toDF("junk").write.mode("overwrite").saveAsTable(t + "__stage")
+    assert(!spark.catalog.tableExists(t) && spark.catalog.tableExists(qt))
+    // first probe after the crash: ensureBuilt detects the missing
+    // assignment table, sweeps every generation, rebuilds from the
+    // source corpus — and the probes come back identical
+    val healed = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(healed == before,
+      "the healed index must serve identical probes (deterministic rebuild)")
+    Seq(t + "__stage", t + "__old", qt + "__old").foreach(n =>
+      assert(!spark.catalog.tableExists(n), s"orphan $n must be swept"))
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(

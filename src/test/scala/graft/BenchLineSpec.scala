@@ -162,6 +162,29 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < 2000 && mapper.readTree(line).get("re").asInt() == 2)
   }
 
+  test("'pre' (the pre-defense total) rides along with 're': both estimators visible, " +
+      "omitted when the defense never fired or no pre was given") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val small = Seq("q1" -> 0.5, "q2" -> 1.5)
+    // defended run: the one-sided min-only defense makes `value` a
+    // lower-biased estimator, so the undefended total must be
+    // reported beside it for like-for-like comparisons across runs
+    val defended = Bench.renderLine(small, "sf0.1", 2, false, 0.5, 0.6,
+      level = 0, re = 3, pre = 2.75)
+    val tree = mapper.readTree(defended)
+    // pre is formatted by the same ms() as value: 2.75 -> 2.8 at level 0
+    assert(tree.get("re").asInt() == 3 && tree.get("pre").asDouble() == 2.8)
+    // pre without re would be redundant (value == pre): omitted
+    val undefended = Bench.renderLine(small, "sf0.1", 2, false, 0.5, 0.6,
+      level = 0, re = 0, pre = 2.75)
+    assert(!undefended.contains("\"pre\""))
+    // and it survives the budget-constrained degradation path
+    val big = names.map(_ -> 0.99)
+    val line = Bench.renderFitting(big, "sf0.1", 4, true, 12.3, 23.4,
+      re = 2, pre = 99.123)
+    assert(line.length < 2000 && mapper.readTree(line).get("pre").asDouble() > 0)
+  }
+
   test("loadEnvelope: tier-matched file loads, mismatched tier is ignored") {
     // the repo's recorded envelope is sf0.1 — it must load there and
     // refuse everywhere else (sf0.001 has no recorded envelope)

@@ -82,26 +82,34 @@ class EvmApiSpec extends AnyFunSuite with SparkSpec {
     assert(cache.misses == missesBefore, "a repeated 404 must hit the memo")
   }
 
-  test("memo coherence: an upper-cased '0X' identifier computes the SAME answer " +
-      "as its lowercase spelling and never poisons the shared entry") {
+  test("memo coherence: hash-vs-number routing is decided on the RAW prefix " +
+      "(api.rs:290 — '0X…' is NOT a hash), and a mixed-case BODY shares one entry") {
     val cache = new graft.api.LookupCache()
     val api = new EvmApi(EvmDerive.blocks(spark, sfDir),
       EvmDerive.transactions(spark, sfDir), EvmDerive.logs(spark, sfDir),
       Some(cache))
     val hash = api.block("42").get.blockHash
-    // the poisoning order: '0X…' FIRST. Under the normalize-once
-    // contract it resolves (prefix case-folds with the rest), and the
-    // entry it caches is the valid answer — a subsequent lowercase
-    // lookup must be served that same answer, not a stale 404.
-    val upper = api.block("0X" + hash.drop(2).toUpperCase)
-    assert(upper.isDefined, "'0X'-prefixed hash must resolve like '0x'")
+    // the reference checks starts_with("0x") BEFORE any case-fold, so
+    // an upper-cased prefix never routes as a hash (REST 400s it; here
+    // it falls to the number parse and misses) — folding first would
+    // silently resolve it, a behavioral divergence
+    assert(api.block("0X" + hash.drop(2).toUpperCase).isEmpty,
+      "'0X'-prefixed identifier must NOT resolve as a hash (reference rejects it)")
+    // the poisoning order for ACCEPTED identifiers: mixed-case body
+    // FIRST. It resolves (the body case-folds), and the entry it
+    // caches is the valid answer — a subsequent lowercase lookup must
+    // be served that same answer from the same key, not a stale miss.
+    val upperBody = api.block("0x" + hash.drop(2).toUpperCase)
+    assert(upperBody.isDefined, "'0x' + upper-case body must resolve")
     val hitsBefore = cache.hits
     val lower = api.block(hash)
-    assert(lower == upper, "lowercase lookup must serve the shared entry's answer")
+    assert(lower == upperBody, "lowercase lookup must serve the shared entry's answer")
     assert(cache.hits == hitsBefore + 1, "both spellings must share ONE memo key")
     // same contract on the tx endpoint
     val txHash = EvmDerive.txHashOf(3)
-    val upTx = api.transaction("0X" + txHash.drop(2).toUpperCase)
+    assert(api.transaction("0X" + txHash.drop(2).toUpperCase).isEmpty,
+      "'0X' tx hash must be rejected on the raw prefix (api.rs:342-346)")
+    val upTx = api.transaction("0x" + txHash.drop(2).toUpperCase)
     assert(upTx.isDefined && api.transaction(txHash) == upTx)
   }
 
