@@ -230,12 +230,117 @@ object Similarity {
     * outgrows literals and takes the standard two-level quantizer —
     * √k sampled coarse cells by this method, then the same method
     * again within each coarse cell — without changing the plan shape
-    * downstream of `cell`. */
+    * downstream of `cell`: built as [[topKIvf2]] (registry entry
+    * `topk_ivf2`, hash-checked at both levels). */
   def sampledCentroids(prepared: DataFrame, k: Int): Array[Array[Double]] =
     prepared
       .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** Integer-exact smallest x with x² ≥ n, as a Column — the per-group
+    * form of [[AnnIndex.annCellsFor]]'s search loop. floor(sqrt(n)) on
+    * an exact integer is correctly rounded in IEEE double (identical
+    * in Spark and DuckDB), and the three-branch correction absorbs the
+    * at-most-±1 the floor can be off by — so both engines compute the
+    * same k with no floating comparison left to diverge. */
+  private[ops] def intSqrtCeil(n: Column): Column = {
+    val s = floor(sqrt(n.cast("double"))).cast("long")
+    when((s - lit(1L)) * (s - lit(1L)) >= n, s - lit(1L))
+      .when(s * s >= n, s)
+      .otherwise(s + lit(1L))
+  }
+
+  /** Two-level IVF — the documented fix for the single-level
+    * quantizer's literal-capacity knee (see [[sampledCentroids]]): a
+    * billion-vector corpus wants k ~ 10⁶ cells at ~1000 vectors each,
+    * far past what a centroid matrix riding the plan as one literal
+    * can carry. Here the only literal is the COARSE quantizer —
+    * kc = annCellsFor(annCellsFor(n)) ≈ n^¼ md5-sampled centroids
+    * ([[sampledCentroids]], the proven method at level 1) — and the
+    * fine quantizer is DATA, not plan: within each coarse cell, the
+    * ⌈√occupancy⌉ md5-rank-first members of THAT cell (the same
+    * sampling method applied per cell, occupancy-adaptive by
+    * construction), materialized as a (ccell, fcell, centroid)
+    * relation that reaches executors as a broadcast join keyed on the
+    * coarse cell. Total fine cells ≈ Σ⌈√occ_c⌉ and nothing is ever a
+    * k-sized literal, so the structure holds at any n.
+    *
+    * Plan shape downstream of the (ccell, fcell) key is UNCHANGED
+    * from single-level IVF: equality-join candidates, exact cosine,
+    * per-query top-k — exactly as promised where the seam was
+    * documented. Assignment cost per vector is kc coarse scores (one
+    * codegen'd [[graft.functions.NearestCellF64]] pass) plus
+    * ⌈√occ⌉ fine scores via the broadcast join with a map-side-combined
+    * `min_by` argmin — no shuffle wider than n rows anywhere in the
+    * build, and the probe reads only the probed fine cells' members.
+    *
+    * Fully differential: md5 sampling at both levels, the integer-exact
+    * [[intSqrtCeil]] per-cell sizing, and (score, cell) first-min
+    * tie-breaks are all DuckDB-expressible, so the registry entry
+    * hash-checks every stage. */
+  /** The coarse+fine structure [[topKIvf2]] probes, exposed so the
+    * spec can pin the capacity claims directly: returns (coarse
+    * centroid matrix — the ONLY literal, ~n^¼ rows; fine quantizer
+    * relation `(ccell, fcell, fv, f2)` — ⌈√occ⌉ rows per coarse cell;
+    * full assignment `(vec_id, ccell, v, nrm, fcell)`). */
+  def ivf2Structure(embeddings: DataFrame): (Array[Array[Double]], DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val kc = AnnIndex.annCellsFor(AnnIndex.annCellsFor(e.count()))
+    val coarse = sampledCentroids(e, kc)
+    val casg = assignCells(e, coarse).withColumnRenamed("cell", "ccell")
+    // fine quantizer relation: per coarse cell, its ⌈√occ⌉ first
+    // members in md5-rank order; |fctr|² precomputed once here rather
+    // than per scored pair
+    val wRank = Window.partitionBy(col("ccell")).orderBy(col("h"), col("vec_id"))
+    val wCell = Window.partitionBy(col("ccell"))
+    val fine = casg
+      .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCell))
+      .filter(col("rnk") <= intSqrtCeil(col("cnt")))
+      .select(col("ccell"), (col("rnk") - 1).cast("int").as("fcell"),
+        col("v").as("fv"), dot(col("v"), col("v")).as("f2"))
+    // fine assignment: score only against the vector's own coarse
+    // cell's fine centroids (broadcast), argmin with the same
+    // (score, cell) first-min tie-break as assignCells — min_by over a
+    // struct key combines map-side, so the build never shuffles more
+    // than n rows
+    val asg = casg.join(broadcast(fine), Seq("ccell"))
+      .withColumn("s", lit(-2.0) * dot(col("v"), col("fv")) + col("f2"))
+      .groupBy(col("vec_id")).agg(
+        first(col("ccell")).as("ccell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("fcell"), struct(col("s"), col("fcell"))).as("fcell"))
+    (coarse, fine, asg)
+  }
+
+  def topKIvf2(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
+               nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val (coarse, fine, asg) = ivf2Structure(embeddings)
+    // probe: nProbeCoarse nearest coarse cells (literal matrix — small
+    // by construction), then the probed cells' fine centroids ranked
+    // TOGETHER per query, top nProbeFine overall
+    val qc = probeQueries(e.filter(col("vec_id") < maxQueryId), coarse, nProbeCoarse)
+      .withColumnRenamed("cell", "ccell")
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("s"), col("ccell"), col("fcell"))
+    val probes = qc.join(broadcast(fine), Seq("ccell"))
+      .withColumn("s", lit(-2.0) * dot(col("qv"), col("fv")) + col("f2"))
+      .withColumn("prn", row_number().over(wQ))
+      .filter(col("prn") <= nProbeFine)
+      .select(col("ccell"), col("fcell"), col("q_id"), col("qv"), col("qn"))
+    val cand = asg.join(broadcast(probes), Seq("ccell", "fcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
 
   /** Corpus-scaled LSH banding parameters: (nPlanes, bitsPerBand).
     *

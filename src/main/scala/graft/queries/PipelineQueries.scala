@@ -136,6 +136,18 @@ object PipelineQueries {
       Similarity.topKIvf(Fixtures.embeddings(s, dir), maxQueryId = 20, k = 3)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the billion-vector literal-capacity fix (Similarity.topKIvf2):
+    // only the ~n^¼ COARSE centroids ride the plan as a literal; the
+    // fine quantizer is a per-coarse-cell md5 sample living in a
+    // broadcast relation, so no k-sized literal exists at any corpus
+    // size — and every stage (both sampling levels, the integer-exact
+    // per-cell sizing, both argmin tie-breaks) is mirrored in the
+    // oracle, making the whole two-level structure hash-checked
+    "topk_ivf2" -> ((s, dir) =>
+      Similarity.topKIvf2(Fixtures.embeddings(s, dir), maxQueryId = 6, k = 5,
+        nProbeCoarse = 2, nProbeFine = 3)
+        .orderBy(col("q_id"), col("rn"))),
+
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -695,6 +707,64 @@ object PipelineQueries {
     // IVF statement is the oracle — the differential claim is exactly
     // "the stage→swap cycle is a pure physical no-op on the results"
     "topk_requantized" -> annIndexOracleSql(maxQueryId = 6, topK = 4),
+
+    // the two-level quantizer, every stage mirrored: kc from the same
+    // nested integer-√ loops as Similarity (annCellsFor of annCellsFor),
+    // coarse sample + assignment exactly the single-level pattern,
+    // per-coarse-cell fine sample sized by the sqrt-with-correction
+    // CASE (bit-identical to intSqrtCeil — floor(sqrt(exact int)) is
+    // correctly rounded in both engines and the CASE absorbs the ±1),
+    // fine argmin ROW_NUMBER (s, fcell) = Spark's min_by struct key,
+    // fine probe ranked (s, ccell, fcell) across the probed coarse
+    // cells = the windowed probe rank.
+    "topk_ivf2" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+        |  FROM embeddings),
+        |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+        |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
+        |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+        |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
+        |cen AS (SELECT (rnk - 1)::INT AS ccell, v AS ctr FROM
+        |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+        |   FROM n) s, kc WHERE s.rnk <= kc.k),
+        |csc AS (SELECT n.vec_id, n.v, n.nrm, cen.ccell,
+        |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+        |  FROM n, cen),
+        |casg AS (SELECT vec_id, v, nrm, ccell FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn FROM csc)
+        |  WHERE rn = 1),
+        |occ AS (SELECT ccell, count(*) AS c FROM casg GROUP BY ccell),
+        |kf AS (SELECT ccell, CASE WHEN (sq - 1) * (sq - 1) >= c THEN sq - 1
+        |                          WHEN sq * sq >= c THEN sq ELSE sq + 1 END AS kf
+        |  FROM (SELECT ccell, c, CAST(floor(sqrt(c)) AS BIGINT) AS sq FROM occ)),
+        |fcen AS (SELECT r.ccell, (r.rnk - 1)::INT AS fcell, r.v AS fctr
+        |  FROM (SELECT ccell, v, ROW_NUMBER() OVER (PARTITION BY ccell
+        |          ORDER BY md5('seed:' || vec_id), vec_id) AS rnk FROM casg) r
+        |  JOIN kf ON r.ccell = kf.ccell WHERE r.rnk <= kf.kf),
+        |fsc AS (SELECT a.vec_id, a.v, a.nrm, a.ccell, f.fcell,
+        |  -2.0 * list_dot_product(a.v, f.fctr) + list_dot_product(f.fctr, f.fctr) AS s
+        |  FROM casg a JOIN fcen f ON a.ccell = f.ccell),
+        |fasg AS (SELECT vec_id, v, nrm, ccell, fcell FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, fcell) rn FROM fsc)
+        |  WHERE rn = 1),
+        |qc AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccell FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn
+        |   FROM csc WHERE vec_id < 6) WHERE rn <= 2),
+        |qf AS (SELECT q_id, qv, qn, ccell, fcell FROM
+        |  (SELECT q.q_id, q.qv, q.qn, q.ccell, f.fcell,
+        |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |       -2.0 * list_dot_product(q.qv, f.fctr) + list_dot_product(f.fctr, f.fctr),
+        |       q.ccell, f.fcell) AS rn
+        |   FROM qc q JOIN fcen f ON q.ccell = f.ccell) WHERE rn <= 3),
+        |p AS (SELECT q.q_id, x.vec_id,
+        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
+        |    AND x.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
 
     // honestly differential on BOTH columns: each engine runs its own
     // HLL sketch (Spark's approx_count_distinct vs DuckDB's) and

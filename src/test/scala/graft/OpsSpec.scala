@@ -810,6 +810,59 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("two-level IVF: literal stays n^¼, fine cells occupancy-sized, recall holds vs brute") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val (coarse, fine, asg) = Similarity.ivf2Structure(emb)
+    // the CAPACITY claim: the only centroid literal in any plan is the
+    // coarse matrix, sized annCellsFor(annCellsFor(n)) ~ n^¼ — at a
+    // billion vectors that is ~178 rows where single-level IVF would
+    // need a ~31623-row literal
+    val kc = graft.ops.AnnIndex.annCellsFor(graft.ops.AnnIndex.annCellsFor(n))
+    assert(coarse.length == kc, s"coarse literal must be n^¼-sized: ${coarse.length} vs $kc")
+    // the fine quantizer is DATA, not plan: exactly ⌈√occ⌉ centroids
+    // per coarse cell (the same corpus-tracked sizing, per cell)
+    val occ = asg.groupBy(col("ccell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fineCounts = fine.groupBy(col("ccell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def sqrtCeil(x: Long): Long = (1L to x).find(s => s * s >= x).get
+    fineCounts.foreach { case (c, nf) =>
+      assert(nf == sqrtCeil(occ(c)),
+        s"cell $c: $nf fine centroids for occupancy ${occ(c)} (want ${sqrtCeil(occ(c))})")
+    }
+    // every vector holds a valid (ccell, fcell) — nothing dropped by
+    // the two-stage assignment
+    assert(asg.count() == n)
+    val orphans = asg.join(fine, Seq("ccell", "fcell"), "left_anti").count()
+    assert(orphans == 0, s"$orphans vectors assigned to a nonexistent fine cell")
+    // recall is the nProbe dial, same contract as single-level IVF:
+    // the cheap dial keeps a pinned floor, widening the fine probe
+    // strictly helps, and probing EVERYTHING recovers brute force
+    // exactly — the structure prunes bytes, never corrupts scores
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 6, k = 5))
+    val cheap = hits(Similarity.topKIvf2(emb, maxQueryId = 6, k = 5,
+      nProbeCoarse = 2, nProbeFine = 3))
+    val recallCheap = (brute & cheap).size.toDouble / brute.size
+    // the fixture is ~200 near-random vectors in 4 coarse cells: the
+    // 2-coarse/3-fine dial reads ~1/10 of the corpus, so ~1/3 recall
+    // is the EXPECTED cheap end here, not a regression
+    assert(recallCheap >= 0.25, s"cheap-dial recall collapsed: $recallCheap")
+    val wide = hits(Similarity.topKIvf2(emb, maxQueryId = 6, k = 5,
+      nProbeCoarse = 3, nProbeFine = 9))
+    val recallWide = (brute & wide).size.toDouble / brute.size
+    assert(recallWide > recallCheap,
+      s"widening the probe must raise recall: $recallCheap -> $recallWide")
+    val totalFine = fine.count().toInt
+    val full = hits(Similarity.topKIvf2(emb, maxQueryId = 6, k = 5,
+      nProbeCoarse = kc, nProbeFine = totalFine))
+    assert(full == brute,
+      s"full probe must equal brute force: missing ${brute -- full}, extra ${full -- brute}")
+  }
+
   test("multimodal resize: aspect ratio preserved, small media untouched") {
     import org.apache.spark.sql.functions.col
     val d = docs(2L -> ("x" * 600), 3L -> "tiny")
