@@ -642,4 +642,52 @@ object TextAnalysis {
       (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8), 16, 10)
         .cast("long") - 2147483648L).as("weight"))
   }
+
+  /** A LEARNED weight table for [[classifierScoreWeighted]] — the
+    * trained-model producer the md5 stand-in was a placeholder for:
+    * closed-form Naive Bayes log-odds over the hashed feature buckets,
+    * fit on the labeled half of the corpus (`doc_id % 2 = 0` — a
+    * deterministic split both engines derive identically) with
+    * `posLabel` as the supervision signal.
+    *
+    * weight(b) = ⌊log₂ p̂(b|pos)⌋ − ⌊log₂ p̂(b|neg)⌋, with each class
+    * distribution Laplace-smoothed to integer ppm exactly as
+    * [[graft.ops.Curation.dsirBucketPpm]] (`(c+1)·10⁶ div (total+dim)`)
+    * and the floor-log₂ computed as `length(bin(x))` — the DSIR
+    * binary-digit-count trick, bit-identical in Spark and DuckDB, so
+    * training is ENGINE-EXACT where textbook `ln` ratios would drift
+    * on libm rounding. A document's `feat_sum = Σ weight(bucket)` is
+    * then the NB log-likelihood ratio in bits (class prior omitted —
+    * `keep = feat_sum ≥ 0` is the equal-prior decision boundary), and
+    * scoring reuses the stored-table broadcast join unchanged: swap
+    * the table, keep the plan.
+    *
+    * Scale: one labeled-corpus token scan with map-side combine into
+    * ≤dim (bucket, cp, cn) rows, one bounded dim-row aggregate for the
+    * totals — the [[graft.ops.Curation.dsirBucketPpm]] cost shape, and
+    * training data 1000× larger changes nothing structural. */
+  def classifierTrainNb(docs: DataFrame, posLabel: Column,
+                        dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val labeled = docs.filter(col("doc_id") % 2 === 0).withColumn("pos", posLabel)
+    val counts = labeled
+      .select(col("pos"), explode(tokens(col("text"))).as("token"))
+      .select(col("pos"), featBucket(col("token"), dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    // class totals = sums of the ≤dim bucket counts (bounded, never a
+    // second corpus scan — the dsirBucketPpm contract)
+    val tot = counts
+      .agg(coalesce(sum(col("cp")), lit(0L)), coalesce(sum(col("cn")), lit(0L)))
+      .collect()(0)
+    val (tp, tn) = (tot.getLong(0), tot.getLong(1))
+    spark.range(dim).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cp", "cn"))
+      .select(col("bucket"),
+        (length(bin(expr(s"((cp + 1) * 1000000) div (${tp}L + $dim)"))) -
+          length(bin(expr(s"((cn + 1) * 1000000) div (${tn}L + $dim)"))))
+          .cast("long").as("weight"))
+  }
 }

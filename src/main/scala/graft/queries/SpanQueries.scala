@@ -109,6 +109,20 @@ object SpanQueries {
       TextAnalysis.classifierScoreWeighted(docs,
         TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim)
         .orderBy(col("doc_id"))
+    }),
+
+    // the model LEARNED, not a stand-in: closed-form Naive Bayes
+    // log-odds (integer ppm + bin-length floor-log₂, the DSIR
+    // engine-exact primitives) fit on the even-doc_id half with
+    // lang='en' as supervision, then scored through the SAME stored-
+    // table broadcast join as _weighted — train swaps the table, the
+    // serving plan is untouched
+    "quality_classifier_trained" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.classifierScoreWeighted(docs,
+        TextAnalysis.classifierTrainNb(docs, col("lang") === "en", ClassifierDim),
+        ClassifierDim)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -271,6 +285,39 @@ object SpanQueries {
       s"""WITH wtab AS (SELECT i AS bucket,
          |  ('0x'||substr(md5('w:'||i::VARCHAR),1,8))::BIGINT - 2147483648 AS weight
          |  FROM range(0, $ClassifierDim) r(i)),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tb AS (SELECT doc_id,
+         |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
+         |  FROM toks),
+         |j AS (SELECT t.doc_id, coalesce(w.weight, 0) AS weight
+         |  FROM tb t LEFT JOIN wtab w USING (bucket)),
+         |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the TRAINING is mirrored too: even-doc_id labeled split, per-
+    // class bucket counts, (c+1)·10⁶ // (total+dim) Laplace ppm, and
+    // length(bin(x)) floor-log₂ — every step integer-exact in both
+    // engines, so the learned weight table (not just the scoring join)
+    // is hash-checked
+    "quality_classifier_trained" ->
+      s"""WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |ltk AS (SELECT pos,
+         |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
+         |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS token FROM lab)),
+         |cnt AS (SELECT bucket,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM ltk GROUP BY bucket),
+         |tot AS (SELECT coalesce(SUM(cp), 0)::BIGINT AS tp,
+         |  coalesce(SUM(cn), 0)::BIGINT AS tn FROM cnt),
+         |wtab AS (SELECT i AS bucket,
+         |  (length(bin((coalesce(cp, 0) + 1) * 1000000 // (tp + $ClassifierDim)))
+         |   - length(bin((coalesce(cn, 0) + 1) * 1000000 // (tn + $ClassifierDim))))::BIGINT AS weight
+         |  FROM range(0, $ClassifierDim) r(i) LEFT JOIN cnt ON i = cnt.bucket, tot),
          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
          |  FROM documents),
          |tb AS (SELECT doc_id,

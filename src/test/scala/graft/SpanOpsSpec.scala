@@ -216,6 +216,43 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
     assert(direct == weighted)
   }
 
+  test("trained NB classifier separates planted junk the md5 stand-in cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 docs in interleaved blocks of 4 so BOTH classes appear in the
+    // training half (even doc_ids) and the held-out half (odd):
+    // i%4<2 → quality docs (lang=en, 'alpha…' vocabulary), else junk
+    // (lang=xx, 'zork…' vocabulary). Per-doc salt tokens make each
+    // text distinct, so the stand-in can't luck into a constant answer.
+    val rows = (0L until 40L).map { i =>
+      val pos = i % 4 < 2
+      val text =
+        if (pos) s"alpha beta gamma delta alpha beta gamma delta e$i"
+        else s"zork grue smog blat zork grue smog blat j$i"
+      (i, text, if (pos) "en" else "xx", "s", text.length.toLong)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = rows.map { case (i, _, lang, _, _) => i -> (lang == "en") }.toMap
+    val heldOut = labels.keySet.filter(_ % 2 == 1)
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    // trained on the even half only, the NB log-odds must classify
+    // every UNSEEN odd doc by its vocabulary — including the unseen
+    // salt tokens, which Laplace smoothing scores neutrally
+    val trained = keeps(TextAnalysis.classifierScoreWeighted(d,
+      TextAnalysis.classifierTrainNb(d, col("lang") === "en")))
+    heldOut.foreach { i =>
+      assert(trained(i) == labels(i),
+        s"trained classifier misclassified held-out doc $i (${labels(i)})")
+    }
+    // the md5 stand-in has never seen a label — its keep bit is a
+    // deterministic hash artifact, and on 20 held-out docs it cannot
+    // match the planted ground truth everywhere
+    val standIn = keeps(TextAnalysis.classifierScore(d))
+    assert(heldOut.exists(i => standIn(i) != labels(i)),
+      "the label-blind stand-in should not separate the planted classes")
+  }
+
   test("classifierFeatSum (streaming per-row form) matches classifierScore bit-for-bit") {
     val d = docs(
       1L -> words("alpha", 25),
