@@ -296,6 +296,17 @@ object PipelineQueries {
       Multimodal.decodePixels(Multimodal.withPayload(Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // the COMPRESSED-codec path: genuine PNGs (zlib through
+    // javax.imageio) encoded AND decoded inside the typed
+    // partition-batched seam; pixels are planted closed-form from
+    // doc_id, so the oracle predicts the decoded stats without a
+    // codec — a hash match proves the round-trip is lossless and the
+    // batch plumbing correct
+    "mm_png_pixels" -> ((s, dir) =>
+      Multimodal.decodePng(s,
+          Multimodal.pngPayload(s, Fixtures.documents(s, dir)))
+        .toDF().orderBy(col("doc_id"))),
+
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
@@ -934,6 +945,29 @@ object PipelineQueries {
           |  CASE WHEN n_pixels = 0 THEN NULL
           |    ELSE (((sum_r + sum_g + sum_b) * 100) // (3 * n_pixels))::BIGINT END AS brightness_x100
           |FROM ch ORDER BY doc_id""".stripMargin),
+
+    // the planted pixel formulas (Multimodal.pngChannels) restated in
+    // closed form over fixed 17×15 ranges filtered to each doc's
+    // (w, h) — the oracle never touches a PNG byte, so agreement
+    // means Spark's encode→deflate→inflate→decode round-trip
+    // reproduced every planted channel value exactly
+    "mm_png_pixels" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |  FROM dims, range(0, 17) t(x), range(0, 15) s(y) WHERE x < w AND y < h),
+        |ch AS (SELECT doc_id, w, h,
+        |  CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS sr,
+        |  CAST(SUM((2 * x + y + 3 * doc_id) % 256) AS BIGINT) AS sg,
+        |  CAST(SUM((x + 2 * y + 7 * doc_id) % 256) AS BIGINT) AS sb,
+        |  COUNT(*)::BIGINT AS np
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, np AS n_pixels,
+        |  (sr * 100 // np)::BIGINT AS mean_r_x100,
+        |  (sg * 100 // np)::BIGINT AS mean_g_x100,
+        |  (sb * 100 // np)::BIGINT AS mean_b_x100,
+        |  ((sr + sg + sb) * 100 // (np * 3))::BIGINT AS brightness_x100
+        |FROM ch ORDER BY doc_id""".stripMargin,
 
     // closed-form plant vs parsed values; the WHERE restates the
     // magic routing (fixture audio rows are exactly the SPHERE rows)

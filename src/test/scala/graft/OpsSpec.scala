@@ -863,6 +863,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"full probe must equal brute force: missing ${brute -- full}, extra ${full -- brute}")
   }
 
+  test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = docs(0L -> "a", 3L -> "b", 7L -> "c", 12L -> "d")
+    val media = Multimodal.pngPayload(spark, d)
+    // payloads are REAL PNGs (magic + zlib body), not labeled stubs
+    val magics = media.select(col("payload")).collect()
+      .map(_.getAs[Array[Byte]](0).take(4).toSeq)
+    assert(magics.forall(_ == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val got = Multimodal.decodePng(spark, media).collect()
+      .map(s => s.doc_id -> s).toMap
+    // ground truth from the planted formulas, computed in plain Scala
+    Seq(0L, 3L, 7L, 12L).foreach { did =>
+      val (w, h) = Multimodal.pngDims(did)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = Multimodal.pngChannels(did, x, y)
+        sr += r; sg += g; sb += b
+      }
+      val np = w.toLong * h
+      val s = got(did)
+      assert((s.width, s.height, s.n_pixels) == ((w.toLong, h.toLong, np)))
+      assert((s.mean_r_x100, s.mean_g_x100, s.mean_b_x100, s.brightness_x100) ==
+        ((sr * 100 / np, sg * 100 / np, sb * 100 / np, (sr + sg + sb) * 100 / (np * 3))),
+        s"doc $did channel stats survived the codec wrong")
+    }
+    // error isolation: a truncated stream and plain garbage decode to
+    // NO row; the healthy rows in the same batch are untouched
+    val corrupt = media.as[graft.ops.MediaRow].map { r =>
+      if (r.doc_id == 3L) graft.ops.MediaRow(r.doc_id, r.media_type, r.payload.take(20))
+      else if (r.doc_id == 7L) graft.ops.MediaRow(r.doc_id, r.media_type, "not a png".getBytes)
+      else r
+    }.toDF()
+    val survivors = Multimodal.decodePng(spark, corrupt).collect().map(_.doc_id).sorted
+    assert(survivors.toSeq == Seq(0L, 12L),
+      s"corrupt rows must be skipped, healthy rows kept: ${survivors.toSeq}")
+  }
+
   test("multimodal resize: aspect ratio preserved, small media untouched") {
     import org.apache.spark.sql.functions.col
     val d = docs(2L -> ("x" * 600), 3L -> "tiny")
