@@ -11,7 +11,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * offsets) is captured for programmatic assertion and logged. */
 class IngestTelemetry extends StreamingQueryListener with Logging {
 
-  case class BatchStats(batchId: Long, numInputRows: Long, durationMs: Long)
+  /** Per-batch counters; `stateRowsTotal` / `stateMemoryUsedBytes`
+    * sum the batch's stateful operators (0 for a stateless ingest) —
+    * the state-store SIZE signal an operator watches to know when a
+    * streaming job's state outgrows the in-memory provider and wants
+    * the RocksDB tier (provider-matrix parity is spec-pinned in
+    * `StreamAnalyticsSpec`). */
+  case class BatchStats(batchId: Long, numInputRows: Long, durationMs: Long,
+                        stateRowsTotal: Long = 0L, stateMemoryUsedBytes: Long = 0L)
 
   val batches = new ConcurrentLinkedQueue[BatchStats]()
 
@@ -20,10 +27,15 @@ class IngestTelemetry extends StreamingQueryListener with Logging {
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
     batches.add(BatchStats(p.batchId, p.numInputRows,
-      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L)))
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+      stateRows, stateBytes))
     logInfo(s"ingest cycle ${p.batchId}: ${p.numInputRows} blocks in " +
-      s"${p.durationMs.get("triggerExecution")} ms")
+      s"${p.durationMs.get("triggerExecution")} ms" +
+      (if (p.stateOperators.nonEmpty)
+        s"; state $stateRows rows / $stateBytes bytes" else ""))
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =

@@ -134,6 +134,20 @@ object AnalyticsQueries {
         threshold = 0.6, horizonNanos = 120L * 60000000000L)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the STATE MACHINE itself, driver-checked: the same rows fed
+    // through streamingNearDup (MemoryStream, bounded micro-batches,
+    // memory sink, run to completion inside this entry) — sharing the
+    // twin's oracle SQL, so bucket pruning / watermark / intra-batch
+    // ordering regressions become a driver hash mismatch rather than
+    // a spec-only failure
+    "stream_neardup_sink" -> ((s, dir) =>
+      graft.streaming.StreamAnalytics.nearDupStreamCompleted(
+        Fixtures.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            ((col("doc_id") + 1440L) * 60000000000L).as("ts")),
+        threshold = 0.6, horizonNanos = 120L * 60000000000L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Salting is result-transparent: the oracle states the PLAIN join,
     // so this entry proves the de-skew rewrite changes the shuffle key
     // and nothing else. Quantities are integral in TPC-H, so the
@@ -210,7 +224,20 @@ object AnalyticsQueries {
     // shingle, 13-hex-char slices — the dedup_minhash arithmetic),
     // band buckets, position-agreement >= ceil(0.6 * 12) = 8, arrival
     // clock ts = doc_id minutes with a 120-minute horizon.
-    "stream_neardup_twin" ->
+    "stream_neardup_twin" -> streamNearDupOracle,
+
+    // the completed streaming sink must equal the twin — SAME oracle
+    // verbatim; divergence is a stateful-matcher bug by definition
+    "stream_neardup_sink" -> streamNearDupOracle,
+
+    "skew_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,
+        |SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+
+  private val streamNearDupOracle =
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
@@ -232,12 +259,5 @@ object AnalyticsQueries {
         |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, (n_agree * 10000) // 12 AS est_jaccard_bp,
         |  (doc_b + 1440) * 60000000000 AS ts
-        |FROM agree WHERE n_agree >= 8 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "skew_salted_join" ->
-      """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,
-        |SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-  )
+        |FROM agree WHERE n_agree >= 8 ORDER BY doc_a, doc_b""".stripMargin
 }

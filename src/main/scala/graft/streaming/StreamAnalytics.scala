@@ -73,6 +73,9 @@ object StreamAnalytics {
     * at-least-once feed ([[dedupedNearDupHits]]). */
   case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard_bp: Long, ts: Long)
 
+  /** Input row shape for [[nearDupStreamCompleted]]'s bounded feed. */
+  case class StreamDocRow(doc_id: Long, text: String, ts: Long)
+
   /** Signature and band arithmetic live in ONE place —
     * [[graft.ops.Dedup.perRowMinhashSig]] / `perRowBandSigs` (shared
     * with the batch pipeline), so batch and stream cannot silently
@@ -231,6 +234,57 @@ object StreamAnalytics {
       .select(col("doc_a"), col("doc_b"),
         expr(s"agree * 10000 div $k").as("est_jaccard_bp"), col("ts"))
       .distinct()
+  }
+
+  /** The STATEFUL matcher run to completion over a bounded corpus —
+    * the driver-visible form of the streaming/batch parity claim.
+    * [[batchNearDup]]'s registry entry (`stream_neardup_twin`) proves
+    * the declarative twin against DuckDB; this one
+    * (`stream_neardup_sink`) feeds the same rows through
+    * [[streamingNearDup]] itself — a MemoryStream in bounded
+    * micro-batches, arrival-ordered, memory sink — and returns the
+    * completed sink's distinct hits. It shares the twin's oracle SQL,
+    * so a regression in the STATE MACHINE (bucket pruning, watermark
+    * handling, intra-batch ordering, timeout bookkeeping) surfaces as
+    * a driver-level hash mismatch, not only a spec failure.
+    *
+    * Micro-batch count is bounded (≈`chunks` regardless of corpus
+    * size) so the entry's cost scales with the data, not the batch
+    * scheduler. The collect is the completed sink — the hit set, not
+    * the corpus — and the result is re-materialized so the temp view
+    * and checkpoint can be dropped eagerly. */
+  def nearDupStreamCompleted(docs: DataFrame, threshold: Double = 0.6,
+                             horizonNanos: Long = 3600L * 1000000000L,
+                             chunks: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val arrivals = docs.select(col("doc_id"), col("text"), col("ts"))
+      .as[(Long, String, Long)].collect()
+      .map { case (d, t, ts) => StreamDocRow(d, t, ts) }
+      .sortBy(r => (r.ts, r.doc_id))
+    val chunk = math.max(100, (arrivals.length + chunks - 1) / math.max(1, chunks))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDocRow]
+    // in-horizon bucket membership is bounded by the arrival clock
+    // (≤ horizon/minute docs), so the cap just needs to sit above it
+    val hits = streamingNearDup(mem.toDF(), threshold,
+      horizonNanos = horizonNanos, maxPerBucket = 1024)
+    val name = "neardup_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-sink-ck").toString
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      arrivals.grouped(chunk).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // at-least-once (multi-band) → distinct; one row per pair with one
+    // (est, ts) by construction, the twin's exact shape
+    val rows = spark.table(name)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
+      .distinct().as[(Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows.toDF("doc_a", "doc_b", "est_jaccard_bp", "ts")
   }
 
   /** Exactly-once near-dup feed, downstream half: the same pair can

@@ -385,6 +385,95 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         s"only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("RocksDB state-store tier: near-dup and sessionize match their twins, state telemetry reports size") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the tier a production deployment runs when keyed state outgrows
+    // executor heap: same operators, same results, state in RocksDB.
+    // providerClass is latched per query at start, so set → start →
+    // restore is race-free within this suite's sequential tests.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prior = spark.conf.getOption(key)
+    val telemetry = new graft.ingest.IngestTelemetry()
+    spark.streams.addListener(telemetry)
+    spark.conf.set(key, rocks)
+    try {
+      // near-dup over the full fixture vs the declarative batch twin —
+      // the fixture-scale differential, re-run with RocksDB holding
+      // the bucket state
+      val minNanos = 60L * 1000000000L
+      val horizon = 120L * minNanos
+      val docs = Fixtures.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") + 1440L) * minNanos).as("ts"))
+      val arrivals = docs.as[StreamTestDoc].collect().sortBy(_.ts)
+      val mem = MemoryStream[StreamTestDoc]
+      val hits = StreamAnalytics.streamingNearDup(mem.toDF(), threshold = 0.6,
+        horizonNanos = horizon, maxPerBucket = 1024)
+      val ckpt = Files.createTempDirectory("neardup-rocks-ck").toString
+      val q = hits.writeStream.format("memory").queryName("neardup_rocks")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        arrivals.grouped(100).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+        // prove the query genuinely ran on RocksDB, not a silently
+        // ignored conf: the state operator's custom metrics are
+        // provider-specific
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state op must report RocksDB metrics, got ${metrics.take(5).toSeq}")
+      } finally q.stop()
+      val streamed = spark.table("neardup_rocks")
+        .select($"doc_a", $"doc_b", $"est_jaccard_bp", $"ts").distinct()
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = StreamAnalytics.batchNearDup(docs, threshold = 0.6, horizonNanos = horizon)
+        .select($"doc_a", $"doc_b", $"est_jaccard_bp", $"ts")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"RocksDB near-dup diverged: only-streamed=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+      // sessionize under RocksDB: the planted two-burst scenario
+      val mem2 = MemoryStream[SessionEvent]
+      val sessions = StreamAnalytics.sessionize(
+        mem2.toDS(), gapNanos = 10 * minNanos, watermark = "0 seconds")
+      val dir2 = Files.createTempDirectory("sess-rocks-ck").toString
+      val q2 = sessions.writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode("append").option("checkpointLocation", dir2).start()
+      try {
+        val base = 24 * 60
+        mem2.addData(
+          SessionEvent(1, base * minNanos, "click", 1.0),
+          SessionEvent(1, (base + 2) * minNanos, "click", 2.0),
+          SessionEvent(1, (base + 32) * minNanos, "view", 4.0),
+          SessionEvent(2, base * minNanos, "view", 8.0))
+        q2.processAllAvailable()
+        mem2.addData(SessionEvent(99, (base + 1000) * minNanos, "view", 0.0))
+        q2.processAllAvailable()
+        val got = spark.table("sessions_rocks").as[UserSession].collect()
+          .map(s => (s.user_id, s.session_start / minNanos - base,
+            s.session_end / minNanos - base, s.n_events, s.sum_value)).toSet
+        assert(got == Set(
+          (1L, 0L, 2L, 2L, 3.0), (1L, 32L, 32L, 1L, 4.0), (2L, 0L, 0L, 1L, 8.0)),
+          s"RocksDB sessionize diverged: $got")
+      } finally q2.stop()
+      // the telemetry listener saw the stateful batches and reports a
+      // nonzero state size — the operator's capacity signal
+      spark.streams.awaitAnyTermination(1)
+      assert(telemetry.batches.iterator().hasNext)
+      val it = telemetry.batches.iterator()
+      var maxRows = 0L
+      while (it.hasNext) maxRows = math.max(maxRows, it.next().stateRowsTotal)
+      assert(maxRows > 0, "state telemetry must report the stored row count")
+    } finally {
+      spark.streams.removeListener(telemetry)
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingCurate classifier gate: below-threshold docs drop before state, feat_sum rides along") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
