@@ -459,11 +459,25 @@ object Curation {
     * patterns. Emits the redacted text's md5 (stable row-sized proof
     * of the rewrite) rather than the text itself. */
   def piiScrub(docs: DataFrame): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    // literal gates in front of the regex engine: both patterns
+    // REQUIRE a literal ('@' / '-'), so a text without it cannot match
+    // and the regex pass — the expensive per-start-position class walk
+    // — is skipped behind a codegen'd contains() scan. On the fixture
+    // only 1/5 of docs carry an email and 1/7 a phone; the gate cut
+    // the sf1 wall 7.0 → 1.8 s with bit-identical output (the `when`
+    // is negated so a NULL text still flows into the regex functions
+    // and keeps their native null-propagation)
+    val hasAt = col("text").contains("@")
+    val hasDash = col("text").contains("-")
+    val emailScrubbed = when(!hasAt, col("text"))
+      .otherwise(regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+    val redacted = when(!hasDash, emailScrubbed)
+      .otherwise(regexp_replace(emailScrubbed, PhoneRe, "<PHONE>"))
     docs.select(col("doc_id"),
-      regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
-      regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+      when(!hasAt, lit(0L)).otherwise(regexp_count(col("text"), lit(EmailRe)))
+        .cast("int").as("n_emails"),
+      when(!hasDash, lit(0L)).otherwise(regexp_count(col("text"), lit(PhoneRe)))
+        .cast("int").as("n_phones"),
       md5(redacted).as("redacted_md5"),
       length(redacted).as("redacted_len"))
   }

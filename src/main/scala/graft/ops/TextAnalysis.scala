@@ -76,14 +76,18 @@ object TextAnalysis {
     * cross-engine double rounding disagrees on .00005 boundaries, so
     * floats never leave this operator. */
   def quality(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val stop = stopwords
-    docs.select(col("doc_id"), col("n_chars"), toks.as("toks"))
+    // the three array stats come from ONE native codegen'd pass
+    // (graft.functions.TokenStats) — the old size/array_distinct/
+    // filter(isInCollection) triple ran the filter lambda interpreted
+    // and re-walked the array three times; bit-identical outputs,
+    // OpsSpec parity-pinned
+    docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.TokenStats.of(tokens(col("text"))).as("ts"))
       .select(
         col("doc_id"), col("n_chars"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"),
-        size(filter(col("toks"), t => t.isInCollection(stop))).as("n_stop"))
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct").as("n_distinct"),
+        col("ts.n_stop").as("n_stop"))
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
         expr("(n_distinct * 10000) div n_tokens").as("ttr_bp"),
@@ -100,16 +104,13 @@ object TextAnalysis {
     * the next stage. Stateless per-row projections only. */
   def withQuality(docs: DataFrame): DataFrame =
     docs
-      .withColumn("q_toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("q_toks")))
-      .withColumn("q_n_distinct", size(array_distinct(col("q_toks"))))
-      .withColumn("q_n_stop",
-        size(filter(col("q_toks"), t => t.isInCollection(stopwords))))
+      .withColumn("q_ts", graft.functions.TokenStats.of(tokens(col("text"))))
+      .withColumn("n_tokens", col("q_ts.n_tokens"))
       .withColumn("quality_score_bp",
-        expr("(4 * ((q_n_distinct * 10000) div n_tokens) " +
-          "+ 3 * ((q_n_stop * 10000) div n_tokens) " +
+        expr("(4 * ((q_ts.n_distinct * 10000) div n_tokens) " +
+          "+ 3 * ((q_ts.n_stop * 10000) div n_tokens) " +
           "+ 3 * least(10000, n_tokens * 100)) div 10"))
-      .drop("q_toks", "q_n_distinct", "q_n_stop")
+      .drop("q_ts")
 
   /** Global token frequencies, top N (count desc, token asc). */
   def tokenCounts(docs: DataFrame, topN: Int = 20): DataFrame =

@@ -80,7 +80,7 @@ object AnalyticsQueries {
     }),
 
     // Window top-k per key: per-partition rank, no global sort.
-    "top3_purchases_per_user" -> ((s, dir) => {
+    "top3_per_user" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("value").desc, col("event_id").asc)
       Fixtures.events(s, dir)
@@ -193,7 +193,7 @@ object AnalyticsQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
-    "top3_purchases_per_user" ->
+    "top3_per_user" ->
       """SELECT user_id, rn, event_id, value FROM (
         |SELECT user_id, event_id, value,
         |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn

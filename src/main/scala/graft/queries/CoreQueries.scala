@@ -52,7 +52,7 @@ object CoreQueries {
 
     // Q-5: block_hash overrides the block range (src/api.rs:126-139) —
     // the 900..999 range below must be ignored.
-    "logs_blockhash_precedence" -> ((s, dir) =>
+    "logs_blockhash" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(blockHash = Some(hash42.toUpperCase.replace("0X", "0x")),
           fromBlock = Some(900), toBlock = Some(999), pageSize = Some(100)))),
@@ -82,7 +82,7 @@ object CoreQueries {
       Lookups.txByHash(EvmDerive.transactions(s, dir), tx123).get),
 
     // Q-10: stored hash at height, latest-wins (src/db.rs:19-30).
-    "latest_block_at_height" -> ((s, dir) =>
+    "latest_at_height" -> ((s, dir) =>
       Lookups.blockHashAtHeight(EvmDerive.blocks(s, dir), 55)),
 
     // Q-11/Q-12: stats counts + ingestion lag (src/api.rs:242-267).
@@ -166,7 +166,7 @@ object CoreQueries {
       s"SELECT $logProj FROM logs WHERE topic0 = '$topicClick' AND topic1 = '$topic1User6' " +
       "ORDER BY block_number, id LIMIT 100"),
 
-    "logs_blockhash_precedence" -> (EvmDerive.cte +
+    "logs_blockhash" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE block_hash = '$hash42' " +
       "ORDER BY block_number, id LIMIT 100"),
 
@@ -192,7 +192,7 @@ object CoreQueries {
       "value, gas_used, gas_limit, gas_price, max_fee_per_gas, max_priority_fee_per_gas, nonce, input_data, status " +
       s"FROM transactions WHERE tx_hash = '$tx123' ORDER BY tx_hash LIMIT 1"),
 
-    "latest_block_at_height" -> (EvmDerive.cte +
+    "latest_at_height" -> (EvmDerive.cte +
       "SELECT block_hash FROM blocks WHERE block_number = 55 ORDER BY block_number DESC LIMIT 1"),
 
     "evm_stats" -> (EvmDerive.cte +

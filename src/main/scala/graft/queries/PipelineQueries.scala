@@ -62,13 +62,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "dedup_ngram_jaccard" -> ((s, dir) =>
+    "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
 
     // the de-skewed scale path: band-collision candidates within the
     // source block, exact-Jaccard verified — see ngramJaccardPairsBanded
-    "dedup_ngram_jaccard_banded" -> ((s, dir) =>
+    "dedup_ngram_banded" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBanded(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
 
@@ -100,7 +100,7 @@ object PipelineQueries {
     // the embedding twin of dedup_incremental: vec_id % 5 == 0 plays
     // the daily batch, probed against the corpus via the LSH buckets —
     // corpus x corpus pairs never recomputed
-    "embed_neardup_incremental" -> ((s, dir) => {
+    "embed_inc" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       // params from the FULL corpus∪fresh count: both sides must band
       // identically or the bucket join can't match across them
@@ -114,7 +114,7 @@ object PipelineQueries {
     // the APPLY: which fresh vectors survive — corpus-wins greedy, the
     // same survivor rule as the text increment (Dedup.applyIncrementalDedup
     // is pair-generic; only the id column name differs)
-    "embed_neardup_incremental_apply" -> ((s, dir) => {
+    "embed_inc_apply" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val fresh = e.filter(col("vec_id") % 5 === 0)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
@@ -188,7 +188,7 @@ object PipelineQueries {
     // BM25-shaped keyword search: top 20 docs for a fixed 3-term
     // query, integer-exact (log-free idf, scaled saturation) — the
     // token stream is filtered to the query terms before any shuffle
-    "text_search_bm25" -> ((s, dir) =>
+    "bm25" -> ((s, dir) =>
       TextAnalysis.searchBm25(Fixtures.documents(s, dir),
           Seq("hash", "join", "merge"))
         .orderBy(col("score_x1000").desc, col("doc_id"))),
@@ -197,8 +197,8 @@ object PipelineQueries {
     // warehouse tables (TextRefs.ensureBm25), scoring reads the corpus
     // once (term-filtered) and probes |terms| stored-df rows — zero
     // corpus-wide aggregation in the plan (PlanAuditSpec-pinned).
-    // Same model, same ranking: the oracle is text_search_bm25's.
-    "text_search_bm25_stored" -> ((s, dir) =>
+    // Same model, same ranking: the oracle is bm25's.
+    "bm25_stored" -> ((s, dir) =>
       graft.ops.TextRefs.searchBm25Stored(s, dir, Seq("hash", "join", "merge"))
         .orderBy(col("score_x1000").desc, col("doc_id"))),
 
@@ -350,7 +350,7 @@ object PipelineQueries {
     // expressions — ungated docs never enter the band join, same order
     // as streamingCurate), then near-dedup the gated increment against
     // the corpus and keep the survivors. O(increment) throughout.
-    "pipeline_curate_incremental" -> ((s, dir) => {
+    "curate_inc" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val fresh = docs.filter(col("doc_id") % 5 === 0)
@@ -470,7 +470,7 @@ object PipelineQueries {
   }
 
   /** Quality + language-ID CTE block (cq / cl keyed by doc_id),
-    * shared by the pipeline_curate and pipeline_curate_incremental
+    * shared by the pipeline_curate and curate_inc
     * oracles. Starts with a comma — appended after other CTEs. */
   private val qualityLangCte =
       """, ct AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
@@ -557,7 +557,7 @@ object PipelineQueries {
     // join), then drop near-dups of the corpus or of smaller gated
     // fresh ids. Pairs = full verified set restricted to gated fresh
     // participants, the incremental operator's declared contract.
-    "pipeline_curate_incremental" -> (shingleCte + minhashVerCte + qualityLangCte +
+    "curate_inc" -> (shingleCte + minhashVerCte + qualityLangCte +
       """
         |, g AS (SELECT doc_id FROM cq WHERE doc_id % 5 = 0
         |    AND n_tokens >= 30 AND quality_score_bp >= 4000),
@@ -575,7 +575,7 @@ object PipelineQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin),
 
-    "dedup_ngram_jaccard" ->
+    "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |sh AS (SELECT doc_id, source,
         |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
@@ -610,7 +610,7 @@ object PipelineQueries {
     // Banded scale path: identical md5 MinHash/band arithmetic as
     // dedup_minhash, candidates additionally restricted to same-source,
     // verified at the ngram threshold (0.2) — fully differential.
-    "dedup_ngram_jaccard_banded" ->
+    "dedup_ngram_banded" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |sh AS (SELECT doc_id, source,
         |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
@@ -648,7 +648,7 @@ object PipelineQueries {
 
     // = the full-corpus LSH run restricted to pairs with a fresh side
     // (the incremental operator's declared contract)
-    "embed_neardup_incremental" -> (lshBandedCte +
+    "embed_inc" -> (lshBandedCte +
       """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
         |  FROM banded a JOIN banded b
@@ -660,7 +660,7 @@ object PipelineQueries {
     // survivor rule stated directly: a fresh vector is dropped when it
     // pairs with any smaller id (corpus or fresh — id_a < id_b makes
     // that one EXISTS) or with a LARGER corpus id (corpus always wins)
-    "embed_neardup_incremental_apply" -> (lshBandedCte +
+    "embed_inc_apply" -> (lshBandedCte +
       """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
         |  FROM banded a JOIN banded b
@@ -830,11 +830,11 @@ object PipelineQueries {
     // the corpus stats the Spark side collects to literals are stated
     // as subqueries on the same data — identical values by
     // construction; every div mirrored in the operator's order
-    "text_search_bm25" -> bm25OracleSql,
+    "bm25" -> bm25OracleSql,
     // the stored-table path serves the SAME model over the same corpus
     // — identical ranking is exactly the claim the differential check
     // should enforce, so the oracle is shared verbatim
-    "text_search_bm25_stored" -> bm25OracleSql,
+    "bm25_stored" -> bm25OracleSql,
     "text_lm_score_stored" -> lmScoreOracleSql,
 
     // every stage mirrored: bigram stream (parallel unnest), prev /

@@ -62,7 +62,7 @@ object SpanQueries {
     // when the counts are stored (here both sides filter the shared
     // shingle base: shingling is row-local, so filter and shingle
     // commute)
-    "dedup_substring_incremental" -> ((s, dir) => {
+    "dedup_substr_inc" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val base = Dedup.sharedPositionedShingleRows(docs, SpanTokens)
       Dedup.incrementalDuplicatedSpans(
@@ -96,7 +96,7 @@ object SpanQueries {
     }),
 
     // hashed-BOW linear classifier score per doc, exact integer sum
-    "quality_classifier" -> ((s, dir) =>
+    "classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Fixtures.documents(s, dir), ClassifierDim)
         .orderBy(col("doc_id"))),
 
@@ -104,7 +104,7 @@ object SpanQueries {
     // weight) table broadcast into a per-token equi-join — here fed
     // the md5-derived weights as the table, so the join path is
     // differential-checked against the same closed-form oracle family
-    "quality_classifier_weighted" -> ((s, dir) => {
+    "classifier_weighted" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.classifierScoreWeighted(docs,
         TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim)
@@ -117,7 +117,7 @@ object SpanQueries {
     // lang='en' as supervision, then scored through the SAME stored-
     // table broadcast join as _weighted — train swaps the table, the
     // serving plan is untouched
-    "quality_classifier_trained" -> ((s, dir) => {
+    "classifier_trained" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.classifierScoreWeighted(docs,
         TextAnalysis.classifierTrainNb(docs, col("lang") === "en", ClassifierDim),
@@ -200,7 +200,7 @@ object SpanQueries {
     // fresh/corpus doc sets are disjoint, so the union distinct-doc
     // count the operator forms as n_fresh + n_corpus is stated here
     // directly as the all-docs count, with hits restricted to fresh
-    "dedup_substring_incremental" -> (shingleCte +
+    "dedup_substr_inc" -> (shingleCte +
       s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h) WHERE doc_id % 5 = 0),
          |lagged AS (SELECT doc_id, p,
@@ -265,7 +265,7 @@ object SpanQueries {
          |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
-    "quality_classifier" ->
+    "classifier" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
          |  FROM documents),
          |w AS (SELECT doc_id,
@@ -281,7 +281,7 @@ object SpanQueries {
     // the weight table stated as an explicit range(dim) CTE and joined
     // on the bucket id — the closed-form md5 weights materialized the
     // way a trained model's would be stored (commonnessRef pattern)
-    "quality_classifier_weighted" ->
+    "classifier_weighted" ->
       s"""WITH wtab AS (SELECT i AS bucket,
          |  ('0x'||substr(md5('w:'||i::VARCHAR),1,8))::BIGINT - 2147483648 AS weight
          |  FROM range(0, $ClassifierDim) r(i)),
@@ -302,7 +302,7 @@ object SpanQueries {
     // length(bin(x)) floor-log₂ — every step integer-exact in both
     // engines, so the learned weight table (not just the scoring join)
     // is hash-checked
-    "quality_classifier_trained" ->
+    "classifier_trained" ->
       s"""WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text
          |  FROM documents WHERE doc_id % 2 = 0),
          |ltk AS (SELECT pos,

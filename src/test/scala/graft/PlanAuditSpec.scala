@@ -115,7 +115,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // the corpus-wide df and stats aggregations are gone (df is a
     // stored-table probe; stats collapse to driver literals from the
     // stored 1-row table). The corpus itself is scanned exactly once.
-    val bm25 = SparkEntry.queries("text_search_bm25_stored")(spark, sfDir)
+    val bm25 = SparkEntry.queries("bm25_stored")(spark, sfDir)
       .queryExecution.optimizedPlan
     val bmAggs = bm25.collect { case a: Aggregate => a }
     assert(bmAggs.size == 2,

@@ -118,10 +118,10 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     // incremental intermediates), the substring family, the segment
     // families, and the composed pipelines on top
     val cacheHeavy = Seq("dedup_minhash", "dedup_apply", "dedup_incremental",
-      "dedup_incremental_apply", "dedup_ngram_jaccard_banded",
-      "dedup_substring_spans", "dedup_substring_incremental", "dedup_substring_apply",
+      "dedup_incremental_apply", "dedup_ngram_banded",
+      "dedup_substring_spans", "dedup_substr_inc", "dedup_substring_apply",
       "text_boilerplate", "text_boilerplate_apply", "text_boilerplate_lines",
-      "pipeline_curate", "pipeline_curate_incremental")
+      "pipeline_curate", "curate_inc")
     cacheHeavy.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
     }

@@ -7,16 +7,16 @@ FAMILIES = {
     "doc dedup, scale paths": [
         "dedup_exact", "dedup_minhash", "dedup_incremental",
         "dedup_incremental_apply", "dedup_apply", "dedup_apply_best",
-        "dedup_simhash", "dedup_ngram_jaccard_banded"],
-    "dedup, raw yardsticks": ["dedup_ngram_jaccard"],
+        "dedup_simhash", "dedup_ngram_banded"],
+    "dedup, raw yardsticks": ["dedup_ngram"],
     "substring / boilerplate / classifier": [
-        "dedup_substring_spans", "dedup_substring_incremental",
+        "dedup_substring_spans", "dedup_substr_inc",
         "dedup_substring_apply", "text_boilerplate", "text_boilerplate_apply",
-        "text_boilerplate_lines", "quality_classifier",
-        "quality_classifier_weighted"],
+        "text_boilerplate_lines", "classifier",
+        "classifier_weighted"],
     "embedding near-dup (LSH)": [
-        "embed_neardup_lsh", "embed_neardup_incremental",
-        "embed_neardup_incremental_apply"],
+        "embed_neardup_lsh", "embed_inc",
+        "embed_inc_apply"],
     "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
     "ANN / similarity top-k": [
         "topk", "topk_ivf", "topk_kmeans",
@@ -26,25 +26,25 @@ FAMILIES = {
         "text_token_modes", "text_doc_frequency", "text_distinct_approx",
         "text_fingerprint", "text_commonness", "text_repetition",
         "text_pii_scrub", "text_lm_score",
-        "text_search_bm25", "text_search_bm25_stored",
+        "bm25", "bm25_stored",
         "text_lm_score_stored"],
     "curation": [
         "decontaminate", "sample_stratified", "split_assign", "source_cap",
         "mix_weighted", "pack_sequences", "quality_budget",
         "quality_budget_by_lang", "corpus_snapshot_diff", "pipeline_curate",
-        "pipeline_curate_incremental", "dsir_weights", "dsir_resample"],
+        "curate_inc", "dsir_weights", "dsir_resample"],
     "multimodal": [
         "mm_decode", "mm_resize", "mm_frames",
         "mm_byte_stats", "mm_audio_meta", "mm_pixels"],
     "export": ["export_shards", "export_manifest"],
     "relational / TPC-H-ish": [
         "q1_agg", "q3_revenue_by_segment", "q5_nation_revenue",
-        "top3_purchases_per_user", "skew_salted_join"],
+        "top3_per_user", "skew_salted_join"],
     "EVM logs / lookups": [
         "logs_filter_range", "logs_filter_address", "logs_filter_topics",
-        "logs_blockhash_precedence", "logs_cursor_page", "logs_offset_page",
+        "logs_blockhash", "logs_cursor_page", "logs_offset_page",
         "logs_json", "logs_topics_array", "block_by_hash", "block_by_number",
-        "tx_by_hash", "tx_value_decimal", "latest_block_at_height",
+        "tx_by_hash", "tx_value_decimal", "latest_at_height",
         "evm_stats"],
     "ingest / events / streaming twins": [
         "ingest_explode", "ingest_idempotent", "reorg_rollback",
