@@ -98,11 +98,15 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode(perRowBandSigs(col("sig"), k, rowsPerBand)).as(Seq("band", "band_sig")))
 
-  /** Per-row MinHash signature: the same KM arithmetic as
-    * [[minhashSignature]] ([[h1Of]]/[[h2Of]] — one md5 per shingle),
-    * but computed entirely inside the row for contexts that cannot
-    * (or need not) shuffle-and-regroup — the streaming near-dup path.
-    */
+  /** Per-row MinHash signature, DECLARATIVE TWIN: the same KM
+    * arithmetic as [[minhashSignature]] ([[h1Of]]/[[h2Of]]), computed
+    * entirely inside the row. The production per-row path is the
+    * native [[graft.functions.MinHashSig]] expression — this HOF form
+    * nests the shingle-hash transform inside the k-iteration lambda,
+    * so interpreted evaluation re-digests every shingle k times per
+    * row (~9 ms/doc at sf0.1); it stays as the differential mirror
+    * the cross spec pins the native loop against (the SimHash64
+    * pattern), not as a hot path. */
   def perRowMinhashSig(text: Column, k: Int = 12): Column = {
     val hashed = transform(TextAnalysis.shingles(TextAnalysis.tokens(text)),
       s => struct(h1Of(s).as("h1"), h2Of(s).as("h2")))

@@ -342,6 +342,114 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
+  /** Per-dimension affine scalar-quantization (SQ8) parameters over
+    * the corpus: (min, max) per dimension, collected to two d-length
+    * driver arrays (d = 64 here — bounded like the centroid matrices,
+    * nothing corpus-sized reaches the driver). One posexplode →
+    * map-side-combined min/max agg: the only corpus pass quantization
+    * ever needs. */
+  def sqParams(embeddings: DataFrame, dim: Int = 64): (Array[Double], Array[Double]) = {
+    val rows = prepared(embeddings)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.length == dim, s"expected $dim dims, saw ${rows.length}")
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** SQ8 codes: each dimension affine-quantized to an integer in
+    * [0, 255] — `floor((x − mn)·255 / (mx − mn))` clamped, 0 for a
+    * constant dimension. The IEEE sequence (subtract, ×255, divide,
+    * floor) is stated once here and mirrored verbatim in the oracle, so
+    * the codes are bit-identical across engines.
+    *
+    * This is the memory/IO side of ANN at 100 TB: a 64-dim float
+    * vector is 256 bytes; its code row is 64 small ints that parquet
+    * bit-packs to ~1 byte each — the candidate-scan side of a probe
+    * reads ~4× fewer bytes (8× vs double), and executor cache holds 4×
+    * more of the corpus. The full-precision vector is kept ONLY for
+    * the rerank stage, which touches `rerank` rows per query, not the
+    * scan. The stored norm (8 bytes) rides along — standard SQ
+    * practice, so approximate COSINE needs no second pass. Build cost:
+    * one interpreted transform per row, paid once at write time (the
+    * probe-side scan only ever sees the codes). */
+  def sqQuantize(embeddings: DataFrame, mns: Array[Double], mxs: Array[Double]): DataFrame = {
+    val d = mns.length
+    val mnL = array(mns.map(lit): _*)
+    val mxL = array(mxs.map(lit): _*)
+    prepared(embeddings).select(
+      col("vec_id"), col("nrm"),
+      transform(sequence(lit(0), lit(d - 1)), i => {
+        val x = element_at(col("v"), i + 1)
+        val mn = element_at(mnL, i + 1)
+        val mx = element_at(mxL, i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(least(greatest(
+            floor((x - mn) * lit(255.0) / (mx - mn)), lit(0.0)), lit(255.0)).cast("int"))
+      }).as("codes"))
+  }
+
+  /** SQ8 top-k with exact rerank: rank the full corpus by APPROXIMATE
+    * cosine computed from the codes, keep `rerank` candidates per
+    * query, then score only those with the exact full-precision cosine
+    * and emit the final top-k — the standard quantize-then-rerank
+    * serving shape (faiss's SQ8, ScaNN's AH stage).
+    *
+    * The approximate dot is the exact algebra of the midpoint
+    * reconstruction `x̂_d = mn_d + (code_d + 0.5)·step_d`, regrouped so
+    * the per-ROW work is ONE native codegen'd dot product over the
+    * code array ([[graft.functions.VectorExprs]]): with
+    * `basis_d = mn_d + 0.5·step_d` and the per-QUERY vector
+    * `t_d = q_d·step_d`,
+    * `dot(q, x̂) = dot(q, basis) + dot(t, codes)` — the first term and
+    * `t` are computed once per query on the tiny broadcast side. The
+    * decomposed IEEE sequence is the operator's DEFINITION and the
+    * oracle mirrors it term by term, so candidate selection is
+    * bit-reproducible (raw-double ranking, vec_id tiebreak) even
+    * though it is numerically ≠ a naive Σ q_d·x̂_d fold.
+    *
+    * At scale: the candidate pass scans codes (bit-packed bytes) —
+    * combine with the IVF cell key for bucket pruning exactly as the
+    * full-precision scan does; the rerank join back to full vectors is
+    * a broadcast of queries×rerank (q_id, vec_id) pairs against the
+    * corpus — with a vec_id-bucketed layout it touches only the
+    * candidates' buckets. */
+  def topKSq(embeddings: DataFrame, maxQueryId: Long, k: Int = 10,
+             rerank: Int = 20, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mns, mxs) = sqParams(embeddings, dim)
+    // steps/basis are driver-computed ONCE from the collected params;
+    // the oracle states the identical arithmetic inline
+    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
+    val basis = mns.indices.map(i => mns(i) + 0.5 * steps(i)).toArray
+    val codes = sqQuantize(embeddings, mns, mxs)
+    val stepL = array(steps.map(lit): _*)
+    val basisL = array(basis.map(lit): _*)
+    val q = prepared(embeddings).filter(col("vec_id") < maxQueryId).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+      dot(col("v"), basisL).as("qbasis"),
+      zip_with(col("v"), stepL, (a, b) => a * b).as("t"))
+    // candidate pass: one native dot over the code bytes per (row,
+    // query) — no full-precision vector is read here
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        (col("qbasis") + dot(col("t"), col("codes").cast("array<double>"))) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    // exact rerank: only queries×rerank rows re-read full vectors
+    val e = prepared(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    e.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
   /** Corpus-scaled LSH banding parameters: (nPlanes, bitsPerBand).
     *
     * The scale invariant is CONSTANT BUCKET OCCUPANCY: with b bits per

@@ -148,6 +148,19 @@ object PipelineQueries {
         nProbeCoarse = 2, nProbeFine = 3)
         .orderBy(col("q_id"), col("rn"))),
 
+    // SQ8 quantize-then-rerank (Similarity.topKSq): the candidate pass
+    // ranks by an approximate cosine computed ONLY from the 8-bit
+    // codes (one native dot over the code array per row — the scan
+    // side never touches full-precision vectors), then `rerank`
+    // candidates per query are re-scored exactly. Quantization, the
+    // decomposed approximate dot, and both rankings are mirrored
+    // verbatim in the oracle — the whole quantize→scan→rerank shape is
+    // hash-checked, not just the final ranking
+    "topk_sq" -> ((s, dir) =>
+      Similarity.topKSq(Fixtures.embeddings(s, dir), maxQueryId = 5,
+        k = 10, rerank = 20)
+        .orderBy(col("q_id"), col("rn"))),
+
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -775,6 +788,45 @@ object PipelineQueries {
         |r AS (SELECT q_id, vec_id, score,
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    // SQ8, every stage mirrored: per-dim (min, max) from indexing the
+    // same parquet floats, the clamp/floor quantization IEEE sequence
+    // stated identically, the decomposed approximate dot (basis term +
+    // step-scaled query against the code list) term by term, raw-double
+    // candidate ranking with the vec_id tiebreak, exact-cosine rerank.
+    // Raw ranking is safe because every double on both sides is the
+    // same IEEE op sequence over the same parquet bytes — the same
+    // bit-parity contract the brute topk relies on.
+    "topk_sq" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+        |  FROM embeddings),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM n, range(1, 65) t(i) GROUP BY i),
+        |prm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+        |c AS (SELECT vec_id, nrm,
+        |  list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |    ELSE least(greatest(floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])), 0.0), 255.0)
+        |  END) AS codes
+        |  FROM n, prm),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+        |  list_dot_product(v, list_transform(range(1, 65),
+        |    i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
+        |  list_transform(range(1, 65), i -> v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t
+        |  FROM n, prm WHERE vec_id < 5),
+        |a AS (SELECT q.q_id, c.vec_id, q.qv, q.qn,
+        |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
+        |  FROM c JOIN q ON c.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vec_id, qv, qn FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= 20),
+        |p AS (SELECT cand.q_id, n.vec_id,
+        |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+        |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin,
 
     // honestly differential on BOTH columns: each engine runs its own

@@ -76,12 +76,16 @@ object StreamAnalytics {
   /** Input row shape for [[nearDupStreamCompleted]]'s bounded feed. */
   case class StreamDocRow(doc_id: Long, text: String, ts: Long)
 
-  /** Signature and band arithmetic live in ONE place —
-    * [[graft.ops.Dedup.perRowMinhashSig]] / `perRowBandSigs` (shared
-    * with the batch pipeline), so batch and stream cannot silently
-    * drift apart. */
+  /** Signature and band arithmetic live in ONE place: the native
+    * [[graft.functions.MinHashSig]] expression (one digest per
+    * shingle, whole-stage codegen) whose declarative twin
+    * [[graft.ops.Dedup.perRowMinhashSig]] is spec-pinned bit-identical
+    * — so batch and stream cannot silently drift apart. The twin's
+    * interpreted HOF form re-digested every shingle k times per row
+    * (~9 ms/doc at sf0.1), which made each micro-batch of the matcher
+    * a multi-second stall; the native loop removed it. */
   def minhashSigExpr(text: Column, k: Int = 12): Column =
-    graft.ops.Dedup.perRowMinhashSig(text, k)
+    graft.functions.MinHashSig.of(graft.ops.TextAnalysis.tokens(text), k)
 
   def bandSigsExpr(sig: Column, k: Int = 12, rowsPerBand: Int = 2): Column =
     graft.ops.Dedup.perRowBandSigs(sig, k, rowsPerBand)
@@ -252,18 +256,32 @@ object StreamAnalytics {
     * size) so the entry's cost scales with the data, not the batch
     * scheduler. The collect is the completed sink — the hit set, not
     * the corpus — and the result is re-materialized so the temp view
-    * and checkpoint can be dropped eagerly. */
+    * and checkpoint can be dropped eagerly.
+    *
+    * The streaming query runs on a CLONED session pinned to few
+    * shuffle partitions: state-partition count is fixed at query start
+    * from that conf, and every micro-batch commits a delta file per
+    * state partition — at 32 partitions × `chunks` batches the
+    * bounded-corpus run spent ~50 s on state-store file traffic alone
+    * (measured at sf0.1) for state that fits in a handful of stores.
+    * The matcher is bucket-keyed and per-group deterministic, so
+    * partition count cannot change the hit set (the differential check
+    * proves it). A production deployment sizes state partitions to its
+    * live horizon instead — this dial is about the bounded replay. */
   def nearDupStreamCompleted(docs: DataFrame, threshold: Double = 0.6,
                              horizonNanos: Long = 3600L * 1000000000L,
-                             chunks: Int = 10): DataFrame = {
+                             chunks: Int = 10,
+                             statePartitions: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val arrivals = docs.select(col("doc_id"), col("text"), col("ts"))
       .as[(Long, String, Long)].collect()
       .map { case (d, t, ts) => StreamDocRow(d, t, ts) }
       .sortBy(r => (r.ts, r.doc_id))
     val chunk = math.max(100, (arrivals.length + chunks - 1) / math.max(1, chunks))
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = streamSession.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDocRow]
     // in-horizon bucket membership is bounded by the arrival clock
     // (≤ horizon/minute docs), so the cap just needs to sit above it
@@ -280,10 +298,10 @@ object StreamAnalytics {
     } finally q.stop()
     // at-least-once (multi-band) → distinct; one row per pair with one
     // (est, ts) by construction, the twin's exact shape
-    val rows = spark.table(name)
+    val rows = streamSession.table(name)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
       .distinct().as[(Long, Long, Long, Long)].collect().toSeq
-    spark.catalog.dropTempView(name)
+    streamSession.catalog.dropTempView(name)
     rows.toDF("doc_a", "doc_b", "est_jaccard_bp", "ts")
   }
 

@@ -863,6 +863,56 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"full probe must equal brute force: missing ${brute -- full}, extra ${full -- brute}")
   }
 
+  test("SQ8: codes bounded and midpoint-faithful, full rerank recovers brute force, cheap rerank keeps recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val (mns, mxs) = Similarity.sqParams(emb)
+    val codes = Similarity.sqQuantize(emb, mns, mxs)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // midpoint reconstruction error is bounded by half a quantization
+    // step per dimension — THE property that makes 8-bit codes a safe
+    // candidate metric (the eps absorbs the floor's boundary ulp)
+    val full = Similarity.prepared(emb).select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    full.foreach { case (id, v) =>
+      v.indices.foreach { i =>
+        val step = (mxs(i) - mns(i)) / 255.0
+        val xhat = mns(i) + (codes(id)(i) + 0.5) * step
+        assert(math.abs(xhat - v(i)) <= step / 2.0 + 1e-12,
+          s"vec $id dim $i: |$xhat - ${v(i)}| > step/2 = ${step / 2}")
+      }
+    }
+    // a constant dimension quantizes to 0 instead of dividing by zero
+    val const = Seq((0L, Array(1f, 5f, 0f, 2f), 0), (1L, Array(2f, 5f, 0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val (cmn, cmx) = Similarity.sqParams(const, dim = 4)
+    val ccodes = Similarity.sqQuantize(const, cmn, cmx)
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(ccodes.forall(cs => cs(1) == 0 && cs(2) == 0),
+      s"constant dims must code to 0: ${ccodes.map(_.mkString(",")).mkString(" | ")}")
+    // reranking EVERY candidate is brute force exactly — quantization
+    // prunes candidates, it never touches the emitted scores
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 5, k = 10))
+    val fullRerank = hits(Similarity.topKSq(emb, maxQueryId = 5, k = 10, rerank = n))
+    assert(fullRerank == brute,
+      s"rerank=n must equal brute: missing ${brute -- fullRerank}, extra ${fullRerank -- brute}")
+    // the production dial: 20 candidates from the code scan, 10 kept —
+    // 255 levels/dim keep the approximate ranking close enough that
+    // recall stays high on the fixture (and every EMITTED score is
+    // exact by construction, so errors are only ever omissions)
+    val cheap = hits(Similarity.topKSq(emb, maxQueryId = 5, k = 10, rerank = 20))
+    val pairs = (s: Set[(Long, Int, Long, Double)]) => s.map(t => (t._1, t._3))
+    val recall = (pairs(brute) & pairs(cheap)).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 rerank-20 recall collapsed: $recall")
+  }
+
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -14,12 +14,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   /** `topk` broadcasts a LIMIT-bounded query set (q rows,
     * `vec_id < maxQueryId`) against the corpus — a BroadcastNestedLoop
     * shape, but O(q·n) with q fixed, not O(n²); its IVF twins
-    * (`topk_ivf`/`_kmeans`) are the sub-linear scale path.
+    * (`topk_ivf`/`_kmeans`) are the sub-linear scale path. `topk_sq`
+    * is the same query-bounded scan over the 8-bit CODE table (the
+    * point of SQ8: the per-query pass reads ~4× fewer bytes, and
+    * composes with the IVF cell key when sub-linear candidate
+    * selection is wanted); its rerank join is queries×rerank rows
+    * broadcast against an equi-join on vec_id — bounded.
     * Nothing data-sized-by-data-sized is allowlisted anymore: the
     * former `embed_neardup` cartesian baseline now lives only in
     * OpsSpec as the LSH recall yardstick. */
   private val queryBoundedScans =
-    Set("topk")
+    Set("topk", "topk_sq")
 
   /** Cross-joins whose inputs are single-row scalar aggregates by
     * construction (1×1×1) — `Lookups.stats` combines three global
