@@ -372,7 +372,20 @@ object Multimodal {
     * Map-only — at 100 TB this is one embarrassingly-parallel pass. */
   def pngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // the codec loop inherits its parallelism from this partitioning —
+    // and the input is ONE skinny id column, typically a single small
+    // parquet split, which would pin encode+decode to one or two
+    // threads (measured: ~3/4 of the cores idle at sf1). Spreading the
+    // ids is a shuffle of bare longs, ~free next to the codec work;
+    // the downstream decode chain is map-only so it keeps the spread.
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+      // ImageIO defaults to spooling every stream through a TEMP FILE
+      // (useCache=true): at sf1 the disk round-trips were ~3/4 of this
+      // entry's 15 s. Byte-array payloads never need the spool; the
+      // setter is static + idempotent, so once per partition is free.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { did =>
         val (w, h) = pngDims(did)
         val img = new java.awt.image.BufferedImage(
@@ -409,6 +422,7 @@ object Multimodal {
   def decodePng(spark: SparkSession, media: DataFrame): Dataset[PngStats] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see pngPayload
       it.grouped(BatchSize).flatMap { batch =>
         batch.flatMap { r =>
           val img =

@@ -418,14 +418,9 @@ object Similarity {
   def topKSq(embeddings: DataFrame, maxQueryId: Long, k: Int = 10,
              rerank: Int = 20, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (mns, mxs) = sqParams(embeddings, dim)
     // steps/basis are driver-computed ONCE from the collected params;
     // the oracle states the identical arithmetic inline
-    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
-    val basis = mns.indices.map(i => mns(i) + 0.5 * steps(i)).toArray
-    val codes = sqQuantize(embeddings, mns, mxs)
-    val stepL = array(steps.map(lit): _*)
-    val basisL = array(basis.map(lit): _*)
+    val (codes, stepL, basisL) = sqScoring(embeddings, dim)
     val q = prepared(embeddings).filter(col("vec_id") < maxQueryId).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
       dot(col("v"), basisL).as("qbasis"),
@@ -444,6 +439,62 @@ object Similarity {
     val e = prepared(embeddings).select(col("vec_id"), col("v"), col("nrm"))
     val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     e.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
+  /** SQ scoring terms shared by [[topKSq]] and [[topKIvfSq]]: the
+    * driver-computed step/basis literals and the code table. The IEEE
+    * sequences here are the operator DEFINITION the oracles mirror —
+    * steps_d = (mx−mn)/255, basis_d = mn + 0.5·step. */
+  private def sqScoring(embeddings: DataFrame,
+                        dim: Int): (DataFrame, Column, Column) = {
+    val (mns, mxs) = sqParams(embeddings, dim)
+    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
+    val basis = mns.indices.map(i => mns(i) + 0.5 * steps(i)).toArray
+    (sqQuantize(embeddings, mns, mxs),
+      array(steps.map(lit): _*), array(basis.map(lit): _*))
+  }
+
+  /** IVF × SQ8 — the composed serving shape (faiss's IVF-SQ): cell
+    * pruning bounds WHICH rows a probe touches, the 8-bit codes bound
+    * the BYTES each touched row costs, and the exact rerank keeps
+    * emitted scores full-precision. The candidate pass reads only the
+    * probed cells' code rows (cell equality join, one native dot over
+    * the code array per candidate); full vectors are read only by the
+    * queries×rerank rerank join. In a stored index the codes live
+    * inside the cell buckets (written once beside the assignment,
+    * exactly [[AnnIndex]]'s layout with a codes column), so a probe
+    * reads nProbe/k of the corpus at ~1 byte/dim instead of 4.
+    *
+    * Same quantizer recipe as the persisted index ([[AnnIndex]]:
+    * `annCellsFor(n)` md5-sampled centroids) and the same SQ terms as
+    * [[topKSq]], so every stage stays oracle-expressible. */
+  def topKIvfSq(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
+                nProbe: Int = 2, rerank: Int = 15, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
+    val (codes, stepL, basisL) = sqScoring(embeddings, dim)
+    // the inline form of the stored index's (cell, codes) bucket rows
+    val codeIdx = assignCells(e, cs).select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+    val probes = probeQueries(e.filter(col("vec_id") < maxQueryId), cs, nProbe)
+      .withColumn("qbasis", dot(col("qv"), basisL))
+      .withColumn("t", zip_with(col("qv"), stepL, (a, b) => a * b))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codeIdx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        (col("qbasis") + dot(col("t"), col("codes").cast("array<double>"))) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v"), col("nrm")).join(broadcast(cands), Seq("vec_id"))
       .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
       .withColumn("rn", row_number().over(wF))
       .filter(col("rn") <= k)

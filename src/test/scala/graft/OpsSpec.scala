@@ -911,6 +911,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val pairs = (s: Set[(Long, Int, Long, Double)]) => s.map(t => (t._1, t._3))
     val recall = (pairs(brute) & pairs(cheap)).size.toDouble / brute.size
     assert(recall >= 0.9, s"SQ8 rerank-20 recall collapsed: $recall")
+    // the IVF composition: probing EVERY cell with rerank=n recovers
+    // brute force exactly — cell pruning and code scanning only ever
+    // drop candidates, never corrupt an emitted score
+    val kc = graft.ops.AnnIndex.annCellsFor(n.toLong)
+    val ivfFull = hits(Similarity.topKIvfSq(emb, maxQueryId = 5, k = 10,
+      nProbe = kc, rerank = n))
+    assert(ivfFull == brute,
+      s"IVF-SQ full probe+rerank must equal brute: missing ${brute -- ivfFull}")
+    // the production dial keeps recall on the probed-cell candidates
+    val ivfCheap = hits(Similarity.topKIvfSq(emb, maxQueryId = 5, k = 10,
+      nProbe = math.max(2, kc / 2), rerank = 30))
+    val ivfRecall = (pairs(brute) & pairs(ivfCheap)).size.toDouble / brute.size
+    assert(ivfRecall >= 0.3, s"IVF-SQ cheap-dial recall collapsed: $ivfRecall")
   }
 
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
