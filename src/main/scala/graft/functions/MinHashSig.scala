@@ -115,4 +115,12 @@ object MinHashSig {
   /** Column-API entry point. */
   def of(tokens: Column, k: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(tokens), k))
+
+  /** Convenience for driver-side expectation checks (PureProps pins
+    * this against an independent hex-string computation of the same
+    * KM spec). Null when fewer than 3 tokens. */
+  def ofTokens(tokens: Seq[String], k: Int): Option[Seq[Long]] = {
+    val arr = ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+    Option(compute(arr, k)).map(_.toLongArray().toSeq)
+  }
 }

@@ -44,6 +44,33 @@ object PureProps extends Properties("graft.pure") {
       hamming(h, SimHash64.ofTokens(edited)) <= hamming(h, SimHash64.ofTokens(rewritten)) + 8
     }
 
+  property("MinHashSig == independent hex-string computation of the KM spec") =
+    // the same pin the single-token simhash property gives SimHash64:
+    // an independent md5-HEX-STRING implementation (substring + parse,
+    // exactly the oracle's conv(substring(md5(s), 1|14, 13), 16, 10))
+    // must agree with the native byte-twiddling digest loop on every
+    // signature position, for arbitrary token content incl. unicode
+    Prop.forAll(Gen.chooseNum(3, 30).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.identifier.map(_.take(8)),
+        Gen.nonEmptyListOf(Gen.oneOf('ü', '中', 'é', 'a', '7')).map(_.mkString))))) { ts =>
+      val k = 12
+      val expected = Array.fill(k)(Long.MaxValue)
+      ts.sliding(3).filter(_.size == 3).foreach { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+        (0 until k).foreach(j => expected(j) = math.min(expected(j), h1 + j * h2))
+      }
+      graft.functions.MinHashSig.ofTokens(ts, k).contains(expected.toSeq)
+    }
+
+  property("MinHashSig yields None below 3 tokens") =
+    Prop.forAll(Gen.chooseNum(0, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(6))))) { ts =>
+      graft.functions.MinHashSig.ofTokens(ts, 12).isEmpty
+    }
+
   private val bytesGen: Gen[Array[Byte]] =
     Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
 
