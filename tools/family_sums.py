@@ -13,14 +13,15 @@ FAMILIES = {
         "dedup_substring_spans", "dedup_substr_inc",
         "dedup_substring_apply", "text_boilerplate", "text_boilerplate_apply",
         "text_boilerplate_lines", "classifier",
-        "classifier_weighted"],
+        "classifier_weighted", "classifier_trained"],
     "embedding near-dup (LSH)": [
         "embed_neardup_lsh", "embed_inc",
         "embed_inc_apply"],
     "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
     "ANN / similarity top-k": [
         "topk", "topk_ivf", "topk_kmeans",
-        "topk_indexed"],
+        "topk_indexed", "topk_requantized", "topk_ivf2", "topk_sq",
+        "topk_ivf_sq"],
     "text analysis": [
         "text_lang_id", "text_quality", "text_token_counts",
         "text_token_modes", "text_doc_frequency", "text_distinct_approx",
@@ -35,7 +36,7 @@ FAMILIES = {
         "curate_inc", "dsir_weights", "dsir_resample"],
     "multimodal": [
         "mm_decode", "mm_resize", "mm_frames",
-        "mm_byte_stats", "mm_audio_meta", "mm_pixels"],
+        "mm_byte_stats", "mm_audio_meta", "mm_pixels", "mm_png_pixels"],
     "export": ["export_shards", "export_manifest"],
     "relational / TPC-H-ish": [
         "q1_agg", "q3_revenue_by_segment", "q5_nation_revenue",
@@ -48,7 +49,8 @@ FAMILIES = {
         "evm_stats"],
     "ingest / events / streaming twins": [
         "ingest_explode", "ingest_idempotent", "reorg_rollback",
-        "events_hourly", "events_sessions", "stream_neardup_twin"],
+        "events_hourly", "events_sessions", "stream_neardup_twin",
+        "stream_neardup_sink"],
 }
 
 
