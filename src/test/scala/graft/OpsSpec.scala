@@ -863,6 +863,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"full probe must equal brute force: missing ${brute -- full}, extra ${full -- brute}")
   }
 
+  test("TokenStats native expression == the declarative size/array_distinct/filter triple, every fixture document") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val toks = TextAnalysis.tokens(col("text"))
+    val stop = TextAnalysis.stopwords
+    val both = docs.select(col("doc_id"),
+        graft.functions.TokenStats.of(toks).as("ts"),
+        size(toks).as("d_tokens"),
+        size(array_distinct(toks)).as("d_distinct"),
+        size(filter(toks, t => t.isInCollection(stop))).as("d_stop"))
+      .select(col("doc_id"),
+        (col("ts.n_tokens") === col("d_tokens")).as("eq_n"),
+        (col("ts.n_distinct") === col("d_distinct")).as("eq_d"),
+        (col("ts.n_stop") === col("d_stop")).as("eq_s"))
+      .collect()
+    assert(both.nonEmpty)
+    val bad = both.filterNot(r => r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(bad.isEmpty, s"native != declarative at docs ${bad.map(_.getLong(0)).take(5).toSeq}")
+    // edge frames the fixture can't produce: empty array, duplicates,
+    // a null element (counts toward n_tokens, is one distinct value,
+    // never a stopword — the declarative semantics)
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq[String]()),
+      (2L, Seq("the", "the", "the")),
+      (3L, Seq("a", null, "a", null))).toDF("id", "toks")
+      .select(col("id"), graft.functions.TokenStats.of(col("toks")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(edge(1L).getInt(0) == 0 && edge(1L).getInt(1) == 0 && edge(1L).getInt(2) == 0)
+    assert(edge(2L).getInt(0) == 3 && edge(2L).getInt(1) == 1 && edge(2L).getInt(2) == 3)
+    assert(edge(3L).getInt(0) == 4 && edge(3L).getInt(1) == 2 && edge(3L).getInt(2) == 2,
+      s"null-element frame: ${edge(3L)}")
+  }
+
   test("SQ8: codes bounded and midpoint-faithful, full rerank recovers brute force, cheap rerank keeps recall") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -65,6 +65,19 @@ object PureProps extends Properties("graft.pure") {
       graft.functions.MinHashSig.ofTokens(ts, k).contains(expected.toSeq)
     }
 
+  property("TokenStats.compute == independent fold (count / distinct / stopwords)") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.oneOf(graft.ops.TextAnalysis.stopwords),
+      Gen.identifier.map(_.take(6))))) { ts =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val row = graft.functions.TokenStats.compute(
+        ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray))
+      row.getInt(0) == ts.size &&
+        row.getInt(1) == ts.distinct.size &&
+        row.getInt(2) == ts.count(graft.ops.TextAnalysis.stopwords.contains)
+    }
+
   property("MinHashSig yields None below 3 tokens") =
     Prop.forAll(Gen.chooseNum(0, 2).flatMap(n =>
       Gen.listOfN(n, Gen.identifier.map(_.take(6))))) { ts =>
