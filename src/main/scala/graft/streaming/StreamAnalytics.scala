@@ -295,7 +295,18 @@ object StreamAnalytics {
       arrivals.grouped(chunk).foreach { b =>
         mem.addData(b.toSeq: _*); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the bounded replay is done with its checkpoint the moment the
+      // query stops (the memory sink needs no recovery) — leaving it
+      // would leak a temp dir per call
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
     // at-least-once (multi-band) → distinct; one row per pair with one
     // (est, ts) by construction, the twin's exact shape
     val rows = streamSession.table(name)

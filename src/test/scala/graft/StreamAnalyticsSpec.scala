@@ -385,6 +385,30 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         s"only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("nearDupStreamCompleted: state-partition count cannot change the hit set") {
+    import spark.implicits._
+    // the bounded-replay runner pins its cloned session to few shuffle
+    // partitions purely as a state-store-commit economy; the matcher
+    // is bucket-keyed and per-group deterministic, so this claim (in
+    // the runner's scaladoc, and load-bearing for the registry entry's
+    // oracle) must hold exactly: different partition counts, identical
+    // distinct hits
+    val minNanos = 60L * 1000000000L
+    val docs = Fixtures.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") + 1440L) * minNanos).as("ts"))
+    def hitsAt(parts: Int): Set[(Long, Long, Long, Long)] =
+      StreamAnalytics.nearDupStreamCompleted(docs, threshold = 0.6,
+          horizonNanos = 120L * minNanos, statePartitions = parts)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val two = hitsAt(2)
+    val eight = hitsAt(8)
+    assert(two.size >= 20, s"fixture must carry in-horizon pairs, got ${two.size}")
+    assert(two == eight,
+      s"hit set varied with partitions: only-2=${(two -- eight).take(5)} " +
+        s"only-8=${(eight -- two).take(5)}")
+  }
+
   test("RocksDB state-store tier: near-dup and sessionize match their twins, state telemetry reports size") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
