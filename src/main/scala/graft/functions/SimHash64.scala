@@ -149,6 +149,31 @@ object GraftFunctions {
     (children: Seq[Expression]) => ByteStats(exactArgs("byte_stats", 1)(children).head)
   )
 
+  private[graft] val tokenStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_stats"),
+    new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+    (children: Seq[Expression]) => TokenStats(exactArgs("token_stats", 1)(children).head)
+  )
+
+  /** `minhash_sig(tokens, k)` — k must be a foldable integer literal
+    * (it sizes the output array; a column-valued k has no meaning). */
+  private[graft] val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      val Seq(toks, kExpr) = exactArgs("minhash_sig", 2)(children)
+      val k = kExpr match {
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig's k must be an integer literal, got $other")
+      }
+      MinHashSig(toks, k)
+    }
+  )
+
   /** Idempotent registration into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -157,5 +182,9 @@ object GraftFunctions {
       "dot_f64", VectorExprs.dotF64Descriptor._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_stats", byteStatsDescriptor._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_stats", tokenStatsDescriptor._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", minhashSigDescriptor._3, "scala_udf")
   }
 }

@@ -145,7 +145,7 @@ object FloorDivPredicateRule extends Rule[LogicalPlan] {
 /** The engine's single session-extension entry point
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`):
   * the optimizer rules plus the native SQL functions (`simhash64`,
-  * `dot_f64`, `byte_stats`). */
+  * `dot_f64`, `byte_stats`, `token_stats`, `minhash_sig`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FloorDivPredicateRule)
@@ -155,5 +155,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.simhash64Descriptor)
     ext.injectFunction(graft.functions.VectorExprs.dotF64Descriptor)
     ext.injectFunction(graft.functions.GraftFunctions.byteStatsDescriptor)
+    ext.injectFunction(graft.functions.GraftFunctions.tokenStatsDescriptor)
+    ext.injectFunction(graft.functions.GraftFunctions.minhashSigDescriptor)
   }
 }

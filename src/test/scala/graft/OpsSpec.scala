@@ -863,6 +863,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"full probe must equal brute force: missing ${brute -- full}, extra ${full -- brute}")
   }
 
+  test("token_stats and minhash_sig resolve as SQL functions and match their Column-API forms") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3).limit(50)
+    docs.createOrReplaceTempView("fn_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, token_stats(split(text, ' ')) AS ts,
+        |       minhash_sig(split(text, ' '), 12) AS sig
+        |FROM fn_docs""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)),
+          r.getSeq[Long](2))).toMap
+    val api = docs.select(col("doc_id"),
+        graft.functions.TokenStats.of(TextAnalysis.tokens(col("text"))).as("ts"),
+        graft.functions.MinHashSig.of(TextAnalysis.tokens(col("text")), 12).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)),
+          r.getSeq[Long](2))).toMap
+    assert(sql.nonEmpty && sql == api)
+    spark.catalog.dropTempView("fn_docs")
+    // a column-valued k is rejected at resolution, not silently wrong
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a','b','c'), cast(id AS INT)) FROM range(1)")
+        .collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("TokenStats native expression == the declarative size/array_distinct/filter triple, every fixture document") {
     import org.apache.spark.sql.functions._
     val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
