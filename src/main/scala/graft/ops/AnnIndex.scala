@@ -11,13 +11,18 @@ import graft.tables.{Bucketed, Fixtures}
   * [[Similarity.topKIvfKmeans]] recomputes the corpus→cell assignment
   * inside every query; that is fine for a one-shot batch job but wrong
   * for a serving system answering many top-k queries against the same
-  * corpus. Here the assignment (`vec_id, v, nrm, cell`) is written once
-  * via [[Bucketed.writeBucketed]] bucketed on `cell`, and each probe
-  * issues a literal `cell IN (...)` filter, so the scan reads ONLY the
-  * buckets holding the probed cells (`SelectedBucketsCount` in the
-  * plan — machine-checked by `AnnIndexSpec`). At 100 TB with thousands
-  * of cells and nProbe≪cells, a query touches nProbe/cells of the
-  * corpus bytes; everything else is never read.
+  * corpus. Here the assignment (`vec_id, v, nrm, cell, codes`) is
+  * written once via [[Bucketed.writeBucketed]] bucketed on `cell`, and
+  * each probe issues a literal `cell IN (...)` filter, so the scan
+  * reads ONLY the buckets holding the probed cells
+  * (`SelectedBucketsCount` in the plan — machine-checked by
+  * `AnnIndexSpec`). The `codes` column is the row's SQ8 quantization
+  * (~1 bit-packed byte/dim), giving the index BOTH scale dimensions:
+  * cell pruning bounds WHICH rows a probe touches, and [[topKSq]]'s
+  * code-only candidate scan bounds the BYTES each touched row costs.
+  * At 100 TB with thousands of cells and nProbe≪cells, a query touches
+  * nProbe/cells of the corpus bytes — at ~1/8 the bytes per row when
+  * probing through the codes.
   *
   * Two sizing decisions are corpus-tracked, not constants — the same
   * fixed-k / off-data-centroid anti-patterns the scale tiers caught on
@@ -83,6 +88,17 @@ object AnnIndex {
     * every serving query — the write-once/probe-many claim made real. */
   def quantizerTableFor(dir: String): String = tableFor(dir) + "_q"
 
+  /** The SQ8 scalar-quantization parameters stored BESIDE the
+    * quantizer: (dim, mn, mx) — d rows. Like the centroids, the params
+    * are part of the index, not a derivable property of the corpus:
+    * every stored code was produced with exactly these (mn, mx), and a
+    * probe's approximate dot must decode against the SAME affine terms
+    * or candidate ranking silently decoheres as the corpus grows past
+    * the build (the quantizer-drift argument, applied to the code
+    * book). Storing d rows also removes the posexplode min/max corpus
+    * job from every serving query. */
+  def sqTableFor(dir: String): String = tableFor(dir) + "_sq"
+
   /** Build the cell-assignment table + its quantizer if this
     * session/warehouse does not have them yet; returns the assignment
     * table name. Idempotent — the "write once" of
@@ -90,29 +106,41 @@ object AnnIndex {
   def ensureBuilt(spark: SparkSession, dir: String): String = synchronized {
     val t = tableFor(dir)
     val qt = quantizerTableFor(dir)
-    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qt)) {
+    val sqt = sqTableFor(dir)
+    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qt) ||
+        !spark.catalog.tableExists(sqt)) {
       // an orphaned location from a previous JVM is stale, not
       // reusable: the in-memory catalog lost its bucketing metadata,
-      // so clear and rebuild deterministically — the quantizer
-      // location too (saveAsTable dies on a leftover directory the
-      // in-memory catalog no longer knows about), and any stage/old
-      // generation a crashed [[requantize]] left behind (recovery
-      // contract: a crash mid-swap rebuilds from the source corpus;
-      // appended batches re-enter through their producer's ledger,
-      // the same source-of-truth rule ChainStore's replay makes)
-      Seq(t, qt, t + "__stage", qt + "__stage", t + "__old", qt + "__old")
+      // so clear and rebuild deterministically — the quantizer and
+      // SQ-param locations too (saveAsTable dies on a leftover
+      // directory the in-memory catalog no longer knows about), and
+      // any stage/old generation a crashed [[requantize]] left behind
+      // (recovery contract: a crash mid-swap rebuilds from the source
+      // corpus; appended batches re-enter through their producer's
+      // ledger, the same source-of-truth rule ChainStore's replay
+      // makes)
+      Seq(t, qt, sqt).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
       val k = annCellsFor(emb.count())
       val cs = Similarity.sampledCentroids(prep, k)
+      // SQ8 codes are the index's physical read path for approximate
+      // scoring — quantized ONCE here at write time (the probe side
+      // only ever scans the bit-packed code column, ~1 byte/dim,
+      // instead of the 8-byte doubles of `v`)
+      val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
       val assigned = Similarity.assignCells(prep, cs)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
       Bucketed.writeBucketed(assigned, t, "cell", nBuckets = k)
       import spark.implicits._
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .write.mode("overwrite").saveAsTable(qt)
+      mns.indices.map(i => (i, mns(i), mxs(i)))
+        .toDF("dim", "mn", "mx")
+        .write.mode("overwrite").saveAsTable(sqt)
     }
     t
   }
@@ -123,6 +151,14 @@ object AnnIndex {
     spark.table(quantizerTableFor(dir))
       .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** The stored SQ8 params read back as the (mns, mxs) pair (2·d
+    * doubles — bounded, same contract as the quantizer collect). */
+  def storedSqParams(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val rows = spark.table(sqTableFor(dir))
+      .select(col("dim"), col("mn"), col("mx")).orderBy(col("dim")).collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
 
   /** MAINTENANCE half of write-once/probe-many: append a fresh vector
     * batch to the existing index WITHOUT a rebuild. The batch is
@@ -153,8 +189,16 @@ object AnnIndex {
   def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = synchronized {
     val t = ensureBuilt(spark, dir)
     val cs = storedQuantizer(spark, dir)
+    // codes are encoded with the STORED params — the exact affine
+    // terms every existing code row used, the same coherence rule as
+    // the centroids (drifted mins/maxs are a quality decay cleared by
+    // [[requantize]], never a correctness one: a batch value outside
+    // the stored range clamps to 0/255 and the exact rerank still
+    // scores it full-precision)
+    val (mns, mxs) = storedSqParams(spark, dir)
     val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
     assigned.write.mode("append").format("parquet")
       .bucketBy(cs.length, "cell").sortBy("cell")
       .saveAsTable(t)
@@ -244,39 +288,52 @@ object AnnIndex {
                  skewBound: Long = 8L): RequantizeAdvice = synchronized {
     val t = ensureBuilt(spark, dir)
     val qt = quantizerTableFor(dir)
+    val sqt = sqTableFor(dir)
     val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
     val k = annCellsFor(n)
     val cs = Similarity.sampledCentroids(live, k)
+    // SQ params refresh with the quantizer: drifted mins/maxs are the
+    // same decay class as drifted centroids (appended values outside
+    // the stored range clamp, widening the range restores code
+    // resolution), and the rebuild re-encodes every row so the whole
+    // generation shares one code book
+    val (mns, mxs) = Similarity.sqParamsOf(live, Dim)
     // stage the new generation beside the live one
     val tStage = t + "__stage"
     val qtStage = qt + "__stage"
-    Bucketed.resetTable(spark, tStage)
-    Bucketed.resetTable(spark, qtStage)
+    val sqtStage = sqt + "__stage"
+    Seq(tStage, qtStage, sqtStage).foreach(Bucketed.resetTable(spark, _))
     Bucketed.writeBucketed(
       Similarity.assignCells(live, cs)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes")),
       tStage, "cell", nBuckets = k)
     import spark.implicits._
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode("overwrite").saveAsTable(qtStage)
-    // commit: rename the live pair aside, promote the stage — each
-    // rename is one atomic catalog+dir move, and the ASSIGNMENT table
-    // is promoted LAST so any crash inside the window leaves it
-    // absent (ensureBuilt's rebuild trigger), never a mixed
-    // new-assignment/old-quantizer pair (see scaladoc)
+    mns.indices.map(i => (i, mns(i), mxs(i)))
+      .toDF("dim", "mn", "mx")
+      .write.mode("overwrite").saveAsTable(sqtStage)
+    // commit: rename the live generation aside, promote the stage —
+    // each rename is one atomic catalog+dir move, and the ASSIGNMENT
+    // table is renamed aside FIRST and promoted LAST so any crash
+    // inside the window leaves it absent (ensureBuilt's rebuild
+    // trigger), never a mixed new-assignment/old-quantizer(-params)
+    // combination (see scaladoc)
     val tOld = t + "__old"
     val qtOld = qt + "__old"
-    Bucketed.resetTable(spark, tOld)
-    Bucketed.resetTable(spark, qtOld)
+    val sqtOld = sqt + "__old"
+    Seq(tOld, qtOld, sqtOld).foreach(Bucketed.resetTable(spark, _))
     spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
     spark.sql(s"ALTER TABLE $qt RENAME TO $qtOld")
+    spark.sql(s"ALTER TABLE $sqt RENAME TO $sqtOld")
+    spark.sql(s"ALTER TABLE $sqtStage RENAME TO $sqt")
     spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
     spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
-    Bucketed.resetTable(spark, tOld)
-    Bucketed.resetTable(spark, qtOld)
+    Seq(tOld, qtOld, sqtOld).foreach(Bucketed.resetTable(spark, _))
     requantizeAdvice(spark, dir, skewBound)
   }
 
@@ -288,14 +345,26 @@ object AnnIndex {
   def topK(spark: SparkSession, dir: String, maxQueryId: Long,
            k: Int = 5, nProbe: Int = 2): DataFrame = {
     val t = ensureBuilt(spark, dir)
+    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe)
+    val index = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
+    Similarity.probeIndex(index, probesDf, k)
+  }
+
+  /** The driver-side probe computation shared by [[topK]] and
+    * [[topKSq]]: each query's `nProbe` nearest cells against the
+    * STORED quantizer, returned as a (cell, q_id, qv, qn) frame plus
+    * the distinct cell-id literal list that buys bucket pruning.
+    *
+    * Driver-sized by construction: maxQueryId vectors in,
+    * maxQueryId × nProbe probe rows out. Same −2·v·c + |c|² scores and
+    * (score, cell) tie-break as assignCells/the oracle, in plain Scala
+    * doubles (sequential sums — the bit-identical order both engines
+    * use). */
+  private def probeFrame(spark: SparkSession, dir: String, maxQueryId: Long,
+                         nProbe: Int): (DataFrame, Array[Int]) = {
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
     val cs: Array[Array[Double]] = storedQuantizer(spark, dir)
     val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
-    // driver-sized: maxQueryId vectors in, maxQueryId × nProbe probe
-    // rows out — the literal cell list that buys bucket pruning on
-    // the index scan. Same −2·v·c + |c|² scores and (score, cell)
-    // tie-break as assignCells/the oracle, in plain Scala doubles
-    // (sequential sums — the bit-identical order both engines use).
     val probes = prep.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .flatMap { r =>
@@ -313,9 +382,60 @@ object AnnIndex {
         scored.sorted.take(nProbe).map { case (_, c) => (c, id, v.toSeq, nrm) }
       }
     import spark.implicits._
-    val probesDf = probes.toSeq.toDF("cell", "q_id", "qv", "qn")
-    val cells = probes.map(_._1).distinct.sorted
-    val index = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
-    Similarity.probeIndex(index, probesDf, k)
+    (probes.toSeq.toDF("cell", "q_id", "qv", "qn"),
+      probes.map(_._1).distinct.sorted)
+  }
+
+  /** IVF × SQ8 probe over the persisted index — the stored form of
+    * [[Similarity.topKIvfSq]] and the index's production read path:
+    * the candidate pass scans ONLY the probed cells' buckets
+    * (bucket-pruned literal IN filter) and ONLY the code column
+    * (parquet column pruning: ~1 bit-packed byte/dim instead of the
+    * 8-byte doubles of `v`), ranks by the decomposed approximate
+    * cosine, and the exact rerank joins the `rerank` survivors per
+    * query back to full vectors — still inside the probed buckets, so
+    * both scans prune. All quantization artifacts (centroids, SQ
+    * params, codes) are READ, not derived: a probe costs zero
+    * corpus-wide jobs, the write-once/probe-many claim extended to the
+    * byte-bounded read path.
+    *
+    * Identical results to the inline [[Similarity.topKIvfSq]] over the
+    * same corpus by construction (same stored-vs-derived coherence
+    * argument as [[topK]] vs the inline IVF) — `AnnIndexSpec` pins it,
+    * and the `topk_indexed_sq` registry entry hash-checks the whole
+    * stored stack against the inline oracle SQL. */
+  def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,
+             k: Int = 5, nProbe: Int = 2, rerank: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ensureBuilt(spark, dir)
+    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe)
+    val (mns, mxs) = storedSqParams(spark, dir)
+    val (steps, basis) = Similarity.sqTerms(mns, mxs)
+    val stepL = array(steps.map(lit): _*)
+    val basisL = array(basis.map(lit): _*)
+    val probes = probesDf
+      .withColumn("qbasis", Similarity.dot(col("qv"), basisL))
+      .withColumn("t", zip_with(col("qv"), stepL, (a, b) => a * b))
+    val idx = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = idx.select(col("vec_id"), col("nrm"), col("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        (col("qbasis") + Similarity.dot(col("t"), col("codes").cast("array<double>"))) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    idx.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score",
+        round(Similarity.cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 }

@@ -285,9 +285,18 @@ object Similarity {
     * relation `(ccell, fcell, fv, f2)` — ⌈√occ⌉ rows per coarse cell;
     * full assignment `(vec_id, ccell, v, nrm, fcell)`). */
   def ivf2Structure(embeddings: DataFrame): (Array[Array[Double]], DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
-    val kc = AnnIndex.annCellsFor(AnnIndex.annCellsFor(e.count()))
+    ivf2StructureOf(e, e.count())
+  }
+
+  /** [[ivf2Structure]] over an already-prepared corpus with a known
+    * count — the form [[topKIvf2]] uses so one top-k call pays ONE
+    * prepared projection and ONE count job for its whole setup instead
+    * of re-deriving them per stage (each re-derivation was a separate
+    * full-corpus driver job). */
+  def ivf2StructureOf(e: DataFrame, n: Long): (Array[Array[Double]], DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = AnnIndex.annCellsFor(AnnIndex.annCellsFor(n))
     val coarse = sampledCentroids(e, kc)
     val casg = assignCells(e, coarse).withColumnRenamed("cell", "ccell")
     // fine quantizer relation: per coarse cell, its ⌈√occ⌉ first
@@ -320,7 +329,7 @@ object Similarity {
                nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
-    val (coarse, fine, asg) = ivf2Structure(embeddings)
+    val (coarse, fine, asg) = ivf2StructureOf(e, e.count())
     // probe: nProbeCoarse nearest coarse cells (literal matrix — small
     // by construction), then the probed cells' fine centroids ranked
     // TOGETHER per query, top nProbeFine overall
@@ -348,8 +357,14 @@ object Similarity {
     * nothing corpus-sized reaches the driver). One posexplode →
     * map-side-combined min/max agg: the only corpus pass quantization
     * ever needs. */
-  def sqParams(embeddings: DataFrame, dim: Int = 64): (Array[Double], Array[Double]) = {
-    val rows = prepared(embeddings)
+  def sqParams(embeddings: DataFrame, dim: Int = 64): (Array[Double], Array[Double]) =
+    sqParamsOf(prepared(embeddings), dim)
+
+  /** [[sqParams]] over an already-prepared corpus — shared by the
+    * inline SQ paths and [[AnnIndex.ensureBuilt]]'s write-time
+    * quantization, so neither pays a second prepared projection. */
+  def sqParamsOf(prep: DataFrame, dim: Int = 64): (Array[Double], Array[Double]) = {
+    val rows = prep
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -374,20 +389,36 @@ object Similarity {
     * practice, so approximate COSINE needs no second pass. Build cost:
     * one interpreted transform per row, paid once at write time (the
     * probe-side scan only ever sees the codes). */
-  def sqQuantize(embeddings: DataFrame, mns: Array[Double], mxs: Array[Double]): DataFrame = {
+  def sqQuantize(embeddings: DataFrame, mns: Array[Double], mxs: Array[Double]): DataFrame =
+    prepared(embeddings).select(col("vec_id"), col("nrm"),
+      sqCodesCol(col("v"), mns, mxs).as("codes"))
+
+  /** The SQ8 code array as a Column over a prepared double vector —
+    * the single owner of the quantization IEEE sequence, so the inline
+    * paths, [[AnnIndex]]'s write-time encode, and the oracle can never
+    * drift onto different code books. */
+  def sqCodesCol(v: Column, mns: Array[Double], mxs: Array[Double]): Column = {
     val d = mns.length
     val mnL = array(mns.map(lit): _*)
     val mxL = array(mxs.map(lit): _*)
-    prepared(embeddings).select(
-      col("vec_id"), col("nrm"),
-      transform(sequence(lit(0), lit(d - 1)), i => {
-        val x = element_at(col("v"), i + 1)
-        val mn = element_at(mnL, i + 1)
-        val mx = element_at(mxL, i + 1)
-        when(mx === mn, lit(0))
-          .otherwise(least(greatest(
-            floor((x - mn) * lit(255.0) / (mx - mn)), lit(0.0)), lit(255.0)).cast("int"))
-      }).as("codes"))
+    transform(sequence(lit(0), lit(d - 1)), i => {
+      val x = element_at(v, i + 1)
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(greatest(
+          floor((x - mn) * lit(255.0) / (mx - mn)), lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
+  /** SQ8 derived terms: steps_d = (mx−mn)/255, basis_d = mn + 0.5·step
+    * — the IEEE sequences every SQ consumer (inline and stored) states
+    * identically with the oracles. */
+  private[ops] def sqTerms(mns: Array[Double],
+                           mxs: Array[Double]): (Array[Double], Array[Double]) = {
+    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
+    val basis = mns.indices.map(i => mns(i) + 0.5 * steps(i)).toArray
+    (steps, basis)
   }
 
   /** SQ8 top-k with exact rerank: rank the full corpus by APPROXIMATE
@@ -419,9 +450,11 @@ object Similarity {
              rerank: Int = 20, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // steps/basis are driver-computed ONCE from the collected params;
-    // the oracle states the identical arithmetic inline
-    val (codes, stepL, basisL) = sqScoring(embeddings, dim)
-    val q = prepared(embeddings).filter(col("vec_id") < maxQueryId).select(
+    // the oracle states the identical arithmetic inline. ONE prepared
+    // projection feeds params, codes, queries and the rerank scan.
+    val e = prepared(embeddings)
+    val (codes, stepL, basisL) = sqScoring(e, dim)
+    val q = e.filter(col("vec_id") < maxQueryId).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
       dot(col("v"), basisL).as("qbasis"),
       zip_with(col("v"), stepL, (a, b) => a * b).as("t"))
@@ -436,9 +469,8 @@ object Similarity {
       .filter(col("crn") <= rerank)
       .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
     // exact rerank: only queries×rerank rows re-read full vectors
-    val e = prepared(embeddings).select(col("vec_id"), col("v"), col("nrm"))
     val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
-    e.join(broadcast(cands), Seq("vec_id"))
+    e.select(col("vec_id"), col("v"), col("nrm")).join(broadcast(cands), Seq("vec_id"))
       .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
       .withColumn("rn", row_number().over(wF))
       .filter(col("rn") <= k)
@@ -449,12 +481,11 @@ object Similarity {
     * driver-computed step/basis literals and the code table. The IEEE
     * sequences here are the operator DEFINITION the oracles mirror —
     * steps_d = (mx−mn)/255, basis_d = mn + 0.5·step. */
-  private def sqScoring(embeddings: DataFrame,
+  private def sqScoring(prep: DataFrame,
                         dim: Int): (DataFrame, Column, Column) = {
-    val (mns, mxs) = sqParams(embeddings, dim)
-    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
-    val basis = mns.indices.map(i => mns(i) + 0.5 * steps(i)).toArray
-    (sqQuantize(embeddings, mns, mxs),
+    val (mns, mxs) = sqParamsOf(prep, dim)
+    val (steps, basis) = sqTerms(mns, mxs)
+    (prep.select(col("vec_id"), col("nrm"), sqCodesCol(col("v"), mns, mxs).as("codes")),
       array(steps.map(lit): _*), array(basis.map(lit): _*))
   }
 
@@ -464,10 +495,12 @@ object Similarity {
     * emitted scores full-precision. The candidate pass reads only the
     * probed cells' code rows (cell equality join, one native dot over
     * the code array per candidate); full vectors are read only by the
-    * queries×rerank rerank join. In a stored index the codes live
-    * inside the cell buckets (written once beside the assignment,
-    * exactly [[AnnIndex]]'s layout with a codes column), so a probe
-    * reads nProbe/k of the corpus at ~1 byte/dim instead of 4.
+    * queries×rerank rerank join. The STORED form of this shape is
+    * [[AnnIndex.topKSq]]: the codes live inside the cell buckets
+    * (written once beside the assignment, the index's physical layout)
+    * so a probe reads nProbe/k of the corpus at ~1 byte/dim instead
+    * of 4 — this inline form is its oracle-shaped twin and the
+    * one-shot-batch path.
     *
     * Same quantizer recipe as the persisted index ([[AnnIndex]]:
     * `annCellsFor(n)` md5-sampled centroids) and the same SQ terms as
@@ -475,9 +508,12 @@ object Similarity {
   def topKIvfSq(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
                 nProbe: Int = 2, rerank: Int = 15, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one prepared projection and one count job for the whole setup
+    // (quantizer sizing, centroid sample, SQ params, codes, queries,
+    // rerank) — the per-invocation duplicate corpus passes are gone
     val e = prepared(embeddings)
     val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
-    val (codes, stepL, basisL) = sqScoring(embeddings, dim)
+    val (codes, stepL, basisL) = sqScoring(e, dim)
     // the inline form of the stored index's (cell, codes) bucket rows
     val codeIdx = assignCells(e, cs).select(col("vec_id"), col("cell"))
       .join(codes, Seq("vec_id"))

@@ -652,16 +652,28 @@ object TextAnalysis {
     * `posLabel` as the supervision signal.
     *
     * weight(b) = ⌊log₂ p̂(b|pos)⌋ − ⌊log₂ p̂(b|neg)⌋, with each class
-    * distribution Laplace-smoothed to integer ppm exactly as
-    * [[graft.ops.Curation.dsirBucketPpm]] (`(c+1)·10⁶ div (total+dim)`)
-    * and the floor-log₂ computed as `length(bin(x))` — the DSIR
-    * binary-digit-count trick, bit-identical in Spark and DuckDB, so
-    * training is ENGINE-EXACT where textbook `ln` ratios would drift
-    * on libm rounding. A document's `feat_sum = Σ weight(bucket)` is
-    * then the NB log-likelihood ratio in bits (class prior omitted —
+    * distribution Laplace-smoothed to integer parts-per-BILLION
+    * (`(c+1)·10⁹ div (total+dim)` — [[graft.ops.Curation.dsirBucketPpm]]'s
+    * recipe at 1000× the resolution) and the floor-log₂ computed as
+    * `length(bin(x))` — the DSIR binary-digit-count trick,
+    * bit-identical in Spark and DuckDB, so training is ENGINE-EXACT
+    * where textbook `ln` ratios would drift on libm rounding. A
+    * document's `feat_sum = Σ weight(bucket)` is then the NB
+    * log-likelihood ratio in bits (class prior omitted —
     * `keep = feat_sum ≥ 0` is the equal-prior decision boundary), and
     * scoring reuses the stored-table broadcast join unchanged: swap
     * the table, keep the plan.
+    *
+    * Resolution window (the reason for ppb over ppm): the integer
+    * density floors to 0 — collapsing a rare bucket's log-odds to the
+    * smoothing value — once a class's labeled token total exceeds the
+    * scale constant, so 10⁹ moves the flattening ceiling from 10⁶ to
+    * ~10⁹ labeled tokens per class. The Long headroom bounds the other
+    * side: `(c+1)·10⁹` overflows past c ≈ 9.2·10⁹. A training split
+    * outside [0, ~9·10⁹] tokens per class needs the next constant
+    * revision (10⁹ → 10⁶ of a wider type, or a per-shard train +
+    * count merge); the window is documented here so an operator sizing
+    * a split knows where the arithmetic's fidelity ends.
     *
     * Scale: one labeled-corpus token scan with map-side combine into
     * ≤dim (bucket, cp, cn) rows, one bounded dim-row aggregate for the
@@ -687,8 +699,8 @@ object TextAnalysis {
       .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("cp", "cn"))
       .select(col("bucket"),
-        (length(bin(expr(s"((cp + 1) * 1000000) div (${tp}L + $dim)"))) -
-          length(bin(expr(s"((cn + 1) * 1000000) div (${tn}L + $dim)"))))
+        (length(bin(expr(s"((cp + 1) * 1000000000) div (${tp}L + $dim)"))) -
+          length(bin(expr(s"((cn + 1) * 1000000000) div (${tn}L + $dim)"))))
           .cast("long").as("weight"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.tables.{Bucketed, Fixtures}
 
 /** Stored scoring references: the corpus-wide statistics BM25 and the
@@ -88,5 +89,38 @@ object TextRefs {
     TextAnalysis.lmScore(docs,
       ref = Some(spark.table(lmTable(dir))),
       uniRef = Some(spark.table(lmUniTable(dir))))
+  }
+
+  def classifierTable(dir: String): String = refTable(dir, "clsw")
+
+  /** Build the trained-classifier weight table
+    * ([[TextAnalysis.classifierTrainNb]]: NB log-odds over the hashed
+    * feature buckets, `lang = 'en'` supervision on the even-doc_id
+    * split) if absent. Train ONCE, store the dim-row table — the
+    * labeled-corpus training scan must not re-run inside every scoring
+    * batch (it was 6.1 s per invocation at sf1). The supervision
+    * column and split are part of the model identity, like the LM's
+    * Ks. */
+  def ensureClassifier(spark: SparkSession, dir: String,
+                       dim: Int = 1024): Unit = synchronized {
+    val t = classifierTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      Bucketed.resetTable(spark, t)
+      val docs = Fixtures.documents(spark, dir)
+      TextAnalysis.classifierTrainNb(docs, col("lang") === "en", dim)
+        .write.saveAsTable(t)
+    }
+  }
+
+  /** [[TextAnalysis.classifierScoreWeighted]] serving from the stored
+    * trained weights: the scoring plan is one corpus token scan
+    * broadcast-joined to the dim-row weight table — its only
+    * aggregation is the per-doc (count, sum), zero training
+    * aggregations (PlanAuditSpec-pinned). */
+  def classifierScoreStored(spark: SparkSession, dir: String,
+                            dim: Int = 1024): DataFrame = {
+    ensureClassifier(spark, dir, dim)
+    TextAnalysis.classifierScoreWeighted(Fixtures.documents(spark, dir),
+      spark.table(classifierTable(dir)), dim)
   }
 }

@@ -277,6 +277,20 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // the STORED IVF×SQ serving shape: codes + SQ params live INSIDE
+    // the persisted index (written once at build, encoded with stored
+    // params on append, refreshed by requantize), so a probe's
+    // candidate pass is a bucket-pruned scan of the bit-packed code
+    // column and the exact rerank re-reads full vectors for
+    // queries×rerank rows only — zero corpus-wide jobs at serving
+    // time. Oracle = the inline IVF×SQ statement at this entry's
+    // parameters: the whole stored stack (assignment, quantizer,
+    // params, codes, both rankings) must be a pure physical
+    // optimization of it
+    "topk_indexed_sq" -> ((s, dir) =>
+      AnnIndex.topKSq(s, dir, maxQueryId = 7, k = 4, nProbe = 2, rerank = 12)
+        .orderBy(col("q_id"), col("rn"))),
+
     // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
     // pure projection (PlanAuditSpec pins no object-serialization
     // boundary in its plan); the typed mapPartitions twin stays as
@@ -845,49 +859,15 @@ object PipelineQueries {
     // quantization/approx/rerank CTEs — the full faiss-IVF-SQ serving
     // shape hash-checked end to end
     "topk_ivf_sq" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-        |  FROM embeddings),
-        |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
-        |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
-        |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
-        |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
-        |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
-        |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
-        |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
-        |  FROM n, cen),
-        |asg AS (SELECT vec_id, cell FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
-        |  WHERE rn = 1),
-        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
-        |  FROM n, range(1, 65) t(i) GROUP BY i),
-        |sprm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
-        |c AS (SELECT vec_id, nrm,
-        |  list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN 0.0
-        |    ELSE least(greatest(floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])), 0.0), 255.0)
-        |  END) AS codes
-        |  FROM n, sprm),
-        |qp AS (SELECT vec_id AS q_id, qv, qn, cell, qbasis, t FROM
-        |  (SELECT sc.vec_id, sc.v AS qv, sc.nrm AS qn, sc.cell,
-        |     list_dot_product(sc.v, list_transform(range(1, 65),
-        |       i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
-        |     list_transform(range(1, 65), i -> sc.v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t,
-        |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
-        |   FROM sc, sprm WHERE sc.vec_id < 6) WHERE rn <= 2),
-        |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
-        |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
-        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
-        |  JOIN c ON c.vec_id = x.vec_id),
-        |cand AS (SELECT q_id, vec_id, qv, qn FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= 15),
-        |p AS (SELECT cand.q_id, n.vec_id,
-        |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
-        |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
-        |r AS (SELECT q_id, vec_id, score,
-        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
-        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
-        |ORDER BY q_id, rn""".stripMargin,
+      annIndexSqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, rerank = 15),
+
+    // the STORED probe shares the inline statement at its own
+    // parameters: assignment/quantizer/params/codes read back from the
+    // persisted tables must be indistinguishable from deriving them
+    // fresh — the differential claim is exactly "the stored layout is
+    // a pure physical optimization"
+    "topk_indexed_sq" ->
+      annIndexSqOracleSql(maxQueryId = 7, topK = 4, nProbe = 2, rerank = 12),
 
     // honestly differential on BOTH columns: each engine runs its own
     // HLL sketch (Spark's approx_count_distinct vs DuckDB's) and
@@ -1132,6 +1112,58 @@ object PipelineQueries {
        |p AS (SELECT q.q_id, x.vec_id,
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The IVF × SQ8 oracle, parameterized on the probe scope — shared
+    * by `topk_ivf_sq` (the inline one-shot form) and `topk_indexed_sq`
+    * (the persisted-index probe, whose stored codes/params/quantizer
+    * must reproduce this statement exactly). Composition of
+    * [[annIndexOracleSql]]'s cell CTEs with `topk_sq`'s
+    * quantization/approx/rerank CTEs. */
+  private def annIndexSqOracleSql(maxQueryId: Int, topK: Int,
+                                  nProbe: Int, rerank: Int): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
+       |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM n, range(1, 65) t(i) GROUP BY i),
+       |sprm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+       |c AS (SELECT vec_id, nrm,
+       |  list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN 0.0
+       |    ELSE least(greatest(floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])), 0.0), 255.0)
+       |  END) AS codes
+       |  FROM n, sprm),
+       |qp AS (SELECT vec_id AS q_id, qv, qn, cell, qbasis, t FROM
+       |  (SELECT sc.vec_id, sc.v AS qv, sc.nrm AS qn, sc.cell,
+       |     list_dot_product(sc.v, list_transform(range(1, 65),
+       |       i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
+       |     list_transform(range(1, 65), i -> sc.v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t,
+       |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
+       |   FROM sc, sprm WHERE sc.vec_id < $maxQueryId) WHERE rn <= $nProbe),
+       |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
+       |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
+       |  JOIN c ON c.vec_id = x.vec_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

@@ -123,7 +123,17 @@ object SpanQueries {
         TextAnalysis.classifierTrainNb(docs, col("lang") === "en", ClassifierDim),
         ClassifierDim)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // the PRODUCTION serving shape for the trained model: weights
+    // written once as a warehouse table (TextRefs.ensureClassifier),
+    // scoring is the same broadcast join with ZERO training
+    // aggregations in the plan (PlanAuditSpec-pinned) — train once,
+    // serve O(batch). Oracle = classifier_trained's verbatim: the
+    // stored table must hold exactly the model the inline train fits.
+    "classifier_stored" -> ((s, dir) =>
+      graft.ops.TextRefs.classifierScoreStored(s, dir, ClassifierDim)
+        .orderBy(col("doc_id")))
   )
 
   /** Shared segment CTE: non-overlapping SegTokens-token windows, the
@@ -298,36 +308,41 @@ object SpanQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     // the TRAINING is mirrored too: even-doc_id labeled split, per-
-    // class bucket counts, (c+1)·10⁶ // (total+dim) Laplace ppm, and
+    // class bucket counts, (c+1)·10⁹ // (total+dim) Laplace ppb, and
     // length(bin(x)) floor-log₂ — every step integer-exact in both
     // engines, so the learned weight table (not just the scoring join)
-    // is hash-checked
-    "classifier_trained" ->
-      s"""WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text
-         |  FROM documents WHERE doc_id % 2 = 0),
-         |ltk AS (SELECT pos,
-         |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
-         |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS token FROM lab)),
-         |cnt AS (SELECT bucket,
-         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
-         |  FROM ltk GROUP BY bucket),
-         |tot AS (SELECT coalesce(SUM(cp), 0)::BIGINT AS tp,
-         |  coalesce(SUM(cn), 0)::BIGINT AS tn FROM cnt),
-         |wtab AS (SELECT i AS bucket,
-         |  (length(bin((coalesce(cp, 0) + 1) * 1000000 // (tp + $ClassifierDim)))
-         |   - length(bin((coalesce(cn, 0) + 1) * 1000000 // (tn + $ClassifierDim))))::BIGINT AS weight
-         |  FROM range(0, $ClassifierDim) r(i) LEFT JOIN cnt ON i = cnt.bucket, tot),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |tb AS (SELECT doc_id,
-         |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
-         |  FROM toks),
-         |j AS (SELECT t.doc_id, coalesce(w.weight, 0) AS weight
-         |  FROM tb t LEFT JOIN wtab w USING (bucket)),
-         |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-         |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
+    // is hash-checked. Shared verbatim by classifier_stored: the
+    // stored table holds the SAME model trained once, so "identical
+    // scores" is precisely the differential claim.
+    "classifier_trained" -> classifierTrainedOracleSql,
+    "classifier_stored" -> classifierTrainedOracleSql
   )
+
+  private lazy val classifierTrainedOracleSql =
+    s"""WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ltk AS (SELECT pos,
+       |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
+       |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS token FROM lab)),
+       |cnt AS (SELECT bucket,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM ltk GROUP BY bucket),
+       |tot AS (SELECT coalesce(SUM(cp), 0)::BIGINT AS tp,
+       |  coalesce(SUM(cn), 0)::BIGINT AS tn FROM cnt),
+       |wtab AS (SELECT i AS bucket,
+       |  (length(bin((coalesce(cp, 0) + 1) * 1000000000 // (tp + $ClassifierDim)))
+       |   - length(bin((coalesce(cn, 0) + 1) * 1000000000 // (tn + $ClassifierDim))))::BIGINT AS weight
+       |  FROM range(0, $ClassifierDim) r(i) LEFT JOIN cnt ON i = cnt.bucket, tot),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tb AS (SELECT doc_id,
+       |  ('0x'||substr(md5('feat:'||token),1,8))::BIGINT % $ClassifierDim AS bucket
+       |  FROM toks),
+       |j AS (SELECT t.doc_id, coalesce(w.weight, 0) AS weight
+       |  FROM tb t LEFT JOIN wtab w USING (bucket)),
+       |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
 }

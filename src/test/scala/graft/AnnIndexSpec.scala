@@ -201,9 +201,77 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // the commit left no stage/old generation behind
     Seq("__stage", "__old").foreach { sfx =>
       assert(!spark.catalog.tableExists(AnnIndex.tableFor(dir) + sfx) &&
-        !spark.catalog.tableExists(AnnIndex.quantizerTableFor(dir) + sfx),
+        !spark.catalog.tableExists(AnnIndex.quantizerTableFor(dir) + sfx) &&
+        !spark.catalog.tableExists(AnnIndex.sqTableFor(dir) + sfx),
         s"generation leftovers ($sfx) must be dropped at commit")
     }
+  }
+
+  test("stored IVF×SQ probe == inline topKIvfSq (codes + params read back, never re-derived)") {
+    Seq(AnnIndex.tableFor(sf), AnnIndex.quantizerTableFor(sf), AnnIndex.sqTableFor(sf))
+      .foreach(graft.tables.Bucketed.resetTable(spark, _))
+    val stored = AnnIndex.topKSq(spark, sf, maxQueryId = 7, k = 4, nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvfSq(Fixtures.embeddings(spark, sf),
+        maxQueryId = 7, k = 4, nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "persisting codes + SQ params must be a pure physical optimization")
+  }
+
+  test("the SQ candidate scan is bucket-pruned and reads codes, not full vectors") {
+    AnnIndex.ensureBuilt(spark, sf)
+    val plan = AnnIndex.topKSq(spark, sf, maxQueryId = 2, k = 4, nProbe = 2, rerank = 12)
+      .queryExecution.executedPlan.toString
+    val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(prunes.size == 2,
+      s"both the candidate scan and the rerank scan must bucket-prune:\n$plan")
+    prunes.foreach(m => assert(m.group(1).toInt <= 4,
+      s"expected <=4 of ${m.group(2)} buckets read, got ${m.group(1)}"))
+    // parquet column pruning: the candidate pass must NOT read `v` —
+    // that is the bytes-per-row claim SQ8 exists for
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,codes:array<int>>"),
+      s"candidate scan must read only (vec_id, nrm, cell, codes):\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,v:array<double>,nrm:double,cell:int>"),
+      s"rerank scan must read full vectors for candidates only:\n$plan")
+  }
+
+  test("SQ probe stays a pure physical optimization across the append -> requantize cycle") {
+    val dir = tempCorpus("sq-cycle")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    // push past the knee so the rebuild genuinely resizes; the LAST
+    // replica is scaled 1.5×, WIDENING every dimension's range, so the
+    // stored SQ params must visibly refresh at requantize (its codes
+    // clamp under the OLD params until then — a quality decay the
+    // exact rerank absorbs, per the appendBatch contract)
+    def replica(r: Int) = {
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L))
+      if (r < 4) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.5)).cast("float")))
+    }
+    (1 to 4).foreach(r => AnnIndex.appendBatch(spark, dir, replica(r)))
+    val (mns0, mxs0) = AnnIndex.storedSqParams(spark, dir)
+    AnnIndex.requantize(spark, dir)
+    val combined = (0 to 4).map(replica).reduce(_ union _)
+    // params refreshed over the grown corpus = the inline derivation
+    val (mns1, mxs1) = AnnIndex.storedSqParams(spark, dir)
+    val (mnsI, mxsI) = Similarity.sqParamsOf(Similarity.prepared(combined))
+    assert(mns1.toSeq == mnsI.toSeq && mxs1.toSeq == mxsI.toSeq,
+      "requantize must refresh SQ params from the combined corpus")
+    assert(mxs1.toSeq != mxs0.toSeq,
+      "the widened range must actually move the stored params")
+    // and the stored probe equals the inline IVF×SQ over the combined
+    // corpus — quantizer, params, and codes all from the new generation
+    val stored = AnnIndex.topKSq(spark, dir, maxQueryId = 6, k = 4, nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvfSq(combined, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "the requantized SQ index must reproduce the inline IVF×SQ pipeline")
   }
 
   test("a crash inside the rename window is healed: t is absent at every crash point, ensureBuilt sweeps and rebuilds") {

@@ -143,6 +143,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"lm stored-model plan must scan the batch at most twice, found ${corpusScans(lm)}:\n$lm")
     assert(tableScan(lm, "text_lmbi_") && tableScan(lm, "text_lmuni_"),
       "both stored model tables must appear in the scoring plan")
+
+    // Trained classifier from stored weights: the only aggregation is
+    // the per-doc (count, sum) — the training pass (per-class bucket
+    // counts + class totals) is gone, replaced by the dim-row weight
+    // table probe. One corpus scan: the batch being scored.
+    val cls = SparkEntry.queries("classifier_stored")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val clsAggs = cls.collect { case a: Aggregate => a }
+    assert(clsAggs.size == 1,
+      s"classifier stored-weights plan must aggregate only per-doc, found ${clsAggs.size}:\n$cls")
+    assert(corpusScans(cls) == 1,
+      s"classifier stored-weights plan must scan the batch once, found ${corpusScans(cls)}:\n$cls")
+    assert(tableScan(cls, "text_clsw_"),
+      "the stored weight table must appear in the scoring plan")
   }
 
   test("the query-bounded scans still have their scale-path twins registered") {
