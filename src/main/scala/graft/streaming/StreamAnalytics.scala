@@ -245,18 +245,32 @@ object StreamAnalytics {
     * [[batchNearDup]]'s registry entry (`stream_neardup_twin`) proves
     * the declarative twin against DuckDB; this one
     * (`stream_neardup_sink`) feeds the same rows through
-    * [[streamingNearDup]] itself — a MemoryStream in bounded
-    * micro-batches, arrival-ordered, memory sink — and returns the
-    * completed sink's distinct hits. It shares the twin's oracle SQL,
-    * so a regression in the STATE MACHINE (bucket pruning, watermark
-    * handling, intra-batch ordering, timeout bookkeeping) surfaces as
-    * a driver-level hash mismatch, not only a spec failure.
+    * [[streamingNearDup]] itself — replayed through a FILE streaming
+    * source in bounded arrival-ordered micro-batches, memory sink —
+    * and returns the completed sink's distinct hits. It shares the
+    * twin's oracle SQL, so a regression in the STATE MACHINE (bucket
+    * pruning, watermark handling, intra-batch ordering, timeout
+    * bookkeeping) surfaces as a driver-level hash mismatch, not only a
+    * spec failure.
     *
-    * Micro-batch count is bounded (≈`chunks` regardless of corpus
+    * The replay itself is scale-shaped: the corpus never materializes
+    * on the driver. Chunk assignment is a map-only projection off a
+    * 1-row min/max ts aggregate (equal ts-range chunks — chunks are
+    * ts-ordered, so replaying chunk files oldest-first IS arrival
+    * order), one chunk-keyed shuffle writes one parquet file per chunk
+    * executor-side, and `maxFilesPerTrigger=1` feeds them back one
+    * micro-batch per chunk — the same bounded-batch structure the
+    * production source (Kafka partitions, a file drop-box) provides.
+    * One file per chunk is deliberate: whole-chunk batches mean the
+    * watermark only moves BETWEEN chunks, so a chunk's internal ts
+    * spread (which can exceed the horizon) can never late-drop its own
+    * rows — exactly the semantics of feeding a chunk at once. Only the
+    * completed HIT SET is collected (re-materialized so the temp view,
+    * checkpoint, and replay files can all be dropped eagerly).
+    *
+    * Micro-batch count is bounded (≤`chunks` regardless of corpus
     * size) so the entry's cost scales with the data, not the batch
-    * scheduler. The collect is the completed sink — the hit set, not
-    * the corpus — and the result is re-materialized so the temp view
-    * and checkpoint can be dropped eagerly.
+    * scheduler.
     *
     * The streaming query runs on a CLONED session pinned to few
     * shuffle partitions: state-partition count is fixed at query start
@@ -272,48 +286,86 @@ object StreamAnalytics {
                              horizonNanos: Long = 3600L * 1000000000L,
                              chunks: Int = 10,
                              statePartitions: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
     val spark = docs.sparkSession
     import spark.implicits._
-    val arrivals = docs.select(col("doc_id"), col("text"), col("ts"))
-      .as[(Long, String, Long)].collect()
-      .map { case (d, t, ts) => StreamDocRow(d, t, ts) }
-      .sortBy(r => (r.ts, r.doc_id))
-    val chunk = math.max(100, (arrivals.length + chunks - 1) / math.max(1, chunks))
-    val streamSession = spark.newSession()
-    streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = streamSession.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDocRow]
-    // in-horizon bucket membership is bounded by the arrival clock
-    // (≤ horizon/minute docs), so the cap just needs to sit above it
-    val hits = streamingNearDup(mem.toDF(), threshold,
-      horizonNanos = horizonNanos, maxPerBucket = 1024)
-    val name = "neardup_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("neardup-sink-ck").toString
-    val q = hits.writeStream.format("memory").queryName(name)
-      .outputMode("append").option("checkpointLocation", ckpt).start()
-    try {
-      arrivals.grouped(chunk).foreach { b =>
-        mem.addData(b.toSeq: _*); q.processAllAvailable()
-      }
-    } finally {
-      q.stop()
-      // the bounded replay is done with its checkpoint the moment the
-      // query stops (the memory sink needs no recovery) — leaving it
-      // would leak a temp dir per call
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val src = docs.select(col("doc_id"), col("text"), col("ts"))
+    def deleteTree(root: Path): Unit = if (Files.exists(root)) {
+      val walk = Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
       } finally walk.close()
     }
-    // at-least-once (multi-band) → distinct; one row per pair with one
-    // (est, ts) by construction, the twin's exact shape
-    val rows = streamSession.table(name)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
-      .distinct().as[(Long, Long, Long, Long)].collect().toSeq
-    streamSession.catalog.dropTempView(name)
-    rows.toDF("doc_a", "doc_b", "est_jaccard_bp", "ts")
+    // ---- stage the arrival-ordered chunk files (executor-side) ----
+    val bounds = src.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+    val replayDir = Files.createTempDirectory("neardup-replay")
+    val stageDir = Files.createTempDirectory("neardup-replay-stage")
+    val ckpt = Files.createTempDirectory("neardup-sink-ck").toString
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val name = "neardup_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      if (!bounds.isNullAt(0)) {
+        val mn = bounds.getLong(0)
+        val span = bounds.getLong(1) - mn + 1
+        val nChunks = math.max(1, chunks)
+        // divide-first width avoids (ts−mn)·chunks overflow; every doc
+        // lands in [0, nChunks−1] since ts−mn < nChunks·width
+        val width = math.max(1L, (span + nChunks - 1) / nChunks)
+        src.withColumn("chunk",
+            expr(s"(ts - ${mn}L) div ${width}L").cast("int"))
+          .repartition(nChunks, col("chunk"))
+          // overwrite: createTempDirectory already made the (empty) dir
+          .write.mode("overwrite").partitionBy("chunk").parquet(stageDir.toString)
+        // flatten chunk=i dirs into one source dir, mtimes strictly
+        // ts-ordered so the file source's oldest-first listing replays
+        // arrival order deterministically (repartition on the chunk
+        // key puts each chunk wholly in one task → one file per chunk)
+        val base = System.currentTimeMillis()
+        (0 until nChunks).foreach { i =>
+          val d = stageDir.resolve(s"chunk=$i")
+          if (Files.isDirectory(d)) {
+            import scala.jdk.CollectionConverters._
+            val parts = Files.list(d).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
+            parts.zipWithIndex.foreach { case (p, j) =>
+              val dst = replayDir.resolve(f"chunk-$i%05d-$j%02d.parquet")
+              Files.move(p, dst)
+              Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(base + i.toLong * 1000 + j))
+            }
+          }
+        }
+      }
+      // ---- replay: one micro-batch per chunk file, oldest first ----
+      val stream = streamSession.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir.toString)
+      // in-horizon bucket membership is bounded by the arrival clock
+      // (≤ horizon/minute docs), so the cap just needs to sit above it
+      val hits = streamingNearDup(stream, threshold,
+        horizonNanos = horizonNanos, maxPerBucket = 1024)
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // at-least-once (multi-band) → distinct; one row per pair with
+      // one (est, ts) by construction, the twin's exact shape
+      streamSession.table(name)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
+        .distinct().as[(Long, Long, Long, Long)].collect().toSeq
+        .toDF("doc_a", "doc_b", "est_jaccard_bp", "ts")
+    } finally {
+      // the bounded replay is done with its artifacts the moment the
+      // query stops (the memory sink needs no recovery) — and the sink
+      // view is dropped HERE, not on the success path only, so a
+      // failed feed can't strand its buffered rows in the cloned
+      // session either
+      if (streamSession.catalog.tableExists(name))
+        streamSession.catalog.dropTempView(name): Unit
+      Seq(Paths.get(ckpt), replayDir, stageDir).foreach(deleteTree)
+    }
   }
 
   /** Exactly-once near-dup feed, downstream half: the same pair can

@@ -407,6 +407,17 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(two == eight,
       s"hit set varied with partitions: only-2=${(two -- eight).take(5)} " +
         s"only-8=${(eight -- two).take(5)}")
+    // and the file-replay harness itself equals the batch twin — the
+    // ts-range chunking + oldest-first file feed must reproduce
+    // arrival-order semantics exactly (a chunk boundary or a late-drop
+    // regression shows here before it shows as a driver hash mismatch)
+    val twin = StreamAnalytics.batchNearDup(docs, threshold = 0.6,
+        horizonNanos = 120L * minNanos)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(two == twin,
+      s"replayed harness vs batch twin: only-stream=${(two -- twin).take(5)} " +
+        s"only-batch=${(twin -- two).take(5)}")
   }
 
   test("RocksDB state-store tier: near-dup and sessionize match their twins, state telemetry reports size") {
@@ -481,6 +492,41 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
           (1L, 0L, 2L, 2L, 3.0), (1L, 32L, 32L, 1L, 4.0), (2L, 0L, 0L, 1L, 8.0)),
           s"RocksDB sessionize diverged: $got")
       } finally q2.stop()
+      // kill-and-resume under RocksDB: the restart leg proves state
+      // RESTORE (checkpoint → fresh RocksDB instance), not just state
+      // build — the first incarnation checkpoints d1's signature, the
+      // second sees only the near-dup, so the (1,2) pair can surface
+      // ONLY from recovered disk-tier state
+      val mem3 = MemoryStream[StreamTestDoc]
+      val t0 = 24 * 60 * minNanos
+      val restartBase = (1 to 30).map(i => s"rr$i").mkString(" ")
+      val hits3 = StreamAnalytics.streamingNearDup(mem3.toDF(),
+        threshold = 0.5, horizonNanos = 30 * minNanos)
+      val ck3 = Files.createTempDirectory("neardup-rocks-restart").toString
+      val got3 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def startRestartQuery() = hits3.writeStream
+        .outputMode("append").option("checkpointLocation", ck3)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamAnalytics.NearDupHit], _: Long) =>
+          df.collect().foreach(h => got3.add((h.doc_a, h.doc_b)))
+        }.start()
+      val q3a = startRestartQuery()
+      try {
+        mem3.addData(StreamTestDoc(1, restartBase, t0))
+        q3a.processAllAvailable()
+        val m3 = q3a.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+        assert(m3.exists(_.toLowerCase.contains("rocksdb")),
+          s"restart leg must genuinely run on RocksDB, got ${m3.take(5).toSeq}")
+      } finally q3a.stop()
+      assert(got3.isEmpty, "no pair can exist before the near-dup arrives")
+      val q3b = startRestartQuery()
+      try {
+        mem3.addData(StreamTestDoc(2, restartBase.replace("rr5", "mutated"), t0 + 5 * minNanos))
+        q3b.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(got3.asScala.toSet == Set((1L, 2L)),
+          s"pre-restart doc must match from RocksDB-recovered state: ${got3.asScala.toSet}")
+      } finally q3b.stop()
       // the telemetry listener saw the stateful batches and reports a
       // nonzero state size — the operator's capacity signal
       spark.streams.awaitAnyTermination(1)
