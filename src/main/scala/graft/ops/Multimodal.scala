@@ -407,19 +407,22 @@ object Multimodal {
     }.toDF()
   }
 
-  /** The [[decodeFeatures]] seam made REAL for a compressed codec:
-    * decode PNG payloads through `javax.imageio` and fold per-channel
-    * integer sums into the [[decodePixels]] stats shape. This is the
-    * one pipeline stage that genuinely cannot be a Column expression —
-    * inflate + filter reconstruction need the codec — so it runs as
-    * the partition-batched typed map the seam reserved for exactly
-    * this (per-batch decoder state amortized, the mapInPandas shape).
+  /** The [[decodeFeatures]] seam made REAL for compressed codecs:
+    * decode image payloads through `javax.imageio` (which routes on
+    * the payload's MAGIC — the same reader handles PNG's
+    * deflate/filter reconstruction and JPEG's DCT/chroma-upsample
+    * paths) and fold per-channel integer sums into the
+    * [[decodePixels]] stats shape. This is the one pipeline stage that
+    * genuinely cannot be a Column expression — inflate/IDCT need the
+    * codec — so it runs as the partition-batched typed map the seam
+    * reserved for exactly this (per-batch decoder state amortized, the
+    * mapInPandas shape).
     *
     * Error isolation (the I-14 rule): an undecodable payload — wrong
     * magic, truncated stream, codec error — yields NO row rather than
     * failing the batch; at 100 TB a corrupt shard must cost its own
-    * rows only. Spec-pinned with a corrupted-payload case. */
-  def decodePng(spark: SparkSession, media: DataFrame): Dataset[PngStats] = {
+    * rows only. Spec-pinned with a corrupted-payload case per codec. */
+  def decodeImage(spark: SparkSession, media: DataFrame): Dataset[PngStats] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // see pngPayload
@@ -452,6 +455,94 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** JPEG planted channels: SMOOTH gradient planes (no mod-256
+    * wrap-around inside an image — max value 159 + 2·16 + 13 < 256),
+    * because JPEG is lossy and its DCT represents gradients almost
+    * exactly while a wrap edge rings. The per-doc offsets keep every
+    * image distinct. */
+  private[graft] def jpegChannels(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId % 160) + 2 * x + y).toInt,
+    (((docId * 3) % 160) + x + 2 * y).toInt,
+    (((docId * 7) % 160) + x + y).toInt)
+
+  /** REAL JPEG payloads through the same seam as [[pngPayload]] —
+    * `javax.imageio`'s JPEG writer (DCT + Huffman + 4:2:0 chroma
+    * subsampling at the default quality), zero new dependencies. Same
+    * codec-loop repartition rationale as the PNG encoder. */
+  def jpegPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see pngPayload
+      it.map { did =>
+        val (w, h) = pngDims(did)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val (r, g, b) = jpegChannels(did, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            y += 1
+          }
+          x += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        MediaRow(did, "image/jpeg", out.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** The JPEG decode claims: encode→decode through the seam, then
+    * compare the decoded channel means against the planted gradients'
+    * CLOSED-FORM means. JPEG is lossy, so exact pixel equality is the
+    * wrong contract — instead the entry emits the exactly-recoverable
+    * fields (dims, pixel count — lossless through any codec) plus
+    * per-channel booleans `|decoded − planted| ≤ tolX100` computed
+    * from the GENUINE decode. The oracle states the planted dims in
+    * closed form and the booleans as the claim (`true`): the hash
+    * check therefore forces Spark's real DCT round-trip to land within
+    * tolerance of ground truth on every row — far stronger than the
+    * rows-only check the lossy seam's contract anticipated, while
+    * never requiring DuckDB to decode a JPEG byte. (Unlike the HLL
+    * entry, the Spark side CANNOT fake the boolean: it is derived from
+    * the decoded sums, and a decode regression flips it.)
+    *
+    * Tolerance: the smooth planes measure ≤ ~2.6 units of mean error
+    * per channel at default quality (OpsSpec pins the margin); 5 units
+    * (500 in x100 fixed-point) gives the codec rounding headroom
+    * without admitting a broken decode (a channel swap or filter bug
+    * shifts means by tens). */
+  def jpegPixelClaims(spark: SparkSession, docs: DataFrame,
+                      tolX100: Long = 500L): DataFrame = {
+    val decoded = decodeImage(spark, jpegPayload(spark, docs)).toDF()
+    val planted = docs.select(col("doc_id"))
+      .withColumn("pw", expr("8 + doc_id % 9"))
+      .withColumn("ph", expr("8 + (doc_id * 3) % 7"))
+      .withColumn("pnp", col("pw") * col("ph"))
+      // Σ over the w×h grid of (a + p·x + q·y) =
+      //   a·np + p·h·(w−1)w/2 + q·w·(h−1)h/2 — integer-exact
+      .withColumn("sr", expr(
+        "(doc_id % 160) * pnp + 2 * ph * ((pw-1)*pw div 2) + pw * ((ph-1)*ph div 2)"))
+      .withColumn("sg", expr(
+        "((doc_id * 3) % 160) * pnp + ph * ((pw-1)*pw div 2) + 2 * pw * ((ph-1)*ph div 2)"))
+      .withColumn("sb", expr(
+        "((doc_id * 7) % 160) * pnp + ph * ((pw-1)*pw div 2) + pw * ((ph-1)*ph div 2)"))
+      .withColumn("pr", expr("sr * 100 div pnp"))
+      .withColumn("pg", expr("sg * 100 div pnp"))
+      .withColumn("pb", expr("sb * 100 div pnp"))
+      .withColumn("pbr", expr("(sr + sg + sb) * 100 div (3 * pnp)"))
+    decoded.join(planted, "doc_id")
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        (abs(col("mean_r_x100") - col("pr")) <= tolX100).as("r_close"),
+        (abs(col("mean_g_x100") - col("pg")) <= tolX100).as("g_close"),
+        (abs(col("mean_b_x100") - col("pb")) <= tolX100).as("b_close"),
+        (abs(col("brightness_x100") - col("pbr")) <= tolX100).as("brightness_close"))
   }
 
   /** Resize to a bounded box preserving aspect ratio — pure metadata

@@ -340,9 +340,20 @@ object PipelineQueries {
     // codec — a hash match proves the round-trip is lossless and the
     // batch plumbing correct
     "mm_png_pixels" -> ((s, dir) =>
-      Multimodal.decodePng(s,
+      Multimodal.decodeImage(s,
           Multimodal.pngPayload(s, Fixtures.documents(s, dir)))
         .toDF().orderBy(col("doc_id"))),
+
+    // the LOSSY codec through the same seam: genuine JPEGs (DCT +
+    // chroma subsampling via javax.imageio) encoded AND decoded in the
+    // partition-batched typed shape. Lossy ⇒ the oracle checks the
+    // losslessly-recoverable fields exactly (dims, pixel count) and a
+    // per-channel within-tolerance CLAIM the Spark side derives from
+    // the real decode — a decode regression flips a boolean and the
+    // hash trips (see Multimodal.jpegPixelClaims)
+    "mm_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.jpegPixelClaims(s, Fixtures.documents(s, dir))
+        .orderBy(col("doc_id"))),
 
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
@@ -1060,6 +1071,20 @@ object PipelineQueries {
         |  (sb * 100 // np)::BIGINT AS mean_b_x100,
         |  ((sr + sg + sb) * 100 // (np * 3))::BIGINT AS brightness_x100
         |FROM ch ORDER BY doc_id""".stripMargin,
+
+    // dims/pixel-count in closed form (lossless through any codec) +
+    // the tolerance booleans as the stated claim: the Spark side
+    // derives them from the genuine DCT round-trip, so a decode
+    // regression (channel swap, upsample bug, wrong image) flips a
+    // boolean and hash-mismatches — DuckDB never touches a JPEG byte
+    "mm_jpeg_pixels" ->
+      """SELECT doc_id,
+        |  (8 + doc_id % 9)::BIGINT AS width,
+        |  (8 + (doc_id * 3) % 7)::BIGINT AS height,
+        |  ((8 + doc_id % 9) * (8 + (doc_id * 3) % 7))::BIGINT AS n_pixels,
+        |  true AS r_close, true AS g_close, true AS b_close,
+        |  true AS brightness_close
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form plant vs parsed values; the WHERE restates the
     // magic routing (fixture audio rows are exactly the SPHERE rows)

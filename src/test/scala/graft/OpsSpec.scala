@@ -997,7 +997,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val magics = media.select(col("payload")).collect()
       .map(_.getAs[Array[Byte]](0).take(4).toSeq)
     assert(magics.forall(_ == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
-    val got = Multimodal.decodePng(spark, media).collect()
+    val got = Multimodal.decodeImage(spark, media).collect()
       .map(s => s.doc_id -> s).toMap
     // ground truth from the planted formulas, computed in plain Scala
     Seq(0L, 3L, 7L, 12L).foreach { did =>
@@ -1021,8 +1021,64 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       else if (r.doc_id == 7L) graft.ops.MediaRow(r.doc_id, r.media_type, "not a png".getBytes)
       else r
     }.toDF()
-    val survivors = Multimodal.decodePng(spark, corrupt).collect().map(_.doc_id).sorted
+    val survivors = Multimodal.decodeImage(spark, corrupt).collect().map(_.doc_id).sorted
     assert(survivors.toSeq == Seq(0L, 12L),
+      s"corrupt rows must be skipped, healthy rows kept: ${survivors.toSeq}")
+  }
+
+  test("JPEG codec round-trip: dims lossless, channel means inside the tolerance margin; corrupt payloads cost only their row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = Seq(0L, 3L, 7L, 12L, 25L, 38L)
+    val d = docs(ids.map(i => i -> s"doc$i"): _*)
+    val media = Multimodal.jpegPayload(spark, d)
+    // payloads are REAL JPEGs (SOI + JFIF marker), not labeled stubs
+    val magics = media.select(col("payload")).collect()
+      .map(_.getAs[Array[Byte]](0).take(2).toSeq)
+    assert(magics.forall(_ == Seq(0xff.toByte, 0xd8.toByte)))
+    val got = Multimodal.decodeImage(spark, media).collect()
+      .map(s => s.doc_id -> s).toMap
+    // the x100 mean error the lossy round-trip actually produces, per
+    // channel, vs plain-Scala ground truth — must sit WELL inside the
+    // claims entry's 500 tolerance (headroom is the contract: codec
+    // rounding wobbles a few units, a decode bug shifts tens)
+    var worst = 0L
+    ids.foreach { did =>
+      val (w, h) = Multimodal.pngDims(did)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = Multimodal.jpegChannels(did, x, y)
+        sr += r; sg += g; sb += b
+      }
+      val np = w.toLong * h
+      val s = got(did)
+      assert((s.width, s.height, s.n_pixels) == ((w.toLong, h.toLong, np)),
+        s"dims must survive any codec losslessly (doc $did)")
+      val errs = Seq(s.mean_r_x100 - sr * 100 / np, s.mean_g_x100 - sg * 100 / np,
+        s.mean_b_x100 - sb * 100 / np,
+        s.brightness_x100 - (sr + sg + sb) * 100 / (np * 3)).map(math.abs)
+      worst = math.max(worst, errs.max)
+    }
+    info(s"worst JPEG mean error: $worst x100 units (claims tolerance 500)")
+    assert(worst <= 300, s"lossy margin too wide for the 500 claim: $worst")
+    // and the claims entry itself, over the FULL sf0.01 doc_id range
+    // (the planted formulas depend only on doc_id, so this pins the
+    // tolerance at driver-fixture scale, not a lucky sample)
+    val wide = docs((0L until 500L).map(i => i -> s"w$i"): _*)
+    val claims = Multimodal.jpegPixelClaims(spark, wide).collect()
+    assert(claims.length == 500)
+    claims.foreach { r =>
+      Seq("r_close", "g_close", "b_close", "brightness_close").foreach(c =>
+        assert(r.getAs[Boolean](c), s"claim $c false for doc ${r.getAs[Long]("doc_id")}"))
+    }
+    // error isolation, JPEG flavor: truncated entropy stream + garbage
+    val corrupt = media.as[graft.ops.MediaRow].map { r =>
+      if (r.doc_id == 3L) graft.ops.MediaRow(r.doc_id, r.media_type, r.payload.take(24))
+      else if (r.doc_id == 7L) graft.ops.MediaRow(r.doc_id, r.media_type, "not a jpeg".getBytes)
+      else r
+    }.toDF()
+    val survivors = Multimodal.decodeImage(spark, corrupt).collect().map(_.doc_id).sorted
+    assert(survivors.toSeq == Seq(0L, 12L, 25L, 38L),
       s"corrupt rows must be skipped, healthy rows kept: ${survivors.toSeq}")
   }
 
