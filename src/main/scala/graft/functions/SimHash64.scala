@@ -156,6 +156,14 @@ object GraftFunctions {
     (children: Seq[Expression]) => TokenStats(exactArgs("token_stats", 1)(children).head)
   )
 
+  private[graft] val ngramRepStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_rep_stats"),
+    new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
+    (children: Seq[Expression]) =>
+      NgramRepStats(exactArgs("ngram_rep_stats", 1)(children).head)
+  )
+
   /** `minhash_sig(tokens, k)` — k must be a foldable integer literal
     * (it sizes the output array; a column-valued k has no meaning). */
   private[graft] val minhashSigDescriptor
@@ -186,5 +194,7 @@ object GraftFunctions {
       "token_stats", tokenStatsDescriptor._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", minhashSigDescriptor._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_rep_stats", ngramRepStatsDescriptor._3, "scala_udf")
   }
 }

@@ -53,15 +53,38 @@ object Curation {
     * occurrence fractions — the standard "remove boilerplate /
     * degenerate repetition" gate. Integer basis points throughout.
     *
-    * Shape: two explode → groupBy(doc_id, ngram) → groupBy(doc_id)
-    * pipelines joined on doc_id. Both aggregations are map-side
-    * combined and keyed by doc_id, so at 100 TB this is two narrow
-    * shuffles of per-doc aggregate rows, never the raw n-gram corpus
-    * crossing unkeyed. Docs with < 3 tokens (no trigram) are dropped,
+    * Shape: ONE map-only projection — the counters are a per-document
+    * property, so they are computed where the document lives, in a
+    * single codegen'd pass over the token array
+    * ([[graft.functions.NgramRepStats]]). Zero shuffle at any corpus
+    * size. The former explode → groupBy pipelines (kept as
+    * [[repetitionStatsDeclarative]], the spec's cross-check twin) were
+    * doc-keyed and map-side combined but still pushed every n-gram
+    * STRING through the aggregation hash tables — the whole 5.8 s of
+    * this entry at sf1. Docs with < 3 tokens (no trigram) are dropped,
     * mirroring the oracle's `len(t) >= 3`. */
   def repetitionStats(docs: DataFrame,
                       maxTopBigramBp: Int = 2000,
-                      maxDupTrigramBp: Int = 2000): DataFrame = {
+                      maxDupTrigramBp: Int = 2000): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.NgramRepStats.of(TextAnalysis.tokens(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"),
+        expr("(s.bi_max * 10000) div s.bi_total").as("top_bigram_bp"),
+        expr("((s.bi_total - s.bi_distinct) * 10000) div s.bi_total").as("dup_bigram_bp"),
+        expr("((s.tri_total - s.tri_distinct) * 10000) div s.tri_total").as("dup_trigram_bp"))
+      .withColumn("passes_repetition",
+        col("top_bigram_bp") <= maxTopBigramBp &&
+          col("dup_trigram_bp") <= maxDupTrigramBp)
+
+  /** The declarative twin of [[repetitionStats]] — two explode →
+    * groupBy(doc_id, ngram) → groupBy(doc_id) pipelines joined on
+    * doc_id — kept as the cross-check the native expression is pinned
+    * against (CurationSpec), exactly the [[TextAnalysis.quality]] /
+    * TokenStats twin arrangement. */
+  private[graft] def repetitionStatsDeclarative(docs: DataFrame,
+                                                maxTopBigramBp: Int = 2000,
+                                                maxDupTrigramBp: Int = 2000): DataFrame = {
     def stats(n: Int, pre: String): DataFrame =
       ngramRows(docs, n)
         .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
@@ -361,9 +384,23 @@ object Curation {
     * At 100 TB every doc crosses the network zero times for the
     * decision; the only sorted window runs on the single boundary bin.
     */
-  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
-    val scored = TextAnalysis.quality(docs)
-      .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long"))
+  /** The (doc_id, quality_score_bp, n_tokens) scoring base shared by
+    * the token-budget family through the session cache registry —
+    * the [[sharedFeatureRows]] arrangement applied to quality: the
+    * tokenize+score pass is per-TOKEN work, every consumer's plan
+    * references the base from two legs (bin aggregation + the join
+    * back), and the budget entries share one corpus. One
+    * materialization of per-DOC rows serves all of them. */
+  def sharedQualityRows(docs: DataFrame): DataFrame =
+    SharedCaches.shared(
+      TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long")),
+      "quality")
+
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+                        scoredIn: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredIn.getOrElse(TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long")))
     val bins = scored.groupBy(col("quality_score_bp"))
       .agg(sum(col("n_tokens")).as("bin_tokens"))
     // ≤ 10001 rows: the unpartitioned window is over the aggregated
@@ -399,9 +436,10 @@ object Curation {
     * intra-bin ordered window — after a filter that keeps only those
     * bins' rows. Strata missing from `budgets` get `defaultBudget`. */
   def tokenBudgetSelectByStratum(docs: DataFrame, budgets: Map[String, Long],
-                                 defaultBudget: Long = 0L): DataFrame = {
-    val scored = TextAnalysis.quality(docs)
-      .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long"))
+                                 defaultBudget: Long = 0L,
+                                 scoredIn: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredIn.getOrElse(TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long")))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     val budget = budgets.foldLeft(lit(defaultBudget).cast("long"): Column) {
       case (acc, (l, b)) => when(col("lang") === l, lit(b)).otherwise(acc)

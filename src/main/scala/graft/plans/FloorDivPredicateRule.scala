@@ -157,5 +157,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.byteStatsDescriptor)
     ext.injectFunction(graft.functions.GraftFunctions.tokenStatsDescriptor)
     ext.injectFunction(graft.functions.GraftFunctions.minhashSigDescriptor)
+    ext.injectFunction(graft.functions.GraftFunctions.ngramRepStatsDescriptor)
   }
 }

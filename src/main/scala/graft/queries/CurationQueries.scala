@@ -116,9 +116,16 @@ object CurationQueries {
       Curation.snapshotDiff(old, neu).orderBy(col("doc_id"))
     }),
 
-    "quality_budget" -> ((s, dir) =>
-      Curation.tokenBudgetSelect(Fixtures.documents(s, dir), budget = TokenBudget)
-        .orderBy(col("doc_id"))),
+    // the tokenize+score base rides the session cache (one per-doc
+    // materialization serves both plan legs AND the by-lang sibling —
+    // the sharedFeatureRows arrangement; it was recomputed per leg,
+    // 2× the per-token pass inside every budget entry at sf1)
+    "quality_budget" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Curation.tokenBudgetSelect(docs, budget = TokenBudget,
+          scoredIn = Some(Curation.sharedQualityRows(docs)))
+        .orderBy(col("doc_id"))
+    }),
 
     "export_shards" -> ((s, dir) =>
       Export.shardAssignments(Fixtures.documents(s, dir), nShards = ExportShards)
@@ -128,10 +135,13 @@ object CurationQueries {
       Export.shardManifest(Fixtures.documents(s, dir), nShards = ExportShards)
         .orderBy(col("shard"))),
 
-    "quality_budget_by_lang" -> ((s, dir) =>
-      Curation.tokenBudgetSelectByStratum(Fixtures.documents(s, dir),
-        budgets = StratumBudgets, defaultBudget = 500L)
-        .orderBy(col("doc_id")))
+    "quality_budget_by_lang" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Curation.tokenBudgetSelectByStratum(docs,
+          budgets = StratumBudgets, defaultBudget = 500L,
+          scoredIn = Some(Curation.sharedQualityRows(docs)))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Fixture per-language budgets; each cuts mid-stratum at sf0.01

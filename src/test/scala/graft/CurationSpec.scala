@@ -277,6 +277,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(11L) == ((1666L, 0L, 0L, true)))
   }
 
+  test("repetitionStats: native one-pass == declarative explode/groupBy twin on the fixture corpus") {
+    // the map-only NgramRepStats projection must be bit-identical to
+    // the shuffle-based pipeline it replaced — the TokenStats twin
+    // arrangement, over real fixture text plus edge docs (< 3 tokens
+    // dropped by both; exactly 3 tokens kept)
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val fixture = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val edges = docs(
+      (900001L, "one two", "en", "s0"),
+      (900002L, "a a a", "en", "s0"),
+      (900003L, "solo", "en", "s0"))
+    val d = fixture.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(edges.select(col("doc_id"), col("text"), col("lang"), col("source")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top_bigram_bp"),
+        r.getAs[Long]("dup_bigram_bp"), r.getAs[Long]("dup_trigram_bp"),
+        r.getAs[Boolean]("passes_repetition"))).toSet
+    val native = rows(Curation.repetitionStats(d))
+    val twin = rows(Curation.repetitionStatsDeclarative(d))
+    assert(native.nonEmpty && native == twin,
+      s"native vs twin: only-native=${(native -- twin).take(3)} " +
+        s"only-twin=${(twin -- native).take(3)}")
+    assert(!native.exists(r => r._1 == 900001L || r._1 == 900003L),
+      "docs without a trigram must be dropped by both forms")
+    assert(native.exists(_._1 == 900002L))
+    // and the projection genuinely is map-only: no shuffle anywhere
+    val plan = Curation.repetitionStats(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionStats must plan with zero shuffles:\n$plan")
+  }
+
   // ---------------------------------------------------------------
   // piiScrub: regex edges
   // ---------------------------------------------------------------
