@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, Similarity}
+
+/** ANN recall probe: measure recall@k of every approximate serving
+  * path against the brute-force cosine baseline on one embeddings
+  * tier, across the nProbe / rerank dials — the measurement behind
+  * SCALING.md's recall table, so the dials carry numbers instead of
+  * prose (`runMain graft.AnnRecallProbe <sfDir> [queries] [k]`).
+  *
+  * recall@k = |approx top-k ∩ brute top-k| / (queries · k), the
+  * standard macro-averaged definition (each query contributes its
+  * overlap fraction; ties broken identically on both sides by the
+  * engines' shared (score desc, vec_id asc) rank, so the intersection
+  * is well-defined).
+  *
+  * Paths probed:
+  *  - `indexed`   — [[AnnIndex.topK]] over the persisted IVF index
+  *                  (√n md5-sampled cells), nProbe swept
+  *  - `indexed_sq`— [[AnnIndex.topKSq]], the stored IVF×SQ8 read path,
+  *                  (nProbe, rerank) swept — where rerank ≥ k·probed
+  *                  candidates exist, recall equals `indexed`'s at the
+  *                  same nProbe (SQ error only reorders BELOW the
+  *                  rerank cut; the exact rerank restores the top)
+  *  - `ivf2`      — [[Similarity.topKIvf2]], the two-level quantizer,
+  *                  (nProbeCoarse, nProbeFine) swept
+  */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AnnRecallProbe <sfDir> [queries] [k]")
+    val dir = args(0)
+    val nQueries = if (args.length > 1) args(1).toInt else 50
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.tables.Fixtures.embeddings(spark, dir)
+    val n = emb.count()
+    val kCells = AnnIndex.annCellsFor(n)
+    def pairs(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val brute = pairs(Similarity.topK(emb, maxQueryId = nQueries, k = k))
+    def recall(df: DataFrame): Double = {
+      val approx = pairs(df)
+      brute.iterator.map { case (q, b) =>
+        (approx.getOrElse(q, Set.empty) & b).size.toDouble / b.size
+      }.sum / brute.size
+    }
+    println(f"[recall] dir=$dir n=$n cells=$kCells queries=$nQueries k=$k")
+
+    AnnIndex.ensureBuilt(spark, dir)
+    Seq(1, 2, 4, 8, 16).foreach { nProbe =>
+      val r = recall(AnnIndex.topK(spark, dir, nQueries, k = k, nProbe = nProbe))
+      println(f"[recall] path=indexed nProbe=$nProbe%-3d recall@$k=$r%.3f")
+    }
+    Seq((2, 2 * k), (4, 2 * k), (8, 2 * k), (8, 4 * k)).foreach { case (nProbe, rerank) =>
+      val r = recall(AnnIndex.topKSq(spark, dir, nQueries, k = k,
+        nProbe = nProbe, rerank = rerank))
+      println(f"[recall] path=indexed_sq nProbe=$nProbe%-3d rerank=$rerank%-3d recall@$k=$r%.3f")
+    }
+    Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
+      val r = recall(Similarity.topKIvf2(emb, nQueries, k = k,
+        nProbeCoarse = nc, nProbeFine = nf))
+      println(f"[recall] path=ivf2 nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d recall@$k=$r%.3f")
+    }
+    spark.stop()
+  }
+}

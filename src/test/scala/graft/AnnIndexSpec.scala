@@ -237,6 +237,24 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"rerank scan must read full vectors for candidates only:\n$plan")
   }
 
+  test("SQ8 costs zero recall at rerank = 2k: stored SQ probe == full-precision probe, row for row") {
+    // the quantize-then-rerank contract, measured (AnnRecallProbe
+    // sweeps it at three tiers — recall identical to the
+    // full-precision probe at every nProbe): with rerank = 2k the SQ
+    // approximation only reorders candidates BELOW the rerank cut, and
+    // the exact rerank restores the top — so the result ROWS (ranks
+    // and exact scores included) must match, not just overlap. A code
+    //-book regression (bad params, clamped codes, decode drift) pushes
+    // a true neighbor below the cut and breaks equality here.
+    AnnIndex.ensureBuilt(spark, sf)
+    val full = AnnIndex.topK(spark, sf, maxQueryId = 8, k = 5, nProbe = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val sq = AnnIndex.topKSq(spark, sf, maxQueryId = 8, k = 5, nProbe = 4, rerank = 10)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(full.nonEmpty && sq == full,
+      "SQ8 + exact rerank must reproduce the full-precision probe exactly")
+  }
+
   test("SQ probe stays a pure physical optimization across the append -> requantize cycle") {
     val dir = tempCorpus("sq-cycle")
     AnnIndex.ensureBuilt(spark, dir)
