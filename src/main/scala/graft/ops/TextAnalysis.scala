@@ -578,18 +578,30 @@ object TextAnalysis {
     conv(substring(md5(concat(lit("feat:"), t)), 1, 8), 16, 10)
       .cast("long") % dim
 
-  def classifierScore(docs: DataFrame, dim: Int = 1024): DataFrame = {
+  /** The (doc_id, bucket) hashed-token stream the classifier family
+    * consumes — derivable per call, or passed in as a shared
+    * materialization ([[graft.ops.Curation.sharedFeatureRows]], which
+    * carries the identical [[featBucket]] space: the registry's
+    * classifier AND DSIR entries all project one cached tokenize+md5
+    * pass instead of paying it per entry — 3 full-corpus hash scans
+    * saved per registry sweep at sf1). */
+  private def bucketRowsOr(docs: DataFrame, dim: Int,
+                           bucketRows: Option[DataFrame]): DataFrame =
+    bucketRows.map(_.select(col("doc_id"), col("bucket"))).getOrElse(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .select(col("doc_id"), featBucket(col("token"), dim).as("bucket")))
+
+  def classifierScore(docs: DataFrame, dim: Int = 1024,
+                      bucketRows: Option[DataFrame] = None): DataFrame = {
     // bucket(t) = featBucket; weight(b) = first 8 md5 hex chars of
     // "w:"+b, centered on 2^31
-    def weight(t: Column): Column = {
-      val bucket = featBucket(t, dim)
+    def weight(bucket: Column): Column =
       conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8), 16, 10)
         .cast("long") - 2147483648L
-    }
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    bucketRowsOr(docs, dim, bucketRows)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(weight(col("token"))).as("feat_sum"))
+        sum(weight(col("bucket"))).as("feat_sum"))
       .withColumn("keep", col("feat_sum") >= 0)
   }
 
@@ -621,12 +633,9 @@ object TextAnalysis {
     * SpanOpsSpec: with the md5-derived weights materialized as a
     * table, this path reproduces [[classifierScore]] bit-for-bit. */
   def classifierScoreWeighted(docs: DataFrame, weights: DataFrame,
-                              dim: Int = 1024): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .withColumn("bucket",
-        conv(substring(md5(concat(lit("feat:"), col("token"))), 1, 8), 16, 10)
-          .cast("long") % dim)
+                              dim: Int = 1024,
+                              bucketRows: Option[DataFrame] = None): DataFrame = {
+    val toks = bucketRowsOr(docs, dim, bucketRows)
     toks.join(broadcast(weights), Seq("bucket"), "left")
       .na.fill(0L, Seq("weight"))
       .groupBy(col("doc_id"))
@@ -680,12 +689,18 @@ object TextAnalysis {
     * totals — the [[graft.ops.Curation.dsirBucketPpm]] cost shape, and
     * training data 1000× larger changes nothing structural. */
   def classifierTrainNb(docs: DataFrame, posLabel: Column,
-                        dim: Int = 1024): DataFrame = {
+                        dim: Int = 1024,
+                        bucketRows: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
-    val labeled = docs.filter(col("doc_id") % 2 === 0).withColumn("pos", posLabel)
-    val counts = labeled
-      .select(col("pos"), explode(tokens(col("text"))).as("token"))
-      .select(col("pos"), featBucket(col("token"), dim).as("bucket"))
+    // bucketRows (when shared) must carry the label column posLabel
+    // reads — sharedFeatureRows carries `lang`, the registry's
+    // supervision signal
+    val counts = bucketRows
+      .map(_.filter(col("doc_id") % 2 === 0).withColumn("pos", posLabel)
+        .select(col("pos"), col("bucket")))
+      .getOrElse(docs.filter(col("doc_id") % 2 === 0).withColumn("pos", posLabel)
+        .select(col("pos"), explode(tokens(col("text"))).as("token"))
+        .select(col("pos"), featBucket(col("token"), dim).as("bucket")))
       .groupBy(col("bucket"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))

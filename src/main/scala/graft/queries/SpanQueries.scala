@@ -95,10 +95,17 @@ object SpanQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // hashed-BOW linear classifier score per doc, exact integer sum
-    "classifier" -> ((s, dir) =>
-      TextAnalysis.classifierScore(Fixtures.documents(s, dir), ClassifierDim)
-        .orderBy(col("doc_id"))),
+    // hashed-BOW linear classifier score per doc, exact integer sum.
+    // The (doc_id, bucket) hashed-token stream is the SAME feature
+    // space DSIR consumes (featBucket has one owner), so the whole
+    // classifier family projects the session-cached sharedFeatureRows
+    // materialization instead of re-paying tokenize+md5 per entry
+    "classifier" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      TextAnalysis.classifierScore(docs, ClassifierDim,
+          bucketRows = Some(graft.ops.Curation.sharedFeatureRows(docs, ClassifierDim)))
+        .orderBy(col("doc_id"))
+    }),
 
     // the TRAINED-model path: the same score via a stored (bucket,
     // weight) table broadcast into a per-token equi-join — here fed
@@ -107,21 +114,26 @@ object SpanQueries {
     "classifier_weighted" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.classifierScoreWeighted(docs,
-        TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim)
+        TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim,
+        bucketRows = Some(graft.ops.Curation.sharedFeatureRows(docs, ClassifierDim)))
         .orderBy(col("doc_id"))
     }),
 
     // the model LEARNED, not a stand-in: closed-form Naive Bayes
-    // log-odds (integer ppm + bin-length floor-log₂, the DSIR
+    // log-odds (integer ppb + bin-length floor-log₂, the DSIR
     // engine-exact primitives) fit on the even-doc_id half with
     // lang='en' as supervision, then scored through the SAME stored-
     // table broadcast join as _weighted — train swaps the table, the
-    // serving plan is untouched
+    // serving plan is untouched. Both the training scan and the
+    // scoring scan project the shared hashed-token base (it carries
+    // `lang`, the supervision column)
     "classifier_trained" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
+      val fb = graft.ops.Curation.sharedFeatureRows(docs, ClassifierDim)
       TextAnalysis.classifierScoreWeighted(docs,
-        TextAnalysis.classifierTrainNb(docs, col("lang") === "en", ClassifierDim),
-        ClassifierDim)
+        TextAnalysis.classifierTrainNb(docs, col("lang") === "en", ClassifierDim,
+          bucketRows = Some(fb)),
+        ClassifierDim, bucketRows = Some(fb))
         .orderBy(col("doc_id"))
     }),
 
