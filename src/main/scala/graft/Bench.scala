@@ -360,9 +360,17 @@ object Bench {
     // emits, exactly as before the prelude existed.
     val preT0 = System.nanoTime()
     try {
-      graft.ops.Dedup.prewarmShared(graft.tables.Fixtures.documents(spark, sfDir))
+      val docs = graft.tables.Fixtures.documents(spark, sfDir)
+      graft.ops.Dedup.prewarmShared(docs)
+      // the hashed-feature and quality bases joined the shared-cache
+      // registry in round 15 (classifier + DSIR family; budget family)
+      // — same phantom-regression rationale as the dedup bases
+      graft.ops.Curation.sharedFeatureRows(docs)
+        .write.mode("overwrite").format("noop").save()
+      graft.ops.Curation.sharedQualityRows(docs)
+        .write.mode("overwrite").format("noop").save()
       System.err.println(
-        f"[bench] prelude (shared dedup bases) ${(System.nanoTime() - preT0) / 1e9}%.1f s")
+        f"[bench] prelude (shared dedup/feature/quality bases) ${(System.nanoTime() - preT0) / 1e9}%.1f s")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prelude FAILED (continuing untimed): ${e.getMessage}")
     }
