@@ -270,7 +270,18 @@ object StreamAnalytics {
     *
     * Micro-batch count is bounded (≤`chunks` regardless of corpus
     * size) so the entry's cost scales with the data, not the batch
-    * scheduler.
+    * scheduler. `chunks` is also the replay's parallelism dial AT
+    * scale: one file per chunk means one write task per chunk
+    * (corpus/chunks rows each), so a corpus too big for
+    * corpus/chunks-sized tasks raises `chunks`. Past
+    * `chunks ≥ tsSpan/horizon` each chunk's internal ts spread drops
+    * below the watermark delay, at which point multi-file chunks (drop
+    * the one-file repartition) become watermark-safe too — a late row
+    * within a chunk can then never trail the chunk's own maximum by
+    * more than the horizon. The bounded 10-chunk single-file shape is
+    * the REPLAY-HARNESS dial for the registry fixture; a production
+    * deployment replays from its real source (Kafka offsets, a file
+    * drop-box) and never builds these files at all.
     *
     * The streaming query runs on a CLONED session pinned to few
     * shuffle partitions: state-partition count is fixed at query start
