@@ -361,9 +361,10 @@ object AnnIndex {
     * doubles (sequential sums — the bit-identical order both engines
     * use). */
   private def probeFrame(spark: SparkSession, dir: String, maxQueryId: Long,
-                         nProbe: Int): (DataFrame, Array[Int]) = {
+                         nProbe: Int,
+                         quantizer: Option[Array[Array[Double]]] = None): (DataFrame, Array[Int]) = {
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
-    val cs: Array[Array[Double]] = storedQuantizer(spark, dir)
+    val cs: Array[Array[Double]] = quantizer.getOrElse(storedQuantizer(spark, dir))
     val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
     val probes = prep.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id"), col("v"), col("nrm")).collect()
@@ -404,6 +405,138 @@ object AnnIndex {
     * argument as [[topK]] vs the inline IVF) — `AnnIndexSpec` pins it,
     * and the `topk_indexed_sq` registry entry hash-checks the whole
     * stored stack against the inline oracle SQL. */
+  // ---- the persisted TWO-LEVEL index (billion-vector tier) ---------
+
+  /** One two-level index per source directory, beside (not replacing)
+    * the flat index: the flat layout is the right answer while
+    * k = ⌈√n⌉ centroids fit a driver collect and a plan literal; this
+    * one is for the tier past that knee (k ~ 10⁶ at a billion
+    * vectors), where ONLY the ~n^¼ coarse quantizer is ever collected
+    * (178 rows at 10⁹) and the fine quantizer stays a TABLE probed by
+    * coarse-cell literals — nothing k-sized touches the driver or the
+    * plan at any corpus size. */
+  def table2For(dir: String): String =
+    "ann2_" + graft.evm.EvmDerive.md5hex(dir).take(8)
+  def coarseQuantizerTableFor(dir: String): String = table2For(dir) + "_qc"
+  def fineQuantizerTableFor(dir: String): String = table2For(dir) + "_qf"
+
+  /** Build the two-level index if absent: assignment
+    * (vec_id, ccell, v, nrm, fcell) bucketed on the COARSE cell (kc
+    * buckets — the probe's pruning key), the n^¼-row coarse quantizer,
+    * and the (ccell, fcell, fv, f2) fine-quantizer relation stored as
+    * a table (≈ Σ⌈√occ⌉ rows — data, never a literal). Same
+    * write-once idempotence and orphan-sweep recovery contract as
+    * [[ensureBuilt]]. */
+  def ensureBuilt2(spark: SparkSession, dir: String): String = synchronized {
+    val t = table2For(dir)
+    val qc = coarseQuantizerTableFor(dir)
+    val qf = fineQuantizerTableFor(dir)
+    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qc) ||
+        !spark.catalog.tableExists(qf)) {
+      Seq(t, qc, qf).flatMap(x => Seq(x, x + "__stage", x + "__old"))
+        .foreach(Bucketed.resetTable(spark, _))
+      val emb = Fixtures.embeddings(spark, dir)
+      val prep = Similarity.prepared(emb)
+      writeGeneration2(spark, prep, emb.count(), t, qc, qf)
+    }
+    t
+  }
+
+  /** Stage one full two-level generation into the three named tables
+    * — shared by the build (straight into the live names) and
+    * [[requantize2]] (into the `__stage` names). */
+  private def writeGeneration2(spark: SparkSession, prep: DataFrame, n: Long,
+                               t: String, qc: String, qf: String): Unit = {
+    val (coarse, fine, asg) = Similarity.ivf2StructureOf(prep, n)
+    Bucketed.writeBucketed(
+      asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell")),
+      t, "ccell", nBuckets = coarse.length)
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ccell", "centroid")
+      .write.mode("overwrite").saveAsTable(qc)
+    fine.write.mode("overwrite").saveAsTable(qf)
+  }
+
+  /** The stored coarse quantizer (~n^¼ · dim doubles — the ONLY
+    * quantizer collect this index ever performs). */
+  def storedCoarseQuantizer(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.table(coarseQuantizerTableFor(dir))
+      .select(col("ccell"), col("centroid")).orderBy(col("ccell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Append a fresh batch against BOTH stored quantizers — coarse
+    * assignment from the collected n^¼ matrix, fine assignment via a
+    * broadcast join against the stored fine relation with the same
+    * map-side `min_by` argmin the build uses. O(batch); probe
+    * coherence by construction, exactly [[appendBatch]]'s contract one
+    * level down. */
+  def appendBatch2(spark: SparkSession, dir: String, fresh: DataFrame): Unit = synchronized {
+    val t = ensureBuilt2(spark, dir)
+    val coarse = storedCoarseQuantizer(spark, dir)
+    val fine = spark.table(fineQuantizerTableFor(dir))
+    val casg = Similarity.assignCells(Similarity.prepared(fresh), coarse)
+      .withColumnRenamed("cell", "ccell")
+    val assigned = casg.join(broadcast(fine), Seq("ccell"))
+      .withColumn("s",
+        lit(-2.0) * Similarity.dot(col("v"), col("fv")) + col("f2"))
+      .groupBy(col("vec_id")).agg(
+        first(col("ccell")).as("ccell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("fcell"), struct(col("s"), col("fcell"))).as("fcell"))
+    assigned.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"))
+      .write.mode("append").format("parquet")
+      .bucketBy(coarse.length, "ccell").sortBy("ccell")
+      .saveAsTable(t)
+  }
+
+  /** Re-fit BOTH quantizer levels over the live corpus and swap the
+    * generation in — [[requantize]]'s commit protocol verbatim (stage
+    * beside live, assignment renamed aside FIRST and promoted LAST so
+    * every crash point leaves it absent for [[ensureBuilt2]]'s sweep).
+    * Same triggers as the flat index ([[requantizeAdvice]]'s knee/skew
+    * classes — here the knee is the COARSE count n^¼ outgrowing the
+    * build and fine cells re-size per cell automatically). */
+  def requantize2(spark: SparkSession, dir: String): Unit = synchronized {
+    val t = ensureBuilt2(spark, dir)
+    val qc = coarseQuantizerTableFor(dir)
+    val qf = fineQuantizerTableFor(dir)
+    val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
+    val n = live.count()
+    require(n > 0, s"cannot requantize an empty index ($t)")
+    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__stage"))
+    writeGeneration2(spark, live, n, t + "__stage", qc + "__stage", qf + "__stage")
+    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__old"))
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+    spark.sql(s"ALTER TABLE $qc RENAME TO ${qc}__old")
+    spark.sql(s"ALTER TABLE $qf RENAME TO ${qf}__old")
+    spark.sql(s"ALTER TABLE ${qf}__stage RENAME TO $qf")
+    spark.sql(s"ALTER TABLE ${qc}__stage RENAME TO $qc")
+    spark.sql(s"ALTER TABLE ${t}__stage RENAME TO $t")
+    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__old"))
+  }
+
+  /** Top-k probe over the persisted two-level index: coarse probe
+    * cells computed driver-side against the STORED n^¼ quantizer
+    * (literal list → bucket pruning on the ccell-bucketed assignment
+    * AND the fine-quantizer scan), then the shared
+    * [[Similarity.probeIvf2From]] rank+join half — identical results
+    * to the inline [[Similarity.topKIvf2]] by construction, and zero
+    * corpus-wide jobs at serving time. */
+  def topK2(spark: SparkSession, dir: String, maxQueryId: Long,
+            k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
+    val t = ensureBuilt2(spark, dir)
+    val coarse = storedCoarseQuantizer(spark, dir)
+    val (qcFrame, cells) =
+      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
+    val cellLits = cells.map(Int.box)
+    val fine = spark.table(fineQuantizerTableFor(dir))
+      .filter(col("ccell").isin(cellLits: _*))
+    val asg = spark.table(t).filter(col("ccell").isin(cellLits: _*))
+    Similarity.probeIvf2From(qcFrame.withColumnRenamed("cell", "ccell"),
+      fine, asg, k, nProbeFine)
+  }
+
   def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,
              k: Int = 5, nProbe: Int = 2, rerank: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window

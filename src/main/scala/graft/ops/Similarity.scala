@@ -327,14 +327,37 @@ object Similarity {
 
   def topKIvf2(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
                nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
     val (coarse, fine, asg) = ivf2StructureOf(e, e.count())
-    // probe: nProbeCoarse nearest coarse cells (literal matrix — small
-    // by construction), then the probed cells' fine centroids ranked
-    // TOGETHER per query, top nProbeFine overall
-    val qc = probeQueries(e.filter(col("vec_id") < maxQueryId), coarse, nProbeCoarse)
-      .withColumnRenamed("cell", "ccell")
+    probeIvf2(coarse, fine, asg, e.filter(col("vec_id") < maxQueryId),
+      k, nProbeCoarse, nProbeFine)
+  }
+
+  /** The two-level probe+rank over an (coarse, fine, asg) structure —
+    * shared verbatim by the inline [[topKIvf2]] and the persisted
+    * [[AnnIndex.topK2]] (which reads the structure back from its
+    * stored tables), so the two paths cannot drift: nProbeCoarse
+    * nearest coarse cells (literal matrix — small by construction),
+    * then the probed cells' fine centroids ranked TOGETHER per query,
+    * top nProbeFine overall, equality-join candidates, exact cosine,
+    * per-query top-k. */
+  def probeIvf2(coarse: Array[Array[Double]], fine: DataFrame, asg: DataFrame,
+                queries: DataFrame, k: Int,
+                nProbeCoarse: Int, nProbeFine: Int): DataFrame =
+    probeIvf2From(
+      probeQueries(queries, coarse, nProbeCoarse).withColumnRenamed("cell", "ccell"),
+      fine, asg, k, nProbeFine)
+
+  /** [[probeIvf2]] from an already-coarse-probed query frame
+    * (`ccell, q_id, qv, qn`) — the entry point the persisted index
+    * uses: its coarse probe is computed driver-side (the flat index's
+    * probeFrame arithmetic, (s, cell)-rank-identical to
+    * [[probeQueries]] — spec-pinned there) so the probed coarse cells
+    * exist as LITERALS that bucket-prune the stored fine/assignment
+    * scans before this shared rank+join half runs. */
+  def probeIvf2From(qc: DataFrame, fine: DataFrame, asg: DataFrame,
+                    k: Int, nProbeFine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wQ = Window.partitionBy(col("q_id"))
       .orderBy(col("s"), col("ccell"), col("fcell"))
     val probes = qc.join(broadcast(fine), Seq("ccell"))

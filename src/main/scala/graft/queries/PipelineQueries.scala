@@ -148,6 +148,19 @@ object PipelineQueries {
         nProbeCoarse = 2, nProbeFine = 3)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the PERSISTED two-level index — the billion-vector serving
+    // shape: coarse+fine quantizers and the ccell-bucketed assignment
+    // written once (AnnIndex.ensureBuilt2), a probe collects ONLY the
+    // n^¼ coarse matrix and bucket-prunes both stored scans with the
+    // probed-cell literals; nothing k-sized ever reaches the driver or
+    // the plan. Oracle = the inline two-level statement at this
+    // entry's parameters: the stored structure must be a pure physical
+    // optimization of it
+    "topk_indexed_ivf2" -> ((s, dir) =>
+      AnnIndex.topK2(s, dir, maxQueryId = 5, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+        .orderBy(col("q_id"), col("rn"))),
+
     // SQ8 quantize-then-rerank (Similarity.topKSq): the candidate pass
     // ranks by an approximate cosine computed ONLY from the 8-bit
     // codes (one native dot over the code array per row — the scan
@@ -777,53 +790,14 @@ object PipelineQueries {
     // fine probe ranked (s, ccell, fcell) across the probed coarse
     // cells = the windowed probe rank.
     "topk_ivf2" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
-        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-        |  FROM embeddings),
-        |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
-        |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
-        |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
-        |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
-        |cen AS (SELECT (rnk - 1)::INT AS ccell, v AS ctr FROM
-        |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
-        |   FROM n) s, kc WHERE s.rnk <= kc.k),
-        |csc AS (SELECT n.vec_id, n.v, n.nrm, cen.ccell,
-        |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
-        |  FROM n, cen),
-        |casg AS (SELECT vec_id, v, nrm, ccell FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn FROM csc)
-        |  WHERE rn = 1),
-        |occ AS (SELECT ccell, count(*) AS c FROM casg GROUP BY ccell),
-        |kf AS (SELECT ccell, CASE WHEN (sq - 1) * (sq - 1) >= c THEN sq - 1
-        |                          WHEN sq * sq >= c THEN sq ELSE sq + 1 END AS kf
-        |  FROM (SELECT ccell, c, CAST(floor(sqrt(c)) AS BIGINT) AS sq FROM occ)),
-        |fcen AS (SELECT r.ccell, (r.rnk - 1)::INT AS fcell, r.v AS fctr
-        |  FROM (SELECT ccell, v, ROW_NUMBER() OVER (PARTITION BY ccell
-        |          ORDER BY md5('seed:' || vec_id), vec_id) AS rnk FROM casg) r
-        |  JOIN kf ON r.ccell = kf.ccell WHERE r.rnk <= kf.kf),
-        |fsc AS (SELECT a.vec_id, a.v, a.nrm, a.ccell, f.fcell,
-        |  -2.0 * list_dot_product(a.v, f.fctr) + list_dot_product(f.fctr, f.fctr) AS s
-        |  FROM casg a JOIN fcen f ON a.ccell = f.ccell),
-        |fasg AS (SELECT vec_id, v, nrm, ccell, fcell FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, fcell) rn FROM fsc)
-        |  WHERE rn = 1),
-        |qc AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccell FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn
-        |   FROM csc WHERE vec_id < 6) WHERE rn <= 2),
-        |qf AS (SELECT q_id, qv, qn, ccell, fcell FROM
-        |  (SELECT q.q_id, q.qv, q.qn, q.ccell, f.fcell,
-        |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-        |       -2.0 * list_dot_product(q.qv, f.fctr) + list_dot_product(f.fctr, f.fctr),
-        |       q.ccell, f.fcell) AS rn
-        |   FROM qc q JOIN fcen f ON q.ccell = f.ccell) WHERE rn <= 3),
-        |p AS (SELECT q.q_id, x.vec_id,
-        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
-        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
-        |    AND x.vec_id <> q.q_id),
-        |r AS (SELECT q_id, vec_id, score,
-        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
-        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 5
-        |ORDER BY q_id, rn""".stripMargin,
+      annIndex2OracleSql(maxQueryId = 6, topK = 5, nProbeCoarse = 2, nProbeFine = 3),
+
+    // the stored two-level probe shares the inline statement at its
+    // own parameters — assignment, both quantizer levels, and both
+    // probe rankings read back from the persisted tables must be
+    // indistinguishable from deriving them fresh
+    "topk_indexed_ivf2" ->
+      annIndex2OracleSql(maxQueryId = 5, topK = 4, nProbeCoarse = 2, nProbeFine = 3),
 
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
@@ -1137,6 +1111,63 @@ object PipelineQueries {
        |p AS (SELECT q.q_id, x.vec_id,
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The two-level-IVF oracle, parameterized on the probe scope —
+    * shared by `topk_ivf2` (inline) and `topk_indexed_ivf2` (the
+    * persisted two-level index). Every stage mirrored: kc from the
+    * nested integer-√ loops, md5 sampling at both levels, the
+    * sqrt-with-correction per-cell sizing CASE (= intSqrtCeil), fine
+    * argmin ROW_NUMBER (s, fcell) = Spark's min_by struct key, fine
+    * probe ranked (s, ccell, fcell) across the probed coarse cells. */
+  private def annIndex2OracleSql(maxQueryId: Int, topK: Int,
+                                 nProbeCoarse: Int, nProbeFine: Int): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
+       |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS ccell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kc WHERE s.rnk <= kc.k),
+       |csc AS (SELECT n.vec_id, n.v, n.nrm, cen.ccell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |casg AS (SELECT vec_id, v, nrm, ccell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn FROM csc)
+       |  WHERE rn = 1),
+       |occ AS (SELECT ccell, count(*) AS c FROM casg GROUP BY ccell),
+       |kf AS (SELECT ccell, CASE WHEN (sq - 1) * (sq - 1) >= c THEN sq - 1
+       |                          WHEN sq * sq >= c THEN sq ELSE sq + 1 END AS kf
+       |  FROM (SELECT ccell, c, CAST(floor(sqrt(c)) AS BIGINT) AS sq FROM occ)),
+       |fcen AS (SELECT r.ccell, (r.rnk - 1)::INT AS fcell, r.v AS fctr
+       |  FROM (SELECT ccell, v, ROW_NUMBER() OVER (PARTITION BY ccell
+       |          ORDER BY md5('seed:' || vec_id), vec_id) AS rnk FROM casg) r
+       |  JOIN kf ON r.ccell = kf.ccell WHERE r.rnk <= kf.kf),
+       |fsc AS (SELECT a.vec_id, a.v, a.nrm, a.ccell, f.fcell,
+       |  -2.0 * list_dot_product(a.v, f.fctr) + list_dot_product(f.fctr, f.fctr) AS s
+       |  FROM casg a JOIN fcen f ON a.ccell = f.ccell),
+       |fasg AS (SELECT vec_id, v, nrm, ccell, fcell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, fcell) rn FROM fsc)
+       |  WHERE rn = 1),
+       |qc AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn
+       |   FROM csc WHERE vec_id < $maxQueryId) WHERE rn <= $nProbeCoarse),
+       |qf AS (SELECT q_id, qv, qn, ccell, fcell FROM
+       |  (SELECT q.q_id, q.qv, q.qn, q.ccell, f.fcell,
+       |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |       -2.0 * list_dot_product(q.qv, f.fctr) + list_dot_product(f.fctr, f.fctr),
+       |       q.ccell, f.fcell) AS rn
+       |   FROM qc q JOIN fcen f ON q.ccell = f.ccell) WHERE rn <= $nProbeFine),
+       |p AS (SELECT q.q_id, x.vec_id,
+       |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+       |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
+       |    AND x.vec_id <> q.q_id),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

@@ -325,6 +325,64 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       assert(!spark.catalog.tableExists(n), s"orphan $n must be swept"))
   }
 
+  test("persisted two-level index: stored probe == inline topKIvf2, both stored scans bucket-pruned") {
+    Seq(AnnIndex.table2For(sf), AnnIndex.coarseQuantizerTableFor(sf),
+      AnnIndex.fineQuantizerTableFor(sf))
+      .foreach(graft.tables.Bucketed.resetTable(spark, _))
+    val probed = AnnIndex.topK2(spark, sf, maxQueryId = 5, k = 4,
+      nProbeCoarse = 2, nProbeFine = 3)
+    val stored = probed.orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvf2(Fixtures.embeddings(spark, sf),
+        maxQueryId = 5, k = 4, nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "persisting the two-level structure must be a pure physical optimization")
+    // the assignment scan prunes on the probed coarse cells (the fine
+    // quantizer table is unbucketed — its literal filter row-skips)
+    val plan = probed.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected a bucket-pruned assignment scan:\n$plan")
+    assert(m.get.group(1).toInt <= 4,
+      s"expected <=4 of ${m.get.group(2)} coarse buckets read, got ${m.get.group(1)}")
+  }
+
+  test("two-level append -> requantize cycle: stored probe tracks the inline pipeline on the combined corpus") {
+    val dir = tempCorpus("ivf2-cycle")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    // appended clones must be FOUND (cosine 1.0 at rank 1): both
+    // stored quantizers assigned them exactly like their originals
+    AnnIndex.appendBatch2(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + 500000L))
+    val rows = AnnIndex.topK2(spark, dir, maxQueryId = 4, k = 3,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect()
+    (0L until 4L).foreach { q =>
+      val top = rows.filter(_.getAs[Long]("q_id") == q).minBy(_.getAs[Int]("rn"))
+      assert(top.getAs[Long]("vec_id") == q + 500000L &&
+        top.getAs[Double]("score") == 1.0,
+        s"query $q must find its appended clone at cosine 1.0, got $top")
+    }
+    // requantize re-fits both levels over the combined corpus — the
+    // stored probe must equal the inline pipeline built fresh from it
+    AnnIndex.requantize2(spark, dir)
+    val combined = emb.union(emb.withColumn("vec_id", col("vec_id") + 500000L))
+    val stored = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvf2(combined, maxQueryId = 5, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "the requantized two-level index must stay a pure physical optimization")
+    Seq("__stage", "__old").foreach { sfx =>
+      Seq(AnnIndex.table2For(dir), AnnIndex.coarseQuantizerTableFor(dir),
+        AnnIndex.fineQuantizerTableFor(dir)).foreach(n =>
+        assert(!spark.catalog.tableExists(n + sfx),
+          s"generation leftovers ($n$sfx) must be dropped at commit"))
+    }
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(
