@@ -42,6 +42,13 @@ def main():
     envelope = {}
     meta = []
     for i in range(args.runs):
+        if i > 0:
+            # the previous run's own 32-thread tail keeps the 1-min
+            # load average elevated for ~a minute after the JVM exits;
+            # without a settle window the contention refusal triggers
+            # on the recorder's own footprint, not a foreign tenant
+            import time
+            time.sleep(75)
         d = one_run(args.sf, args.repeats)
         if d["failed"]:
             sys.exit(f"[baseline] run {i}: {d['failed']} queries failed — not recording")
