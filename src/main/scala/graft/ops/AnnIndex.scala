@@ -39,24 +39,40 @@ import graft.tables.{Bucketed, Fixtures}
   *    corpus at every n, so any query probing it reads 9% of the
   *    corpus instead of 1/k.
   *
-  * The probe-cell computation runs driver-side over the collected
-  * query vectors — deliberately: queries are few (a serving request),
-  * the collect is O(queries·dim) like the centroid collects in
-  * [[Similarity.kmeansCentroids]], and only a driver-side literal cell
-  * list lets the scan prune buckets at plan time. (It also sidesteps
-  * the inlined-literal probe expression, which stops being
-  * JIT-compilable at corpus-scaled k — the same generated-code limit
-  * `nearest_cell` exists for.) The score arithmetic and (score, cell)
-  * tie-break are identical to the cluster-side assignment and to the
-  * DuckDB oracle's ROW_NUMBER form, so the registry entry stays
-  * hash-differential.
+  * Probe-cell selection runs IN-PLAN ([[Similarity.probeQueries]]
+  * against the stored quantizer): query vectors are scored against the
+  * k centroids on executors, never collected — only the DISTINCT
+  * probed cell ids (≤ queries · nProbe ints) come back to the driver,
+  * because only a driver-side literal cell list lets the scan prune
+  * buckets at plan time. At a batch-serving load (10⁵ queries ×
+  * √(10⁹) cells × d dims) the scoring is the expensive half of a probe
+  * and it stays distributed; the literal stays O(queries · nProbe)
+  * regardless of corpus size. The quantizer itself (k·d doubles) is
+  * collected once per probe — the same bounded contract as
+  * [[Similarity.kmeansCentroids]] — and rides the plan as one
+  * referenced constant ([[graft.functions.NearestCellF64]]'s
+  * JIT-safety argument).
+  *
+  * DELETE / RETIRE ([[removeBatch]]): a curation pipeline's whole
+  * output is retired documents, so the serving index must drop
+  * vectors WITHOUT the full rebuild. Deletions are TOMBSTONES — a
+  * (vec_id, cell) table stored beside the index, bucketed on `cell`
+  * with the assignment's bucket count so a probe's tombstone scan
+  * prunes to the probed cells exactly like the index scan. Probes
+  * anti-join the (pruned, bounded) tombstone set; [[requantize]]
+  * compacts tombstoned rows away and resets the table; and
+  * [[requantizeAdvice]] gains a dead-fraction trigger so tombstones
+  * never accumulate past a bounded share of the index. Removing an id
+  * never rewrites an index bucket — the write-once layout and every
+  * probe's bucket pruning survive deletion untouched.
   */
 /** [[AnnIndex.requantizeAdvice]]'s measurement: corpus size, cell
-  * count, hottest-cell and mean occupancy, and the two documented
-  * triggers. `needed` = either trigger fired. */
+  * count, hottest-cell and mean occupancy, tombstone count, and the
+  * three documented triggers. `needed` = any trigger fired. */
 final case class RequantizeAdvice(nVectors: Long, nCells: Int, occMax: Long,
-                                  occMean: Long, knee: Boolean, skewed: Boolean) {
-  def needed: Boolean = knee || skewed
+                                  occMean: Long, knee: Boolean, skewed: Boolean,
+                                  tombstoned: Long = 0L, dead: Boolean = false) {
+  def needed: Boolean = knee || skewed || dead
 }
 
 object AnnIndex {
@@ -72,10 +88,12 @@ object AnnIndex {
   def annCellsFor(n: Long): Int =
     (1 until 65536).find(x => x.toLong * x >= n).getOrElse(65535)
 
-  /** One index table per source directory (sf0.01 and sf0.1 runs in
-    * the same warehouse must never read each other's index). */
-  def tableFor(dir: String): String =
-    "ann_cells_" + graft.evm.EvmDerive.md5hex(dir).take(8)
+  /** One index table per (source directory, tag): sf0.01 and sf0.1
+    * runs in the same warehouse must never read each other's index,
+    * and a tagged generation (e.g. the registry's deletion entry)
+    * must never mutate the shared untagged one. */
+  def tableFor(dir: String, tag: String = ""): String =
+    "ann_cells_" + graft.evm.EvmDerive.md5hex(dir + "#" + tag).take(8)
 
   /** The quantizer stored BESIDE the assignment table: (cell,
     * centroid) — k rows. The quantizer is part of the index, not a
@@ -86,7 +104,8 @@ object AnnIndex {
     * probes scan the wrong buckets with no error). Storing k rows also
     * removes two full-corpus jobs (count + md5-ranked sample) from
     * every serving query — the write-once/probe-many claim made real. */
-  def quantizerTableFor(dir: String): String = tableFor(dir) + "_q"
+  def quantizerTableFor(dir: String, tag: String = ""): String =
+    tableFor(dir, tag) + "_q"
 
   /** The SQ8 scalar-quantization parameters stored BESIDE the
     * quantizer: (dim, mn, mx) — d rows. Like the centroids, the params
@@ -97,29 +116,43 @@ object AnnIndex {
     * the build (the quantizer-drift argument, applied to the code
     * book). Storing d rows also removes the posexplode min/max corpus
     * job from every serving query. */
-  def sqTableFor(dir: String): String = tableFor(dir) + "_sq"
+  def sqTableFor(dir: String, tag: String = ""): String =
+    tableFor(dir, tag) + "_sq"
 
-  /** Build the cell-assignment table + its quantizer if this
-    * session/warehouse does not have them yet; returns the assignment
-    * table name. Idempotent — the "write once" of
-    * write-once-probe-many. */
-  def ensureBuilt(spark: SparkSession, dir: String): String = synchronized {
-    val t = tableFor(dir)
-    val qt = quantizerTableFor(dir)
-    val sqt = sqTableFor(dir)
-    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qt) ||
-        !spark.catalog.tableExists(sqt)) {
+  /** The tombstone table stored BESIDE the index: (vec_id, cell) —
+    * one row per retired vector, bucketed on `cell` with the
+    * assignment's bucket count so a probe's tombstone scan prunes to
+    * the probed cells (the anti-join's build side is bounded by the
+    * probed cells' dead rows, never the full tombstone set). Part of
+    * the index's existence set: a crash that loses it triggers
+    * [[ensureBuilt]]'s source-rebuild sweep, and delete producers
+    * replay from their ledger — the same source-of-truth recovery
+    * contract appends follow. */
+  def tombstoneTableFor(dir: String, tag: String = ""): String =
+    tableFor(dir, tag) + "_ts"
+
+  private def allTables(dir: String, tag: String): Seq[String] =
+    Seq(tableFor(dir, tag), quantizerTableFor(dir, tag),
+      sqTableFor(dir, tag), tombstoneTableFor(dir, tag))
+
+  /** Build the cell-assignment table + its quantizer + an EMPTY
+    * tombstone table if this session/warehouse does not have them yet;
+    * returns the assignment table name. Idempotent — the "write once"
+    * of write-once-probe-many. */
+  def ensureBuilt(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
+    val t = tableFor(dir, tag)
+    if (allTables(dir, tag).exists(!spark.catalog.tableExists(_))) {
       // an orphaned location from a previous JVM is stale, not
       // reusable: the in-memory catalog lost its bucketing metadata,
-      // so clear and rebuild deterministically — the quantizer and
-      // SQ-param locations too (saveAsTable dies on a leftover
-      // directory the in-memory catalog no longer knows about), and
-      // any stage/old generation a crashed [[requantize]] left behind
-      // (recovery contract: a crash mid-swap rebuilds from the source
-      // corpus; appended batches re-enter through their producer's
-      // ledger, the same source-of-truth rule ChainStore's replay
-      // makes)
-      Seq(t, qt, sqt).flatMap(x => Seq(x, x + "__stage", x + "__old"))
+      // so clear and rebuild deterministically — the quantizer,
+      // SQ-param, and tombstone locations too (saveAsTable dies on a
+      // leftover directory the in-memory catalog no longer knows
+      // about), and any stage/old generation a crashed [[requantize]]
+      // or [[removeBatch]] left behind (recovery contract: a crash
+      // mid-swap rebuilds from the source corpus; appended batches and
+      // deletions re-enter through their producer's ledger, the same
+      // source-of-truth rule ChainStore's replay makes)
+      allTables(dir, tag).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
@@ -137,25 +170,37 @@ object AnnIndex {
       import spark.implicits._
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
-        .write.mode("overwrite").saveAsTable(qt)
+        .write.mode("overwrite").saveAsTable(quantizerTableFor(dir, tag))
       mns.indices.map(i => (i, mns(i), mxs(i)))
         .toDF("dim", "mn", "mx")
-        .write.mode("overwrite").saveAsTable(sqt)
+        .write.mode("overwrite").saveAsTable(sqTableFor(dir, tag))
+      writeTombstones(spark, emptyTombstones(spark),
+        tombstoneTableFor(dir, tag), k)
     }
     t
   }
 
+  private def emptyTombstones(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("vec_id"), lit(0).as("cell"))
+
+  private def writeTombstones(spark: SparkSession, ts: DataFrame,
+                              table: String, nBuckets: Int): Unit =
+    ts.select(col("vec_id").cast("long"), col("cell").cast("int"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+
   /** The stored quantizer read back as the centroid matrix (k·dim —
     * bounded, same contract as the build-time collect). */
-  def storedQuantizer(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.table(quantizerTableFor(dir))
+  def storedQuantizer(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
+    spark.table(quantizerTableFor(dir, tag))
       .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
   /** The stored SQ8 params read back as the (mns, mxs) pair (2·d
     * doubles — bounded, same contract as the quantizer collect). */
-  def storedSqParams(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
-    val rows = spark.table(sqTableFor(dir))
+  def storedSqParams(spark: SparkSession, dir: String, tag: String = ""): (Array[Double], Array[Double]) = {
+    val rows = spark.table(sqTableFor(dir, tag))
       .select(col("dim"), col("mn"), col("mx")).orderBy(col("dim")).collect()
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
@@ -172,7 +217,10 @@ object AnnIndex {
     * scan. Caller contract: `fresh` carries embeddings-schema rows
     * with vec_ids not already in the index (the ingest layer's
     * idempotent-insert anti-join is the place to enforce that, as in
-    * [[graft.ingest.Ingest]]).
+    * [[graft.ingest.Ingest]]). A TOMBSTONED vec_id stays retired: the
+    * probe-side anti-join filters it until [[requantize]] compacts —
+    * re-adding a retired id is an explicit un-retire the delete
+    * producer must issue by clearing its ledger entry first.
     *
     * Appends intentionally do NOT touch the quantizer: cell sizing
     * (⌈√n⌉) and centroid placement decay as the corpus grows, which is
@@ -186,22 +234,76 @@ object AnnIndex {
     * dropped when the old generation is — serializing mutators makes
     * every append either fully inside the rebuilt corpus or fully
     * after it. */
-  def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame): Unit = synchronized {
-    val t = ensureBuilt(spark, dir)
-    val cs = storedQuantizer(spark, dir)
+  def appendBatch(spark: SparkSession, dir: String, fresh: DataFrame,
+                  tag: String = ""): Unit = synchronized {
+    val t = ensureBuilt(spark, dir, tag)
+    val cs = storedQuantizer(spark, dir, tag)
     // codes are encoded with the STORED params — the exact affine
     // terms every existing code row used, the same coherence rule as
     // the centroids (drifted mins/maxs are a quality decay cleared by
     // [[requantize]], never a correctness one: a batch value outside
     // the stored range clamps to 0/255 and the exact rerank still
     // scores it full-precision)
-    val (mns, mxs) = storedSqParams(spark, dir)
+    val (mns, mxs) = storedSqParams(spark, dir, tag)
     val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
     assigned.write.mode("append").format("parquet")
       .bucketBy(cs.length, "cell").sortBy("cell")
       .saveAsTable(t)
+  }
+
+  /** RETIRE half of the lifecycle: tombstone a batch of vec_ids —
+    * O(batch ⋈ tombstones), never a bucket rewrite. The ids are
+    * resolved to their stored cells (one batch-sized semi-join against
+    * the index, so the tombstone table carries the probe's pruning
+    * key), merged with the existing tombstone set (distinct — a
+    * re-delete is idempotent, which also makes the registry's
+    * deletion entry re-runnable), and committed under the same
+    * stage→rename-aside→promote protocol as [[requantize]]: the live
+    * tombstone table is renamed aside and the staged one promoted, so
+    * every crash point inside the window leaves the table ABSENT —
+    * exactly the state [[ensureBuilt]]'s orphan sweep detects and
+    * heals (rebuild from source; the delete producer replays its
+    * ledger). Ids not present in the index resolve to no cell and are
+    * dropped — retiring an unknown id is a no-op, not an error.
+    *
+    * Deleted rows stay physically in the assignment buckets until
+    * [[requantize]] compacts them (probes filter them out via the
+    * cell-pruned anti-join); [[requantizeAdvice]]'s dead-fraction
+    * trigger bounds how long that debt can accumulate. */
+  def removeBatch(spark: SparkSession, dir: String, ids: DataFrame,
+                  tag: String = ""): Unit = synchronized {
+    val t = ensureBuilt(spark, dir, tag)
+    val ts = tombstoneTableFor(dir, tag)
+    val k = storedQuantizer(spark, dir, tag).length
+    val resolved = spark.table(t).select(col("vec_id"), col("cell"))
+      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val merged = spark.table(ts).select(col("vec_id"), col("cell"))
+      .unionByName(resolved).distinct()
+    val tsStage = ts + "__stage"
+    val tsOld = ts + "__old"
+    Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+    writeTombstones(spark, merged, tsStage, k)
+    spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+    spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+    Bucketed.resetTable(spark, tsOld)
+  }
+
+  /** The probe-side tombstone filter: anti-join the index rows against
+    * the tombstone rows OF THE PROBED CELLS ONLY — the tombstone scan
+    * bucket-prunes on the same literal cell list as the index scan, so
+    * the anti-join's build side is the probed cells' dead rows (a
+    * bounded fraction of a bounded read), never the full tombstone
+    * set. Broadcast is therefore safe at any corpus size: the
+    * dead-fraction advice keeps per-cell tombstones a bounded share of
+    * per-cell occupancy, which the probe already reads in full. */
+  private def dropTombstoned(spark: SparkSession, dir: String, tag: String,
+                             index: DataFrame,
+                             cellLits: Seq[Integer]): DataFrame = {
+    val ts = spark.table(tombstoneTableFor(dir, tag))
+      .filter(col("cell").isin(cellLits: _*)).select(col("vec_id"))
+    index.join(broadcast(ts), Seq("vec_id"), "left_anti")
   }
 
   /** When to pay the re-quantize ([[requantize]]): advice, not
@@ -220,40 +322,49 @@ object AnnIndex {
     * cells, and a probe of a hot cell reads skew× the expected bytes
     * — the exact tail-latency pathology the sampled quantizer exists
     * to prevent. One map-side-combined groupBy(cell) over the index
-    * measures it. */
+    * measures it.
+    * Trigger (c) — DEAD: tombstones exceed 1/`deadBound` of the stored
+    * rows. Every probe reads the dead rows (they sit inside the probed
+    * buckets) and then filters them — paying bytes for vectors it can
+    * never return; compaction reclaims them. */
   def requantizeAdvice(spark: SparkSession, dir: String,
-                       skewBound: Long = 8L): RequantizeAdvice = {
-    val t = ensureBuilt(spark, dir)
-    val k = storedQuantizer(spark, dir).length
+                       skewBound: Long = 8L, deadBound: Long = 5L,
+                       tag: String = ""): RequantizeAdvice = {
+    val t = ensureBuilt(spark, dir, tag)
+    val k = storedQuantizer(spark, dir, tag).length
     val occ = spark.table(t).groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("total"), max(col("n")).as("occMax")).collect()(0)
     val n = occ.getAs[Long]("total")
     val occMax = occ.getAs[Long]("occMax")
     val occMean = math.max(1L, n / k)
+    val tombstoned = spark.table(tombstoneTableFor(dir, tag)).count()
     RequantizeAdvice(n, k, occMax, occMean,
       knee = annCellsFor(n) > 2 * k,
-      skewed = occMax > skewBound * occMean)
+      skewed = occMax > skewBound * occMean,
+      tombstoned = tombstoned,
+      dead = tombstoned * deadBound >= math.max(1L, n))
   }
 
   /** Execute the rebuild [[requantizeAdvice]] recommends: re-fit the
     * quantizer over the CURRENT corpus (build rows ∪ every appended
-    * batch — the live assignment table is the one place they all
-    * exist), reassign everything, and swap the new generation in.
+    * batch, MINUS the tombstoned rows — compaction happens here, and
+    * the tombstone table resets to empty in the same commit), reassign
+    * everything, and swap the new generation in.
     *
     * Sizing and sampling are exactly [[ensureBuilt]]'s — k =
-    * [[annCellsFor]](n) over the grown n, centroids =
-    * [[Similarity.sampledCentroids]] over the grown corpus — so a
+    * [[annCellsFor]](n) over the surviving n, centroids =
+    * [[Similarity.sampledCentroids]] over the surviving corpus — so a
     * probe after the rebuild is bit-identical to an inline IVF
-    * pipeline built fresh from the combined corpus (`AnnIndexSpec`'s
+    * pipeline built fresh from the surviving corpus (`AnnIndexSpec`'s
     * requantize-cycle test pins exactly this, and the
     * `topk_requantized` registry entry hash-checks the rebuilt index
     * against the oracle's inline IVF SQL): the index stays a pure
-    * physical optimization across its whole build → append →
-    * requantize lifecycle.
+    * physical optimization across its whole build → append → remove →
+    * advice → requantize lifecycle.
     *
     * Commit protocol = temp-write-then-swap at table granularity (the
     * [[graft.ingest.ChainStore]] `swapBucket` pattern): the new
-    * generation is fully written BESIDE the live pair (readers keep
+    * generation is fully written BESIDE the live tables (readers keep
     * serving the old index during the corpus-wide reassignment — no
     * downtime window the length of a rebuild), then swapped in via
     * catalog renames. Rename ORDER is load-bearing: the live
@@ -261,35 +372,41 @@ object AnnIndex {
     * promoted LAST, so every crash point inside the window leaves the
     * assignment table ABSENT — which is exactly the state
     * [[ensureBuilt]]'s orphan sweep detects and heals (rebuild from
-    * the source corpus; append producers replay from their ledger —
-    * documented there). Promoting the assignment table before the
-    * quantizer swap would open a silent-wrong-buckets window (both
+    * the source corpus; append/delete producers replay from their
+    * ledger — documented there). Promoting the assignment table before
+    * the quantizer swap would open a silent-wrong-buckets window (both
     * tables present but from different generations, so no sweep
     * triggers and probes scan wrong cells with no error); this
     * ordering makes that state unreachable. Mutators ([[appendBatch]],
-    * this method) serialize on this object's lock, the same
-    * single-maintainer contract as the store's write lock — an append
-    * can therefore never land in the old generation mid-swap and be
-    * dropped with it. Probes call [[ensureBuilt]] (same lock), so an
-    * in-JVM probe issued during the swap blocks until commit; a probe
-    * that planned BEFORE the swap can still see a mixed view — run
-    * requantize in the maintenance window, like any index rebuild.
+    * [[removeBatch]], this method) serialize on this object's lock,
+    * the same single-maintainer contract as the store's write lock —
+    * an append can therefore never land in the old generation mid-swap
+    * and be dropped with it. Probes call [[ensureBuilt]] (same lock),
+    * so an in-JVM probe issued during the swap blocks until commit; a
+    * probe that planned BEFORE the swap can still see a mixed view —
+    * run requantize in the maintenance window, like any index rebuild.
     *
-    * Clears the KNEE trigger by construction and the SKEW trigger
-    * whenever skew came from quantizer drift (appends the old sample
-    * never saw). A literal point-mass — thousands of identical
-    * vectors — cannot be split by ANY quantizer; the advice keeps
-    * flagging it, correctly: that cell IS hot, and the fix is
-    * upstream dedup, not a rebuild.
+    * Clears the KNEE trigger by construction, the DEAD trigger always
+    * (compaction), and the SKEW trigger whenever skew came from
+    * quantizer drift (appends the old sample never saw). A literal
+    * point-mass — thousands of identical vectors — cannot be split by
+    * ANY quantizer; the advice keeps flagging it, correctly: that cell
+    * IS hot, and the fix is upstream dedup, not a rebuild.
     *
     * Returns the post-rebuild advice so the caller sees the cleared
     * (or legitimately persisting) triggers. */
   def requantize(spark: SparkSession, dir: String,
-                 skewBound: Long = 8L): RequantizeAdvice = synchronized {
-    val t = ensureBuilt(spark, dir)
-    val qt = quantizerTableFor(dir)
-    val sqt = sqTableFor(dir)
+                 skewBound: Long = 8L, tag: String = ""): RequantizeAdvice = synchronized {
+    val t = ensureBuilt(spark, dir, tag)
+    val qt = quantizerTableFor(dir, tag)
+    val sqt = sqTableFor(dir, tag)
+    val tst = tombstoneTableFor(dir, tag)
+    // compaction: tombstoned rows leave the corpus here — the rebuild
+    // is the one corpus-wide job of the lifecycle, so the anti-join
+    // rides it for free (vec_id-keyed, never wider than the reassign
+    // scan that follows)
     val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
+      .join(spark.table(tst).select(col("vec_id")), Seq("vec_id"), "left_anti")
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
     val k = annCellsFor(n)
@@ -301,10 +418,9 @@ object AnnIndex {
     // generation shares one code book
     val (mns, mxs) = Similarity.sqParamsOf(live, Dim)
     // stage the new generation beside the live one
-    val tStage = t + "__stage"
-    val qtStage = qt + "__stage"
-    val sqtStage = sqt + "__stage"
-    Seq(tStage, qtStage, sqtStage).foreach(Bucketed.resetTable(spark, _))
+    val stages = allTables(dir, tag).map(_ + "__stage")
+    val Seq(tStage, qtStage, sqtStage, tstStage) = stages
+    stages.foreach(Bucketed.resetTable(spark, _))
     Bucketed.writeBucketed(
       Similarity.assignCells(live, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
@@ -317,74 +433,71 @@ object AnnIndex {
     mns.indices.map(i => (i, mns(i), mxs(i)))
       .toDF("dim", "mn", "mx")
       .write.mode("overwrite").saveAsTable(sqtStage)
+    // the new generation starts with NO tombstones: compaction just
+    // removed every retired row physically
+    writeTombstones(spark, emptyTombstones(spark), tstStage, k)
     // commit: rename the live generation aside, promote the stage —
     // each rename is one atomic catalog+dir move, and the ASSIGNMENT
     // table is renamed aside FIRST and promoted LAST so any crash
     // inside the window leaves it absent (ensureBuilt's rebuild
     // trigger), never a mixed new-assignment/old-quantizer(-params)
     // combination (see scaladoc)
-    val tOld = t + "__old"
-    val qtOld = qt + "__old"
-    val sqtOld = sqt + "__old"
-    Seq(tOld, qtOld, sqtOld).foreach(Bucketed.resetTable(spark, _))
-    spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
-    spark.sql(s"ALTER TABLE $qt RENAME TO $qtOld")
-    spark.sql(s"ALTER TABLE $sqt RENAME TO $sqtOld")
+    val olds = allTables(dir, tag).map(_ + "__old")
+    olds.foreach(Bucketed.resetTable(spark, _))
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+    spark.sql(s"ALTER TABLE $qt RENAME TO ${qt}__old")
+    spark.sql(s"ALTER TABLE $sqt RENAME TO ${sqt}__old")
+    spark.sql(s"ALTER TABLE $tst RENAME TO ${tst}__old")
+    spark.sql(s"ALTER TABLE $tstStage RENAME TO $tst")
     spark.sql(s"ALTER TABLE $sqtStage RENAME TO $sqt")
     spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
     spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
-    Seq(tOld, qtOld, sqtOld).foreach(Bucketed.resetTable(spark, _))
-    requantizeAdvice(spark, dir, skewBound)
+    olds.foreach(Bucketed.resetTable(spark, _))
+    requantizeAdvice(spark, dir, skewBound, tag = tag)
   }
 
-  /** Top-k probe over the persisted index: compute each query's
-    * `nProbe` nearest cells driver-side against the STORED quantizer
-    * (k rows — no corpus-wide job at serving time), scan only those
-    * buckets (literal IN filter → bucket pruning), rank by exact
-    * cosine. */
+  /** Top-k probe over the persisted index: probe cells selected
+    * in-plan against the STORED quantizer (k rows — no corpus-wide job
+    * at serving time), scan only those buckets (literal IN filter →
+    * bucket pruning), drop tombstoned rows, rank by exact cosine. */
   def topK(spark: SparkSession, dir: String, maxQueryId: Long,
-           k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val t = ensureBuilt(spark, dir)
-    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe)
-    val index = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
+           k: Int = 5, nProbe: Int = 2, tag: String = ""): DataFrame = {
+    val t = ensureBuilt(spark, dir, tag)
+    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe, tag = tag)
+    val cellLits = cells.map(Int.box).toSeq
+    val index = dropTombstoned(spark, dir, tag,
+      spark.table(t).filter(col("cell").isin(cellLits: _*)), cellLits)
     Similarity.probeIndex(index, probesDf, k)
   }
 
-  /** The driver-side probe computation shared by [[topK]] and
-    * [[topKSq]]: each query's `nProbe` nearest cells against the
-    * STORED quantizer, returned as a (cell, q_id, qv, qn) frame plus
-    * the distinct cell-id literal list that buys bucket pruning.
+  /** The probe computation shared by [[topK]], [[topKSq]], and (at the
+    * coarse level) [[topK2]]: each query's `nProbe` nearest cells
+    * against the STORED quantizer, as a (cell, q_id, qv, qn) frame
+    * plus the distinct cell-id literal list that buys bucket pruning.
     *
-    * Driver-sized by construction: maxQueryId vectors in,
-    * maxQueryId × nProbe probe rows out. Same −2·v·c + |c|² scores and
-    * (score, cell) tie-break as assignCells/the oracle, in plain Scala
-    * doubles (sequential sums — the bit-identical order both engines
-    * use). */
+    * Scoring runs IN-PLAN — [[Similarity.probeQueries]]'s codegen'd
+    * scored-array slice over the query-side scan, the same expression
+    * the inline pipelines use, so the two paths cannot drift — and the
+    * only driver materialization is the DISTINCT probed cell list
+    * (≤ queries · nProbe ints, needed as a plan-time literal for
+    * bucket pruning). Query vectors are never collected: at a
+    * batch-serving load the queries × cells × dim scoring is the
+    * expensive half of a probe, and it stays on executors.
+    * [[Similarity.probeQueries]]'s (s, cell)-ascending struct sort is
+    * the same (score, cell) first-min tie-break as assignCells and the
+    * DuckDB oracle's ROW_NUMBER, so the registry entries stay
+    * hash-differential. */
   private def probeFrame(spark: SparkSession, dir: String, maxQueryId: Long,
                          nProbe: Int,
-                         quantizer: Option[Array[Array[Double]]] = None): (DataFrame, Array[Int]) = {
+                         quantizer: Option[Array[Array[Double]]] = None,
+                         tag: String = ""): (DataFrame, Array[Int]) = {
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
-    val cs: Array[Array[Double]] = quantizer.getOrElse(storedQuantizer(spark, dir))
-    val c2 = cs.map(_.foldLeft(0.0)((s, x) => s + x * x))
-    val probes = prep.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id"), col("v"), col("nrm")).collect()
-      .flatMap { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Double](1).toArray
-        val nrm = r.getDouble(2)
-        val scored = cs.indices.map { c =>
-          val ctr = cs(c)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(ctr.length, v.length)
-          while (i < n) { dot += ctr(i) * v(i); i += 1 }
-          (-2.0 * dot + c2(c), c)
-        }
-        scored.sorted.take(nProbe).map { case (_, c) => (c, id, v.toSeq, nrm) }
-      }
-    import spark.implicits._
-    (probes.toSeq.toDF("cell", "q_id", "qv", "qn"),
-      probes.map(_._1).distinct.sorted)
+    val cs: Array[Array[Double]] = quantizer.getOrElse(storedQuantizer(spark, dir, tag))
+    val probes = Similarity.probeQueries(
+      prep.filter(col("vec_id") < maxQueryId), cs, nProbe)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    (probes, cells)
   }
 
   /** IVF × SQ8 probe over the persisted index — the stored form of
@@ -490,13 +603,36 @@ object AnnIndex {
       .saveAsTable(t)
   }
 
+  /** [[requantizeAdvice]]'s two-level counterpart, measured at the
+    * COARSE level — the level whose occupancy a probe's bucket reads
+    * and whose count must track n^¼ (fine cells re-size per coarse
+    * cell automatically at rebuild, so they carry no independent
+    * trigger). KNEE: annCellsFor(annCellsFor(n)) > 2·kc — the corpus
+    * has outgrown the coarse count the way the flat index outgrows
+    * ⌈√n⌉. SKEW: the hottest coarse cell holds > skewBound× the mean —
+    * a drifted append distribution concentrates coarse reads exactly
+    * like the flat case. No dead trigger: generation 2 has no
+    * tombstone path yet (retire on the billion-vector tier shares the
+    * flat protocol when it lands). */
+  def requantizeAdvice2(spark: SparkSession, dir: String,
+                        skewBound: Long = 8L): RequantizeAdvice = {
+    val t = ensureBuilt2(spark, dir)
+    val kc = storedCoarseQuantizer(spark, dir).length
+    val occ = spark.table(t).groupBy(col("ccell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("occMax")).collect()(0)
+    val n = occ.getAs[Long]("total")
+    val occMax = occ.getAs[Long]("occMax")
+    val occMean = math.max(1L, n / kc)
+    RequantizeAdvice(n, kc, occMax, occMean,
+      knee = annCellsFor(annCellsFor(n)) > 2 * kc,
+      skewed = occMax > skewBound * occMean)
+  }
+
   /** Re-fit BOTH quantizer levels over the live corpus and swap the
     * generation in — [[requantize]]'s commit protocol verbatim (stage
     * beside live, assignment renamed aside FIRST and promoted LAST so
     * every crash point leaves it absent for [[ensureBuilt2]]'s sweep).
-    * Same triggers as the flat index ([[requantizeAdvice]]'s knee/skew
-    * classes — here the knee is the COARSE count n^¼ outgrowing the
-    * build and fine cells re-size per cell automatically). */
+    * [[requantizeAdvice2]] is the trigger. */
   def requantize2(spark: SparkSession, dir: String): Unit = synchronized {
     val t = ensureBuilt2(spark, dir)
     val qc = coarseQuantizerTableFor(dir)
@@ -517,12 +653,13 @@ object AnnIndex {
   }
 
   /** Top-k probe over the persisted two-level index: coarse probe
-    * cells computed driver-side against the STORED n^¼ quantizer
-    * (literal list → bucket pruning on the ccell-bucketed assignment
-    * AND the fine-quantizer scan), then the shared
-    * [[Similarity.probeIvf2From]] rank+join half — identical results
-    * to the inline [[Similarity.topKIvf2]] by construction, and zero
-    * corpus-wide jobs at serving time. */
+    * cells selected in-plan against the STORED n^¼ quantizer (only the
+    * distinct cell ids reach the driver, as the literal list that
+    * bucket-prunes the ccell-bucketed assignment AND the
+    * fine-quantizer scan), then the shared [[Similarity.probeIvf2From]]
+    * rank+join half — identical results to the inline
+    * [[Similarity.topKIvf2]] by construction, and zero corpus-wide
+    * jobs at serving time. */
   def topK2(spark: SparkSession, dir: String, maxQueryId: Long,
             k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
     val t = ensureBuilt2(spark, dir)
@@ -538,18 +675,21 @@ object AnnIndex {
   }
 
   def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,
-             k: Int = 5, nProbe: Int = 2, rerank: Int = 15): DataFrame = {
+             k: Int = 5, nProbe: Int = 2, rerank: Int = 15,
+             tag: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = ensureBuilt(spark, dir)
-    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe)
-    val (mns, mxs) = storedSqParams(spark, dir)
+    val t = ensureBuilt(spark, dir, tag)
+    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe, tag = tag)
+    val cellLits = cells.map(Int.box).toSeq
+    val (mns, mxs) = storedSqParams(spark, dir, tag)
     val (steps, basis) = Similarity.sqTerms(mns, mxs)
     val stepL = array(steps.map(lit): _*)
     val basisL = array(basis.map(lit): _*)
     val probes = probesDf
       .withColumn("qbasis", Similarity.dot(col("qv"), basisL))
       .withColumn("t", zip_with(col("qv"), stepL, (a, b) => a * b))
-    val idx = spark.table(t).filter(col("cell").isin(cells.map(Int.box): _*))
+    val idx = dropTombstoned(spark, dir, tag,
+      spark.table(t).filter(col("cell").isin(cellLits: _*)), cellLits)
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("vec_id").asc)
     val cands = idx.select(col("vec_id"), col("nrm"), col("cell"), col("codes"))

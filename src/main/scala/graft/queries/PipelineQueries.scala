@@ -304,6 +304,28 @@ object PipelineQueries {
       AnnIndex.topKSq(s, dir, maxQueryId = 7, k = 4, nProbe = 2, rerank = 12)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the RETIRE path end to end: tombstone a deterministic tenth of
+    // the corpus (vec_id % 10 = 7 — a set that provably intersects the
+    // undeleted top-k at every fixture tier, AnnIndexSpec pins it) and
+    // probe. The index is a
+    // TAGGED generation so the shared entries' index is never mutated;
+    // removeBatch is idempotent (distinct tombstone merge), so the
+    // entry re-runs stably. Oracle = the inline IVF statement with the
+    // retired ids excluded from the CANDIDATE side only: the quantizer
+    // stays the full-corpus build (deletion never re-fits — that is
+    // requantize's job) and queries still probe (external callers are
+    // not corpus members). A tombstone that leaks back into results, a
+    // wrong anti-join side, or a probe that loses bucket pruning all
+    // surface as a hash mismatch
+    "topk_after_delete" -> ((s, dir) => {
+      AnnIndex.removeBatch(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 7),
+        tag = "del")
+      AnnIndex.topK(s, dir, maxQueryId = 6, k = 4, nProbe = 2, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
     // pure projection (PlanAuditSpec pins no object-serialization
     // boundary in its plan); the typed mapPartitions twin stays as
@@ -780,6 +802,14 @@ object PipelineQueries {
     // "the stage→swap cycle is a pure physical no-op on the results"
     "topk_requantized" -> annIndexOracleSql(maxQueryId = 6, topK = 4),
 
+    // deletion = the same inline IVF statement with the tombstoned ids
+    // excluded from the candidate side; the quantizer CTEs stay over
+    // the FULL corpus because removeBatch never re-fits (the stored
+    // quantizer is the build's — the coherence rule appends follow)
+    "topk_after_delete" ->
+      annIndexOracleSql(maxQueryId = 6, topK = 4,
+        candFilter = " AND x.vec_id % 10 <> 7"),
+
     // the two-level quantizer, every stage mirrored: kc from the same
     // nested integer-√ loops as Similarity (annCellsFor of annCellsFor),
     // coarse sample + assignment exactly the single-level pattern,
@@ -1090,7 +1120,8 @@ object PipelineQueries {
     * data-sampled quantizer, parameterized on the probe scope —
     * shared by topk_indexed (the build) and topk_requantized (the
     * rebuild, identical over an unchanged corpus). */
-  private def annIndexOracleSql(maxQueryId: Int, topK: Int): String =
+  private def annIndexOracleSql(maxQueryId: Int, topK: Int,
+                                candFilter: String = ""): String =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
@@ -1110,7 +1141,7 @@ object PipelineQueries {
        |   FROM sc WHERE vec_id < $maxQueryId) WHERE rn <= 2),
        |p AS (SELECT q.q_id, x.vec_id,
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
-       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

@@ -225,7 +225,9 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       .findAllMatchIn(plan).toSeq
-    assert(prunes.size == 2,
+    // candidate scan + rerank scan, plus the cell-pruned tombstone
+    // scans feeding their anti-joins — every one of them must prune
+    assert(prunes.size >= 2,
       s"both the candidate scan and the rerank scan must bucket-prune:\n$plan")
     prunes.foreach(m => assert(m.group(1).toInt <= 4,
       s"expected <=4 of ${m.group(2)} buckets read, got ${m.group(1)}"))
@@ -381,6 +383,179 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
         assert(!spark.catalog.tableExists(n + sfx),
           s"generation leftovers ($n$sfx) must be dropped at commit"))
     }
+  }
+
+  test("the probe side is distributed: query vectors are never collected to a local relation") {
+    AnnIndex.ensureBuilt(spark, sf)
+    // the probe frame must derive from the query-side parquet scan —
+    // a driver-computed probe list would plan as a LocalTableScan of
+    // (cell, q_id, qv, qn) rows (the pre-r16 shape); only the distinct
+    // probed CELL IDS may reach the driver (as the bucket-pruning
+    // literal). The same holds for the SQ and two-level probes, which
+    // share probeFrame.
+    Seq(
+      AnnIndex.topK(spark, sf, maxQueryId = 4, k = 3, nProbe = 2),
+      AnnIndex.topKSq(spark, sf, maxQueryId = 4, k = 3, nProbe = 2, rerank = 8),
+      { AnnIndex.ensureBuilt2(spark, sf)
+        AnnIndex.topK2(spark, sf, maxQueryId = 4, k = 3) }
+    ).foreach { probed =>
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"probe plan must not materialize query rows driver-side:\n$plan")
+      assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).isDefined,
+        s"the distributed probe must keep bucket pruning:\n$plan")
+    }
+  }
+
+  test("removeBatch: tombstoned vectors are never returned; results genuinely change; unknown ids are no-ops") {
+    val dir = tempCorpus("delete")
+    AnnIndex.ensureBuilt(spark, dir)
+    val before = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.nonEmpty)
+    // retire exactly the ids the registry entry retires — the set must
+    // intersect the undeleted top-k or the entry is vacuous (residue 7
+    // was chosen because it appears in the top-4 at EVERY fixture tier)
+    assert(before.exists(_.getAs[Long]("vec_id") % 10 == 7),
+      "sanity: the deletion set must intersect the pre-delete results")
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val after = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.forall(_.getAs[Long]("vec_id") % 10 != 7),
+      s"a tombstoned vector leaked back into the probe: $after")
+    assert(after != before, "deletion must visibly change the results")
+    // the SQ read path filters the same tombstones
+    val afterSq = AnnIndex.topKSq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(afterSq.nonEmpty && afterSq.forall(_.getAs[Long]("vec_id") % 10 != 7))
+    // deletion == the inline probe over the SURVIVING corpus with the
+    // BUILD quantizer (deletion never re-fits) and the FULL query set
+    // (probes are external callers, not corpus members)
+    val cs = AnnIndex.storedQuantizer(spark, dir)
+    val inline = Similarity.probeIndex(
+        Similarity.assignCells(
+          Similarity.prepared(emb.filter(col("vec_id") % 10 =!= 7)), cs),
+        Similarity.probeQueries(
+          Similarity.prepared(emb).filter(col("vec_id") < 6), cs, 2),
+        k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after == inline,
+      "tombstone filtering must equal the surviving-corpus inline probe")
+    // re-deleting is idempotent; deleting an unknown id is a no-op
+    val tsCount = spark.table(AnnIndex.tombstoneTableFor(dir)).count()
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    import spark.implicits._
+    AnnIndex.removeBatch(spark, dir, Seq(987654321L).toDF("vec_id"))
+    assert(spark.table(AnnIndex.tombstoneTableFor(dir)).count() == tsCount,
+      "re-deletes and unknown ids must not grow the tombstone set")
+    assert(AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq == after)
+  }
+
+  test("append after delete: fresh vectors served, tombstoned ids stay retired") {
+    val dir = tempCorpus("del-append")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    // append clones under fresh ids: each query must find its clone at
+    // cosine 1.0 (served), while the tombstoned tenth stays invisible
+    AnnIndex.appendBatch(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + 500000L))
+    val rows = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect()
+    (0L until 5L).foreach { q =>
+      val top = rows.filter(_.getAs[Long]("q_id") == q).minBy(_.getAs[Int]("rn"))
+      assert(top.getAs[Long]("vec_id") == q + 500000L &&
+        top.getAs[Double]("score") == 1.0,
+        s"query $q must find its appended clone at cosine 1.0, got $top")
+    }
+    assert(rows.forall(r => !(r.getAs[Long]("vec_id") < 500000L &&
+      r.getAs[Long]("vec_id") % 10 == 7)),
+      "original tombstoned ids must stay retired across appends")
+  }
+
+  test("requantize compacts tombstones: dead trigger fires, rebuild physically drops retired rows and clears it") {
+    val dir = tempCorpus("compact")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    // retire 30% — past the deadBound=5 (20%) trigger
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 < 3))
+    val advice = AnnIndex.requantizeAdvice(spark, dir)
+    assert(advice.tombstoned > 0 && advice.dead && advice.needed,
+      s"a 30% dead fraction must advise compaction: $advice")
+    val after = AnnIndex.requantize(spark, dir)
+    assert(after.tombstoned == 0 && !after.dead,
+      s"compaction must clear the tombstone set: $after")
+    // retired rows are physically gone and the rebuilt index equals an
+    // inline pipeline over the surviving corpus (fresh k + sample) —
+    // with the FULL query set: probes are external callers, so deleted
+    // ids still query even though they can no longer be returned
+    val surviving = emb.filter(col("vec_id") % 10 >= 3)
+    assert(spark.table(AnnIndex.tableFor(dir)).count() == surviving.count(),
+      "compaction must drop exactly the tombstoned rows")
+    val k = AnnIndex.annCellsFor(surviving.count())
+    val cs = Similarity.sampledCentroids(Similarity.prepared(surviving), k)
+    val indexed = AnnIndex.topK(spark, dir, maxQueryId = 8, k = 5, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.probeIndex(
+        Similarity.assignCells(Similarity.prepared(surviving), cs),
+        Similarity.probeQueries(
+          Similarity.prepared(emb).filter(col("vec_id") < 8), cs, 2),
+        k = 5)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(indexed.nonEmpty && indexed == inline,
+      "the compacted index must equal the surviving-corpus inline pipeline")
+  }
+
+  test("a crash inside removeBatch's rename window is healed by the sweep") {
+    val dir = tempCorpus("del-crash")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val ts = AnnIndex.tombstoneTableFor(dir)
+    // simulate the crash point between rename-aside and promote: the
+    // tombstone table is ABSENT — part of ensureBuilt's existence set,
+    // so the next probe sweeps and rebuilds from source (the delete
+    // producer replays its ledger, per the recovery contract)
+    spark.sql(s"ALTER TABLE $ts RENAME TO ${ts}__old")
+    assert(!spark.catalog.tableExists(ts))
+    val healed = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val fresh = Similarity.topKIvfKmeans(emb, maxQueryId = 5, k = 4,
+        nCells = AnnIndex.annCellsFor(emb.count()), nProbe = 2,
+        centroids = Some(AnnIndex.storedQuantizer(spark, dir)))
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(healed == fresh,
+      "the healed index serves the full source corpus (deletes replay from their ledger)")
+    assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
+  }
+
+  test("requantizeAdvice2: fresh two-level build clean; coarse knee fires on 30x growth") {
+    val dir = tempCorpus("advice2")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val fresh0 = AnnIndex.requantizeAdvice2(spark, dir)
+    assert(!fresh0.needed, s"a just-built two-level index must not advise: $fresh0")
+    // n0=500 → kc = annCellsFor(annCellsFor(500)) = annCellsFor(23) = 5;
+    // 29 appended replicas → n=15000 → annCellsFor(annCellsFor(15000))
+    // = annCellsFor(123) = 12 > 2·5 — the coarse knee
+    val emb = Fixtures.embeddings(spark, dir)
+    (1 to 29).foreach(r => AnnIndex.appendBatch2(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L))))
+    val grown = AnnIndex.requantizeAdvice2(spark, dir)
+    assert(grown.knee && grown.needed,
+      s"a corpus past the coarse knee must advise requantize2: $grown")
+    AnnIndex.requantize2(spark, dir)
+    val cleared = AnnIndex.requantizeAdvice2(spark, dir)
+    assert(!cleared.knee,
+      s"requantize2 must resize the coarse level and clear the knee: $cleared")
   }
 
   test("build is write-once: a second ensureBuilt reuses the table") {

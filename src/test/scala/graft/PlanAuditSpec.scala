@@ -168,13 +168,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(q("topk_kmeans") && o("topk_kmeans"))
   }
 
-  test("every registered query has a DuckDB oracle, except the documented rows-only set") {
-    // dedup_simhash: murmur3 is not expressible in DuckDB; its
-    // semantics are pinned by SimHash64's ScalaCheck properties and
-    // the OpsSpec planted-pair test, and the operator family is
-    // hash-checked end-to-end through the md5 twin (dedup_simhash_md5).
-    val rowsOnly = Set("dedup_simhash")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every registered query has a DuckDB oracle") {
+    // no rows-only exemptions: every entry is hash-checked (the former
+    // dedup_simhash exemption was dead — it has carried a real oracle
+    // since round 13, and a live exemption would mask its deletion)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without an oracle: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracles without a query: $stale")
