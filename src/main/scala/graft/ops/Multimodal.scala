@@ -213,6 +213,106 @@ object Multimodal {
         col("channel_count"), col("sample_count"), col("data_bytes"))
   }
 
+  /** Planted PCM formulas shared by [[audioPcmPayload]], the spec's
+    * ground truth, and (in closed form) the DuckDB oracle — the
+    * [[pngDims]]/[[pngChannels]] pattern for audio: frames, channel
+    * count, rate, and every body byte derive from doc_id alone, so an
+    * engine that genuinely reads the samples out of the container
+    * bytes can still be HASH-checked without the oracle parsing a
+    * byte. Samples are unsigned 8-bit, channel-interleaved (frame f,
+    * channel c at body byte f·ch + c). */
+  private[graft] def pcmFrames(docId: Long): Int = (40 + docId % 120).toInt
+  private[graft] def pcmChannelCount(docId: Long): Int = (1 + docId % 2).toInt
+  private[graft] def pcmRate(docId: Long): Int = (8000 + (docId % 3) * 4000).toInt
+  private[graft] def pcmByte(docId: Long, j: Int): Int = ((5 * docId + 3 * j) % 256).toInt
+
+  /** REAL audio payloads through the codec seam: one genuine NIST
+    * SPHERE file per document — the ASCII header [[withPayload]]
+    * synthesizes (same `NIST_1A` magic, declared total header size,
+    * `key -i value` fields, `end_head`), followed by a BODY of raw
+    * interleaved 8-bit PCM planted by [[pcmByte]]. Unlike
+    * [[withPayload]]'s audio rows (whose body is the document text —
+    * metadata-parse fixtures), these bodies are SAMPLES a decoder can
+    * be checked against. Runs in the partition-batched typed shape
+    * (raw byte assembly is per-row imperative work, the same seam the
+    * PNG/JPEG encoders use); map-only at any scale. */
+  def audioPcmPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+      it.map { did =>
+        val frames = pcmFrames(did)
+        val ch = pcmChannelCount(did)
+        val body = new Array[Byte](frames * ch)
+        var j = 0
+        while (j < body.length) {
+          body(j) = pcmByte(did, j).toByte
+          j += 1
+        }
+        val fields = s"sample_count -i $frames\nsample_rate -i ${pcmRate(did)}\n" +
+          s"channel_count -i $ch\nend_head\n"
+        // total header = "NIST_1A\n" (8) + 8-char size + "\n" (9) + fields
+        val header = "NIST_1A\n" + ("%8d".format(fields.length + 17)) + "\n" + fields
+        MediaRow(did, "audio/sphere",
+          header.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+      }
+    }.toDF()
+  }
+
+  /** REAL sample decode for the uncompressed audio format — the audio
+    * twin of [[decodePixels]]: rows gated on the SPHERE magic (sniffed
+    * from bytes, never trusted from `media_type`), the body located by
+    * the header's declared size the way a real SPHERE reader seeks,
+    * and per-channel sums folded by one codegen'd [[graft.functions
+    * .PcmStats]] pass over the interleaved samples. Map-only, no
+    * shuffle, no UDF. Only complete frames count (floor(len/ch) — a
+    * truncated body degrades to fewer frames, spec-pinned), a
+    * zero-frame or channel-less body yields null means (the engine's
+    * explicit-null-over-div-by-zero rule), and all outputs are
+    * integer-exact ×100-scaled `div`s mirrored verbatim in the
+    * oracle. */
+  def audioPcm(media: DataFrame): DataFrame = {
+    val s = substring(col("payload"), 1, 1024).cast("string")
+    def digitsOrNull(c: Column): Column =
+      when(c.rlike("^\\d{1,9}$"), c).cast("long")
+    def field(name: String): Column =
+      digitsOrNull(regexp_extract(s, name + " -i (\\d{1,9})\n", 1))
+    media
+      .filter(substring(col("payload"), 1, 8) === lit("NIST_1A\n").cast("binary"))
+      .select(col("doc_id"),
+        digitsOrNull(trim(substring(s, 9, 8))).as("header_bytes"),
+        field("sample_rate").as("sample_rate"),
+        field("channel_count").as("channel_count"),
+        col("payload"))
+      // a size-lying header (declared size > payload) must not slice a
+      // negative body: gate on consistency, like audioMeta's data_bytes
+      .filter(col("header_bytes").isNotNull &&
+        length(col("payload")) >= col("header_bytes"))
+      .withColumn("body",
+        expr("substring(payload, header_bytes + 1, length(payload))"))
+      .select(col("doc_id"), col("sample_rate"), col("channel_count"),
+        graft.functions.PcmStats.of(col("body"),
+          coalesce(col("channel_count"), lit(0L)).cast("int")).as("ps"))
+      .select(col("doc_id"), col("sample_rate"), col("channel_count"),
+        col("ps.n_frames").as("n_frames"),
+        col("ps.sum_c0").as("sum_c0"), col("ps.sum_c1").as("sum_c1"))
+      .select(col("doc_id"), col("sample_rate"), col("channel_count"),
+        col("n_frames"),
+        pcmMean(col("sum_c0"), col("n_frames"), lit(1L)).as("mean_c0_x100"),
+        when(col("channel_count") >= 2,
+          pcmMean(col("sum_c1"), col("n_frames"), lit(1L)))
+          .otherwise(lit(null).cast("long")).as("mean_c1_x100"),
+        pcmMean(col("sum_c0") + col("sum_c1"), col("n_frames"),
+          col("channel_count")).as("mean_all_x100"))
+  }
+
+  /** ×100-scaled integer sample mean; exact `div`, explicit null on a
+    * zero-frame body — [[chanMean]]'s shape with a column divisor. */
+  private def pcmMean(sum: Column, nFrames: Column, perFrame: Column): Column =
+    when(nFrames === 0 || perFrame <= 0, lit(null).cast("long"))
+      .otherwise(call_function("div", sum * 100, nFrames * perFrame))
+
   /** [[decodeFeatures]] as a DECLARATIVE plan — the registry form: the
     * same magic-sniffed parse ([[parseHeader]]'s semantics, field for
     * field) expressed as codegen'd built-ins (`md5`, `regexp_extract`

@@ -390,6 +390,19 @@ object PipelineQueries {
       Multimodal.jpegPixelClaims(s, Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // REAL sample decode for audio: genuine SPHERE containers whose
+    // BODIES carry planted interleaved 8-bit PCM — per-channel means
+    // read from the body bytes by one codegen'd PcmStats pass (magic-
+    // gated, header-offset, the decodePixels pattern one modality
+    // over). The oracle predicts the planted sample sums in closed
+    // form, so a hash match proves the header seek, the interleave
+    // arithmetic, and the channel split — not just the container parse
+    // mm_audio_meta already pinned
+    "mm_audio_pcm" -> ((s, dir) =>
+      Multimodal.audioPcm(
+        Multimodal.audioPcmPayload(s, Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
@@ -1113,7 +1126,32 @@ object PipelineQueries {
     "mm_frames" ->
       (mediaFeatsCte +
         """SELECT doc_id, media_type, frames, unnest(range(0, frames, 10))::BIGINT AS frame_idx
-          |FROM feats ORDER BY doc_id, frame_idx""".stripMargin)
+          |FROM feats ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // the planted-PCM formulas (Multimodal.pcmFrames/ChannelCount/
+    // Rate/Byte) restated in closed form: every body byte is
+    // (5·doc_id + 3·j) mod 256 with j = frame·ch + channel, so the
+    // per-channel sums come from unnested (frame, channel) ranges —
+    // the oracle never parses a container byte, exactly the
+    // mm_png_pixels contract one modality over. Frames ≥ 40 by
+    // construction, so the integer means never divide by zero here;
+    // the operator's null-on-empty rule is spec-pinned instead.
+    "mm_audio_pcm" ->
+      """WITH m AS (SELECT doc_id,
+        |  (40 + doc_id % 120)::BIGINT AS frames,
+        |  (1 + doc_id % 2)::BIGINT AS ch,
+        |  (8000 + (doc_id % 3) * 4000)::BIGINT AS rate FROM documents),
+        |fr AS (SELECT doc_id, frames, ch, rate, unnest(range(0, frames)) AS f FROM m),
+        |by AS (SELECT doc_id, frames, ch, rate, f, unnest(range(0, ch)) AS c FROM fr),
+        |agg AS (SELECT doc_id, max(frames) AS frames, max(ch) AS ch, max(rate) AS rate,
+        |  sum(CASE WHEN c = 0 THEN (5 * doc_id + 3 * (f * ch + c)) % 256 ELSE 0 END)::BIGINT AS s0,
+        |  sum(CASE WHEN c = 1 THEN (5 * doc_id + 3 * (f * ch + c)) % 256 ELSE 0 END)::BIGINT AS s1
+        |  FROM by GROUP BY doc_id)
+        |SELECT doc_id, rate AS sample_rate, ch AS channel_count, frames AS n_frames,
+        |  (s0 * 100 // frames)::BIGINT AS mean_c0_x100,
+        |  (CASE WHEN ch = 2 THEN s1 * 100 // frames END)::BIGINT AS mean_c1_x100,
+        |  ((s0 + s1) * 100 // (frames * ch))::BIGINT AS mean_all_x100
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 
   /** The persisted-ANN-index oracle: inline IVF over the md5-ranked

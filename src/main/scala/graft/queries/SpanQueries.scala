@@ -145,7 +145,37 @@ object SpanQueries {
     // stored table must hold exactly the model the inline train fits.
     "classifier_stored" -> ((s, dir) =>
       graft.ops.TextRefs.classifierScoreStored(s, dir, ClassifierDim)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // the training loop CLOSED with a measured quality number: the
+    // stored weights score the deterministic md5-bucket holdout
+    // (splitAssign's valid + test bands — disjoint from nothing by
+    // construction, but UNSEEN label-wise for every odd doc_id since
+    // training reads only the even half) and the entry emits integer
+    // confusion counts per split. actual = the supervision label
+    // (lang = 'en'), predicted = the serving rule (feat_sum >= 0).
+    // Every primitive (md5 split bands, NB ppb weights, per-doc sums)
+    // is engine-exact, so the confusion matrix itself is hash-checked
+    // — a training or serving regression moves a count, not a vibe.
+    // Docs absent from the scored stream (null/empty text) drop from
+    // the eval in both engines identically (inner join).
+    "classifier_eval" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val scored = graft.ops.TextRefs.classifierScoreStored(s, dir, ClassifierDim)
+      val split = graft.ops.Curation.splitAssign(docs)
+        .select(col("doc_id"), col("split"))
+      val actual = docs.select(col("doc_id"), (col("lang") === "en").as("pos"))
+      scored.join(split, "doc_id").join(actual, "doc_id")
+        .filter(col("split") =!= "train")
+        .groupBy(col("split")).agg(
+          sum(when(col("keep") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("keep") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("keep") && col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("keep") && !col("pos"), 1L).otherwise(0L)).as("tn"),
+          count(lit(1)).as("n"))
+        .withColumn("accuracy_bp", expr("(tp + tn) * 10000 div n"))
+        .orderBy(col("split"))
+    })
   )
 
   /** Shared segment CTE: non-overlapping SegTokens-token windows, the
@@ -327,10 +357,38 @@ object SpanQueries {
     // stored table holds the SAME model trained once, so "identical
     // scores" is precisely the differential claim.
     "classifier_trained" -> classifierTrainedOracleSql,
-    "classifier_stored" -> classifierTrainedOracleSql
+    "classifier_stored" -> classifierTrainedOracleSql,
+
+    // the trained-score CTEs chained into the split + confusion
+    // aggregation — every stage already engine-exact, so the holdout
+    // quality numbers themselves are differential
+    "classifier_eval" -> (classifierScoreCtes +
+      s""",
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))::BIGINT % 1000 < 980 THEN 'train'
+         |       WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))::BIGINT % 1000 < 990 THEN 'valid'
+         |       ELSE 'test' END AS split FROM documents),
+         |act AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+         |ev AS (SELECT s.doc_id, s.feat_sum >= 0 AS keep, sp.split, act.pos
+         |  FROM s JOIN sp USING (doc_id) JOIN act USING (doc_id)
+         |  WHERE sp.split <> 'train'),
+         |agg AS (SELECT split,
+         |  CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  COUNT(*)::BIGINT AS n FROM ev GROUP BY split)
+         |SELECT split, tp, fp, fn, tn, n,
+         |  ((tp + tn) * 10000 // n)::BIGINT AS accuracy_bp
+         |FROM agg ORDER BY split""".stripMargin)
   )
 
-  private lazy val classifierTrainedOracleSql =
+  /** The shared train + score CTE chain (everything up to the per-doc
+    * score relation `s`) — classifier_trained/_stored append the
+    * per-doc projection, classifier_eval the holdout confusion
+    * aggregation, so the three oracles can never drift onto different
+    * models. */
+  private lazy val classifierScoreCtes =
     s"""WITH lab AS (SELECT doc_id, lang = 'en' AS pos, text
        |  FROM documents WHERE doc_id % 2 = 0),
        |ltk AS (SELECT pos,
@@ -354,7 +412,11 @@ object SpanQueries {
        |j AS (SELECT t.doc_id, coalesce(w.weight, 0) AS weight
        |  FROM tb t LEFT JOIN wtab w USING (bucket)),
        |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-       |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  CAST(SUM(weight) AS BIGINT) AS feat_sum FROM j GROUP BY doc_id)""".stripMargin
+
+  private lazy val classifierTrainedOracleSql =
+    classifierScoreCtes +
+      """
+        |SELECT doc_id, n_tokens, feat_sum, feat_sum >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
 }

@@ -246,27 +246,31 @@ object StreamAnalytics {
     * the declarative twin against DuckDB; this one
     * (`stream_neardup_sink`) feeds the same rows through
     * [[streamingNearDup]] itself — replayed through a FILE streaming
-    * source in bounded arrival-ordered micro-batches, memory sink —
-    * and returns the completed sink's distinct hits. It shares the
-    * twin's oracle SQL, so a regression in the STATE MACHINE (bucket
-    * pruning, watermark handling, intra-batch ordering, timeout
-    * bookkeeping) surfaces as a driver-level hash mismatch, not only a
-    * spec failure.
+    * source in bounded arrival-ordered micro-batches into a FILE sink
+    * — and returns the sink read back with the at-least-once dedup
+    * done in-plan. It shares the twin's oracle SQL, so a regression in
+    * the STATE MACHINE (bucket pruning, watermark handling,
+    * intra-batch ordering, timeout bookkeeping) surfaces as a
+    * driver-level hash mismatch, not only a spec failure.
     *
-    * The replay itself is scale-shaped: the corpus never materializes
-    * on the driver. Chunk assignment is a map-only projection off a
-    * 1-row min/max ts aggregate (equal ts-range chunks — chunks are
-    * ts-ordered, so replaying chunk files oldest-first IS arrival
-    * order), one chunk-keyed shuffle writes one parquet file per chunk
+    * The replay is scale-shaped END TO END: neither the corpus nor the
+    * hit set ever materializes on the driver. Input side: chunk
+    * assignment is a map-only projection off a 1-row min/max ts
+    * aggregate (equal ts-range chunks — chunks are ts-ordered, so
+    * replaying chunk files oldest-first IS arrival order), one
+    * chunk-keyed shuffle writes one parquet file per chunk
     * executor-side, and `maxFilesPerTrigger=1` feeds them back one
     * micro-batch per chunk — the same bounded-batch structure the
     * production source (Kafka partitions, a file drop-box) provides.
     * One file per chunk is deliberate: whole-chunk batches mean the
     * watermark only moves BETWEEN chunks, so a chunk's internal ts
     * spread (which can exceed the horizon) can never late-drop its own
-    * rows — exactly the semantics of feeding a chunk at once. Only the
-    * completed HIT SET is collected (re-materialized so the temp view,
-    * checkpoint, and replay files can all be dropped eagerly).
+    * rows — exactly the semantics of feeding a chunk at once. Output
+    * side: hits append to a parquet FILE sink executor-side (the shape
+    * a production matcher feeds its delete queue with), and the
+    * returned frame is a batch scan of those files with the
+    * at-least-once (multi-band) duplicates dropped by an in-plan
+    * `distinct` — a hit-set-sized shuffle, no driver hop.
     *
     * Micro-batch count is bounded (≤`chunks` regardless of corpus
     * size) so the entry's cost scales with the data, not the batch
@@ -299,7 +303,6 @@ object StreamAnalytics {
                              statePartitions: Int = 4): DataFrame = {
     import java.nio.file.{Files, Path, Paths}
     val spark = docs.sparkSession
-    import spark.implicits._
     val src = docs.select(col("doc_id"), col("text"), col("ts"))
     def deleteTree(root: Path): Unit = if (Files.exists(root)) {
       val walk = Files.walk(root)
@@ -313,9 +316,13 @@ object StreamAnalytics {
     val replayDir = Files.createTempDirectory("neardup-replay")
     val stageDir = Files.createTempDirectory("neardup-replay-stage")
     val ckpt = Files.createTempDirectory("neardup-sink-ck").toString
+    // the hit files OUTLIVE this call: the returned DataFrame scans
+    // them lazily in the caller's session, so the sink dir is the one
+    // artifact the finally block must NOT delete (a production sink is
+    // durable by definition; this temp dir stands in for it)
+    val sinkDir = Files.createTempDirectory("neardup-hits")
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val name = "neardup_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       if (!bounds.isNullAt(0)) {
         val mn = bounds.getLong(0)
@@ -357,24 +364,22 @@ object StreamAnalytics {
       // (≤ horizon/minute docs), so the cap just needs to sit above it
       val hits = streamingNearDup(stream, threshold,
         horizonNanos = horizonNanos, maxPerBucket = 1024)
-      val q = hits.writeStream.format("memory").queryName(name)
+      val hitSchema = hits.schema
+      val q = hits.writeStream.format("parquet")
+        .option("path", sinkDir.toString)
         .outputMode("append").option("checkpointLocation", ckpt).start()
       try q.processAllAvailable()
       finally q.stop()
-      // at-least-once (multi-band) → distinct; one row per pair with
-      // one (est, ts) by construction, the twin's exact shape
-      streamSession.table(name)
+      // at-least-once (multi-band) → distinct, IN-PLAN over the sink
+      // files read back in the caller's session (explicit schema: an
+      // empty corpus writes no files to infer from); one row per pair
+      // carries one (est, ts) by construction, the twin's exact shape
+      spark.read.schema(hitSchema).parquet(sinkDir.toString)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard_bp"), col("ts"))
-        .distinct().as[(Long, Long, Long, Long)].collect().toSeq
-        .toDF("doc_a", "doc_b", "est_jaccard_bp", "ts")
+        .distinct()
     } finally {
-      // the bounded replay is done with its artifacts the moment the
-      // query stops (the memory sink needs no recovery) — and the sink
-      // view is dropped HERE, not on the success path only, so a
-      // failed feed can't strand its buffered rows in the cloned
-      // session either
-      if (streamSession.catalog.tableExists(name))
-        streamSession.catalog.dropTempView(name): Unit
+      // the bounded replay is done with its INPUT artifacts the moment
+      // the query stops; the sink files stay (see sinkDir above)
       Seq(Paths.get(ckpt), replayDir, stageDir).foreach(deleteTree)
     }
   }

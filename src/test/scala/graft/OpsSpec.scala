@@ -606,6 +606,65 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rh.getAs[Long]("mean_b_x100") == 0L)
   }
 
+  test("audioPcm: per-channel sums from BODY bytes; truncated frame ignored; lying header gated; unsigned read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built stereo SPHERE: 3 complete frames + 1 stray byte that
+    // must not count (floor(7/2) frames); c0 = 10,30,50 c1 = 20,40,60
+    def sphere(fields: String, body: Array[Byte]): Array[Byte] = {
+      val f = fields + "end_head\n"
+      ("NIST_1A\n" + "%8d".format(f.length + 17) + "\n" + f).getBytes("UTF-8") ++ body
+    }
+    val stereo = sphere("sample_rate -i 16000\nchannel_count -i 2\n",
+      Array[Byte](10, 20, 30, 40, 50, 60, 99))
+    // mono with high-bit samples: unsigned read or the sum goes negative
+    val mono = sphere("sample_rate -i 8000\nchannel_count -i 1\n",
+      Array[Byte](-1, -128, 0))
+    // size-lying header (declared size > payload) must be gated out,
+    // not slice a negative body; non-SPHERE bytes are magic-gated
+    val lying = {
+      val p = sphere("sample_rate -i 8000\nchannel_count -i 1\n", Array[Byte](1))
+      val decl = "%8d".format(9999)
+      p.take(8) ++ decl.getBytes("UTF-8") ++ p.drop(16)
+    }
+    val notAudio = "P6\n1 1\n255\nabc".getBytes("UTF-8")
+    val out = Multimodal.audioPcm(
+        Seq((1L, "audio", stereo), (2L, "audio", mono),
+          (3L, "audio", lying), (4L, "image", notAudio))
+          .toDF("doc_id", "media_type", "payload"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L),
+      "magic-gating and header-consistency must drop rows 3 and 4")
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("channel_count") == 2L && r1.getAs[Long]("n_frames") == 3L)
+    assert(r1.getAs[Long]("mean_c0_x100") == 3000L) // (10+30+50)*100 div 3
+    assert(r1.getAs[Long]("mean_c1_x100") == 4000L)
+    assert(r1.getAs[Long]("mean_all_x100") == 3500L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_frames") == 3L)
+    assert(r2.getAs[Long]("mean_c0_x100") == 12766L) // (255+128+0)*100 div 3
+    assert(r2.isNullAt(r2.fieldIndex("mean_c1_x100")), "mono has no channel 1")
+    // the planted-payload round trip: the decoded stats equal the
+    // closed-form formulas the oracle states, per doc — n_frames comes
+    // from the BYTES (len/ch), not the sample_count field
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001").limit(12)
+    val decoded = Multimodal.audioPcm(Multimodal.audioPcmPayload(spark, docs))
+      .orderBy(col("doc_id")).collect()
+    assert(decoded.length == 12)
+    decoded.foreach { r =>
+      val did = r.getAs[Long]("doc_id")
+      val frames = Multimodal.pcmFrames(did)
+      val ch = Multimodal.pcmChannelCount(did)
+      val s = Array(0L, 0L)
+      (0 until frames * ch).foreach(j => s(j % ch) += Multimodal.pcmByte(did, j))
+      assert(r.getAs[Long]("n_frames") == frames.toLong, s"doc $did frames")
+      assert(r.getAs[Long]("sample_rate") == Multimodal.pcmRate(did).toLong)
+      assert(r.getAs[Long]("mean_c0_x100") == s(0) * 100 / frames, s"doc $did c0")
+      if (ch == 2) assert(r.getAs[Long]("mean_c1_x100") == s(1) * 100 / frames)
+      else assert(r.isNullAt(r.fieldIndex("mean_c1_x100")))
+    }
+  }
+
   test("multimodal declarative decode == typed decode (the expression form is the registry path)") {
     import org.apache.spark.sql.functions.col
     // mixed formats + a null text: every branch of the parse

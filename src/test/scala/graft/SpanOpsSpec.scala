@@ -251,6 +251,26 @@ class SpanOpsSpec extends AnyFunSuite with SparkSpec {
     val standIn = keeps(TextAnalysis.classifierScore(d))
     assert(heldOut.exists(i => standIn(i) != labels(i)),
       "the label-blind stand-in should not separate the planted classes")
+    // the classifier_eval FLOOR on planted separation: the registry
+    // entry's confusion aggregation (keep vs lang='en'), run over the
+    // held-out half of this separable corpus, must score a perfect
+    // 10000 bp — the fixture corpus's low holdout accuracy is a
+    // property of its synthetic text, not of the eval machinery, and
+    // this floor is what pins the machinery itself
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum, when, expr}
+    val evalRow = TextAnalysis.classifierScoreWeighted(d,
+        TextAnalysis.classifierTrainNb(d, col("lang") === "en"))
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("pos")), "doc_id")
+      .filter(col("doc_id") % 2 === 1)
+      .agg(
+        sum(when(col("keep") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("keep") && !col("pos"), 1L).otherwise(0L)).as("tn"),
+        fcount(lit(1)).as("n"))
+      .withColumn("accuracy_bp", expr("(tp + tn) * 10000 div n"))
+      .collect()(0)
+    assert(evalRow.getAs[Long]("n") == 20L &&
+      evalRow.getAs[Long]("accuracy_bp") == 10000L,
+      s"planted separation floor: $evalRow")
   }
 
   test("classifierFeatSum (streaming per-row form) matches classifierScore bit-for-bit") {

@@ -401,6 +401,16 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
       StreamAnalytics.nearDupStreamCompleted(docs, threshold = 0.6,
           horizonNanos = 120L * minNanos, statePartitions = parts)
         .as[(Long, Long, Long, Long)].collect().toSet
+    // the returned frame must be a SCAN of the file sink with the
+    // dedup in-plan — no driver materialization of the hit set (the
+    // pre-r16 memory-sink collect planned as a LocalTableScan)
+    val shape = StreamAnalytics.nearDupStreamCompleted(docs, threshold = 0.6,
+      horizonNanos = 120L * minNanos, statePartitions = 2)
+    val plan = shape.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"hit set must stay executor-resident:\n$plan")
+    assert(plan.contains("FileScan parquet"),
+      s"hits must read back from the file sink:\n$plan")
     val two = hitsAt(2)
     val eight = hitsAt(8)
     assert(two.size >= 20, s"fixture must carry in-horizon pairs, got ${two.size}")
