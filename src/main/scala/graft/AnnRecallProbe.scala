@@ -25,8 +25,11 @@ import graft.ops.{AnnIndex, Similarity}
   *                  candidates exist, recall equals `indexed`'s at the
   *                  same nProbe (SQ error only reorders BELOW the
   *                  rerank cut; the exact rerank restores the top)
-  *  - `ivf2`      — [[Similarity.topKIvf2]], the two-level quantizer,
-  *                  (nProbeCoarse, nProbeFine) swept
+  *  - `ivf2`      — [[AnnIndex.topK2]], the PERSISTED two-level
+  *                  index (the path production serves from — the
+  *                  inline [[Similarity.topKIvf2]] is spec-pinned
+  *                  identical, so sweeping the stored probe measures
+  *                  both), (nProbeCoarse, nProbeFine) swept
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -69,8 +72,9 @@ object AnnRecallProbe {
         nProbe = nProbe, rerank = rerank))
       println(f"[recall] path=indexed_sq nProbe=$nProbe%-3d rerank=$rerank%-3d recall@$k=$r%.3f")
     }
+    AnnIndex.ensureBuilt2(spark, dir)
     Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
-      val r = recall(Similarity.topKIvf2(emb, nQueries, k = k,
+      val r = recall(AnnIndex.topK2(spark, dir, nQueries, k = k,
         nProbeCoarse = nc, nProbeFine = nf))
       println(f"[recall] path=ivf2 nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d recall@$k=$r%.3f")
     }

@@ -32,10 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `concat_ws(" ", ...)` n-grams: tokens come from `split(text, ' ')`
   * so they never contain the joiner, making the joined-string key
   * collision-free. Token arrays shorter than 3 return null (the
-  * declarative form's inner join dropped those docs); null elements
-  * cannot occur from split but would join as the literal "null" —
-  * callers feed split output only, like every other consumer of
-  * [[graft.ops.TextAnalysis.tokens]]. */
+  * declarative form's inner join dropped those docs); null ELEMENTS
+  * cannot occur from split, but a future caller feeding another
+  * tokenizer gets concat_ws's exact rule anyway — nulls are SKIPPED
+  * inside the join (UTF8String.concatWs's native behavior), never
+  * substituted with a literal token the twin would not produce. */
 case class NgramRepStats(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -74,18 +75,19 @@ object NgramRepStats {
     * Returns null for arrays with < 3 tokens — no trigram exists, the
     * declarative pipeline's join semantics. */
   private val Space = UTF8String.fromString(" ")
-  private val NullToken = UTF8String.fromString("null")
 
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     if (n < 3) return null
     // stay in UTF8String space end to end: the byte-level concat and
     // hash avoid the UTF-16 decode a java.lang.String key would pay
-    // per n-gram (measured ~25% of the pass at the sf1 tier)
+    // per n-gram (measured ~25% of the pass at the sf1 tier). A null
+    // element stays null — concatWs skips nulls, which is exactly
+    // concat_ws's semantics in the declarative twin
     val toks = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) NullToken else arr.getUTF8String(i)
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       i += 1
     }
     // bigrams need the max occurrence count → a count map; trigrams

@@ -236,19 +236,25 @@ object Dedup {
                               k: Int = 12, rowsPerBand: Int = 2,
                               threshold: Double = 0.6,
                               corpusBands: Option[DataFrame] = None,
-                              allShingles: Option[DataFrame] = None): DataFrame = {
-    val freshBands = SharedCaches.shared(
-      minhashBands(minhashSignature(shingleRows(fresh), k), k, rowsPerBand), "dedup")
+                              allShingles: Option[DataFrame] = None,
+                              freshBands: Option[DataFrame] = None): DataFrame = {
+    // signatures/bands are per-doc (row-local given the shingle set),
+    // so a caller holding a session-shared band table over a superset
+    // passes its FILTER as `freshBands` and the increment's
+    // tokenize+md5+signature stage never re-runs (curate_inc measured
+    // ~1.4 s of exactly that at the sf1 tier)
+    val fBands = freshBands.getOrElse(SharedCaches.shared(
+      minhashBands(minhashSignature(shingleRows(fresh), k), k, rowsPerBand), "dedup"))
     val cBands = corpusBands.getOrElse(
       minhashBands(minhashSignature(shingleRows(corpus), k), k, rowsPerBand))
-    val allBands = cBands.unionByName(freshBands)
+    val allBands = cBands.unionByName(fBands)
     // unordered candidates with >= 1 fresh side, normalized a < b —
     // referenced from three legs (both sides of the participant
     // semi-join, then verification), so shared-cached or the band
     // join runs 3×
     val cands = SharedCaches.shared(
       allBands.select(col("doc_id").as("id_x"), col("band"), col("band_sig"))
-        .join(freshBands.select(col("doc_id").as("id_y"), col("band"), col("band_sig")),
+        .join(fBands.select(col("doc_id").as("id_y"), col("band"), col("band_sig")),
           Seq("band", "band_sig"))
         .filter(col("id_x") =!= col("id_y"))
         .select(least(col("id_x"), col("id_y")).as("doc_a"),
@@ -706,6 +712,20 @@ object Dedup {
   def sharedPositionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame =
     SharedCaches.shared(positionedShingleRows(docs, spanTokens), "substring")
 
+  /** [[duplicatedSpans]]' output, session-shared ([[SharedCaches]],
+    * "substring"): the spans entry and the APPLY consume the IDENTICAL
+    * span set in one session, and the duplicated-hash aggregation over
+    * the full shingle base is its whole cost — persisting the small
+    * span frame (O(duplicated regions)) lets the APPLY skip that
+    * aggregation via CacheManager plan matching, the
+    * [[sharedMinhashPairs]] rationale applied to spans. */
+  def sharedDuplicatedSpans(docs: DataFrame, spanTokens: Int,
+                            minDocs: Int = 2): DataFrame =
+    SharedCaches.shared(
+      duplicatedSpans(docs, spanTokens, minDocs,
+        shingles = Some(sharedPositionedShingleRows(docs, spanTokens))),
+      "substring")
+
   /** NOTE for direct callers: the shingle base is referenced from TWO
     * plan legs (the distinct-doc aggregation and the hits join), so
     * with the default `shingles = None` the explode+md5 stage computes
@@ -789,8 +809,10 @@ object Dedup {
     * with their original text md5. */
   def scrubSpans(docs: DataFrame, spanTokens: Int = 8,
                  minDocs: Int = 2,
-                 shingles: Option[DataFrame] = None): DataFrame = {
-    val spansPerDoc = duplicatedSpans(docs, spanTokens, minDocs, shingles)
+                 shingles: Option[DataFrame] = None,
+                 spansIn: Option[DataFrame] = None): DataFrame = {
+    val spansPerDoc = spansIn
+      .getOrElse(duplicatedSpans(docs, spanTokens, minDocs, shingles))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = TextAnalysis.tokens(coalesce(col("text"), lit("")))

@@ -611,6 +611,18 @@ object Similarity {
           .as(Seq("band", "chunk")))
   }
 
+  /** Session-shared banded corpus ([[SharedCaches]], "embed" family):
+    * the three embedding near-dup entries (full, incremental,
+    * incremental-apply) band the SAME corpus with the SAME
+    * corpus-scaled params, and banding is the scan-heavy half of each
+    * (n·m dot products) — one materialization feeds all of them.
+    * Banding is row-local, so a FILTER of this base is a valid band
+    * table for a filter of the vectors (the corpus/fresh split), the
+    * same commute rule [[Dedup.sharedShingleRows]] documents. */
+  def sharedLshBands(embeddings: DataFrame, nPlanes: Int,
+                     bitsPerBand: Int, dim: Int = 64): DataFrame =
+    SharedCaches.shared(lshBanded(embeddings, nPlanes, dim, bitsPerBand), "embed")
+
   /** Random-hyperplane LSH near-dup: sign bits from the fixed
     * md5-derived planes, banded bitsPerBand wide; candidates =
     * equality join on (band, chunk); verified by exact cosine. At
@@ -618,11 +630,14 @@ object Similarity {
     * all-pairs — PROVIDED the band width tracks the corpus: pass
     * [[lshParamsFor]](count) (as the registry does) so bucket
     * occupancy stays constant as n grows. The 16/4 defaults are the
-    * small-fixture dial only. */
+    * small-fixture dial only. Pass `bandedIn` (e.g.
+    * [[sharedLshBands]]) to reuse a session-shared band table — it
+    * must have been banded with the SAME (nPlanes, bitsPerBand). */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
                       nPlanes: Int = 16, dim: Int = 64,
-                      bitsPerBand: Int = 4): DataFrame = {
-    val banded = lshBanded(embeddings, nPlanes, dim, bitsPerBand)
+                      bitsPerBand: Int = 4,
+                      bandedIn: Option[DataFrame] = None): DataFrame = {
+    val banded = bandedIn.getOrElse(lshBanded(embeddings, nPlanes, dim, bitsPerBand))
     val a = banded.select(col("band"), col("chunk"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("chunk"), col("vec_id").as("id_b"),
@@ -667,8 +682,9 @@ object Similarity {
   def incrementalNearDupLsh(corpus: DataFrame, fresh: DataFrame, threshold: Double,
                             nPlanes: Int = 16, dim: Int = 64,
                             corpusBands: Option[DataFrame] = None,
-                            bitsPerBand: Int = 4): DataFrame = {
-    val freshBands = lshBanded(fresh, nPlanes, dim, bitsPerBand)
+                            bitsPerBand: Int = 4,
+                            freshBandsIn: Option[DataFrame] = None): DataFrame = {
+    val freshBands = freshBandsIn.getOrElse(lshBanded(fresh, nPlanes, dim, bitsPerBand))
     val allBands = corpusBands.getOrElse(lshBanded(corpus, nPlanes, dim, bitsPerBand))
       .unionByName(freshBands)
     allBands.select(col("band"), col("chunk"), col("vec_id").as("id_x"),
@@ -688,4 +704,21 @@ object Similarity {
       .distinct()
       .filter(col("score") >= threshold)
   }
+
+  /** [[incrementalNearDupLsh]], session-shared ([[SharedCaches]],
+    * "embed"): the `embed_inc` and `embed_inc_apply` entries consume
+    * the IDENTICAL verified pair set in one session, and the
+    * band-join + cosine verification is its whole cost — persisting
+    * the tiny above-threshold pair frame lets the APPLY skip it
+    * entirely via CacheManager plan matching, exactly
+    * [[Dedup.sharedIncrementalPairs]]'s rationale one family over. */
+  def sharedIncrementalNearDup(corpus: DataFrame, fresh: DataFrame, threshold: Double,
+                               nPlanes: Int = 16, dim: Int = 64,
+                               corpusBands: Option[DataFrame] = None,
+                               bitsPerBand: Int = 4,
+                               freshBandsIn: Option[DataFrame] = None): DataFrame =
+    SharedCaches.shared(
+      incrementalNearDupLsh(corpus, fresh, threshold, nPlanes, dim,
+        corpusBands, bitsPerBand, freshBandsIn),
+      "embed")
 }

@@ -89,38 +89,33 @@ object PipelineQueries {
     // LSH ⊆ brute and the fixture recall.
     // band params scale with the corpus (constant bucket occupancy —
     // lshParamsFor's invariant); the count is a parquet-metadata job
+    // all three embed near-dup entries draw from ONE session-shared
+    // banded base (sharedLshBands) — banding is the n·m-dot scan half
+    // of each entry, and row-local, so the corpus/fresh splits below
+    // are filters of the same materialization
     "embed_neardup_lsh" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       Similarity.nearDupPairsLsh(e, threshold = 0.4,
-          nPlanes = nPlanes, bitsPerBand = bpb)
+          nPlanes = nPlanes, bitsPerBand = bpb,
+          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb)))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // the embedding twin of dedup_incremental: vec_id % 5 == 0 plays
     // the daily batch, probed against the corpus via the LSH buckets —
     // corpus x corpus pairs never recomputed
-    "embed_inc" -> ((s, dir) => {
-      val e = Fixtures.embeddings(s, dir)
-      // params from the FULL corpus∪fresh count: both sides must band
-      // identically or the bucket join can't match across them
-      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
-      Similarity.incrementalNearDupLsh(
-        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
-        threshold = 0.4, nPlanes = nPlanes, bitsPerBand = bpb)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "embed_inc" -> ((s, dir) =>
+      sharedEmbedIncPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
 
     // the APPLY: which fresh vectors survive — corpus-wins greedy, the
     // same survivor rule as the text increment (Dedup.applyIncrementalDedup
-    // is pair-generic; only the id column name differs)
+    // is pair-generic; only the id column name differs). The pair set
+    // is the session-shared frame embed_inc materialized — the
+    // verification join never runs twice
     "embed_inc_apply" -> ((s, dir) => {
-      val e = Fixtures.embeddings(s, dir)
-      val fresh = e.filter(col("vec_id") % 5 === 0)
-      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
-      val pairs = Similarity.incrementalNearDupLsh(
-          e.filter(col("vec_id") % 5 =!= 0), fresh, threshold = 0.4,
-          nPlanes = nPlanes, bitsPerBand = bpb)
+      val fresh = Fixtures.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val pairs = sharedEmbedIncPairs(s, dir)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.applyIncrementalDedup(
           fresh.select(col("vec_id").as("doc_id"), col("label")), pairs)
@@ -463,17 +458,44 @@ object PipelineQueries {
         "pipeline")
       // corpus bands + shingles from the session-shared caches, like
       // dedup_incremental (shingles of ungated docs are inert: the
-      // verification semi-join keeps only candidate participants)
-      val pairs = Dedup.incrementalMinhashPairs(
-        corpus, gated.select(docs.columns.map(col): _*),
-        corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
-        allShingles = Some(Dedup.sharedShingleRows(docs)))
+      // verification semi-join keeps only candidate participants).
+      // FRESH bands too: signatures are per-doc, so the gated
+      // increment's band table is a semi-join filter of the shared
+      // one — the gated docs are never re-tokenized or re-signed
+      // the verified pair set is shared-cached: applyIncrementalDedup
+      // references it from BOTH pair orientations, so an unshared
+      // frame runs the verification joins twice per invocation
+      val pairs = graft.ops.SharedCaches.shared(
+        Dedup.incrementalMinhashPairs(
+          corpus, gated.select(docs.columns.map(col): _*),
+          corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),
+          allShingles = Some(Dedup.sharedShingleRows(docs)),
+          freshBands = Some(Dedup.sharedBands(docs)
+            .join(gated.select(col("doc_id")), Seq("doc_id"), "left_semi"))),
+        "pipeline")
       Dedup.applyIncrementalDedup(gated, pairs)
         .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"),
           col("predicted_lang"))
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The increment's verified pair set, session-shared: embed_inc and
+    * embed_inc_apply consume the IDENTICAL frame, and both band sides
+    * are filters of the one shared banded base — params from the FULL
+    * corpus∪fresh count (both sides must band identically or the
+    * bucket join can't match across them; the count is a
+    * parquet-metadata job). */
+  private def sharedEmbedIncPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.embeddings(s, dir)
+    val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
+    val bands = Similarity.sharedLshBands(e, nPlanes, bpb)
+    Similarity.sharedIncrementalNearDup(
+      e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+      threshold = 0.4, nPlanes = nPlanes, bitsPerBand = bpb,
+      corpusBands = Some(bands.filter(col("vec_id") % 5 =!= 0)),
+      freshBandsIn = Some(bands.filter(col("vec_id") % 5 === 0)))
+  }
 
   /** Shared banding CTEs for the embed_neardup oracles, mirroring
     * [[graft.ops.Similarity.lshBanded]] with CORPUS-SCALED params:
@@ -1093,7 +1115,16 @@ object PipelineQueries {
     // the tolerance booleans as the stated claim: the Spark side
     // derives them from the genuine DCT round-trip, so a decode
     // regression (channel swap, upsample bug, wrong image) flips a
-    // boolean and hash-mismatches — DuckDB never touches a JPEG byte
+    // boolean and hash-mismatches — DuckDB never touches a JPEG byte.
+    // ENVIRONMENT DEPENDENCY (triage note): the stated-true booleans
+    // make this entry's hash depend on the host JRE's ImageIO JPEG
+    // codec staying within 5 x100-units of the closed-form means — a
+    // JDK upgrade or codec-plugin change can flip a boolean with NO
+    // regression in this repo. A future hash mismatch here should be
+    // triaged as environment drift first (OpsSpec's measured <=300
+    // margin gives ~200 units of headroom, so drift is unlikely but
+    // not impossible); a genuine decode bug shifts means by tens of
+    // units and fails OpsSpec's margin pin too.
     "mm_jpeg_pixels" ->
       """SELECT doc_id,
         |  (8 + doc_id % 9)::BIGINT AS width,

@@ -44,14 +44,23 @@ class BenchLineSpec extends AnyFunSuite {
       assert(tree.get("failed").asInt() == expectedFailed,
         s"'$label': failed count must cover every query, shed or not")
     }
-    // the shed floor is reserved for pathological profiles: the
-    // realistic shapes above level 3 must never drop an entry
+    // at 100 registry keys the key set ALONE (~1930 chars) has
+    // outgrown the 2000-char window even at 1-char values, so every
+    // profile may shed — but realistic shapes must shed only a few
+    // FASTEST entries (the least total-time signal per character),
+    // always declared via "drop", with target/bench.json keeping the
+    // full map at 4 decimals (the level -1 rendering, budget-free)
     for (label <- Seq("all sub-second", "realistic contended")) {
       val line = Bench.renderFitting(profiles.toMap.apply(label), "sf0.1",
         repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45)
-      assert(mapper.readTree(line).get("queries").size() == names.size,
-        s"'$label' must keep every entry in the map")
+      val kept = mapper.readTree(line).get("queries").size()
+      assert(kept >= names.size - 5,
+        s"'$label' must shed at most a handful of entries, kept $kept of ${names.size}")
     }
+    val full = Bench.renderLine(profiles.toMap.apply("all sub-second"), "sf0.1",
+      repeats = 4, contended = true, loadStart = 12.34, loadEnd = 23.45, level = -1)
+    assert(mapper.readTree(full).get("queries").size() == names.size,
+      "the file-copy rendering must always carry every entry")
     // idle-shaped runs (many fast entries, modest tail): renderFitting
     // must pick the finest UNIFORM level that fits the budget, or the
     // per-entry adaptive rendering when none does — asserted against

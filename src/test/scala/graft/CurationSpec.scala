@@ -308,6 +308,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"repetitionStats must plan with zero shuffles:\n$plan")
   }
 
+  test("NgramRepStats: a null token element follows concat_ws semantics (skipped, never a literal)") {
+    // split() output never carries nulls, but the expression's rule
+    // for a foreign tokenizer must be concat_ws's exactly: a null
+    // element is SKIPPED inside the join, so (a, null) and (null, a)
+    // both key "a" — a literal "null" substitution would diverge
+    import org.apache.spark.sql.functions.{array, col, lit}
+    import spark.implicits._
+    val d = Seq(1L).toDF("id").select(col("id"),
+      array(lit("a"), lit(null).cast("string"), lit("a"), lit("b"))
+        .as("toks"))
+    val r = d.select(graft.functions.NgramRepStats.of(col("toks")).as("st"))
+      .select(col("st.*")).collect()(0)
+    // bigrams: (a,null)->"a", (null,a)->"a", (a,b)->"a b":
+    // total 3, max 2 ("a"), distinct 2; trigrams: (a,null,a)->"a a",
+    // (null,a,b)->"a b": total 2, distinct 2
+    assert(r.getAs[Long]("bi_total") == 3L && r.getAs[Long]("bi_max") == 2L &&
+      r.getAs[Long]("bi_distinct") == 2L && r.getAs[Long]("tri_total") == 2L &&
+      r.getAs[Long]("tri_distinct") == 2L, s"got $r")
+  }
+
   // ---------------------------------------------------------------
   // piiScrub: regex edges
   // ---------------------------------------------------------------

@@ -78,9 +78,16 @@ def main():
     # every entry whose cost is actually measurable at this granularity
     # — a real regression (0.2 s -> >0.5 s) still trips the band.
     FLOOR = 0.25
+    # "value" is the RAW (unfloored) envelope total — the honest
+    # wall-clock estimate a reader compares driver totals against —
+    # while "queries" entries are floored for the 2x band checks only.
+    # The two therefore intentionally disagree: recomputing a total
+    # from "queries" yields value_floored, carried alongside so no
+    # consumer has to re-derive (and so the disagreement is explicit).
     out = {
         "metric": "total",
         "value": round(sum(envelope.values()), 1),
+        "value_floored": round(sum(max(v, FLOOR) for v in envelope.values()), 1),
         "unit": "sec",
         "queries": {k: round(max(v, FLOOR), 4) for k, v in sorted(envelope.items())},
         "sf": os.path.basename(args.sf),
