@@ -180,14 +180,15 @@ object AnnIndex {
     t
   }
 
-  private def emptyTombstones(spark: SparkSession): DataFrame =
-    spark.range(0).select(col("id").as("vec_id"), lit(0).as("cell"))
+  private def emptyTombstones(spark: SparkSession, cellCol: String = "cell"): DataFrame =
+    spark.range(0).select(col("id").as("vec_id"), lit(0).as(cellCol))
 
   private def writeTombstones(spark: SparkSession, ts: DataFrame,
-                              table: String, nBuckets: Int): Unit =
-    ts.select(col("vec_id").cast("long"), col("cell").cast("int"))
+                              table: String, nBuckets: Int,
+                              cellCol: String = "cell"): Unit =
+    ts.select(col("vec_id").cast("long"), col(cellCol).cast("int"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .bucketBy(nBuckets, cellCol).sortBy(cellCol)
       .saveAsTable(table)
 
   /** The stored quantizer read back as the centroid matrix (k·dim —
@@ -528,10 +529,22 @@ object AnnIndex {
     * (178 rows at 10⁹) and the fine quantizer stays a TABLE probed by
     * coarse-cell literals — nothing k-sized touches the driver or the
     * plan at any corpus size. */
-  def table2For(dir: String): String =
-    "ann2_" + graft.evm.EvmDerive.md5hex(dir).take(8)
-  def coarseQuantizerTableFor(dir: String): String = table2For(dir) + "_qc"
-  def fineQuantizerTableFor(dir: String): String = table2For(dir) + "_qf"
+  def table2For(dir: String, tag: String = ""): String =
+    "ann2_" + graft.evm.EvmDerive.md5hex(dir + "#" + tag).take(8)
+  def coarseQuantizerTableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_qc"
+  def fineQuantizerTableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_qf"
+
+  /** Generation-2 tombstones: (vec_id, ccell), bucketed on the COARSE
+    * cell — the same probe-time pruning key and recovery contract as
+    * the flat index's [[tombstoneTableFor]]. */
+  def tombstone2TableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_ts"
+
+  private def allTables2(dir: String, tag: String): Seq[String] =
+    Seq(table2For(dir, tag), coarseQuantizerTableFor(dir, tag),
+      fineQuantizerTableFor(dir, tag), tombstone2TableFor(dir, tag))
 
   /** Build the two-level index if absent: assignment
     * (vec_id, ccell, v, nrm, fcell) bucketed on the COARSE cell (kc
@@ -540,17 +553,16 @@ object AnnIndex {
     * a table (≈ Σ⌈√occ⌉ rows — data, never a literal). Same
     * write-once idempotence and orphan-sweep recovery contract as
     * [[ensureBuilt]]. */
-  def ensureBuilt2(spark: SparkSession, dir: String): String = synchronized {
-    val t = table2For(dir)
-    val qc = coarseQuantizerTableFor(dir)
-    val qf = fineQuantizerTableFor(dir)
-    if (!spark.catalog.tableExists(t) || !spark.catalog.tableExists(qc) ||
-        !spark.catalog.tableExists(qf)) {
-      Seq(t, qc, qf).flatMap(x => Seq(x, x + "__stage", x + "__old"))
+  def ensureBuilt2(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
+    val t = table2For(dir, tag)
+    if (allTables2(dir, tag).exists(!spark.catalog.tableExists(_))) {
+      allTables2(dir, tag).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
-      writeGeneration2(spark, prep, emb.count(), t, qc, qf)
+      writeGeneration2(spark, prep, emb.count(), t,
+        coarseQuantizerTableFor(dir, tag), fineQuantizerTableFor(dir, tag),
+        tombstone2TableFor(dir, tag))
     }
     t
   }
@@ -559,7 +571,8 @@ object AnnIndex {
     * — shared by the build (straight into the live names) and
     * [[requantize2]] (into the `__stage` names). */
   private def writeGeneration2(spark: SparkSession, prep: DataFrame, n: Long,
-                               t: String, qc: String, qf: String): Unit = {
+                               t: String, qc: String, qf: String,
+                               tst: String): Unit = {
     val (coarse, fine, asg) = Similarity.ivf2StructureOf(prep, n)
     Bucketed.writeBucketed(
       asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell")),
@@ -569,12 +582,15 @@ object AnnIndex {
       .toDF("ccell", "centroid")
       .write.mode("overwrite").saveAsTable(qc)
     fine.write.mode("overwrite").saveAsTable(qf)
+    writeTombstones(spark, emptyTombstones(spark, "ccell"), tst,
+      coarse.length, "ccell")
   }
 
   /** The stored coarse quantizer (~n^¼ · dim doubles — the ONLY
     * quantizer collect this index ever performs). */
-  def storedCoarseQuantizer(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.table(coarseQuantizerTableFor(dir))
+  def storedCoarseQuantizer(spark: SparkSession, dir: String,
+                            tag: String = ""): Array[Array[Double]] =
+    spark.table(coarseQuantizerTableFor(dir, tag))
       .select(col("ccell"), col("centroid")).orderBy(col("ccell")).collect()
       .map(_.getSeq[Double](1).toArray)
 
@@ -584,10 +600,11 @@ object AnnIndex {
     * map-side `min_by` argmin the build uses. O(batch); probe
     * coherence by construction, exactly [[appendBatch]]'s contract one
     * level down. */
-  def appendBatch2(spark: SparkSession, dir: String, fresh: DataFrame): Unit = synchronized {
-    val t = ensureBuilt2(spark, dir)
-    val coarse = storedCoarseQuantizer(spark, dir)
-    val fine = spark.table(fineQuantizerTableFor(dir))
+  def appendBatch2(spark: SparkSession, dir: String, fresh: DataFrame,
+                   tag: String = ""): Unit = synchronized {
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    val fine = spark.table(fineQuantizerTableFor(dir, tag))
     val casg = Similarity.assignCells(Similarity.prepared(fresh), coarse)
       .withColumnRenamed("cell", "ccell")
     val assigned = casg.join(broadcast(fine), Seq("ccell"))
@@ -611,21 +628,48 @@ object AnnIndex {
     * has outgrown the coarse count the way the flat index outgrows
     * ⌈√n⌉. SKEW: the hottest coarse cell holds > skewBound× the mean —
     * a drifted append distribution concentrates coarse reads exactly
-    * like the flat case. No dead trigger: generation 2 has no
-    * tombstone path yet (retire on the billion-vector tier shares the
-    * flat protocol when it lands). */
+    * like the flat case. DEAD: the flat index's tombstone-fraction
+    * trigger, over [[removeBatch2]]'s set. */
   def requantizeAdvice2(spark: SparkSession, dir: String,
-                        skewBound: Long = 8L): RequantizeAdvice = {
-    val t = ensureBuilt2(spark, dir)
-    val kc = storedCoarseQuantizer(spark, dir).length
+                        skewBound: Long = 8L, deadBound: Long = 5L,
+                        tag: String = ""): RequantizeAdvice = {
+    val t = ensureBuilt2(spark, dir, tag)
+    val kc = storedCoarseQuantizer(spark, dir, tag).length
     val occ = spark.table(t).groupBy(col("ccell")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("total"), max(col("n")).as("occMax")).collect()(0)
     val n = occ.getAs[Long]("total")
     val occMax = occ.getAs[Long]("occMax")
     val occMean = math.max(1L, n / kc)
+    val tombstoned = spark.table(tombstone2TableFor(dir, tag)).count()
     RequantizeAdvice(n, kc, occMax, occMean,
       knee = annCellsFor(annCellsFor(n)) > 2 * kc,
-      skewed = occMax > skewBound * occMean)
+      skewed = occMax > skewBound * occMean,
+      tombstoned = tombstoned,
+      dead = tombstoned * deadBound >= math.max(1L, n))
+  }
+
+  /** RETIRE on the two-level index — [[removeBatch]]'s contract one
+    * level down: ids resolve to their stored COARSE cells (the probe's
+    * pruning key), merge distinct with the existing set, and commit
+    * under the same stage→rename-aside→promote protocol (a crash
+    * leaves the tombstone table absent → [[ensureBuilt2]]'s sweep
+    * heals; delete producers replay their ledger). */
+  def removeBatch2(spark: SparkSession, dir: String, ids: DataFrame,
+                   tag: String = ""): Unit = synchronized {
+    val t = ensureBuilt2(spark, dir, tag)
+    val ts = tombstone2TableFor(dir, tag)
+    val kc = storedCoarseQuantizer(spark, dir, tag).length
+    val resolved = spark.table(t).select(col("vec_id"), col("ccell"))
+      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val merged = spark.table(ts).select(col("vec_id"), col("ccell"))
+      .unionByName(resolved).distinct()
+    val tsStage = ts + "__stage"
+    val tsOld = ts + "__old"
+    Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+    writeTombstones(spark, merged, tsStage, kc, "ccell")
+    spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+    spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+    Bucketed.resetTable(spark, tsOld)
   }
 
   /** Re-fit BOTH quantizer levels over the live corpus and swap the
@@ -633,23 +677,30 @@ object AnnIndex {
     * beside live, assignment renamed aside FIRST and promoted LAST so
     * every crash point leaves it absent for [[ensureBuilt2]]'s sweep).
     * [[requantizeAdvice2]] is the trigger. */
-  def requantize2(spark: SparkSession, dir: String): Unit = synchronized {
-    val t = ensureBuilt2(spark, dir)
-    val qc = coarseQuantizerTableFor(dir)
-    val qf = fineQuantizerTableFor(dir)
+  def requantize2(spark: SparkSession, dir: String, tag: String = ""): Unit = synchronized {
+    val t = ensureBuilt2(spark, dir, tag)
+    val qc = coarseQuantizerTableFor(dir, tag)
+    val qf = fineQuantizerTableFor(dir, tag)
+    val tst = tombstone2TableFor(dir, tag)
+    // compaction: tombstoned rows leave here, exactly [[requantize]]
     val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
+      .join(spark.table(tst).select(col("vec_id")), Seq("vec_id"), "left_anti")
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
-    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__stage"))
-    writeGeneration2(spark, live, n, t + "__stage", qc + "__stage", qf + "__stage")
-    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__old"))
+    val all = Seq(t, qc, qf, tst)
+    all.foreach(x => Bucketed.resetTable(spark, x + "__stage"))
+    writeGeneration2(spark, live, n, t + "__stage", qc + "__stage",
+      qf + "__stage", tst + "__stage")
+    all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
     spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
     spark.sql(s"ALTER TABLE $qc RENAME TO ${qc}__old")
     spark.sql(s"ALTER TABLE $qf RENAME TO ${qf}__old")
+    spark.sql(s"ALTER TABLE $tst RENAME TO ${tst}__old")
+    spark.sql(s"ALTER TABLE ${tst}__stage RENAME TO $tst")
     spark.sql(s"ALTER TABLE ${qf}__stage RENAME TO $qf")
     spark.sql(s"ALTER TABLE ${qc}__stage RENAME TO $qc")
     spark.sql(s"ALTER TABLE ${t}__stage RENAME TO $t")
-    Seq(t, qc, qf).foreach(x => Bucketed.resetTable(spark, x + "__old"))
+    all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
   }
 
   /** Top-k probe over the persisted two-level index: coarse probe
@@ -661,15 +712,20 @@ object AnnIndex {
     * [[Similarity.topKIvf2]] by construction, and zero corpus-wide
     * jobs at serving time. */
   def topK2(spark: SparkSession, dir: String, maxQueryId: Long,
-            k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3): DataFrame = {
-    val t = ensureBuilt2(spark, dir)
-    val coarse = storedCoarseQuantizer(spark, dir)
+            k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+            tag: String = ""): DataFrame = {
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
     val (qcFrame, cells) =
       probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
-    val cellLits = cells.map(Int.box)
-    val fine = spark.table(fineQuantizerTableFor(dir))
+    val cellLits = cells.map(Int.box).toSeq
+    val fine = spark.table(fineQuantizerTableFor(dir, tag))
       .filter(col("ccell").isin(cellLits: _*))
+    // tombstones anti-joined COARSE-pruned, the flat probe's rule
+    val ts = spark.table(tombstone2TableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*)).select(col("vec_id"))
     val asg = spark.table(t).filter(col("ccell").isin(cellLits: _*))
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
     Similarity.probeIvf2From(qcFrame.withColumnRenamed("cell", "ccell"),
       fine, asg, k, nProbeFine)
   }

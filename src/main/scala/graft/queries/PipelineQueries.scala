@@ -156,6 +156,23 @@ object PipelineQueries {
         nProbeCoarse = 2, nProbeFine = 3)
         .orderBy(col("q_id"), col("rn"))),
 
+    // RETIRE on the billion-vector tier: same tagged-generation +
+    // idempotent-tombstone discipline as topk_after_delete, one level
+    // down (residue 3 — the set that intersects the two-level top-4
+    // at every fixture tier, where residue 7 misses at sf0.01) — the oracle is the inline two-level statement with the
+    // retired ids excluded from the candidate side only (both
+    // quantizer levels stay the full-corpus build; deletion never
+    // re-fits)
+    "topk2_after_delete" -> ((s, dir) => {
+      AnnIndex.removeBatch2(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 3),
+        tag = "del")
+      AnnIndex.topK2(s, dir, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // SQ8 quantize-then-rerank (Similarity.topKSq): the candidate pass
     // ranks by an approximate cosine computed ONLY from the 8-bit
     // codes (one native dot over the code array per row — the scan
@@ -864,6 +881,13 @@ object PipelineQueries {
     "topk_indexed_ivf2" ->
       annIndex2OracleSql(maxQueryId = 5, topK = 4, nProbeCoarse = 2, nProbeFine = 3),
 
+    // deletion on the two-level tier: the same inline statement with
+    // tombstoned ids excluded from candidates (quantizers = the
+    // full-corpus build — the flat delete oracle's rule)
+    "topk2_after_delete" ->
+      annIndex2OracleSql(maxQueryId = 6, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, candFilter = " AND x.vec_id % 10 <> 3"),
+
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
     // stated identically, the decomposed approximate dot (basis term +
@@ -1224,7 +1248,8 @@ object PipelineQueries {
     * argmin ROW_NUMBER (s, fcell) = Spark's min_by struct key, fine
     * probe ranked (s, ccell, fcell) across the probed coarse cells. */
   private def annIndex2OracleSql(maxQueryId: Int, topK: Int,
-                                 nProbeCoarse: Int, nProbeFine: Int): String =
+                                 nProbeCoarse: Int, nProbeFine: Int,
+                                 candFilter: String = ""): String =
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
@@ -1267,7 +1292,7 @@ object PipelineQueries {
        |p AS (SELECT q.q_id, x.vec_id,
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
-       |    AND x.vec_id <> q.q_id),
+       |    AND x.vec_id <> q.q_id$candFilter),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

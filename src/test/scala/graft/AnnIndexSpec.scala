@@ -558,6 +558,62 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"requantize2 must resize the coarse level and clear the knee: $cleared")
   }
 
+  test("two-level delete lifecycle: tombstoned never returned, dead trigger, requantize2 compacts, crash heals") {
+    val dir = tempCorpus("del2")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    val before = AnnIndex.topK2(spark, dir, maxQueryId = 6, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.exists(_.getAs[Long]("vec_id") % 10 == 3),
+      "sanity: the deletion set must intersect the pre-delete results")
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+    val after = AnnIndex.topK2(spark, dir, maxQueryId = 6, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.forall(_.getAs[Long]("vec_id") % 10 != 3) && after != before,
+      s"gen-2 tombstones must filter and visibly change results")
+    // idempotent re-delete
+    val tsCount = spark.table(AnnIndex.tombstone2TableFor(dir)).count()
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+    assert(spark.table(AnnIndex.tombstone2TableFor(dir)).count() == tsCount)
+    // 10% dead — below the 20% trigger; delete two more residues to trip it
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 4 ||
+        col("vec_id") % 10 === 5))
+    val advice = AnnIndex.requantizeAdvice2(spark, dir)
+    assert(advice.tombstoned > 0 && advice.dead,
+      s"a 30% dead fraction must advise compaction: $advice")
+    AnnIndex.requantize2(spark, dir)
+    val cleared = AnnIndex.requantizeAdvice2(spark, dir)
+    assert(cleared.tombstoned == 0 && !cleared.dead, s"compaction must clear: $cleared")
+    val surviving = emb.filter(col("vec_id") % 10 < 3 || col("vec_id") % 10 > 5)
+    assert(spark.table(AnnIndex.table2For(dir)).count() == surviving.count(),
+      "requantize2 must physically drop exactly the tombstoned rows")
+    // the compacted index == the inline two-level pipeline over the
+    // surviving corpus, probed with the FULL query set
+    val indexed = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val prepS = Similarity.prepared(surviving)
+    val (coarse, fine, asg) = Similarity.ivf2StructureOf(prepS, surviving.count())
+    val inline = Similarity.probeIvf2(coarse, fine, asg,
+        Similarity.prepared(emb).filter(col("vec_id") < 5),
+        k = 4, nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(indexed.nonEmpty && indexed == inline,
+      "the compacted two-level index must equal the surviving-corpus inline pipeline")
+    // crash between removeBatch2's renames: ts2 absent → sweep heals
+    val ts = AnnIndex.tombstone2TableFor(dir)
+    spark.sql(s"ALTER TABLE $ts RENAME TO ${ts}__old")
+    val healed = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val freshInline = Similarity.topKIvf2(emb, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(healed == freshInline,
+      "the healed gen-2 index serves the full source corpus (deletes replay from their ledger)")
+    assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(
