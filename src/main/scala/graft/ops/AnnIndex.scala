@@ -174,8 +174,14 @@ object AnnIndex {
       mns.indices.map(i => (i, mns(i), mxs(i)))
         .toDF("dim", "mn", "mx")
         .write.mode("overwrite").saveAsTable(sqTableFor(dir, tag))
+      // the EMPTY tombstone table writes with ONE bucket: bucket
+      // pruning only matters once tombstones exist, and removeBatch
+      // rewrites with the quantizer's bucket count then — a k-bucket
+      // empty write costs k file-creation tasks per build/requantize
+      // for zero benefit (measured ~1 s of topk_requantized's r16
+      // recording before this)
       writeTombstones(spark, emptyTombstones(spark),
-        tombstoneTableFor(dir, tag), k)
+        tombstoneTableFor(dir, tag), 1)
     }
     t
   }
@@ -280,15 +286,23 @@ object AnnIndex {
     val k = storedQuantizer(spark, dir, tag).length
     val resolved = spark.table(t).select(col("vec_id"), col("cell"))
       .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val merged = spark.table(ts).select(col("vec_id"), col("cell"))
-      .unionByName(resolved).distinct()
-    val tsStage = ts + "__stage"
-    val tsOld = ts + "__old"
-    Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
-    writeTombstones(spark, merged, tsStage, k)
-    spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
-    spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
-    Bucketed.resetTable(spark, tsOld)
+    // idempotent fast path: a batch already fully tombstoned (the
+    // at-least-once delete producer's replay, or a re-run registry
+    // entry) must not pay the table swap — one anti-join emptiness
+    // probe (batch-sized) instead of a k-bucket rewrite + renames
+    val fresh = resolved.join(spark.table(ts).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty) {
+      val merged = spark.table(ts).select(col("vec_id"), col("cell"))
+        .unionByName(resolved).distinct()
+      val tsStage = ts + "__stage"
+      val tsOld = ts + "__old"
+      Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+      writeTombstones(spark, merged, tsStage, k)
+      spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+      spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+      Bucketed.resetTable(spark, tsOld)
+    }
   }
 
   /** The probe-side tombstone filter: anti-join the index rows against
@@ -436,7 +450,7 @@ object AnnIndex {
       .write.mode("overwrite").saveAsTable(sqtStage)
     // the new generation starts with NO tombstones: compaction just
     // removed every retired row physically
-    writeTombstones(spark, emptyTombstones(spark), tstStage, k)
+    writeTombstones(spark, emptyTombstones(spark), tstStage, 1)
     // commit: rename the live generation aside, promote the stage —
     // each rename is one atomic catalog+dir move, and the ASSIGNMENT
     // table is renamed aside FIRST and promoted LAST so any crash
@@ -582,8 +596,7 @@ object AnnIndex {
       .toDF("ccell", "centroid")
       .write.mode("overwrite").saveAsTable(qc)
     fine.write.mode("overwrite").saveAsTable(qf)
-    writeTombstones(spark, emptyTombstones(spark, "ccell"), tst,
-      coarse.length, "ccell")
+    writeTombstones(spark, emptyTombstones(spark, "ccell"), tst, 1, "ccell")
   }
 
   /** The stored coarse quantizer (~n^¼ · dim doubles — the ONLY
@@ -661,15 +674,20 @@ object AnnIndex {
     val kc = storedCoarseQuantizer(spark, dir, tag).length
     val resolved = spark.table(t).select(col("vec_id"), col("ccell"))
       .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val merged = spark.table(ts).select(col("vec_id"), col("ccell"))
-      .unionByName(resolved).distinct()
-    val tsStage = ts + "__stage"
-    val tsOld = ts + "__old"
-    Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
-    writeTombstones(spark, merged, tsStage, kc, "ccell")
-    spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
-    spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
-    Bucketed.resetTable(spark, tsOld)
+    // same idempotent fast path as [[removeBatch]]
+    val fresh = resolved.join(spark.table(ts).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty) {
+      val merged = spark.table(ts).select(col("vec_id"), col("ccell"))
+        .unionByName(resolved).distinct()
+      val tsStage = ts + "__stage"
+      val tsOld = ts + "__old"
+      Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+      writeTombstones(spark, merged, tsStage, kc, "ccell")
+      spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+      spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+      Bucketed.resetTable(spark, tsOld)
+    }
   }
 
   /** Re-fit BOTH quantizer levels over the live corpus and swap the

@@ -350,11 +350,10 @@ object Similarity {
 
   /** [[probeIvf2]] from an already-coarse-probed query frame
     * (`ccell, q_id, qv, qn`) — the entry point the persisted index
-    * uses: its coarse probe is computed driver-side (the flat index's
-    * probeFrame arithmetic, (s, cell)-rank-identical to
-    * [[probeQueries]] — spec-pinned there) so the probed coarse cells
-    * exist as LITERALS that bucket-prune the stored fine/assignment
-    * scans before this shared rank+join half runs. */
+    * uses: its coarse probe runs in-plan via [[probeQueries]] against
+    * the STORED coarse quantizer, with only the distinct probed cell
+    * ids collected as the LITERALS that bucket-prune the stored
+    * fine/assignment scans before this shared rank+join half runs. */
   def probeIvf2From(qc: DataFrame, fine: DataFrame, asg: DataFrame,
                     k: Int, nProbeFine: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

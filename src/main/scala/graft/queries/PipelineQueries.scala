@@ -844,8 +844,8 @@ object PipelineQueries {
     // no floating sqrt), centroids = the md5-ranked data sample
     // (Similarity.sampledCentroids — both engines rank the same hex
     // strings and read the same parquet floats). Assignment and probe
-    // both rank (score, cell) — ROW_NUMBER mirrors Spark's first-min
-    // tie-break driver-side and in nearest_cell.
+    // both rank (score, cell) — ROW_NUMBER mirrors the first-min
+    // tie-break of nearest_cell and probeQueries' struct sort.
     "topk_indexed" -> annIndexOracleSql(maxQueryId = 8, topK = 5),
 
     // requantize over an unchanged corpus rebuilds the identical index

@@ -42,13 +42,25 @@ def main():
     envelope = {}
     meta = []
     for i in range(args.runs):
-        if i > 0:
-            # the previous run's own 32-thread tail keeps the 1-min
-            # load average elevated for ~a minute after the JVM exits;
-            # without a settle window the contention refusal triggers
-            # on the recorder's own footprint, not a foreign tenant
-            import time
-            time.sleep(75)
+        # WAIT for the box to be idle before starting, rather than
+        # refusing after a wasted run: the previous run's own 32-thread
+        # tail keeps the 1-min load average elevated for MINUTES after
+        # the JVM exits (a fixed 75 s settle repeatedly failed to
+        # outlast it — two refused recordings in round 16), and the
+        # refusal below exists for FOREIGN tenants, not the recorder's
+        # own footprint. Bounded: give up after ~12 min so a genuinely
+        # busy box still surfaces as the post-run refusal.
+        import time
+        threshold0 = max(2.0, (os.cpu_count() or 8) / 8.0)
+        waited = 0
+        while waited < 720:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+            if load1 < threshold0 * 0.75:
+                break
+            print(f"[baseline] run {i}: waiting for idle (load {load1:.1f})")
+            time.sleep(30)
+            waited += 30
         d = one_run(args.sf, args.repeats)
         if d["failed"]:
             sys.exit(f"[baseline] run {i}: {d['failed']} queries failed — not recording")
