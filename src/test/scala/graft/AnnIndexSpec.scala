@@ -614,6 +614,28 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
   }
 
+  test("removeBatch's idempotent fast path genuinely skips the table swap (no rewrite, not just same rows)") {
+    val dir = tempCorpus("del-noop")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val ts = AnnIndex.tombstoneTableFor(dir)
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, ts)
+    val before = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // a replayed (fully-covered) batch and an unknown id must both be
+    // complete no-ops on disk — the row-count assertion elsewhere
+    // would pass even if the swap rewrote identical rows; this pins
+    // that the k-bucket rewrite + renames genuinely do not run
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    import spark.implicits._
+    AnnIndex.removeBatch(spark, dir, Seq(987654321L).toDF("vec_id"))
+    val after = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "covered re-deletes must not rewrite the tombstone table")
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(
