@@ -178,29 +178,53 @@ object Multimodal {
     * codegen'd string/regexp expressions over the casted payload — a
     * map-only scan, no UDF, no shuffle; at 100 TB this parallelizes
     * like any projection. */
-  def audioMeta(media: DataFrame): DataFrame = {
-    // parse over a BOUNDED head slice, never the full payload: a real
-    // SPHERE header is <= 1024 bytes by convention, and the body can
-    // be gigabytes — casting the whole payload to string would scan
-    // and allocate the body once per extracted field
+  /** The ONE SPHERE header-parse primitive — [[audioMeta]] (metadata)
+    * and [[audioPcm]] (sample decode) walk the same container, so the
+    * magic gate, the bounded head slice, and every field regex live
+    * here once (a header-format fix cannot drift between the two
+    * consumers; OpsSpec pins their parity on a shared fixture).
+    *
+    * Filters to rows carrying the NIST SPHERE magic (sniffed from the
+    * BYTES — `media_type` is never trusted) and appends the parsed
+    * header columns: `header_bytes` (the declared total header size a
+    * real reader seeks by), the standard `-i` integer fields, plus the
+    * width fields the 16-bit story needs — `sample_n_bytes`
+    * (defaulting 1: the 8-bit corpora this engine grew up on omit it)
+    * and `byte_fmt` from the SPHERE `sample_byte_format -s2` string
+    * field ("01" little-endian / "10" big-endian; null when absent).
+    *
+    * Parse hardening is the engine-wide ANSI rule: malformed-header
+    * degradation must not depend on the ANSI flag — a plain cast of a
+    * corrupt field string returns null only with ANSI off; under
+    * Spark 4's ANSI default it would THROW out of the scan. Fields are
+    * bounded to matched digit runs (\d{1,9} + a boundary) and the
+    * no-match "" is nulled BEFORE the cast, so every cast input is
+    * digits-or-null under any ANSI setting. Only a BOUNDED head slice
+    * is ever cast to string: a real SPHERE header is <= 1024 bytes by
+    * convention, and the body can be gigabytes. */
+  private def sphereParsed(media: DataFrame): DataFrame = {
     val s = substring(col("payload"), 1, 1024).cast("string")
-    // malformed-header degradation must not depend on the ANSI flag:
-    // a plain cast of a corrupt size/field string returns null only
-    // with ANSI off — under Spark 4's ANSI default it would THROW out
-    // of the scan. Bound fields to matched digit runs (\d{1,9} + a
-    // boundary) and null the no-match "" BEFORE the cast, so every
-    // cast input is digits-or-null under any ANSI setting.
     def digitsOrNull(c: Column): Column =
       when(c.rlike("^\\d{1,9}$"), c).cast("long")
     def field(name: String): Column =
       digitsOrNull(regexp_extract(s, name + " -i (\\d{1,9})\n", 1))
     media
       .filter(substring(col("payload"), 1, 8) === lit("NIST_1A\n").cast("binary"))
-      .select(col("doc_id"),
-        digitsOrNull(trim(substring(s, 9, 8))).as("header_bytes"),
-        field("sample_rate").as("sample_rate"),
-        field("channel_count").as("channel_count"),
-        field("sample_count").as("sample_count"),
+      .withColumn("header_bytes", digitsOrNull(trim(substring(s, 9, 8))))
+      .withColumn("sample_rate", field("sample_rate"))
+      .withColumn("channel_count", field("channel_count"))
+      .withColumn("sample_count", field("sample_count"))
+      .withColumn("sample_n_bytes", coalesce(field("sample_n_bytes"), lit(1L)))
+      .withColumn("byte_fmt",
+        when(regexp_extract(s, "sample_byte_format -s2 (01|10)\n", 1) === "",
+          lit(null).cast("string"))
+          .otherwise(regexp_extract(s, "sample_byte_format -s2 (01|10)\n", 1)))
+  }
+
+  def audioMeta(media: DataFrame): DataFrame = {
+    sphereParsed(media)
+      .select(col("doc_id"), col("header_bytes"),
+        col("sample_rate"), col("channel_count"), col("sample_count"),
         length(col("payload")).as("n_bytes"))
       // a size-lying header (declared size > the payload it arrived
       // in) must not emit a negative body length: null the row's
@@ -260,6 +284,58 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Planted 16-bit PCM formulas — [[pcmByte]]'s contract at the width
+    * real speech corpora use (TIMIT et al.: `sample_n_bytes 2` plus a
+    * `sample_byte_format` byte order): frames, channels, byte order,
+    * and every SIGNED sample value derive from doc_id alone, so the
+    * oracle predicts the per-channel sums in closed form without
+    * parsing a container byte. The sample walks the full two's-
+    * complement range (mod 65536, shifted) so sign extension and both
+    * byte orders are genuinely exercised, not just positive values
+    * that would pass under an unsigned-decode bug. */
+  private[graft] def pcm16Frames(docId: Long): Int = (30 + docId % 90).toInt
+  private[graft] def pcm16ChannelCount(docId: Long): Int = (1 + docId % 2).toInt
+  private[graft] def pcm16BigEndian(docId: Long): Boolean = docId % 3 == 0
+  private[graft] def pcm16Sample(docId: Long, j: Int): Int =
+    (((7 * docId + 11 * j) % 65536) - 32768).toInt
+
+  /** 16-bit sibling of [[audioPcmPayload]]: genuine NIST SPHERE files
+    * whose headers declare `sample_n_bytes -i 2` and a
+    * `sample_byte_format -s2` byte order ("10" big-endian for every
+    * third document, "01" little-endian otherwise — both orders in one
+    * corpus), with bodies of interleaved SIGNED 16-bit samples planted
+    * by [[pcm16Sample]]. Same partition-batched typed seam, map-only
+    * at any scale. */
+  def audioPcm16Payload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+      it.map { did =>
+        val frames = pcm16Frames(did)
+        val ch = pcm16ChannelCount(did)
+        val big = pcm16BigEndian(did)
+        val body = new Array[Byte](frames * ch * 2)
+        var j = 0
+        while (j < frames * ch) {
+          val v = pcm16Sample(did, j)
+          val (b0, b1) = if (big) ((v >> 8).toByte, v.toByte)
+                         else (v.toByte, (v >> 8).toByte)
+          body(2 * j) = b0
+          body(2 * j + 1) = b1
+          j += 1
+        }
+        val fields = s"sample_count -i $frames\nsample_rate -i ${pcmRate(did)}\n" +
+          s"channel_count -i $ch\nsample_n_bytes -i 2\n" +
+          s"sample_byte_format -s2 ${if (big) "10" else "01"}\nend_head\n"
+        // total header = "NIST_1A\n" (8) + 8-char size + "\n" (9) + fields
+        val header = "NIST_1A\n" + ("%8d".format(fields.length + 17)) + "\n" + fields
+        MediaRow(did, "audio/sphere",
+          header.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+      }
+    }.toDF()
+  }
+
   /** REAL sample decode for the uncompressed audio format — the audio
     * twin of [[decodePixels]]: rows gated on the SPHERE magic (sniffed
     * from bytes, never trusted from `media_type`), the body located by
@@ -273,38 +349,48 @@ object Multimodal {
     * integer-exact ×100-scaled `div`s mirrored verbatim in the
     * oracle. */
   def audioPcm(media: DataFrame): DataFrame = {
-    val s = substring(col("payload"), 1, 1024).cast("string")
-    def digitsOrNull(c: Column): Column =
-      when(c.rlike("^\\d{1,9}$"), c).cast("long")
-    def field(name: String): Column =
-      digitsOrNull(regexp_extract(s, name + " -i (\\d{1,9})\n", 1))
-    media
-      .filter(substring(col("payload"), 1, 8) === lit("NIST_1A\n").cast("binary"))
-      .select(col("doc_id"),
-        digitsOrNull(trim(substring(s, 9, 8))).as("header_bytes"),
-        field("sample_rate").as("sample_rate"),
-        field("channel_count").as("channel_count"),
-        col("payload"))
+    sphereParsed(media)
       // a size-lying header (declared size > payload) must not slice a
       // negative body: gate on consistency, like audioMeta's data_bytes
       .filter(col("header_bytes").isNotNull &&
         length(col("payload")) >= col("header_bytes"))
       .withColumn("body",
         expr("substring(payload, header_bytes + 1, length(payload))"))
+      // format routing from the HEADER's own width/order fields:
+      // 1 = unsigned 8-bit, 2 = signed 16-bit little-endian ("01"),
+      // 3 = signed 16-bit big-endian ("10"). Anything else — a width
+      // this decoder doesn't speak, or a 2-byte row that omits its
+      // byte order — degrades to fmt 0, which PcmStats folds to zero
+      // frames (null means): the honest header-inconsistent result,
+      // never a guessed byte order
+      .withColumn("fmt",
+        when(col("sample_n_bytes") === 1, lit(1))
+          .when(col("sample_n_bytes") === 2 && col("byte_fmt") === "01", lit(2))
+          .when(col("sample_n_bytes") === 2 && col("byte_fmt") === "10", lit(3))
+          .otherwise(lit(0)))
       .select(col("doc_id"), col("sample_rate"), col("channel_count"),
+        col("sample_n_bytes"),
         graft.functions.PcmStats.of(col("body"),
-          coalesce(col("channel_count"), lit(0L)).cast("int")).as("ps"))
+          coalesce(col("channel_count"), lit(0L)).cast("int"),
+          col("fmt")).as("ps"))
       .select(col("doc_id"), col("sample_rate"), col("channel_count"),
+        col("sample_n_bytes"),
         col("ps.n_frames").as("n_frames"),
         col("ps.sum_c0").as("sum_c0"), col("ps.sum_c1").as("sum_c1"))
       .select(col("doc_id"), col("sample_rate"), col("channel_count"),
-        col("n_frames"),
+        col("sample_n_bytes"), col("n_frames"),
         pcmMean(col("sum_c0"), col("n_frames"), lit(1L)).as("mean_c0_x100"),
         when(col("channel_count") >= 2,
           pcmMean(col("sum_c1"), col("n_frames"), lit(1L)))
           .otherwise(lit(null).cast("long")).as("mean_c1_x100"),
-        pcmMean(col("sum_c0") + col("sum_c1"), col("n_frames"),
-          col("channel_count")).as("mean_all_x100"))
+        // PcmStats accumulates channels 0 and 1 only, so an overall
+        // mean is computable ONLY for ch <= 2: a genuine >= 3-channel
+        // container must yield null here, not a silently understated
+        // mean over a third of its samples
+        when(col("channel_count") <= 2,
+          pcmMean(col("sum_c0") + col("sum_c1"), col("n_frames"),
+            col("channel_count")))
+          .otherwise(lit(null).cast("long")).as("mean_all_x100"))
   }
 
   /** ×100-scaled integer sample mean; exact `div`, explicit null on a

@@ -415,6 +415,19 @@ object PipelineQueries {
         Multimodal.audioPcmPayload(s, Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // ...and the width real speech corpora use: SIGNED 16-bit bodies
+    // whose headers declare sample_n_bytes 2 + a byte order ("10"
+    // big-endian for every third doc, "01" little-endian otherwise —
+    // both orders decoded in one scan). The oracle predicts the
+    // two's-complement sample sums in closed form, so a hash match
+    // proves sign extension AND both byte assemblies, not just the
+    // container walk; means stay differential because Spark's div and
+    // DuckDB's // both truncate toward zero
+    "mm_audio_pcm16" -> ((s, dir) =>
+      Multimodal.audioPcm(
+        Multimodal.audioPcm16Payload(s, Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
     "dedup_apply" -> ((s, dir) => {
@@ -1202,7 +1215,33 @@ object PipelineQueries {
         |  sum(CASE WHEN c = 0 THEN (5 * doc_id + 3 * (f * ch + c)) % 256 ELSE 0 END)::BIGINT AS s0,
         |  sum(CASE WHEN c = 1 THEN (5 * doc_id + 3 * (f * ch + c)) % 256 ELSE 0 END)::BIGINT AS s1
         |  FROM by GROUP BY doc_id)
-        |SELECT doc_id, rate AS sample_rate, ch AS channel_count, frames AS n_frames,
+        |SELECT doc_id, rate AS sample_rate, ch AS channel_count,
+        |  1::BIGINT AS sample_n_bytes, frames AS n_frames,
+        |  (s0 * 100 // frames)::BIGINT AS mean_c0_x100,
+        |  (CASE WHEN ch = 2 THEN s1 * 100 // frames END)::BIGINT AS mean_c1_x100,
+        |  ((s0 + s1) * 100 // (frames * ch))::BIGINT AS mean_all_x100
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the 16-bit planted formulas (Multimodal.pcm16*) in closed form:
+    // every sample is two's-complement ((7·doc_id + 11·j) mod 65536) −
+    // 32768 at j = frame·ch + channel, so the per-channel sums — and
+    // their possibly-NEGATIVE truncating means — come from unnested
+    // (frame, channel) ranges; the oracle never assembles a byte pair,
+    // which is exactly what makes a byte-order or sign-extension bug
+    // in the decoder a hash mismatch
+    "mm_audio_pcm16" ->
+      """WITH m AS (SELECT doc_id,
+        |  (30 + doc_id % 90)::BIGINT AS frames,
+        |  (1 + doc_id % 2)::BIGINT AS ch,
+        |  (8000 + (doc_id % 3) * 4000)::BIGINT AS rate FROM documents),
+        |fr AS (SELECT doc_id, frames, ch, rate, unnest(range(0, frames)) AS f FROM m),
+        |by AS (SELECT doc_id, frames, ch, rate, f, unnest(range(0, ch)) AS c FROM fr),
+        |agg AS (SELECT doc_id, max(frames) AS frames, max(ch) AS ch, max(rate) AS rate,
+        |  sum(CASE WHEN c = 0 THEN (7 * doc_id + 11 * (f * ch + c)) % 65536 - 32768 ELSE 0 END)::BIGINT AS s0,
+        |  sum(CASE WHEN c = 1 THEN (7 * doc_id + 11 * (f * ch + c)) % 65536 - 32768 ELSE 0 END)::BIGINT AS s1
+        |  FROM by GROUP BY doc_id)
+        |SELECT doc_id, rate AS sample_rate, ch AS channel_count,
+        |  2::BIGINT AS sample_n_bytes, frames AS n_frames,
         |  (s0 * 100 // frames)::BIGINT AS mean_c0_x100,
         |  (CASE WHEN ch = 2 THEN s1 * 100 // frames END)::BIGINT AS mean_c1_x100,
         |  ((s0 + s1) * 100 // (frames * ch))::BIGINT AS mean_all_x100

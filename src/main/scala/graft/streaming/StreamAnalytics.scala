@@ -300,7 +300,8 @@ object StreamAnalytics {
   def nearDupStreamCompleted(docs: DataFrame, threshold: Double = 0.6,
                              horizonNanos: Long = 3600L * 1000000000L,
                              chunks: Int = 10,
-                             statePartitions: Int = 4): DataFrame = {
+                             statePartitions: Int = 4,
+                             sinkPath: Option[String] = None): DataFrame = {
     import java.nio.file.{Files, Path, Paths}
     val spark = docs.sparkSession
     val src = docs.select(col("doc_id"), col("text"), col("ts"))
@@ -319,8 +320,16 @@ object StreamAnalytics {
     // the hit files OUTLIVE this call: the returned DataFrame scans
     // them lazily in the caller's session, so the sink dir is the one
     // artifact the finally block must NOT delete (a production sink is
-    // durable by definition; this temp dir stands in for it)
-    val sinkDir = Files.createTempDirectory("neardup-hits")
+    // durable by definition). Callers that keep the hits — a delete
+    // queue, an audit log — pass their own `sinkPath`; the temp-dir
+    // default (tests, the registry fixture) is reaped at JVM exit so a
+    // long-lived session doesn't leak one dir per invocation.
+    val sinkDir = sinkPath.map(p => Files.createDirectories(Paths.get(p)))
+      .getOrElse {
+        val d = Files.createTempDirectory("neardup-hits")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(d)))
+        d
+      }
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -345,8 +354,11 @@ object StreamAnalytics {
           val d = stageDir.resolve(s"chunk=$i")
           if (Files.isDirectory(d)) {
             import scala.jdk.CollectionConverters._
-            val parts = Files.list(d).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
+            val listing = Files.list(d)
+            val parts =
+              try listing.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
+              finally listing.close()
             parts.zipWithIndex.foreach { case (p, j) =>
               val dst = replayDir.resolve(f"chunk-$i%05d-$j%02d.parquet")
               Files.move(p, dst)

@@ -665,6 +665,101 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("audioPcm 16-bit: sign extension, both byte orders, format gates, mixed-width scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def sphere(fields: String, body: Array[Byte]): Array[Byte] = {
+      val f = fields + "end_head\n"
+      ("NIST_1A\n" + "%8d".format(f.length + 17) + "\n" + f).getBytes("UTF-8") ++ body
+    }
+    def le(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def be(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    // s16le stereo, 2 complete frames + 1 stray byte (ignored):
+    // c0 = 100, 300; c1 = -200, -400 — negative sums exercise sign
+    // extension AND the truncating mean on a negative dividend
+    val sLe = sphere(
+      "sample_rate -i 16000\nchannel_count -i 2\nsample_n_bytes -i 2\nsample_byte_format -s2 01\n",
+      le(100) ++ le(-200) ++ le(300) ++ le(-400) ++ Array[Byte](7))
+    // s16be mono across the full range: -32768 + 32767 + 1 = 0
+    val sBe = sphere(
+      "sample_rate -i 8000\nchannel_count -i 1\nsample_n_bytes -i 2\nsample_byte_format -s2 10\n",
+      be(-32768) ++ be(32767) ++ be(1))
+    // 2-byte row with NO declared byte order: must not guess an order
+    val sNo = sphere(
+      "sample_rate -i 8000\nchannel_count -i 1\nsample_n_bytes -i 2\n",
+      le(5) ++ le(6))
+    // 3-channel 8-bit: c0/c1 means stay exact, the overall mean (which
+    // PcmStats cannot compute past 2 channels) must be null
+    val s3 = sphere("sample_rate -i 8000\nchannel_count -i 3\n",
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    val out = Multimodal.audioPcm(
+        Seq((1L, "audio", sLe), (2L, "audio", sBe), (3L, "audio", sNo),
+          (4L, "audio", s3)).toDF("doc_id", "media_type", "payload"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("sample_n_bytes") == 2L && r1.getAs[Long]("n_frames") == 2L)
+    assert(r1.getAs[Long]("mean_c0_x100") == 20000L) // 400*100 div 2
+    assert(r1.getAs[Long]("mean_c1_x100") == -30000L) // -600*100 div 2
+    assert(r1.getAs[Long]("mean_all_x100") == -5000L) // -200*100 div 4
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_frames") == 3L && r2.getAs[Long]("mean_c0_x100") == 0L)
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_frames") == 0L &&
+      r3.isNullAt(r3.fieldIndex("mean_c0_x100")),
+      "an undeclared 16-bit byte order must degrade, never be guessed")
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("n_frames") == 2L)
+    assert(r4.getAs[Long]("mean_c0_x100") == 2500L) // (10+40)*100 div 2
+    assert(r4.getAs[Long]("mean_c1_x100") == 3500L)
+    assert(r4.isNullAt(r4.fieldIndex("mean_all_x100")),
+      ">2-channel overall mean must be null, not silently understated")
+    // mixed-width corpus: 8-bit and 16-bit containers decoded in ONE
+    // scan, each per its own header — a real fleet is never homogeneous
+    val docs8 = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001").limit(6)
+    val mixed = Multimodal.audioPcmPayload(spark, docs8)
+      .unionByName(Multimodal.audioPcm16Payload(spark,
+        docs8.select((col("doc_id") + 1000000L).as("doc_id"))))
+    val decoded = Multimodal.audioPcm(mixed).orderBy(col("doc_id")).collect()
+    assert(decoded.length == 12)
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id < 1000000L) {
+        val frames = Multimodal.pcmFrames(id)
+        val ch = Multimodal.pcmChannelCount(id)
+        val s = Array(0L, 0L)
+        (0 until frames * ch).foreach(j => s(j % ch) += Multimodal.pcmByte(id, j))
+        assert(r.getAs[Long]("sample_n_bytes") == 1L)
+        assert(r.getAs[Long]("n_frames") == frames.toLong, s"doc $id frames")
+        assert(r.getAs[Long]("mean_c0_x100") == s(0) * 100 / frames, s"doc $id c0")
+      } else {
+        val frames = Multimodal.pcm16Frames(id)
+        val ch = Multimodal.pcm16ChannelCount(id)
+        val s = Array(0L, 0L)
+        (0 until frames * ch).foreach(j => s(j % ch) += Multimodal.pcm16Sample(id, j))
+        assert(r.getAs[Long]("sample_n_bytes") == 2L)
+        assert(r.getAs[Long]("n_frames") == frames.toLong, s"doc $id frames16")
+        assert(r.getAs[Long]("mean_c0_x100") == s(0) * 100 / frames, s"doc $id c0/16")
+        if (ch == 2) assert(r.getAs[Long]("mean_c1_x100") == s(1) * 100 / frames)
+      }
+    }
+  }
+
+  test("audioMeta and audioPcm share ONE SPHERE header parse (parity pin)") {
+    import org.apache.spark.sql.functions.col
+    // both consumers now route through the same sphereParsed primitive;
+    // this pins that the header fields they report can never drift —
+    // a header-format fix lands in both or the sets diverge here
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001").limit(8)
+    val mixed = Multimodal.audioPcmPayload(spark, docs)
+      .unionByName(Multimodal.audioPcm16Payload(spark,
+        docs.select((col("doc_id") + 1000000L).as("doc_id"))))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("sample_rate"), col("channel_count"))
+        .collect().map(_.toString).toSet
+    assert(key(Multimodal.audioMeta(mixed)) == key(Multimodal.audioPcm(mixed)),
+      "the two SPHERE consumers must parse identical header fields")
+  }
+
   test("multimodal declarative decode == typed decode (the expression form is the registry path)") {
     import org.apache.spark.sql.functions.col
     // mixed formats + a null text: every branch of the parse
