@@ -108,10 +108,110 @@ case class NearestCellF64(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** The top-`nProbe` nearest cells for an `array<double>` vector against
+  * a constant k×d centroid matrix, ordered by (score, cell) ascending —
+  * [[NearestCellF64]]'s argmin generalized to the probe side's arg-top-n
+  * (`ORDER BY s, cell LIMIT nProbe`, the DuckDB oracles' exact ranking;
+  * ties resolve to the LOWER cell because the scan visits cells
+  * ascending and only a strictly smaller score displaces).
+  *
+  * Why this exists: the declarative probe formulation built an
+  * `array(...)` of k scored columns — k·d literal doubles inlined into
+  * the plan — then struct-sorted and sliced it. That is exactly the
+  * inlined-literal shape whose generated method outgrows the JIT's
+  * huge-method limit past a few dozen cells (see [[NearestCellF64]]'s
+  * measurement), and at corpus-scaled k (⌈√n⌉ ≈ 31k cells at 10⁹
+  * vectors) the expression TREE itself becomes a planning/driver-memory
+  * cost before execution even starts. Here the matrix rides the plan as
+  * ONE referenced object and the generated code is a fixed call
+  * regardless of k — the JIT-safety property the serving path's scaladoc
+  * promises now actually holds on the probe side too.
+  *
+  * The selection buffer is nProbe-sized insertion into a sorted pair of
+  * arrays: O(k·d + k·log-ish nProbe) per row with zero allocation
+  * beyond the output, exactly the partial-selection loop a native ANN
+  * library's probe uses. Null vector → null output; summation order and
+  * |c|² match [[NearestCellF64]] bit for bit. */
+case class NearestCellsF64(child: Expression, centroids: Seq[Seq[Double]],
+                           nProbe: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if nProbe > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires nProbe > 0, got $nProbe")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override def toString: String =
+    s"nearest_cells($child, k=${centroids.length}, nProbe=$nProbe)"
+
+  @transient private lazy val dim = if (centroids.isEmpty) 0 else centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((s, x) => s + x * x)).toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellsF64.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      flat, c2, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
+    val nrm2 = ctx.addReferenceObj("cellNorms", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NearestCellsF64.compute($v, $m, $nrm2, $dim, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsF64 =
+    copy(child = newChild)
+}
+
+object NearestCellsF64 {
+  /** Static entry point shared by interpreted eval and generated code:
+    * the nProbe (score, cell)-ascending nearest cells as an int array. */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              flat: Array[Double], c2: Array[Double],
+              dim: Int, nProbe: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = c2.length
+    val n = math.min(dim, a.numElements())
+    val np = math.min(nProbe, k)
+    val bestS = new Array[Double](np)
+    val bestC = new Array[Int](np)
+    java.util.Arrays.fill(bestS, Double.PositiveInfinity)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += flat(off + i) * a.getDouble(i); i += 1 }
+      val s = -2.0 * dot + c2(c)
+      // strict <: an equal score never displaces an earlier (lower)
+      // cell — the (s, cell)-ascending tie-break of the oracles
+      if (s < bestS(np - 1)) {
+        var j = np - 1
+        while (j > 0 && s < bestS(j - 1)) {
+          bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestS(j) = s; bestC(j) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(bestC)
+  }
+}
+
 object NearestCell {
   /** Column-level nearest-centroid assignment backed by the native
     * expression. */
   def apply(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnShim.column(NearestCellF64(
       ColumnShim.expression(v), centroids.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Column-level top-nProbe probe cells backed by the native
+    * expression — the probe-side twin of [[apply]]. */
+  def top(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnShim.column(NearestCellsF64(
+      ColumnShim.expression(v), centroids.map(_.toIndexedSeq).toIndexedSeq, nProbe))
 }

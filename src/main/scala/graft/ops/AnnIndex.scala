@@ -206,8 +206,16 @@ object AnnIndex {
 
   /** The stored SQ8 params read back as the (mns, mxs) pair (2·d
     * doubles — bounded, same contract as the quantizer collect). */
-  def storedSqParams(spark: SparkSession, dir: String, tag: String = ""): (Array[Double], Array[Double]) = {
-    val rows = spark.table(sqTableFor(dir, tag))
+  def storedSqParams(spark: SparkSession, dir: String, tag: String = ""): (Array[Double], Array[Double]) =
+    readSqParams(spark, sqTableFor(dir, tag))
+
+  /** [[storedSqParams]] for the two-level generation. */
+  def storedSqParams2(spark: SparkSession, dir: String, tag: String = ""): (Array[Double], Array[Double]) =
+    readSqParams(spark, sq2TableFor(dir, tag))
+
+  private def readSqParams(spark: SparkSession,
+                           table: String): (Array[Double], Array[Double]) = {
+    val rows = spark.table(table)
       .select(col("dim"), col("mn"), col("mx")).orderBy(col("dim")).collect()
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
@@ -556,9 +564,21 @@ object AnnIndex {
   def tombstone2TableFor(dir: String, tag: String = ""): String =
     table2For(dir, tag) + "_ts"
 
+  /** Generation-2 SQ8 params: (dim, mn, mx) beside the two-level
+    * index — [[sqTableFor]]'s contract one level down. The two-level
+    * tier IS the billion-vector tier, the one whose probes must be
+    * byte-frugal: without codes every probed fine cell pays 8
+    * bytes/dim of full-precision vectors where the flat tier pays ~1.
+    * Same stored-params coherence rule: every code row was produced
+    * with exactly these (mn, mx), appends encode with them, and
+    * [[requantize2]] refreshes them with the generation. */
+  def sq2TableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_sq"
+
   private def allTables2(dir: String, tag: String): Seq[String] =
     Seq(table2For(dir, tag), coarseQuantizerTableFor(dir, tag),
-      fineQuantizerTableFor(dir, tag), tombstone2TableFor(dir, tag))
+      fineQuantizerTableFor(dir, tag), sq2TableFor(dir, tag),
+      tombstone2TableFor(dir, tag))
 
   /** Build the two-level index if absent: assignment
     * (vec_id, ccell, v, nrm, fcell) bucketed on the COARSE cell (kc
@@ -576,26 +596,36 @@ object AnnIndex {
       val prep = Similarity.prepared(emb)
       writeGeneration2(spark, prep, emb.count(), t,
         coarseQuantizerTableFor(dir, tag), fineQuantizerTableFor(dir, tag),
-        tombstone2TableFor(dir, tag))
+        sq2TableFor(dir, tag), tombstone2TableFor(dir, tag))
     }
     t
   }
 
-  /** Stage one full two-level generation into the three named tables
-    * — shared by the build (straight into the live names) and
-    * [[requantize2]] (into the `__stage` names). */
+  /** Stage one full two-level generation into the named tables —
+    * shared by the build (straight into the live names) and
+    * [[requantize2]] (into the `__stage` names). The assignment rows
+    * carry SQ8 `codes` quantized ONCE here at write time with the
+    * generation's own params — the byte-bounded read path
+    * [[ensureBuilt]] gave the flat tier, now on the tier that needs it
+    * most (a billion-vector probe's fine cells at ~1 byte/dim instead
+    * of 8). */
   private def writeGeneration2(spark: SparkSession, prep: DataFrame, n: Long,
                                t: String, qc: String, qf: String,
-                               tst: String): Unit = {
+                               sqt: String, tst: String): Unit = {
     val (coarse, fine, asg) = Similarity.ivf2StructureOf(prep, n)
+    val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
     Bucketed.writeBucketed(
-      asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell")),
+      asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes")),
       t, "ccell", nBuckets = coarse.length)
     import spark.implicits._
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ccell", "centroid")
       .write.mode("overwrite").saveAsTable(qc)
     fine.write.mode("overwrite").saveAsTable(qf)
+    mns.indices.map(i => (i, mns(i), mxs(i)))
+      .toDF("dim", "mn", "mx")
+      .write.mode("overwrite").saveAsTable(sqt)
     writeTombstones(spark, emptyTombstones(spark, "ccell"), tst, 1, "ccell")
   }
 
@@ -618,6 +648,10 @@ object AnnIndex {
     val t = ensureBuilt2(spark, dir, tag)
     val coarse = storedCoarseQuantizer(spark, dir, tag)
     val fine = spark.table(fineQuantizerTableFor(dir, tag))
+    // codes encode with the STORED gen-2 params — [[appendBatch]]'s
+    // coherence rule one level down (out-of-range batch values clamp;
+    // the exact rerank still scores them full-precision)
+    val (mns, mxs) = storedSqParams2(spark, dir, tag)
     val casg = Similarity.assignCells(Similarity.prepared(fresh), coarse)
       .withColumnRenamed("cell", "ccell")
     val assigned = casg.join(broadcast(fine), Seq("ccell"))
@@ -627,7 +661,8 @@ object AnnIndex {
         first(col("ccell")).as("ccell"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("fcell"), struct(col("s"), col("fcell"))).as("fcell"))
-    assigned.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"))
+    assigned.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
       .write.mode("append").format("parquet")
       .bucketBy(coarse.length, "ccell").sortBy("ccell")
       .saveAsTable(t)
@@ -699,25 +734,24 @@ object AnnIndex {
     val t = ensureBuilt2(spark, dir, tag)
     val qc = coarseQuantizerTableFor(dir, tag)
     val qf = fineQuantizerTableFor(dir, tag)
+    val sqt = sq2TableFor(dir, tag)
     val tst = tombstone2TableFor(dir, tag)
     // compaction: tombstoned rows leave here, exactly [[requantize]]
     val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
       .join(spark.table(tst).select(col("vec_id")), Seq("vec_id"), "left_anti")
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
-    val all = Seq(t, qc, qf, tst)
+    val all = Seq(t, qc, qf, sqt, tst)
     all.foreach(x => Bucketed.resetTable(spark, x + "__stage"))
     writeGeneration2(spark, live, n, t + "__stage", qc + "__stage",
-      qf + "__stage", tst + "__stage")
+      qf + "__stage", sqt + "__stage", tst + "__stage")
     all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
-    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
-    spark.sql(s"ALTER TABLE $qc RENAME TO ${qc}__old")
-    spark.sql(s"ALTER TABLE $qf RENAME TO ${qf}__old")
-    spark.sql(s"ALTER TABLE $tst RENAME TO ${tst}__old")
-    spark.sql(s"ALTER TABLE ${tst}__stage RENAME TO $tst")
-    spark.sql(s"ALTER TABLE ${qf}__stage RENAME TO $qf")
-    spark.sql(s"ALTER TABLE ${qc}__stage RENAME TO $qc")
-    spark.sql(s"ALTER TABLE ${t}__stage RENAME TO $t")
+    // assignment aside FIRST, promoted LAST — the crash-window
+    // invariant [[requantize]] documents; the SQ params swap with the
+    // generation (every code row re-encoded against the refreshed
+    // (mn, mx), one code book per generation)
+    all.foreach(x => spark.sql(s"ALTER TABLE $x RENAME TO ${x}__old"))
+    all.reverse.foreach(x => spark.sql(s"ALTER TABLE ${x}__stage RENAME TO $x"))
     all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
   }
 
@@ -746,6 +780,78 @@ object AnnIndex {
       .join(broadcast(ts), Seq("vec_id"), "left_anti")
     Similarity.probeIvf2From(qcFrame.withColumnRenamed("cell", "ccell"),
       fine, asg, k, nProbeFine)
+  }
+
+  /** IVF² × SQ8 probe over the persisted two-level index — the
+    * billion-vector serving read path with the byte bound it was
+    * missing: coarse probe cells selected in-plan against the stored
+    * n^¼ quantizer (only the distinct cell-id literals reach the
+    * driver), fine cells ranked per query across the probed coarse
+    * cells (the [[Similarity.probeIvf2From]] ranking, verbatim), and
+    * the CANDIDATE pass scans only the probed fine cells' CODE rows —
+    * bucket-pruned on ccell AND column-pruned to ~1 bit-packed
+    * byte/dim (the plan's ReadSchema excludes `v`; `AnnIndexSpec`
+    * pins it). The exact rerank re-reads full vectors for
+    * queries×rerank rows only, still inside the probed buckets.
+    * Tombstones anti-join coarse-pruned, [[topK2]]'s rule. All
+    * quantization artifacts (both centroid levels, SQ params, codes)
+    * are READ, never derived — zero corpus-wide jobs at serving time,
+    * [[topKSq]]'s contract one level down. */
+  def topK2Sq(spark: SparkSession, dir: String, maxQueryId: Long,
+              k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+              rerank: Int = 10, tag: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    val (qcFrame, cells) =
+      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
+    val cellLits = cells.map(Int.box).toSeq
+    val (mns, mxs) = storedSqParams2(spark, dir, tag)
+    val (steps, basis) = Similarity.sqTerms(mns, mxs)
+    val stepL = array(steps.map(lit): _*)
+    val basisL = array(basis.map(lit): _*)
+    // per-query SQ terms ride the tiny broadcast side, as in [[topKSq]]
+    val qc = qcFrame.withColumnRenamed("cell", "ccell")
+      .withColumn("qbasis", Similarity.dot(col("qv"), basisL))
+      .withColumn("t", zip_with(col("qv"), stepL, (a, b) => a * b))
+    val fine = spark.table(fineQuantizerTableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*))
+    // fine probe: nProbeFine best (s, ccell, fcell) across the probed
+    // coarse cells — the exact probeIvf2From ranking, qbasis/t carried
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("s"), col("ccell"), col("fcell"))
+    val probes = qc.join(broadcast(fine), Seq("ccell"))
+      .withColumn("s",
+        lit(-2.0) * Similarity.dot(col("qv"), col("fv")) + col("f2"))
+      .withColumn("prn", row_number().over(wQ))
+      .filter(col("prn") <= nProbeFine)
+      .select(col("ccell"), col("fcell"), col("q_id"), col("qv"), col("qn"),
+        col("qbasis"), col("t"))
+    val ts = spark.table(tombstone2TableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*)).select(col("vec_id"))
+    val idx = spark.table(t).filter(col("ccell").isin(cellLits: _*))
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = idx.select(col("vec_id"), col("nrm"), col("ccell"),
+        col("fcell"), col("codes"))
+      .join(broadcast(probes), Seq("ccell", "fcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        (col("qbasis") + Similarity.dot(col("t"), col("codes").cast("array<double>"))) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    idx.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score",
+        round(Similarity.cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
   def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,

@@ -132,19 +132,24 @@ object Similarity {
       graft.functions.NearestCell(col("v"), centroids))
 
   /** Query side of an IVF probe: each query exploded to its `nProbe`
-    * nearest cells as `(cell, q_id, qv, qn)` rows. */
-  def probeQueries(queries: DataFrame, cs: Array[Array[Double]], nProbe: Int): DataFrame = {
-    val qScores = array(cs.map { c =>
-      val cLit = array(c.map(lit): _*)
-      lit(-2.0) * dot(col("v"), cLit) + lit(c.map(x => x * x).sum)
-    }: _*)
+    * nearest cells as `(cell, q_id, qv, qn)` rows — the native
+    * [[graft.functions.NearestCellsF64]] arg-top-n, so the centroid
+    * matrix rides the plan as ONE referenced constant exactly like the
+    * assignment side ([[assignCells]]). The former declarative form
+    * (an `array(...)` of k scored literal columns, struct-sorted and
+    * sliced) embedded k·d literal doubles in the expression tree —
+    * fine at fixture k, but at corpus-scaled k (⌈√n⌉ ≈ 31k cells at
+    * 10⁹ vectors) the tree itself is a planning/driver-memory cost and
+    * the generated method falls out of JIT compilation
+    * ([[graft.functions.NearestCellF64]]'s measurement). Ranking is
+    * (score, cell) ascending with the first-min tie-break — the same
+    * `ORDER BY s, cell` the DuckDB oracles state, unchanged. */
+  def probeQueries(queries: DataFrame, cs: Array[Array[Double]], nProbe: Int): DataFrame =
     queries
-      .withColumn("cell_scores", qScores)
-      .withColumn("probe_cell", explode(expr(
-        s"slice(array_sort(transform(cell_scores, (s, i) -> struct(s AS s, i AS c))), 1, $nProbe).c")))
-      .select(col("probe_cell").cast("int").as("cell"),
+      .withColumn("probe_cell",
+        explode(graft.functions.NearestCell.top(col("v"), cs, nProbe)))
+      .select(col("probe_cell").as("cell"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-  }
 
   /** Probe + rank over a cell assignment (`vec_id, v, nrm, cell` —
     * built inline by [[topKIvfKmeans]] or read back from the persisted

@@ -156,6 +156,20 @@ object PipelineQueries {
         nProbeCoarse = 2, nProbeFine = 3)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the byte-bounded billion-vector read path: IVF² bucket pruning
+    // bounds WHICH fine cells a probe touches, the stored SQ8 codes
+    // bound the BYTES per touched row (~1 bit-packed byte/dim — the
+    // candidate scan's ReadSchema excludes the full vectors,
+    // AnnIndexSpec-pinned), exact rerank keeps emitted scores
+    // full-precision. Oracle = the inline two-level statement composed
+    // with the SQ8 CTEs, the way topk_ivf_sq composes the flat ones —
+    // every stored artifact (both quantizer levels, params, codes,
+    // all three rankings) must be a pure physical optimization of it
+    "topk_indexed_ivf2_sq" -> ((s, dir) =>
+      AnnIndex.topK2Sq(s, dir, maxQueryId = 7, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 10)
+        .orderBy(col("q_id"), col("rn"))),
+
     // RETIRE on the billion-vector tier: same tagged-generation +
     // idempotent-tombstone discipline as topk_after_delete, one level
     // down (residue 3 — the set that intersects the two-level top-4
@@ -901,6 +915,13 @@ object PipelineQueries {
       annIndex2OracleSql(maxQueryId = 6, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, candFilter = " AND x.vec_id % 10 <> 3"),
 
+    // IVF² × SQ8 in one statement: annIndex2OracleSql's two-level CTEs
+    // composed with topk_sq's quantization/approx/rerank CTEs — the
+    // byte-bounded billion-vector serving shape hash-checked end to end
+    "topk_indexed_ivf2_sq" ->
+      annIndex2SqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, rerank = 10),
+
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
     // stated identically, the decomposed approximate dot (basis term +
@@ -1332,6 +1353,83 @@ object PipelineQueries {
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
        |    AND x.vec_id <> q.q_id$candFilter),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The IVF² × SQ8 oracle (`topk_indexed_ivf2_sq`): the two-level
+    * CTEs of [[annIndex2OracleSql]] (both quantizer levels, both
+    * assignments, both probe rankings) composed with `topk_sq`'s
+    * quantization / decomposed-approximate-dot / rerank CTEs. The
+    * persisted index's whole stored stack — coarse+fine centroids,
+    * SQ params, codes inside the ccell buckets — must reproduce this
+    * statement exactly. */
+  private def annIndex2SqOracleSql(maxQueryId: Int, topK: Int,
+                                   nProbeCoarse: Int, nProbeFine: Int,
+                                   rerank: Int): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
+       |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS ccell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kc WHERE s.rnk <= kc.k),
+       |csc AS (SELECT n.vec_id, n.v, n.nrm, cen.ccell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |casg AS (SELECT vec_id, v, nrm, ccell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn FROM csc)
+       |  WHERE rn = 1),
+       |occ AS (SELECT ccell, count(*) AS c FROM casg GROUP BY ccell),
+       |kf AS (SELECT ccell, CASE WHEN (sq - 1) * (sq - 1) >= c THEN sq - 1
+       |                          WHEN sq * sq >= c THEN sq ELSE sq + 1 END AS kf
+       |  FROM (SELECT ccell, c, CAST(floor(sqrt(c)) AS BIGINT) AS sq FROM occ)),
+       |fcen AS (SELECT r.ccell, (r.rnk - 1)::INT AS fcell, r.v AS fctr
+       |  FROM (SELECT ccell, v, ROW_NUMBER() OVER (PARTITION BY ccell
+       |          ORDER BY md5('seed:' || vec_id), vec_id) AS rnk FROM casg) r
+       |  JOIN kf ON r.ccell = kf.ccell WHERE r.rnk <= kf.kf),
+       |fsc AS (SELECT a.vec_id, a.nrm, a.ccell, f.fcell,
+       |  -2.0 * list_dot_product(a.v, f.fctr) + list_dot_product(f.fctr, f.fctr) AS s
+       |  FROM casg a JOIN fcen f ON a.ccell = f.ccell),
+       |fasg AS (SELECT vec_id, nrm, ccell, fcell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, fcell) rn FROM fsc)
+       |  WHERE rn = 1),
+       |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM n, range(1, 65) t(i) GROUP BY i),
+       |sprm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+       |c AS (SELECT vec_id, nrm,
+       |  list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN 0.0
+       |    ELSE least(greatest(floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])), 0.0), 255.0)
+       |  END) AS codes
+       |  FROM n, sprm),
+       |qc AS (SELECT vec_id AS q_id, qv, qn, ccell, qbasis, t FROM
+       |  (SELECT csc.vec_id, csc.v AS qv, csc.nrm AS qn, csc.ccell,
+       |     list_dot_product(csc.v, list_transform(range(1, 65),
+       |       i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
+       |     list_transform(range(1, 65), i -> csc.v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t,
+       |     ROW_NUMBER() OVER (PARTITION BY csc.vec_id ORDER BY csc.s, csc.ccell) rn
+       |   FROM csc, sprm WHERE csc.vec_id < $maxQueryId) WHERE rn <= $nProbeCoarse),
+       |qf AS (SELECT q_id, qv, qn, qbasis, t, ccell, fcell FROM
+       |  (SELECT q.q_id, q.qv, q.qn, q.qbasis, q.t, q.ccell, f.fcell,
+       |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |       -2.0 * list_dot_product(q.qv, f.fctr) + list_dot_product(f.fctr, f.fctr),
+       |       q.ccell, f.fcell) AS rn
+       |   FROM qc q JOIN fcen f ON q.ccell = f.ccell) WHERE rn <= $nProbeFine),
+       |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
+       |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
+       |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
+       |    AND x.vec_id <> q.q_id
+       |  JOIN c ON c.vec_id = x.vec_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

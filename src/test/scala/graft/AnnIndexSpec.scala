@@ -385,6 +385,76 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("two-level SQ probe: zero loss at rerank = 2k; candidate scan reads codes, not full vectors") {
+    AnnIndex.ensureBuilt2(spark, sf)
+    // the flat tier's quantize-then-rerank contract, one level down:
+    // with rerank = 2k the SQ approximation only reorders candidates
+    // below the cut, so the result ROWS must equal the full-precision
+    // two-level probe — a gen-2 code-book regression breaks equality
+    val full = AnnIndex.topK2(spark, sf, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val sq = AnnIndex.topK2Sq(spark, sf, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 8)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(full.nonEmpty && sq == full,
+      "gen-2 SQ8 + exact rerank must reproduce the full-precision two-level probe")
+    // the BYTE-BOUND claim, plan-pinned: the candidate pass must read
+    // the bit-packed codes and NEVER the 8-byte/dim full vectors —
+    // this is the entire reason gen-2 codes exist (the billion-vector
+    // tier's probes are the byte-frugal ones); the rerank scan alone
+    // reads v, and both scans bucket-prune on the probed coarse cells
+    val plan = AnnIndex.topK2Sq(spark, sf, maxQueryId = 2, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 8)
+      .queryExecution.executedPlan.toString
+    val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(prunes.size >= 2,
+      s"both the candidate scan and the rerank scan must bucket-prune:\n$plan")
+    prunes.foreach(m => assert(m.group(1).toInt <= 4,
+      s"expected <=4 of ${m.group(2)} coarse buckets read, got ${m.group(1)}"))
+    assert(plan.contains(
+      "ReadSchema: struct<vec_id:bigint,nrm:double,ccell:int,fcell:int,codes:array<int>>"),
+      s"candidate scan must read only (vec_id, nrm, ccell, fcell, codes):\n$plan")
+    assert(plan.contains(
+      "ReadSchema: struct<vec_id:bigint,v:array<double>,nrm:double,ccell:int>"),
+      s"rerank scan must read full vectors for candidates only:\n$plan")
+  }
+
+  test("gen-2 SQ params refresh across the append -> requantize2 cycle") {
+    val dir = tempCorpus("ivf2-sq-cycle")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    // the appended replica is scaled 1.5×, widening every dimension's
+    // range: its codes clamp under the STORED params until requantize2
+    // refreshes them with the generation (the appendBatch2 coherence
+    // contract — a quality decay the exact rerank absorbs, never a
+    // correctness one)
+    val widened = emb.withColumn("vec_id", col("vec_id") + 500000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.5)).cast("float")))
+    AnnIndex.appendBatch2(spark, dir, widened)
+    val (_, mxs0) = AnnIndex.storedSqParams2(spark, dir)
+    AnnIndex.requantize2(spark, dir)
+    val (mns1, mxs1) = AnnIndex.storedSqParams2(spark, dir)
+    val combined = emb.union(widened)
+    val (mnsI, mxsI) = Similarity.sqParamsOf(Similarity.prepared(combined))
+    assert(mns1.toSeq == mnsI.toSeq && mxs1.toSeq == mxsI.toSeq,
+      "requantize2 must refresh gen-2 SQ params from the combined corpus")
+    assert(mxs1.toSeq != mxs0.toSeq,
+      "the widened range must actually move the stored gen-2 params")
+    // and the SQ probe over the rebuilt generation is still zero-loss
+    // against the full-precision probe of the same generation
+    val full = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val sq = AnnIndex.topK2Sq(spark, dir, maxQueryId = 5, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 8)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(full.nonEmpty && sq == full,
+      "the requantized gen-2 code book must keep the rerank contract")
+  }
+
   test("the probe side is distributed: query vectors are never collected to a local relation") {
     AnnIndex.ensureBuilt(spark, sf)
     // the probe frame must derive from the query-side parquet scan —
@@ -397,7 +467,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       AnnIndex.topK(spark, sf, maxQueryId = 4, k = 3, nProbe = 2),
       AnnIndex.topKSq(spark, sf, maxQueryId = 4, k = 3, nProbe = 2, rerank = 8),
       { AnnIndex.ensureBuilt2(spark, sf)
-        AnnIndex.topK2(spark, sf, maxQueryId = 4, k = 3) }
+        AnnIndex.topK2(spark, sf, maxQueryId = 4, k = 3) },
+      AnnIndex.topK2Sq(spark, sf, maxQueryId = 4, k = 3)
     ).foreach { probed =>
       val plan = probed.queryExecution.executedPlan.toString
       assert(!plan.contains("LocalTableScan"),

@@ -744,6 +744,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("NearestCellsF64: (score, cell)-ascending top-n == brute force, incl. exact ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cells 1 and 3 are identical — an exact score tie on every query;
+    // the (s, cell) order must keep the LOWER cell and exclude the
+    // higher one when only one tie partner fits the top-n
+    val cs = Array(Array(1.0, 0.0), Array(0.5, 0.5), Array(0.0, 1.0),
+      Array(0.5, 0.5), Array(-1.0, 0.0))
+    val vs = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.4, 0.6),
+      Array(-0.3, -0.7), Array(0.5, 0.5))
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    (1 to 4).foreach { np =>
+      val out = df.select(col("id"),
+          graft.functions.NearestCell.top(col("v"), cs, np).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val brute = cs.zipWithIndex.map { case (c, ci) =>
+          val d = c.zip(v).map { case (a, b) => a * b }.sum
+          (-2.0 * d + c.map(x => x * x).sum, ci)
+        }.sortBy(identity).take(np).map(_._2).toSeq
+        assert(out(i.toLong) == brute, s"row $i nProbe $np")
+      }
+    }
+  }
+
   test("audioMeta and audioPcm share ONE SPHERE header parse (parity pin)") {
     import org.apache.spark.sql.functions.col
     // both consumers now route through the same sphereParsed primitive;
