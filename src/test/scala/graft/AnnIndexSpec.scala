@@ -685,6 +685,47 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
   }
 
+  test("curation -> ledger -> removeBatch: ledger-first ordering, replay idempotent, crash window heals") {
+    import spark.implicits._
+    val dir = tempCorpus("ledger")
+    AnnIndex.ensureBuilt(spark, dir, tag = "led")
+    def probe() = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, nProbe = 2, tag = "led")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // batch 1 retires ids that provably sit in the undeleted top-k, so
+    // the delete VISIBLY changes results (never a vacuous pass)
+    val victims = before.map(_.getAs[Long]("vec_id")).distinct.take(3)
+    AnnIndex.retireBatch(spark, dir, victims.toDF("vec_id"), tag = "led")
+    val after1 = probe()
+    assert(after1 != before && after1.forall(r =>
+      !victims.contains(r.getAs[Long]("vec_id"))),
+      "retired ids must leave the serving results")
+    // the ledger durably recorded exactly the batch
+    val ledger = AnnIndex.deleteLedgerTableFor(dir, "led")
+    assert(spark.table(ledger).collect().map(_.getLong(0)).sorted.toSeq
+      == victims.sorted.toSeq)
+    // replay TWICE: at-least-once delivery converges (the idempotent
+    // fast path absorbs a fully-applied ledger)
+    AnnIndex.replayDeleteLedger(spark, dir, "led")
+    AnnIndex.replayDeleteLedger(spark, dir, "led")
+    assert(probe() == after1, "ledger replay must be idempotent")
+    // CRASH WINDOW: batch 2 lands in the ledger but the producer dies
+    // before removeBatch (simulated by appending to the ledger
+    // directly) — the index keeps serving the pre-crash state...
+    val victims2 = after1.map(_.getAs[Long]("vec_id")).distinct.take(2)
+    victims2.toDF("vec_id").write.mode("append").format("parquet")
+      .saveAsTable(ledger)
+    assert(probe() == after1,
+      "an unapplied ledger batch must not affect serving")
+    // ...and the recovery path applies the stranded batch
+    AnnIndex.replayDeleteLedger(spark, dir, "led")
+    val after2 = probe()
+    assert(after2 != after1 && after2.forall(r =>
+      !(victims ++ victims2).contains(r.getAs[Long]("vec_id"))),
+      "replaying the ledger must apply the batch the crash stranded")
+  }
+
   test("removeBatch's idempotent fast path genuinely skips the table swap (no rewrite, not just same rows)") {
     val dir = tempCorpus("del-noop")
     AnnIndex.ensureBuilt(spark, dir)
