@@ -30,6 +30,19 @@ import graft.ops.{AnnIndex, Similarity}
   *                  inline [[Similarity.topKIvf2]] is spec-pinned
   *                  identical, so sweeping the stored probe measures
   *                  both), (nProbeCoarse, nProbeFine) swept
+  *  - `ivf2_sq`   — [[AnnIndex.topK2Sq]], the byte-bounded two-level
+  *                  read path; with rerank = 2k it must match `ivf2`
+  *                  at every dial (the flat tier's zero-loss result,
+  *                  one level down)
+  *  - `indexed_deleted` — [[AnnIndex.topK]] over a TOMBSTONED
+  *                  generation (vec_id % 10 == 7 retired), measured
+  *                  against brute force over the SURVIVORS
+  *                  ([[Similarity.topKOver]]): deletion changes both
+  *                  the candidate set and the per-probe economics, so
+  *                  the table carries its own row — and at full probe
+  *                  width (nProbe = cells) recall must be exactly 1.0
+  *                  (deletion may never lose a live neighbor;
+  *                  `AnnIndexSpec` pins it)
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -77,6 +90,34 @@ object AnnRecallProbe {
       val r = recall(AnnIndex.topK2(spark, dir, nQueries, k = k,
         nProbeCoarse = nc, nProbeFine = nf))
       println(f"[recall] path=ivf2 nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d recall@$k=$r%.3f")
+    }
+    Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
+      val r = recall(AnnIndex.topK2Sq(spark, dir, nQueries, k = k,
+        nProbeCoarse = nc, nProbeFine = nf, rerank = 2 * k))
+      println(f"[recall] path=ivf2_sq nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d rerank=${2 * k}%-3d recall@$k=$r%.3f")
+    }
+
+    // ---- recall AFTER DELETE: tombstoned generation vs brute force
+    // over the survivors. The retired tenth (vec_id % 10 == 7 — the
+    // registry delete entry's residue) leaves the ground-truth corpus
+    // but its ids still probe (external-caller contract).
+    val delTag = "recall-del"
+    AnnIndex.ensureBuilt(spark, dir, tag = delTag)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7), tag = delTag)
+    val bruteSurv = pairs(Similarity.topKOver(
+      emb.filter(col("vec_id") % 10 =!= 7), emb, maxQueryId = nQueries, k = k))
+    def recallSurv(df: DataFrame): Double = {
+      val approx = pairs(df)
+      bruteSurv.iterator.map { case (q, b) =>
+        (approx.getOrElse(q, Set.empty) & b).size.toDouble / b.size
+      }.sum / bruteSurv.size
+    }
+    (Seq(1, 2, 4, 8, 16) :+ kCells).distinct.foreach { nProbe =>
+      val r = recallSurv(AnnIndex.topK(spark, dir, nQueries, k = k,
+        nProbe = nProbe, tag = delTag))
+      println(f"[recall] path=indexed_deleted nProbe=$nProbe%-3d recall@$k=$r%.3f" +
+        (if (nProbe == kCells) " (full width — must be 1.000)" else ""))
     }
     spark.stop()
   }

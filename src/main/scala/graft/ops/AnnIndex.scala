@@ -349,9 +349,17 @@ object AnnIndex {
   def retireBatch(spark: SparkSession, dir: String, ids: DataFrame,
                   tag: String = ""): Unit = synchronized {
     ensureBuilt(spark, dir, tag)
+    val ledger = deleteLedgerTableFor(dir, tag)
+    // a ledger LOCATION without a catalog entry is a previous JVM's
+    // orphan (the in-memory catalog forgot it): under this harness's
+    // recovery contract the index itself was already rebuilt from
+    // source by ensureBuilt's sweep — the stale ledger describes
+    // tombstones that no longer exist, so it resets with the same rule
+    // (a durable-metastore deployment never hits this branch: its
+    // catalog remembers the table and the append just appends)
+    if (!spark.catalog.tableExists(ledger)) Bucketed.resetTable(spark, ledger)
     val batch = ids.select(col("vec_id").cast("long")).distinct()
-    batch.write.mode("append").format("parquet")
-      .saveAsTable(deleteLedgerTableFor(dir, tag))
+    batch.write.mode("append").format("parquet").saveAsTable(ledger)
     removeBatch(spark, dir, batch, tag)
   }
 

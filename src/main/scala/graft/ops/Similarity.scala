@@ -37,9 +37,18 @@ object Similarity {
     * the (small) query side across the full table, per-query window
     * rank. Scores rounded to 4 decimals before ranking so ordering is
     * reproducible across engines; ties broken by vec_id. */
-  def topK(embeddings: DataFrame, maxQueryId: Long, k: Int = 10): DataFrame = {
-    val e = prepared(embeddings)
-    val q = e.filter(col("vec_id") < maxQueryId)
+  def topK(embeddings: DataFrame, maxQueryId: Long, k: Int = 10): DataFrame =
+    topKOver(embeddings, embeddings, maxQueryId, k)
+
+  /** [[topK]] with SEPARATE corpus and query frames — the ground-truth
+    * form deletion telemetry needs: after a retire pass the corpus is
+    * the SURVIVORS but a retired id still probes (external callers are
+    * not corpus members), so the query side must come from the full
+    * table. Self-matches are excluded by id, as in [[topK]]. */
+  def topKOver(corpus: DataFrame, queries: DataFrame,
+               maxQueryId: Long, k: Int = 10): DataFrame = {
+    val e = prepared(corpus)
+    val q = prepared(queries).filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))

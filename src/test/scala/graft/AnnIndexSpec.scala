@@ -726,6 +726,28 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "replaying the ledger must apply the batch the crash stranded")
   }
 
+  test("deletion loses no live neighbors: full-width probe over a tombstoned index == brute force over survivors") {
+    val dir = tempCorpus("recall-del")
+    AnnIndex.ensureBuilt(spark, dir, tag = "rd")
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7), tag = "rd")
+    val kc = AnnIndex.annCellsFor(emb.count())
+    // nProbe = every cell: the probe scans the whole index minus the
+    // tombstones, so the result must be EXACTLY brute force over the
+    // survivors, rows and scores included (queries include retired id
+    // 7 — external callers still probe) — a tombstone that clips a
+    // live neighbor or leaks a dead one breaks row equality here
+    val probed = AnnIndex.topK(spark, dir, maxQueryId = 8, k = 5,
+        nProbe = kc, tag = "rd")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val brute = Similarity.topKOver(
+        emb.filter(col("vec_id") % 10 =!= 7), emb, maxQueryId = 8, k = 5)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(probed.nonEmpty && probed == brute,
+      "full-width probe after delete must equal brute force over survivors")
+  }
+
   test("removeBatch's idempotent fast path genuinely skips the table swap (no rewrite, not just same rows)") {
     val dir = tempCorpus("del-noop")
     AnnIndex.ensureBuilt(spark, dir)
