@@ -141,6 +141,7 @@ object AnnIndex {
     * of write-once-probe-many. */
   def ensureBuilt(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
     val t = tableFor(dir, tag)
+    healTombstoneSwap(spark, allTables(dir, tag))
     if (allTables(dir, tag).exists(!spark.catalog.tableExists(_))) {
       // an orphaned location from a previous JVM is stale, not
       // reusable: the in-memory catalog lost its bucketing metadata,
@@ -184,6 +185,34 @@ object AnnIndex {
         tombstoneTableFor(dir, tag), 1)
     }
     t
+  }
+
+  /** Narrow the DELETE-crash blast radius (it used to be a full source
+    * rebuild): [[removeBatch]]'s two-rename window is the ONLY state
+    * that leaves exactly the TOMBSTONE table absent while every other
+    * generation table is live — [[requantize]]/[[requantize2]] rename
+    * the ASSIGNMENT aside first and promote it last, so all of their
+    * crash states have the assignment absent too and fall through to
+    * the full-rebuild sweep as before. Inside removeBatch's window the
+    * staged merged tombstone table is already fully written (the stage
+    * write strictly precedes the first rename), so promoting it
+    * recovers EVERYTHING, in-flight batch included; if only the
+    * renamed-aside live table survives (a state no removeBatch crash
+    * point produces, but cheap to tolerate), restoring it recovers
+    * every previously committed tombstone and loses only the in-flight
+    * batch — which the producer's ledger replays. A routine O(batch)
+    * delete therefore never carries a corpus-rebuild cost. */
+  private def healTombstoneSwap(spark: SparkSession, tables: Seq[String]): Unit = {
+    val tst = tables.last
+    if (!spark.catalog.tableExists(tst) &&
+        tables.init.forall(spark.catalog.tableExists)) {
+      if (spark.catalog.tableExists(tst + "__stage")) {
+        spark.sql(s"ALTER TABLE ${tst}__stage RENAME TO $tst")
+        Bucketed.resetTable(spark, tst + "__old")
+      } else if (spark.catalog.tableExists(tst + "__old")) {
+        spark.sql(s"ALTER TABLE ${tst}__old RENAME TO $tst")
+      }
+    }
   }
 
   private def emptyTombstones(spark: SparkSession, cellCol: String = "cell"): DataFrame =
@@ -278,10 +307,15 @@ object AnnIndex {
     * stage→rename-aside→promote protocol as [[requantize]]: the live
     * tombstone table is renamed aside and the staged one promoted, so
     * every crash point inside the window leaves the table ABSENT —
-    * exactly the state [[ensureBuilt]]'s orphan sweep detects and
-    * heals (rebuild from source; the delete producer replays its
-    * ledger). Ids not present in the index resolve to no cell and are
-    * dropped — retiring an unknown id is a no-op, not an error.
+    * a state [[ensureBuilt]] detects and heals CHEAPLY via
+    * [[healTombstoneSwap]] (the staged merged table is complete before
+    * the first rename, so promoting it recovers everything including
+    * the in-flight batch; a routine delete never carries the full
+    * source-rebuild cost, which remains the fallback only when no
+    * tombstone generation survives — then the delete producer replays
+    * its ledger, [[replayDeleteLedger]]). Ids not present in the index
+    * resolve to no cell and are dropped — retiring an unknown id is a
+    * no-op, not an error.
     *
     * Deleted rows stay physically in the assignment buckets until
     * [[requantize]] compacts them (probes filter them out via the
@@ -677,6 +711,7 @@ object AnnIndex {
     * [[ensureBuilt]]. */
   def ensureBuilt2(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
     val t = table2For(dir, tag)
+    healTombstoneSwap(spark, allTables2(dir, tag))
     if (allTables2(dir, tag).exists(!spark.catalog.tableExists(_))) {
       allTables2(dir, tag).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))

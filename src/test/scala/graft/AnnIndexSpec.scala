@@ -591,22 +591,52 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val emb = Fixtures.embeddings(spark, dir)
     AnnIndex.removeBatch(spark, dir,
       emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val afterDelete = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
     val ts = AnnIndex.tombstoneTableFor(dir)
-    // simulate the crash point between rename-aside and promote: the
-    // tombstone table is ABSENT — part of ensureBuilt's existence set,
-    // so the next probe sweeps and rebuilds from source (the delete
-    // producer replays its ledger, per the recovery contract)
+    import spark.implicits._
+    // THE crash window removeBatch can actually produce: live table
+    // renamed aside, staged merged table (committed ∪ in-flight batch)
+    // fully written but not yet promoted. The heal must promote the
+    // stage — recovering EVERYTHING, in-flight batch included — at
+    // O(rename), never the old full-source-rebuild blast radius.
+    val k = AnnIndex.storedQuantizer(spark, dir).length
+    val inFlight = spark.table(AnnIndex.tableFor(dir))
+      .select(col("vec_id"), col("cell"))
+      .filter(col("vec_id") % 10 === 8)
+      .unionByName(spark.table(ts).select(col("vec_id"), col("cell")))
+    Seq(ts + "__stage", ts + "__old").foreach(Bucketed.resetTable(spark, _))
+    inFlight.write.mode("overwrite").format("parquet")
+      .bucketBy(k, "cell").sortBy("cell").saveAsTable(ts + "__stage")
     spark.sql(s"ALTER TABLE $ts RENAME TO ${ts}__old")
     assert(!spark.catalog.tableExists(ts))
+    val assignmentFiles = spark.table(AnnIndex.tableFor(dir))
+      .inputFiles.toSet
     val healed = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
       .orderBy(col("q_id"), col("rn")).collect().toSeq
-    val fresh = Similarity.topKIvfKmeans(emb, maxQueryId = 5, k = 4,
-        nCells = AnnIndex.annCellsFor(emb.count()), nProbe = 2,
-        centroids = Some(AnnIndex.storedQuantizer(spark, dir)))
-      .orderBy(col("q_id"), col("rn")).collect().toSeq
-    assert(healed == fresh,
-      "the healed index serves the full source corpus (deletes replay from their ledger)")
+    assert(healed.forall { r =>
+      val id = r.getAs[Long]("vec_id"); id % 10 != 7 && id % 10 != 8 },
+      "the promoted stage must carry BOTH the committed and the in-flight batch")
+    assert(spark.table(ts).count() ==
+      emb.filter(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 8).count(),
+      "the healed tombstone set is exactly committed ∪ in-flight")
+    assert(spark.table(AnnIndex.tableFor(dir)).inputFiles.toSet == assignmentFiles,
+      "the heal must be a rename, never an index rebuild")
     assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
+    // the degenerate only-__old state (no removeBatch crash point
+    // produces it, but the sweep tolerates it): restoring the live
+    // table keeps every COMMITTED tombstone — only the in-flight batch
+    // is lost, and the ledger replays it
+    spark.sql(s"DROP TABLE $ts") // lose the healed generation entirely
+    AnnIndex.removeBatch(spark, dir, Seq(1L).toDF("vec_id")) // rebuild + re-delete id 1
+    val committed = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    spark.sql(s"ALTER TABLE $ts RENAME TO ${ts}__old")
+    val restored = AnnIndex.topK(spark, dir, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(restored == committed,
+      "__old restore must preserve the committed tombstones")
+    assert(afterDelete.nonEmpty && healed.nonEmpty)
   }
 
   test("requantizeAdvice2: fresh two-level build clean; coarse knee fires on 30x growth") {
@@ -673,15 +703,26 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy(col("q_id"), col("rn")).collect().toSeq
     assert(indexed.nonEmpty && indexed == inline,
       "the compacted two-level index must equal the surviving-corpus inline pipeline")
-    // crash between removeBatch2's renames: ts2 absent → sweep heals
+    // crash between removeBatch2's renames: ts2 absent with the live
+    // set renamed aside → the sweep RESTORES it (healTombstoneSwap's
+    // cheap path, one level up from the flat case) — the compacted
+    // generation keeps serving, no rebuild, no lost tombstones
     val ts = AnnIndex.tombstone2TableFor(dir)
     spark.sql(s"ALTER TABLE $ts RENAME TO ${ts}__old")
     val healed = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4)
       .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(healed == indexed,
+      "the restored gen-2 tombstone table must keep the compacted generation serving")
+    // only when NO tombstone generation survives does the sweep fall
+    // back to the full source rebuild (the delete producer's ledger
+    // replays) — the pre-17 blast radius, now the last resort
+    spark.sql(s"DROP TABLE $ts")
+    val rebuilt = AnnIndex.topK2(spark, dir, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
     val freshInline = Similarity.topKIvf2(emb, maxQueryId = 5, k = 4)
       .orderBy(col("q_id"), col("rn")).collect().toSeq
-    assert(healed == freshInline,
-      "the healed gen-2 index serves the full source corpus (deletes replay from their ledger)")
+    assert(rebuilt == freshInline,
+      "with no surviving tombstone generation the sweep rebuilds from source")
     assert(!spark.catalog.tableExists(ts + "__old"), "orphan must be swept")
   }
 
