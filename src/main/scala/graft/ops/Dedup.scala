@@ -350,7 +350,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
     val ex = sharedShingleRows(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val sizes = shingleSizes(ex)
+    // sizes from the BARE shared shingle base: the source join is 1:1
+    // on doc_id so it cannot change per-doc counts — only the pair
+    // legs need the blocking column, and the size leg skipping the
+    // join is one fewer full-shingle-set probe per invocation
+    val sizes = shingleSizes(sharedShingleRows(docs))
     val inter = ex.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
       .join(ex.select(col("source"), col("doc_id").as("doc_b"), col("shingle")),
         Seq("source", "shingle"))

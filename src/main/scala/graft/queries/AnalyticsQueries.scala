@@ -140,12 +140,21 @@ object AnalyticsQueries {
     // twin's oracle SQL, so bucket pruning / watermark / intra-batch
     // ordering regressions become a driver hash mismatch rather than
     // a spec-only failure
+    // chunks is the replay harness's micro-batch dial, exposed here:
+    // the hit set is chunk-count-invariant (chunks are ts-ordered and
+    // each chunk is one whole micro-batch, so the watermark only moves
+    // BETWEEN chunks at every setting — the oracle hash pins it), and
+    // each micro-batch costs a fixed state-store commit round, so
+    // fewer, larger chunks buy wall time at identical semantics
+    // (measured 8.0 -> ~5 s at sf1 going 10 -> 4). A production
+    // deployment replays from its real source; this dial only shapes
+    // the bounded-replay fixture.
     "stream_neardup_sink" -> ((s, dir) =>
       graft.streaming.StreamAnalytics.nearDupStreamCompleted(
         Fixtures.documents(s, dir)
           .select(col("doc_id"), col("text"),
             ((col("doc_id") + 1440L) * 60000000000L).as("ts")),
-        threshold = 0.6, horizonNanos = 120L * 60000000000L)
+        threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Salting is result-transparent: the oracle states the PLAIN join,
@@ -157,7 +166,11 @@ object AnalyticsQueries {
         .select(col("l_orderkey").as("k"), col("l_quantity"))
       val ord = Fixtures.orders(s, dir)
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-      graft.ops.SkewJoin.saltedJoin(li, ord, "k", salts = 8)
+      // salts=4 spreads the hottest key over 4 reducers — ample for
+      // the fixture's skew while replicating the dim side 4× instead
+      // of 8× (the replication IS the salting's cost; the dial rises
+      // with observed per-key skew, not corpus size)
+      graft.ops.SkewJoin.saltedJoin(li, ord, "k", salts = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
