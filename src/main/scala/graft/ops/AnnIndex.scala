@@ -383,7 +383,26 @@ object AnnIndex {
   def retireBatch(spark: SparkSession, dir: String, ids: DataFrame,
                   tag: String = ""): Unit = synchronized {
     ensureBuilt(spark, dir, tag)
-    val ledger = deleteLedgerTableFor(dir, tag)
+    retireVia(spark, deleteLedgerTableFor(dir, tag), ids,
+      removeBatch(spark, dir, _, tag))
+  }
+
+  /** [[retireBatch]] for the two-level generation — same ledger-first
+    * contract, one level down. */
+  def retireBatch2(spark: SparkSession, dir: String, ids: DataFrame,
+                   tag: String = ""): Unit = synchronized {
+    ensureBuilt2(spark, dir, tag)
+    retireVia(spark, deleteLedger2TableFor(dir, tag), ids,
+      removeBatch2(spark, dir, _, tag))
+  }
+
+  /** Gen-2 ledger table — [[deleteLedgerTableFor]] beside the
+    * two-level index. */
+  def deleteLedger2TableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_ledger"
+
+  private def retireVia(spark: SparkSession, ledger: String, ids: DataFrame,
+                        remove: DataFrame => Unit): Unit = {
     // a ledger LOCATION without a catalog entry is a previous JVM's
     // orphan (the in-memory catalog forgot it): under this harness's
     // recovery contract the index itself was already rebuilt from
@@ -394,7 +413,7 @@ object AnnIndex {
     if (!spark.catalog.tableExists(ledger)) Bucketed.resetTable(spark, ledger)
     val batch = ids.select(col("vec_id").cast("long")).distinct()
     batch.write.mode("append").format("parquet").saveAsTable(ledger)
-    removeBatch(spark, dir, batch, tag)
+    remove(batch)
   }
 
   /** Recovery half of [[retireBatch]]: replay the FULL ledger into the
@@ -406,6 +425,13 @@ object AnnIndex {
     val ledger = deleteLedgerTableFor(dir, tag)
     if (spark.catalog.tableExists(ledger))
       removeBatch(spark, dir, spark.table(ledger), tag)
+  }
+
+  /** [[replayDeleteLedger]] for the two-level generation. */
+  def replayDeleteLedger2(spark: SparkSession, dir: String, tag: String = ""): Unit = {
+    val ledger = deleteLedger2TableFor(dir, tag)
+    if (spark.catalog.tableExists(ledger))
+      removeBatch2(spark, dir, spark.table(ledger), tag)
   }
 
   /** The probe-side tombstone filter: anti-join the index rows against

@@ -789,6 +789,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "full-width probe after delete must equal brute force over survivors")
   }
 
+  test("gen-2 ledger: retireBatch2 records then retires, replay idempotent, stranded batch applied") {
+    import spark.implicits._
+    val dir = tempCorpus("ledger2")
+    AnnIndex.ensureBuilt2(spark, dir, tag = "led2")
+    def probe() = AnnIndex.topK2(spark, dir, maxQueryId = 6, k = 4, tag = "led2")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val before = probe()
+    val victims = before.map(_.getAs[Long]("vec_id")).distinct.take(3)
+    AnnIndex.retireBatch2(spark, dir, victims.toDF("vec_id"), tag = "led2")
+    val after1 = probe()
+    assert(after1 != before && after1.forall(r =>
+      !victims.contains(r.getAs[Long]("vec_id"))))
+    AnnIndex.replayDeleteLedger2(spark, dir, "led2")
+    assert(probe() == after1, "gen-2 ledger replay must be idempotent")
+    // stranded second batch (crash before removeBatch2) applied on replay
+    val ledger = AnnIndex.deleteLedger2TableFor(dir, "led2")
+    val victims2 = after1.map(_.getAs[Long]("vec_id")).distinct.take(2)
+    victims2.toDF("vec_id").write.mode("append").format("parquet")
+      .saveAsTable(ledger)
+    assert(probe() == after1)
+    AnnIndex.replayDeleteLedger2(spark, dir, "led2")
+    assert(probe().forall(r =>
+      !(victims ++ victims2).contains(r.getAs[Long]("vec_id"))))
+  }
+
   test("removeBatch's idempotent fast path genuinely skips the table swap (no rewrite, not just same rows)") {
     val dir = tempCorpus("del-noop")
     AnnIndex.ensureBuilt(spark, dir)
