@@ -48,7 +48,7 @@ object OneQuery {
       // read the shared band/shingle tables too
       val minhashConsumers =
         Set("dedup_minhash", "dedup_apply", "dedup_apply_best", "pipeline_curate",
-          "dedup_incremental", "dedup_incremental_apply", "curate_inc")
+          "dedup_inc", "dedup_inc_apply", "curate_inc")
       if (names.exists(minhashConsumers)) {
         val t0 = System.nanoTime()
         graft.ops.Dedup.prewarmShared(graft.tables.Fixtures.documents(spark, sfDir))

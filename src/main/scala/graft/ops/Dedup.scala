@@ -281,8 +281,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
-  /** [[incrementalMinhashPairs]], persisted: dedup_incremental and
-    * dedup_incremental_apply consume the identical verified pair set
+  /** [[incrementalMinhashPairs]], persisted: dedup_inc and
+    * dedup_inc_apply consume the identical verified pair set
     * in one session, and the verification joins are its expensive tail
     * (the internal persists cover candidates and shingles, not the
     * verified result) — persisting the tiny above-threshold pair frame

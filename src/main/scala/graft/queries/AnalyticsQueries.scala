@@ -43,7 +43,7 @@ object AnalyticsQueries {
     // the distinct-expand from the plan. Decimal addition is exact, so
     // regrouping the sum per order first is bit-identical to the
     // oracle's direct formulation.
-    "q3_revenue_by_segment" -> ((s, dir) => {
+    "q3_revenue" -> ((s, dir) => {
       val c = Fixtures.customer(s, dir)
       val o = Fixtures.orders(s, dir)
       val perOrder = Fixtures.lineitem(s, dir)
@@ -61,7 +61,7 @@ object AnalyticsQueries {
 
     // TPC-H Q5 shape: star join through nation/region (broadcast
     // dims), with the same per-order lineitem pre-aggregation as Q3.
-    "q5_nation_revenue" -> ((s, dir) => {
+    "q5_revenue" -> ((s, dir) => {
       val c = Fixtures.customer(s, dir)
       val o = Fixtures.orders(s, dir)
       val n = Fixtures.nation(s, dir)
@@ -189,7 +189,7 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q3_revenue_by_segment" ->
+    "q3_revenue" ->
       """SELECT c_mktsegment,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |COUNT(DISTINCT o_orderkey) AS n_orders
@@ -197,7 +197,7 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    "q5_nation_revenue" ->
+    "q5_revenue" ->
       """SELECT r_name, n_name,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -106,7 +106,7 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "corpus_snapshot_diff" -> ((s, dir) => {
+    "snapshot_diff" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val old = docs.filter(col("doc_id") % 7 =!= 0)
       val neu = docs.filter(col("doc_id") % 5 =!= 0)
@@ -330,7 +330,7 @@ object CurationQueries {
         |SELECT d.doc_id, d.lang, d.source, t.n_tokens, t.dsir_score
         |FROM documents d JOIN top t USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
-    "corpus_snapshot_diff" ->
+    "snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 7 <> 0),
         |n AS (SELECT doc_id,
         |  md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_fp

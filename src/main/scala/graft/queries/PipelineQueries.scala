@@ -33,7 +33,7 @@ object PipelineQueries {
     // the production shape at scale: dedup the increment (doc_id % 5
     // == 0 plays the daily batch) against the kept corpus — pairs
     // touching a fresh doc, never corpus x corpus
-    "dedup_incremental" -> ((s, dir) => {
+    "dedup_inc" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       // corpus bands/shingles come from the session-shared caches —
       // the registry form of "band table persisted from prior runs"
@@ -49,7 +49,7 @@ object PipelineQueries {
 
     // ...and its APPLY: the increment's survivors (corpus always wins;
     // greedy min-id within the batch — see applyIncrementalDedup)
-    "dedup_incremental_apply" -> ((s, dir) => {
+    "dedup_inc_apply" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val fresh = docs.filter(col("doc_id") % 5 === 0)
       val pairs = Dedup.sharedIncrementalPairs(
@@ -102,7 +102,7 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // the embedding twin of dedup_incremental: vec_id % 5 == 0 plays
+    // the embedding twin of dedup_inc: vec_id % 5 == 0 plays
     // the daily batch, probed against the corpus via the LSH buckets —
     // corpus x corpus pairs never recomputed
     "embed_inc" -> ((s, dir) =>
@@ -165,7 +165,7 @@ object PipelineQueries {
     // with the SQ8 CTEs, the way topk_ivf_sq composes the flat ones —
     // every stored artifact (both quantizer levels, params, codes,
     // all three rankings) must be a pure physical optimization of it
-    "topk_indexed_ivf2_sq" -> ((s, dir) =>
+    "topk2_sq" -> ((s, dir) =>
       AnnIndex.topK2Sq(s, dir, maxQueryId = 7, k = 4,
         nProbeCoarse = 2, nProbeFine = 3, rerank = 10)
         .orderBy(col("q_id"), col("rn"))),
@@ -227,7 +227,7 @@ object PipelineQueries {
     // HLL itself is engine-specific, so the differential form checks
     // the exact column plus a relative-error bound on the sketch (the
     // tighter ±5% assertion lives in OpsSpec on the fixed fixture).
-    "text_distinct_approx" -> ((s, dir) =>
+    "text_hll" -> ((s, dir) =>
       TextAnalysis.distinctStats(Fixtures.documents(s, dir))
         .select(col("exact_distinct"),
           (abs(col("approx_distinct") - col("exact_distinct")) * 10 <=
@@ -363,7 +363,7 @@ object PipelineQueries {
     // full-corpus build; deletion never re-fits). The tagged
     // generation keeps the shared entries' index immutable; retire +
     // removeBatch are idempotent, so the entry re-runs stably.
-    "curate_retire_index" -> ((s, dir) => {
+    "curate_retire" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       // the pair set feeds BOTH the ledger and the query selection —
@@ -466,10 +466,23 @@ object PipelineQueries {
     // proves sign extension AND both byte assemblies, not just the
     // container walk; means stay differential because Spark's div and
     // DuckDB's // both truncate toward zero
-    "mm_audio_pcm16" -> ((s, dir) =>
+    "mm_pcm16" -> ((s, dir) =>
       Multimodal.audioPcm(
         Multimodal.audioPcm16Payload(s, Fixtures.documents(s, dir)))
         .orderBy(col("doc_id"))),
+
+    // REAL frame decode for video — the modality triple completed:
+    // genuine YUV4MPEG2 streams whose bodies carry FRAME-marked
+    // uncompressed 4:2:0 planes planted from doc_id, per-frame plane
+    // means read by one codegen'd Y4mFrameStats walk (magic-gated,
+    // dims from the parameter line, body at byte precision). The
+    // oracle predicts every plane sum in closed form over unnested
+    // (frame, offset) ranges — a hash match proves the marker walk,
+    // the plane offsets, and the 4:2:0 geometry, never just metadata
+    "mm_video" -> ((s, dir) =>
+      Multimodal.videoPixels(
+        Multimodal.videoPayload(s, Fixtures.documents(s, dir)))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // the APPLY step: near-dup pairs → cluster labels → surviving
     // corpus (one representative per cluster + absorbed count)
@@ -530,7 +543,7 @@ object PipelineQueries {
           .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000),
         "pipeline")
       // corpus bands + shingles from the session-shared caches, like
-      // dedup_incremental (shingles of ungated docs are inert: the
+      // dedup_inc (shingles of ungated docs are inert: the
       // verification semi-join keeps only candidate participants).
       // FRESH bands too: signatures are per-doc, so the gated
       // increment's band table is a semi-join filter of the shared
@@ -715,13 +728,13 @@ object PipelineQueries {
     // The incremental form never builds the corpus self-join, but its
     // OUTPUT contract is exactly the full pair set restricted to pairs
     // with a fresh side — which the oracle can say directly.
-    "dedup_incremental" -> (shingleCte + minhashVerCte +
+    "dedup_inc" -> (shingleCte + minhashVerCte +
       """SELECT doc_a, doc_b, (inter * 10000) // uni AS jaccard_bp FROM ver
         |WHERE inter * 1000 >= uni * 600
         |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin),
 
-    "dedup_incremental_apply" -> (shingleCte + minhashVerCte +
+    "dedup_inc_apply" -> (shingleCte + minhashVerCte +
       """, ipairs AS (SELECT doc_a, doc_b FROM ver
         |  WHERE inter * 1000 >= uni * 600 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)),
         |sides AS (SELECT doc_a AS other, doc_b AS doc_id FROM ipairs
@@ -947,7 +960,7 @@ object PipelineQueries {
     // IVF² × SQ8 in one statement: annIndex2OracleSql's two-level CTEs
     // composed with topk_sq's quantization/approx/rerank CTEs — the
     // byte-bounded billion-vector serving shape hash-checked end to end
-    "topk_indexed_ivf2_sq" ->
+    "topk2_sq" ->
       annIndex2SqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, rerank = 10),
 
@@ -956,7 +969,7 @@ object PipelineQueries {
     // feed a losers set excluded from the IVF candidates, and the
     // probe's query set is the pair survivors' 4 smallest ids — every
     // stage of the producer AND the consumer mirrored in one statement
-    "curate_retire_index" -> curateRetireOracleSql(topK = 4),
+    "curate_retire" -> curateRetireOracleSql(topK = 4),
 
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
@@ -1019,7 +1032,7 @@ object PipelineQueries {
     // exact count — the sketches differ, the ±10% CLAIM must not.
     // (A hardcoded `true` here would have made the column vacuous:
     // only the exact count would be checked.)
-    "text_distinct_approx" ->
+    "text_hll" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT count(DISTINCT token) AS exact_distinct,
         |  (abs(approx_count_distinct(token)::BIGINT - count(DISTINCT token)) * 10
@@ -1286,7 +1299,7 @@ object PipelineQueries {
     // (frame, channel) ranges; the oracle never assembles a byte pair,
     // which is exactly what makes a byte-order or sign-extension bug
     // in the decoder a hash mismatch
-    "mm_audio_pcm16" ->
+    "mm_pcm16" ->
       """WITH m AS (SELECT doc_id,
         |  (30 + doc_id % 90)::BIGINT AS frames,
         |  (1 + doc_id % 2)::BIGINT AS ch,
@@ -1302,7 +1315,35 @@ object PipelineQueries {
         |  (s0 * 100 // frames)::BIGINT AS mean_c0_x100,
         |  (CASE WHEN ch = 2 THEN s1 * 100 // frames END)::BIGINT AS mean_c1_x100,
         |  ((s0 + s1) * 100 // (frames * ch))::BIGINT AS mean_all_x100
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the planted Y4M formulas (Multimodal.y4m*) in closed form: every
+    // plane byte is a doc_id/frame/offset expression, so the per-frame
+    // sums come from unnested (frame, offset) ranges — the oracle
+    // never walks a FRAME marker, which is exactly what makes a
+    // framing/offset/geometry bug in the decoder a hash mismatch
+    "mm_video" ->
+      """WITH m AS (SELECT doc_id,
+        |  (8 + 2 * (doc_id % 5))::BIGINT AS w,
+        |  (6 + 2 * (doc_id % 3))::BIGINT AS h,
+        |  (2 + doc_id % 4)::BIGINT AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM m),
+        |ys AS (SELECT doc_id, f, sum((3 * doc_id + 7 * f + i) % 256)::BIGINT AS sy
+        |  FROM (SELECT doc_id, f, unnest(range(0, w * h)) AS i FROM fr)
+        |  GROUP BY doc_id, f),
+        |cs AS (SELECT doc_id, f,
+        |  sum((2 * doc_id + 5 * f + 3 * j) % 256)::BIGINT AS su,
+        |  sum((doc_id + 11 * f + j) % 256)::BIGINT AS sv
+        |  FROM (SELECT doc_id, f, unnest(range(0, (w // 2) * (h // 2))) AS j FROM fr)
+        |  GROUP BY doc_id, f)
+        |SELECT m.doc_id, m.w AS width, m.h AS height, m.nf AS n_frames,
+        |  ys.f::INT AS frame_idx,
+        |  (ys.sy * 100 // (m.w * m.h))::BIGINT AS mean_y_x100,
+        |  (cs.su * 100 // ((m.w // 2) * (m.h // 2)))::BIGINT AS mean_u_x100,
+        |  (cs.sv * 100 // ((m.w // 2) * (m.h // 2)))::BIGINT AS mean_v_x100
+        |FROM m JOIN ys USING (doc_id)
+        |JOIN cs ON cs.doc_id = ys.doc_id AND cs.f = ys.f
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 
   /** The persisted-ANN-index oracle: inline IVF over the md5-ranked
@@ -1394,7 +1435,7 @@ object PipelineQueries {
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
 
-  /** The IVF² × SQ8 oracle (`topk_indexed_ivf2_sq`): the two-level
+  /** The IVF² × SQ8 oracle (`topk2_sq`): the two-level
     * CTEs of [[annIndex2OracleSql]] (both quantizer levels, both
     * assignments, both probe rankings) composed with `topk_sq`'s
     * quantization / decomposed-approximate-dot / rerank CTEs. The
@@ -1471,7 +1512,7 @@ object PipelineQueries {
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
 
-  /** The curation → retire → probe oracle (`curate_retire_index`):
+  /** The curation → retire → probe oracle (`curate_retire`):
     * [[lshBandedCte]]'s corpus-scaled LSH pair pipeline produces the
     * loser set (each verified pair's greater id) and the query set
     * (the 4 smallest survivor ids), composed into the inline IVF

@@ -771,6 +771,60 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("videoPixels: FRAME-marked 4:2:0 planes decoded from BODY bytes; truncation/framing/geometry gates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = "FRAME\n".getBytes("UTF-8")
+    def hdr(w: Int, h: Int) = s"YUV4MPEG2 W$w H$h F25:1 C420\n".getBytes("UTF-8")
+    // 2×2: 4 luma + 1 U + 1 V per frame
+    def frame(y: Seq[Int], u: Int, v: Int) =
+      M ++ (y.map(_.toByte) :+ u.toByte :+ v.toByte).toArray
+    val good = hdr(2, 2) ++ frame(Seq(10, 20, 30, 40), 50, 60) ++
+      frame(Seq(1, 2, 3, 4), 5, 6) ++ Array[Byte](9, 9, 9, 9, 9) // stray: no 3rd frame
+    val badMarker = hdr(2, 2) ++ frame(Seq(10, 20, 30, 40), 50, 60) ++
+      ("FRUME\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    val oddDims = hdr(3, 2) ++ frame(Seq(10, 20, 30, 40), 50, 60)
+    val notVideo = "P6\n1 1\n255\nabc".getBytes("UTF-8")
+    val out = Multimodal.videoPixels(
+        Seq((1L, "video", good), (2L, "video", badMarker),
+          (3L, "video", oddDims), (4L, "image", notVideo))
+          .toDF("doc_id", "media_type", "payload"))
+      .orderBy(col("doc_id"), col("frame_idx")).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L),
+      "odd 4:2:0 dims and non-Y4M magic must emit no rows")
+    val g = byDoc(1L)
+    assert(g.length == 2 && g.forall(_.getAs[Long]("n_frames") == 2L),
+      "the stray trailing bytes must not count as a frame")
+    assert(g(0).getAs[Long]("mean_y_x100") == 2500L &&
+      g(0).getAs[Long]("mean_u_x100") == 5000L &&
+      g(0).getAs[Long]("mean_v_x100") == 6000L)
+    assert(g(1).getAs[Long]("mean_y_x100") == 250L)
+    val b = byDoc(2L)
+    assert(b.length == 1 && b(0).getAs[Long]("n_frames") == 1L,
+      "a framing error must stop the walk, not guess past it")
+    // planted round-trip: decoded per-frame means equal the closed-form
+    // formulas the oracle states, per doc and frame
+    val docs = graft.tables.Fixtures.documents(spark, "/root/testdata/sf0.001").limit(9)
+    val decoded = Multimodal.videoPixels(Multimodal.videoPayload(spark, docs))
+      .orderBy(col("doc_id"), col("frame_idx")).collect()
+    decoded.foreach { r =>
+      val did = r.getAs[Long]("doc_id")
+      val (w, h) = Multimodal.y4mDims(did)
+      val f = r.getAs[Int]("frame_idx")
+      val luma = w * h
+      val chroma = (w / 2) * (h / 2)
+      val sy = (0 until luma).map(i => Multimodal.y4mY(did, f, i).toLong).sum
+      val su = (0 until chroma).map(j => Multimodal.y4mU(did, f, j).toLong).sum
+      val sv = (0 until chroma).map(j => Multimodal.y4mV(did, f, j).toLong).sum
+      assert(r.getAs[Long]("n_frames") == Multimodal.y4mFrameCount(did).toLong)
+      assert(r.getAs[Long]("mean_y_x100") == sy * 100 / luma, s"doc $did f $f y")
+      assert(r.getAs[Long]("mean_u_x100") == su * 100 / chroma, s"doc $did f $f u")
+      assert(r.getAs[Long]("mean_v_x100") == sv * 100 / chroma, s"doc $did f $f v")
+    }
+    assert(decoded.nonEmpty)
+  }
+
   test("audioMeta and audioPcm share ONE SPHERE header parse (parity pin)") {
     import org.apache.spark.sql.functions.col
     // both consumers now route through the same sphereParsed primitive;

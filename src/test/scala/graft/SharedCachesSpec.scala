@@ -117,8 +117,8 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     // runs them: the dedup family (shingle base, bands, pairs,
     // incremental intermediates), the substring family, the segment
     // families, and the composed pipelines on top
-    val cacheHeavy = Seq("dedup_minhash", "dedup_apply", "dedup_incremental",
-      "dedup_incremental_apply", "dedup_ngram_banded",
+    val cacheHeavy = Seq("dedup_minhash", "dedup_apply", "dedup_inc",
+      "dedup_inc_apply", "dedup_ngram_banded",
       "dedup_substring_spans", "dedup_substr_inc", "dedup_substring_apply",
       "text_boilerplate", "text_boilerplate_apply", "text_boilerplate_lines",
       "pipeline_curate", "curate_inc")

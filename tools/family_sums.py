@@ -5,8 +5,8 @@ import json, sys
 
 FAMILIES = {
     "doc dedup, scale paths": [
-        "dedup_exact", "dedup_minhash", "dedup_incremental",
-        "dedup_incremental_apply", "dedup_apply", "dedup_apply_best",
+        "dedup_exact", "dedup_minhash", "dedup_inc",
+        "dedup_inc_apply", "dedup_apply", "dedup_apply_best",
         "dedup_simhash", "dedup_ngram_banded"],
     "dedup, raw yardsticks": ["dedup_ngram"],
     "substring / boilerplate / classifier": [
@@ -24,7 +24,7 @@ FAMILIES = {
         "topk_ivf_sq"],
     "text analysis": [
         "text_lang_id", "text_quality", "text_token_counts",
-        "text_token_modes", "text_doc_frequency", "text_distinct_approx",
+        "text_token_modes", "text_doc_frequency", "text_hll",
         "text_fingerprint", "text_commonness", "text_repetition",
         "text_pii_scrub", "text_lm_score",
         "bm25", "bm25_stored",
@@ -32,14 +32,14 @@ FAMILIES = {
     "curation": [
         "decontaminate", "sample_stratified", "split_assign", "source_cap",
         "mix_weighted", "pack_sequences", "quality_budget",
-        "quality_budget_by_lang", "corpus_snapshot_diff", "pipeline_curate",
+        "quality_budget_by_lang", "snapshot_diff", "pipeline_curate",
         "curate_inc", "dsir_weights", "dsir_resample"],
     "multimodal": [
         "mm_decode", "mm_resize", "mm_frames",
         "mm_byte_stats", "mm_audio_meta", "mm_pixels", "mm_png_pixels"],
     "export": ["export_shards", "export_manifest"],
     "relational / TPC-H-ish": [
-        "q1_agg", "q3_revenue_by_segment", "q5_nation_revenue",
+        "q1_agg", "q3_revenue", "q5_revenue",
         "top3_per_user", "skew_salted_join"],
     "EVM logs / lookups": [
         "logs_filter_range", "logs_filter_address", "logs_filter_topics",
