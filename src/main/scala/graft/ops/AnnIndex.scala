@@ -1003,6 +1003,28 @@ object AnnIndex {
       .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
+  /** [[topKIds]] for the two-level index — the explicit-query-id
+    * serving call one level down: same broadcast semi-join query side,
+    * same coarse-pruned scans and tombstone anti-join as [[topK2]]. */
+  def topK2Ids(spark: SparkSession, dir: String, queryIds: DataFrame,
+               k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+               tag: String = ""): DataFrame = {
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    val (qcFrame, cells) = probeFrameFor(spark, dir,
+      _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+      nProbeCoarse, quantizer = Some(coarse), tag = tag)
+    val cellLits = cells.map(Int.box).toSeq
+    val fine = spark.table(fineQuantizerTableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*))
+    val ts = spark.table(tombstone2TableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*)).select(col("vec_id"))
+    val asg = spark.table(t).filter(col("ccell").isin(cellLits: _*))
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+    Similarity.probeIvf2From(qcFrame.withColumnRenamed("cell", "ccell"),
+      fine, asg, k, nProbeFine)
+  }
+
   def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,
              k: Int = 5, nProbe: Int = 2, rerank: Int = 15,
              tag: String = ""): DataFrame = {

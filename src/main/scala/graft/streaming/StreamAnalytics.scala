@@ -400,7 +400,13 @@ object StreamAnalytics {
     * surface from more than one band bucket of [[streamingNearDup]]
     * (at-least-once by design), so sinks that must see each pair once
     * — a delete queue, an audit log — dedup the hits feed on
-    * (doc_a, doc_b) within the horizon.
+    * (doc_a, doc_b) within the horizon. The delete-queue consumer this
+    * feed was designed for now exists: each deduped hit's loser id
+    * batches into [[graft.ops.AnnIndex.retireBatch]], whose
+    * ledger-first ordering and idempotent tombstoning are exactly what
+    * an at-least-once feed needs (a replayed hit converges instead of
+    * double-deleting) — the `curate_retire` registry entry runs that
+    * loop batch-side.
     *
     * This is a SECOND streaming query over the matcher's intermediate
     * sink (matcher → files/queue → this), not a stage chained inside

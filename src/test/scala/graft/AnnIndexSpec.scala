@@ -789,6 +789,30 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "full-width probe after delete must equal brute force over survivors")
   }
 
+  test("explicit-id probes == prefix probes on the same ids, both generations") {
+    import spark.implicits._
+    AnnIndex.ensureBuilt(spark, sf)
+    AnnIndex.ensureBuilt2(spark, sf)
+    val ids = (0L until 5L).toDF("vec_id")
+    val flatPrefix = AnnIndex.topK(spark, sf, maxQueryId = 5, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val flatIds = AnnIndex.topKIds(spark, sf, ids, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(flatIds.nonEmpty && flatIds == flatPrefix,
+      "topKIds over the prefix ids must equal the prefix probe")
+    val g2Prefix = AnnIndex.topK2(spark, sf, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val g2Ids = AnnIndex.topK2Ids(spark, sf, ids, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(g2Ids.nonEmpty && g2Ids == g2Prefix,
+      "topK2Ids over the prefix ids must equal the prefix probe")
+    // unknown ids probe nothing, known subset probes exactly itself
+    assert(AnnIndex.topKIds(spark, sf, Seq(987654321L).toDF("vec_id"), k = 4).isEmpty)
+    val sub = AnnIndex.topK2Ids(spark, sf, Seq(3L).toDF("vec_id"), k = 4)
+      .orderBy(col("rn")).collect().toSeq
+    assert(sub == g2Prefix.filter(_.getAs[Long]("q_id") == 3L))
+  }
+
   test("gen-2 ledger: retireBatch2 records then retires, replay idempotent, stranded batch applied") {
     import spark.implicits._
     val dir = tempCorpus("ledger2")
