@@ -119,6 +119,20 @@ object AnnRecallProbe {
       println(f"[recall] path=indexed_deleted nProbe=$nProbe%-3d recall@$k=$r%.3f" +
         (if (nProbe == kCells) " (full width — must be 1.000)" else ""))
     }
+    // ...and the same leg on the two-level generation: removeBatch2's
+    // coarse-pruned anti-join measured against the identical
+    // survivors' ground truth; full width (every coarse cell, fine
+    // probe wider than any cell's fine count) must again be exact
+    AnnIndex.ensureBuilt2(spark, dir, tag = delTag)
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7), tag = delTag)
+    val kc2 = AnnIndex.storedCoarseQuantizer(spark, dir, tag = delTag).length
+    (Seq((2, 4), (4, 8), (8, 16)) :+ ((kc2, 1000000))).foreach { case (nc, nf) =>
+      val r = recallSurv(AnnIndex.topK2(spark, dir, nQueries, k = k,
+        nProbeCoarse = nc, nProbeFine = nf, tag = delTag))
+      println(f"[recall] path=ivf2_deleted nProbeCoarse=$nc%-3d nProbeFine=$nf%-7d recall@$k=$r%.3f" +
+        (if (nc == kc2) " (full width — must be 1.000)" else ""))
+    }
     spark.stop()
   }
 }

@@ -787,6 +787,18 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy(col("q_id"), col("rn")).collect().toSeq
     assert(probed.nonEmpty && probed == brute,
       "full-width probe after delete must equal brute force over survivors")
+    // the same guarantee one level down: every coarse cell probed and
+    // the fine probe wider than any cell's fine count scans the whole
+    // gen-2 index minus its tombstones
+    AnnIndex.ensureBuilt2(spark, dir, tag = "rd")
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7), tag = "rd")
+    val kc2 = AnnIndex.storedCoarseQuantizer(spark, dir, tag = "rd").length
+    val probed2 = AnnIndex.topK2(spark, dir, maxQueryId = 8, k = 5,
+        nProbeCoarse = kc2, nProbeFine = 1000000, tag = "rd")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(probed2.nonEmpty && probed2 == brute,
+      "gen-2 full-width probe after delete must equal brute force over survivors")
   }
 
   test("explicit-id probes == prefix probes on the same ids, both generations") {
