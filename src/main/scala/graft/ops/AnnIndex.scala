@@ -376,10 +376,12 @@ object AnnIndex {
     * Ledger rows are distinct per batch but duplicates ACROSS batches
     * are allowed (at-least-once replay writes them) — removeBatch's
     * distinct merge absorbs them, so the ledger needs no coordination
-    * beyond the append. Caller contract: `ids` is a DETERMINISTIC
-    * plan (the batch is evaluated once for the ledger append and once
-    * for the tombstone pass; a nondeterministic producer would break
-    * its own replay contract long before it diverged these two). */
+    * beyond the append. The caller's `ids` plan is evaluated exactly
+    * ONCE — for the ledger append; the tombstone pass reads the
+    * just-written batch BACK from the ledger (each append carries a
+    * monotone `batch` id), so even a nondeterministic producer cannot
+    * ledger one id set and tombstone another: what was durably
+    * recorded is precisely what retires, structurally. */
   def retireBatch(spark: SparkSession, dir: String, ids: DataFrame,
                   tag: String = ""): Unit = synchronized {
     ensureBuilt(spark, dir, tag)
@@ -410,10 +412,25 @@ object AnnIndex {
     // tombstones that no longer exist, so it resets with the same rule
     // (a durable-metastore deployment never hits this branch: its
     // catalog remembers the table and the append just appends)
-    if (!spark.catalog.tableExists(ledger)) Bucketed.resetTable(spark, ledger)
-    val batch = ids.select(col("vec_id").cast("long")).distinct()
-    batch.write.mode("append").format("parquet").saveAsTable(ledger)
-    remove(batch)
+    val fresh = !spark.catalog.tableExists(ledger)
+    if (fresh) Bucketed.resetTable(spark, ledger)
+    // monotone per-append batch id: one bounded max() over the ledger
+    // (O(ledger rows read, 1 row returned) — a table the producer
+    // keeps batch-bounded by contract)
+    val nextBatch: Long =
+      if (fresh) 1L
+      else spark.table(ledger)
+        .agg(coalesce(max(col("batch")), lit(0L)).as("b"))
+        .head().getLong(0) + 1L
+    ids.select(col("vec_id").cast("long")).distinct()
+      .withColumn("batch", lit(nextBatch))
+      .write.mode("append").format("parquet").saveAsTable(ledger)
+    // tombstone from the just-written batch READ BACK — the single
+    // evaluation of the caller's plan is the parquet on disk, so the
+    // ledger and the tombstones cannot diverge even for a
+    // nondeterministic producer
+    remove(spark.table(ledger).filter(col("batch") === nextBatch)
+      .select(col("vec_id")))
   }
 
   /** Recovery half of [[retireBatch]]: replay the FULL ledger into the
@@ -949,11 +966,37 @@ object AnnIndex {
   def topK2Sq(spark: SparkSession, dir: String, maxQueryId: Long,
               k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
               rerank: Int = 10, tag: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = ensureBuilt2(spark, dir, tag)
     val coarse = storedCoarseQuantizer(spark, dir, tag)
-    val (qcFrame, cells) =
-      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
+    topK2SqFrom(spark, dir, tag, t,
+      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse)),
+      k, nProbeFine, rerank)
+  }
+
+  /** [[topKIdsSq]] one level down — the composed billion-vector
+    * serving call: explicit query ids ([[topK2Ids]]'s broadcast
+    * semi-join side) over the gen-2 SQ8 codes scan ([[topK2Sq]]'s byte
+    * bound) with the coarse-pruned tombstone anti-join. Shares
+    * [[topK2SqFrom]] with the prefix form, so the two cannot drift. */
+  def topK2IdsSq(spark: SparkSession, dir: String, queryIds: DataFrame,
+                 k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+                 rerank: Int = 10, tag: String = ""): DataFrame = {
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    topK2SqFrom(spark, dir, tag, t,
+      probeFrameFor(spark, dir,
+        _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+        nProbeCoarse, quantizer = Some(coarse), tag = tag),
+      k, nProbeFine, rerank)
+  }
+
+  /** The coarse-probe → fine-probe → codes-scan → rerank half shared
+    * by [[topK2Sq]] and [[topK2IdsSq]]. */
+  private def topK2SqFrom(spark: SparkSession, dir: String, tag: String,
+                          t: String, pf: (DataFrame, Array[Int]),
+                          k: Int, nProbeFine: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (qcFrame, cells) = pf
     val cellLits = cells.map(Int.box).toSeq
     val (mns, mxs) = storedSqParams2(spark, dir, tag)
     val (steps, basis) = Similarity.sqTerms(mns, mxs)
@@ -1028,9 +1071,39 @@ object AnnIndex {
   def topKSq(spark: SparkSession, dir: String, maxQueryId: Long,
              k: Int = 5, nProbe: Int = 2, rerank: Int = 15,
              tag: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = ensureBuilt(spark, dir, tag)
-    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe, tag = tag)
+    topKSqFrom(spark, dir, tag, t,
+      probeFrame(spark, dir, maxQueryId, nProbe, tag = tag), k, rerank)
+  }
+
+  /** The COMPOSED production serving call on the flat tier: explicit
+    * query ids ([[topKIds]]'s broadcast semi-join query side) over the
+    * SQ8 codes-only candidate scan ([[topKSq]]'s byte bound) with the
+    * tombstone anti-join — the three serving optimizations a real
+    * retrieval service wants at once. Identical plan shape to
+    * [[topKSq]] past the probe frame (the shared [[topKSqFrom]] half),
+    * so the explicit-id path cannot drift from the hash-checked
+    * prefix path. */
+  def topKIdsSq(spark: SparkSession, dir: String, queryIds: DataFrame,
+                k: Int = 5, nProbe: Int = 2, rerank: Int = 15,
+                tag: String = ""): DataFrame = {
+    val t = ensureBuilt(spark, dir, tag)
+    topKSqFrom(spark, dir, tag, t,
+      probeFrameFor(spark, dir,
+        _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+        nProbe, tag = tag), k, rerank)
+  }
+
+  /** The quantize→scan→rerank half shared by [[topKSq]] (prefix
+    * queries) and [[topKIdsSq]] (explicit ids): per-query SQ terms ride
+    * the broadcast side, candidates rank by the decomposed approximate
+    * cosine over the bucket-pruned CODE scan, exact rerank re-reads
+    * full vectors for queries×rerank rows only. */
+  private def topKSqFrom(spark: SparkSession, dir: String, tag: String,
+                         t: String, pf: (DataFrame, Array[Int]),
+                         k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (probesDf, cells) = pf
     val cellLits = cells.map(Int.box).toSeq
     val (mns, mxs) = storedSqParams(spark, dir, tag)
     val (steps, basis) = Similarity.sqTerms(mns, mxs)

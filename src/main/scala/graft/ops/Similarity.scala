@@ -308,6 +308,11 @@ object Similarity {
     * prepared projection and ONE count job for its whole setup instead
     * of re-deriving them per stage (each re-derivation was a separate
     * full-corpus driver job). */
+  /** Corpus size past which the gen-2 BUILD no longer forces the fine
+    * quantizer broadcast: n^(5/8)·550 B crosses ~1 GB near n = 4×10⁹
+    * (see the knee comment at the join and SCALING.md). */
+  val Ivf2FineBroadcastKneeN: Long = 4L * 1000L * 1000L * 1000L
+
   def ivf2StructureOf(e: DataFrame, n: Long): (Array[Array[Double]], DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val kc = AnnIndex.annCellsFor(AnnIndex.annCellsFor(n))
@@ -329,8 +334,17 @@ object Similarity {
     // cell's fine centroids (broadcast), argmin with the same
     // (score, cell) first-min tie-break as assignCells — min_by over a
     // struct key combines map-side, so the build never shuffles more
-    // than n rows
-    val asg = casg.join(broadcast(fine), Seq("ccell"))
+    // than n rows.
+    // KNEE: the fine relation is ~Σ⌈√occ⌉ ≈ n^(5/8) rows at ~550 B/row
+    // (d=64 doubles + keys) — ~230 MB at n = 10⁹, a sane build-time
+    // broadcast; past ~4×10⁹ it outgrows the practical broadcast
+    // envelope, so the hint applies only below the knee and the join
+    // is left to Catalyst/AQE above it (this is the BUILD-side join
+    // only — probe-side fine scans are coarse-cell-filtered and far
+    // below the knee at any n). Measured capacity table: SCALING.md.
+    val asg = casg.join(
+        if (n <= Ivf2FineBroadcastKneeN) broadcast(fine) else fine,
+        Seq("ccell"))
       .withColumn("s", lit(-2.0) * dot(col("v"), col("fv")) + col("f2"))
       .groupBy(col("vec_id")).agg(
         first(col("ccell")).as("ccell"),

@@ -126,7 +126,7 @@ object AnalyticsQueries {
     // est-agreement pairs lie farther apart). StreamAnalyticsSpec
     // feeds the same rows through the stateful matcher and
     // differentially checks it against this plan.
-    "stream_neardup_twin" -> ((s, dir) =>
+    "stream_twin" -> ((s, dir) =>
       graft.streaming.StreamAnalytics.batchNearDup(
         Fixtures.documents(s, dir)
           .select(col("doc_id"), col("text"),
@@ -149,7 +149,7 @@ object AnalyticsQueries {
     // (measured 8.0 -> ~5 s at sf1 going 10 -> 4). A production
     // deployment replays from its real source; this dial only shapes
     // the bounded-replay fixture.
-    "stream_neardup_sink" -> ((s, dir) =>
+    "stream_sink" -> ((s, dir) =>
       graft.streaming.StreamAnalytics.nearDupStreamCompleted(
         Fixtures.documents(s, dir)
           .select(col("doc_id"), col("text"),
@@ -237,11 +237,11 @@ object AnalyticsQueries {
     // shingle, 13-hex-char slices — the dedup_minhash arithmetic),
     // band buckets, position-agreement >= ceil(0.6 * 12) = 8, arrival
     // clock ts = doc_id minutes with a 120-minute horizon.
-    "stream_neardup_twin" -> streamNearDupOracle,
+    "stream_twin" -> streamNearDupOracle,
 
     // the completed streaming sink must equal the twin — SAME oracle
     // verbatim; divergence is a stateful-matcher bug by definition
-    "stream_neardup_sink" -> streamNearDupOracle,
+    "stream_sink" -> streamNearDupOracle,
 
     "skew_salted_join" ->
       """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,

@@ -30,7 +30,7 @@ object CurationQueries {
       Curation.decontaminate(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
-    "sample_stratified" -> ((s, dir) =>
+    "sample_strat" -> ((s, dir) =>
       Curation.sampleStratified(Fixtures.documents(s, dir), SampleRates)
         .orderBy(col("doc_id"))),
 
@@ -120,7 +120,7 @@ object CurationQueries {
     // materialization serves both plan legs AND the by-lang sibling —
     // the sharedFeatureRows arrangement; it was recomputed per leg,
     // 2× the per-token pass inside every budget entry at sf1)
-    "quality_budget" -> ((s, dir) => {
+    "qbudget" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Curation.tokenBudgetSelect(docs, budget = TokenBudget,
           scoredIn = Some(Curation.sharedQualityRows(docs)))
@@ -135,7 +135,7 @@ object CurationQueries {
       Export.shardManifest(Fixtures.documents(s, dir), nShards = ExportShards)
         .orderBy(col("shard"))),
 
-    "quality_budget_by_lang" -> ((s, dir) => {
+    "qbudget_lang" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Curation.tokenBudgetSelectByStratum(docs,
           budgets = StratumBudgets, defaultBudget = 500L,
@@ -252,7 +252,7 @@ object CurationQueries {
         |  (((n_overlap * 10000) // n_grams) >= 5000) AS is_contaminated
         |FROM sz JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "sample_stratified" ->
+    "sample_strat" ->
       """SELECT * FROM (
         |  SELECT doc_id, lang,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 13))::BIGINT % 10000 AS sample_bp,
@@ -367,7 +367,7 @@ object CurationQueries {
     // The oracle states the SPEC (one global ordered cumulative sum);
     // the Spark plan reaches the same set via the bin-prefix two-pass,
     // so this check proves the decomposition equals the naive form.
-    "quality_budget" ->
+    "qbudget" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') ts FROM documents),
         |m AS (SELECT doc_id, len(ts)::BIGINT n_tokens,
         |  len(list_distinct(ts))::BIGINT n_distinct,
@@ -391,7 +391,7 @@ object CurationQueries {
         |  (row_number() OVER (PARTITION BY shard ORDER BY doc_id))::INT AS position
         |FROM b ORDER BY doc_id""".stripMargin,
 
-    "quality_budget_by_lang" ->
+    "qbudget_lang" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') ts FROM documents),
         |m AS (SELECT doc_id, lang, len(ts)::BIGINT n_tokens,
         |  len(list_distinct(ts))::BIGINT n_distinct,

@@ -151,7 +151,7 @@ object PipelineQueries {
     // the plan. Oracle = the inline two-level statement at this
     // entry's parameters: the stored structure must be a pure physical
     // optimization of it
-    "topk_indexed_ivf2" -> ((s, dir) =>
+    "topk_idx2" -> ((s, dir) =>
       AnnIndex.topK2(s, dir, maxQueryId = 5, k = 4,
         nProbeCoarse = 2, nProbeFine = 3)
         .orderBy(col("q_id"), col("rn"))),
@@ -171,19 +171,49 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rn"))),
 
     // RETIRE on the billion-vector tier: same tagged-generation +
-    // idempotent-tombstone discipline as topk_after_delete, one level
+    // idempotent-tombstone discipline as topk_del, one level
     // down (residue 3 — the set that intersects the two-level top-4
     // at every fixture tier, where residue 7 misses at sf0.01) — the oracle is the inline two-level statement with the
     // retired ids excluded from the candidate side only (both
     // quantizer levels stay the full-corpus build; deletion never
     // re-fits)
-    "topk2_after_delete" -> ((s, dir) => {
+    "topk2_del" -> ((s, dir) => {
       AnnIndex.removeBatch2(s, dir,
         Fixtures.embeddings(s, dir).select(col("vec_id"))
           .filter(col("vec_id") % 10 === 3),
         tag = "del")
       AnnIndex.topK2(s, dir, maxQueryId = 6, k = 4,
         nProbeCoarse = 2, nProbeFine = 3, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the SQ8 probe AFTER a real delete, gen-2 (round-17 verdict #2):
+    // the codes-only candidate scan composed with the coarse-pruned
+    // tombstone anti-join, hash-checked — same tagged generation and
+    // residue-3 set as topk2_del (removeBatch2 is idempotent,
+    // so the shared tombstones converge whichever entry runs first).
+    // Oracle = the inline IVF²×SQ statement with the retired ids
+    // excluded from the candidate side only
+    "topk2_sq_del" -> ((s, dir) => {
+      AnnIndex.removeBatch2(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 3),
+        tag = "del")
+      AnnIndex.topK2Sq(s, dir, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 10, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the COMPOSED billion-vector serving call (round-17 verdict #1):
+    // explicit query ids (broadcast semi-join side) × gen-2 SQ8 codes
+    // scan × coarse-pruned tombstone anti-join — the request shape a
+    // live retrieval service sends to the two-level tier. Oracle = the
+    // inline IVF²×SQ statement with the query CTE filtered to the same
+    // literal id list
+    "topk2_sq_ids" -> ((s, dir) => {
+      import s.implicits._
+      AnnIndex.topK2IdsSq(s, dir, Seq(0L, 2L, 5L, 9L).toDF("vec_id"),
+        k = 4, nProbeCoarse = 2, nProbeFine = 3, rerank = 10)
         .orderBy(col("q_id"), col("rn"))
     }),
 
@@ -343,12 +373,41 @@ object PipelineQueries {
     // not corpus members). A tombstone that leaks back into results, a
     // wrong anti-join side, or a probe that loses bucket pruning all
     // surface as a hash mismatch
-    "topk_after_delete" -> ((s, dir) => {
+    "topk_del" -> ((s, dir) => {
       AnnIndex.removeBatch(s, dir,
         Fixtures.embeddings(s, dir).select(col("vec_id"))
           .filter(col("vec_id") % 10 === 7),
         tag = "del")
       AnnIndex.topK(s, dir, maxQueryId = 6, k = 4, nProbe = 2, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the SQ8 probe AFTER a real delete (round-17 verdict #2): the
+    // codes-only candidate scan composed with the tombstone anti-join,
+    // hash-checked — same tagged generation and residue-7 set as
+    // topk_del (removeBatch is idempotent, so the shared
+    // tombstones converge whichever entry runs first). Oracle = the
+    // inline IVF×SQ statement with the retired ids excluded from the
+    // candidate side only
+    "topk_sq_del" -> ((s, dir) => {
+      AnnIndex.removeBatch(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 7),
+        tag = "del")
+      AnnIndex.topKSq(s, dir, maxQueryId = 6, k = 4, nProbe = 2,
+        rerank = 12, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the COMPOSED production serving call (round-17 verdict #1):
+    // explicit query ids (topKIds' broadcast semi-join side) × SQ8
+    // codes-only candidate scan (topKSq's byte bound) × tombstone
+    // anti-join. Oracle = the inline IVF×SQ statement with the query
+    // CTE filtered to the same literal id list
+    "topk_sq_ids" -> ((s, dir) => {
+      import s.implicits._
+      AnnIndex.topKIdsSq(s, dir, Seq(1L, 3L, 6L, 11L).toDF("vec_id"),
+        k = 4, nProbe = 2, rerank = 12)
         .orderBy(col("q_id"), col("rn"))
     }),
 
@@ -380,6 +439,66 @@ object PipelineQueries {
       AnnIndex.topKIds(s, dir, queries, k = 4, nProbe = 2, tag = "retire")
         .orderBy(col("q_id"), col("rn"))
     }),
+
+    // the same producer loop one generation down (round-17 verdict
+    // #4): LSH losers → retireBatch2's ledger-first retire → explicit
+    // survivor-id probe on the TWO-LEVEL index. Same session-shared
+    // pair set as curate_retire (the band-join verification runs
+    // once per tier for both entries); oracle composes the LSH pair
+    // CTEs into the inline two-level statement, losers excluded from
+    // the candidate side only
+    "curate_ret2" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+      val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
+      val pairs = graft.ops.SharedCaches.shared(
+        Similarity.nearDupPairsLsh(e, threshold = 0.4, nPlanes = nPlanes,
+          bitsPerBand = bpb,
+          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb))),
+        "embed")
+      AnnIndex.retireBatch2(s, dir,
+        pairs.select(col("id_b").as("vec_id")).distinct(), tag = "retire")
+      val queries = pairs.select(col("id_a").as("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(4)
+      AnnIndex.topK2Ids(s, dir, queries, k = 4, nProbeCoarse = 2,
+        nProbeFine = 3, tag = "retire")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the STREAMING → INDEX loop, closed end to end (round-17 verdict
+    // #5): a REAL bounded-replay streaming near-dup pass (the same
+    // exactly-once completed-stream harness as stream_sink, over a
+    // fixed 500-doc prefix so the entry's cost is tier-constant — the
+    // full-tier streaming path is already hash-checked by stream_sink;
+    // THIS entry's claim is the composition) feeds its losers into
+    // retireBatch's ledger-first retire, and the probe confirms they
+    // left the serving index. Oracle = the batch twin's hit CTEs
+    // composed into the inline IVF statement, losers excluded from
+    // the candidate side only. Own tagged generation ("sret") so the
+    // other retire entries' oracles stay untouched
+    "stream_retire" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") + 1440L) * 60000000000L).as("ts"))
+      val hits = graft.streaming.StreamAnalytics.nearDupStreamCompleted(
+        docs, threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 4)
+      AnnIndex.retireBatch(s, dir,
+        hits.select(col("doc_b").as("vec_id")).distinct(), tag = "sret")
+      val queries = hits.select(col("doc_a").as("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(4)
+      AnnIndex.topKIds(s, dir, queries, k = 4, nProbe = 2, tag = "sret")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // hybrid keyword × semantic retrieval (round-17 verdict #3):
+    // stored-BM25 top-N and persisted-ANN explicit-id top-N fused by
+    // integer reciprocal-rank fusion — score = Σ 1000000 div
+    // (60 + rank), so both engines fold the same integers. A doc found
+    // by only one leg still competes (HybridSpec pins a one-leg
+    // winner); oracle = both legs' CTE stacks full-outer-joined on
+    // doc_id
+    "hybrid_rrf" -> ((s, dir) =>
+      graft.ops.Hybrid.searchRrf(s, dir, Seq("hash", "join", "merge"),
+        queryVecId = 2L, topN = 20)),
 
     // the DECLARATIVE decode: md5 + bounded-head regexp parse as a
     // pure projection (PlanAuditSpec pins no object-serialization
@@ -927,7 +1046,7 @@ object PipelineQueries {
     // excluded from the candidate side; the quantizer CTEs stay over
     // the FULL corpus because removeBatch never re-fits (the stored
     // quantizer is the build's — the coherence rule appends follow)
-    "topk_after_delete" ->
+    "topk_del" ->
       annIndexOracleSql(maxQueryId = 6, topK = 4,
         candFilter = " AND x.vec_id % 10 <> 7"),
 
@@ -947,13 +1066,13 @@ object PipelineQueries {
     // own parameters — assignment, both quantizer levels, and both
     // probe rankings read back from the persisted tables must be
     // indistinguishable from deriving them fresh
-    "topk_indexed_ivf2" ->
+    "topk_idx2" ->
       annIndex2OracleSql(maxQueryId = 5, topK = 4, nProbeCoarse = 2, nProbeFine = 3),
 
     // deletion on the two-level tier: the same inline statement with
     // tombstoned ids excluded from candidates (quantizers = the
     // full-corpus build — the flat delete oracle's rule)
-    "topk2_after_delete" ->
+    "topk2_del" ->
       annIndex2OracleSql(maxQueryId = 6, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, candFilter = " AND x.vec_id % 10 <> 3"),
 
@@ -964,12 +1083,40 @@ object PipelineQueries {
       annIndex2SqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, rerank = 10),
 
+    // deletion composed with the gen-2 byte-bounded probe: the same
+    // IVF²×SQ statement with tombstoned ids excluded from candidates
+    // (quantizers and SQ params = the full-corpus build — deletion
+    // never re-fits)
+    "topk2_sq_del" ->
+      annIndex2SqOracleSql(maxQueryId = 6, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, rerank = 10, candFilter = " AND x.vec_id % 10 <> 3"),
+
+    // the explicit-id serving composition, gen-2: the same IVF²×SQ
+    // statement with the query CTE filtered to the literal id list the
+    // Spark side semi-joins against
+    "topk2_sq_ids" ->
+      annIndex2SqOracleSql(maxQueryId = 0, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, rerank = 10,
+        qSel = "csc.vec_id IN (0, 2, 5, 9)"),
+
     // the curation → ledger → retire → probe loop: the LSH pair CTEs
     // (lshBandedCte — corpus-scaled band params, md5-derived planes)
     // feed a losers set excluded from the IVF candidates, and the
     // probe's query set is the pair survivors' 4 smallest ids — every
     // stage of the producer AND the consumer mirrored in one statement
     "curate_retire" -> curateRetireOracleSql(topK = 4),
+
+    // the gen-2 producer loop: the same LSH pair CTEs composed into
+    // the inline two-level statement, losers excluded from candidates
+    "curate_ret2" -> curateRetire2OracleSql(topK = 4),
+
+    // the streaming→index loop: the batch twin's hit CTEs feeding the
+    // loser exclusion of the inline IVF statement
+    "stream_retire" -> streamRetireOracleSql(topK = 4),
+
+    // hybrid retrieval: both legs' CTE stacks + the integer RRF fold
+    // in one statement
+    "hybrid_rrf" -> hybridRrfOracleSql(topN = 20, queryVecId = 2),
 
     // SQ8, every stage mirrored: per-dim (min, max) from indexing the
     // same parquet floats, the clamp/floor quantization IEEE sequence
@@ -1025,6 +1172,20 @@ object PipelineQueries {
     // a pure physical optimization"
     "topk_indexed_sq" ->
       annIndexSqOracleSql(maxQueryId = 7, topK = 4, nProbe = 2, rerank = 12),
+
+    // deletion composed with the byte-bounded probe: the same IVF×SQ
+    // statement with tombstoned ids excluded from the candidate side
+    // (quantizer and SQ params = the full-corpus build)
+    "topk_sq_del" ->
+      annIndexSqOracleSql(maxQueryId = 6, topK = 4, nProbe = 2, rerank = 12,
+        candFilter = " AND x.vec_id % 10 <> 7"),
+
+    // the explicit-id serving composition: the same IVF×SQ statement
+    // with the query CTE filtered to the literal id list the Spark
+    // side semi-joins against
+    "topk_sq_ids" ->
+      annIndexSqOracleSql(maxQueryId = 0, topK = 4, nProbe = 2, rerank = 12,
+        qSel = "sc.vec_id IN (1, 3, 6, 11)"),
 
     // honestly differential on BOTH columns: each engine runs its own
     // HLL sketch (Spark's approx_count_distinct vs DuckDB's) and
@@ -1355,11 +1516,21 @@ object PipelineQueries {
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
-       |prm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |""".stripMargin +
+      annFlatCtesAndSelect(s"vec_id < $maxQueryId", topK, candFilter)
+
+  /** The flat-IVF CTE stack + final select WITHOUT the leading
+    * `WITH n` — composable after any prefix that already defines `n`
+    * (the LSH pair CTEs for `curate_retire`, the stream-hit CTEs for
+    * `stream_retire`, the plain embeddings CTE for the standalone
+    * oracles). Same composition contract as [[ann2CtesAndSelect]]. */
+  private def annFlatCtesAndSelect(qSel: String, topK: Int,
+                                   candFilter: String = ""): String =
+    s"""kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
        |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
        |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
        |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
-       |   FROM n) s, prm WHERE s.rnk <= prm.k),
+       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
        |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
        |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
        |  FROM n, cen),
@@ -1368,7 +1539,7 @@ object PipelineQueries {
        |  WHERE rn = 1),
        |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
-       |   FROM sc WHERE vec_id < $maxQueryId) WHERE rn <= 2),
+       |   FROM sc WHERE $qSel) WHERE rn <= 2),
        |p AS (SELECT q.q_id, x.vec_id,
        |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter),
@@ -1378,7 +1549,7 @@ object PipelineQueries {
        |ORDER BY q_id, rn""".stripMargin
 
   /** The two-level-IVF oracle, parameterized on the probe scope —
-    * shared by `topk_ivf2` (inline) and `topk_indexed_ivf2` (the
+    * shared by `topk_ivf2` (inline) and `topk_idx2` (the
     * persisted two-level index). Every stage mirrored: kc from the
     * nested integer-√ loops, md5 sampling at both levels, the
     * sqrt-with-correction per-cell sizing CASE (= intSqrtCeil), fine
@@ -1390,7 +1561,21 @@ object PipelineQueries {
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
-       |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |""".stripMargin +
+      ann2CtesAndSelect(s"vec_id < $maxQueryId", topK, nProbeCoarse,
+        nProbeFine, candFilter)
+
+  /** The two-level CTE stack + final select WITHOUT the leading
+    * `WITH n` — composable after any prefix that already defines `n`
+    * (the LSH pair CTEs for `curate_ret2`, the plain embeddings CTE
+    * for the standalone oracles). `qSel` filters the coarse query
+    * scan; `candFilter` is appended after the candidate join (scalar
+    * predicates ride the ON clause, `WHERE NOT EXISTS` forms start on
+    * their own line). */
+  private def ann2CtesAndSelect(qSel: String, topK: Int,
+                                nProbeCoarse: Int, nProbeFine: Int,
+                                candFilter: String = ""): String =
+    s"""ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
        |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
        |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
        |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
@@ -1419,7 +1604,7 @@ object PipelineQueries {
        |  WHERE rn = 1),
        |qc AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccell FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn
-       |   FROM csc WHERE vec_id < $maxQueryId) WHERE rn <= $nProbeCoarse),
+       |   FROM csc WHERE $qSel) WHERE rn <= $nProbeCoarse),
        |qf AS (SELECT q_id, qv, qn, ccell, fcell FROM
        |  (SELECT q.q_id, q.qv, q.qn, q.ccell, f.fcell,
        |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
@@ -1444,7 +1629,10 @@ object PipelineQueries {
     * statement exactly. */
   private def annIndex2SqOracleSql(maxQueryId: Int, topK: Int,
                                    nProbeCoarse: Int, nProbeFine: Int,
-                                   rerank: Int): String =
+                                   rerank: Int,
+                                   qSel: String = "",
+                                   candFilter: String = ""): String = {
+    val qWhere = if (qSel.nonEmpty) qSel else s"csc.vec_id < $maxQueryId"
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
@@ -1489,7 +1677,7 @@ object PipelineQueries {
        |       i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
        |     list_transform(range(1, 65), i -> csc.v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t,
        |     ROW_NUMBER() OVER (PARTITION BY csc.vec_id ORDER BY csc.s, csc.ccell) rn
-       |   FROM csc, sprm WHERE csc.vec_id < $maxQueryId) WHERE rn <= $nProbeCoarse),
+       |   FROM csc, sprm WHERE $qWhere) WHERE rn <= $nProbeCoarse),
        |qf AS (SELECT q_id, qv, qn, qbasis, t, ccell, fcell FROM
        |  (SELECT q.q_id, q.qv, q.qn, q.qbasis, q.t, q.ccell, f.fcell,
        |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
@@ -1499,7 +1687,7 @@ object PipelineQueries {
        |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
        |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
-       |    AND x.vec_id <> q.q_id
+       |    AND x.vec_id <> q.q_id$candFilter
        |  JOIN c ON c.vec_id = x.vec_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1511,6 +1699,7 @@ object PipelineQueries {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
+  }
 
   /** The curation → retire → probe oracle (`curate_retire`):
     * [[lshBandedCte]]'s corpus-scaled LSH pair pipeline produces the
@@ -1518,37 +1707,73 @@ object PipelineQueries {
     * (the 4 smallest survivor ids), composed into the inline IVF
     * statement — losers excluded from the CANDIDATE side only (the
     * quantizer stays the full-corpus build, the delete-oracle rule). */
+  /** The LSH-pair → losers/qids producer CTEs shared by
+    * [[curateRetireOracleSql]] (flat consumer) and
+    * [[curateRetire2OracleSql]] (two-level consumer). */
+  private val lshLosersQidsCte =
+    """pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+      |  FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+      |losers AS (SELECT DISTINCT id_b AS vec_id FROM pr WHERE score >= 0.4),
+      |qids AS (SELECT DISTINCT id_a AS vec_id FROM pr WHERE score >= 0.4
+      |  ORDER BY id_a LIMIT 4),
+      |""".stripMargin
+
+  /** The gen-2 producer loop oracle (`curate_ret2`): the same LSH
+    * pair pipeline feeding the inline TWO-LEVEL statement — losers
+    * excluded from the candidate side only, queries = the 4 smallest
+    * survivor ids (both quantizer levels stay the full-corpus build;
+    * deletion never re-fits). */
+  private def curateRetire2OracleSql(topK: Int): String =
+    lshBandedCte + lshLosersQidsCte +
+      ann2CtesAndSelect("vec_id IN (SELECT vec_id FROM qids)", topK,
+        nProbeCoarse = 2, nProbeFine = 3,
+        candFilter = "\n  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = x.vec_id)")
+
   private def curateRetireOracleSql(topK: Int): String =
-    lshBandedCte +
-    s"""pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
-       |  FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
-       |losers AS (SELECT DISTINCT id_b AS vec_id FROM pr WHERE score >= 0.4),
-       |qids AS (SELECT DISTINCT id_a AS vec_id FROM pr WHERE score >= 0.4
-       |  ORDER BY id_a LIMIT 4),
-       |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
-       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
-       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
-       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
-       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
-       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
-       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
-       |  FROM n, cen),
-       |asg AS (SELECT vec_id, v, nrm, cell FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
-       |  WHERE rn = 1),
-       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
-       |   FROM sc WHERE vec_id IN (SELECT vec_id FROM qids)) WHERE rn <= 2),
-       |p AS (SELECT q.q_id, x.vec_id,
-       |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
-       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
-       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = x.vec_id)),
-       |r AS (SELECT q_id, vec_id, score,
-       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
-       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
-       |ORDER BY q_id, rn""".stripMargin
+    lshBandedCte + lshLosersQidsCte +
+      annFlatCtesAndSelect("vec_id IN (SELECT vec_id FROM qids)", topK,
+        candFilter = "\n  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = x.vec_id)")
+
+  /** The streaming → index loop oracle (`stream_retire`): the batch
+    * twin's hit CTEs ([[graft.queries.AnalyticsQueries]]'s
+    * stream-near-dup oracle, hash-identical to the completed stream by
+    * the `stream_sink` entry) over the bounded doc prefix produce the
+    * loser set, composed into the inline IVF statement — losers
+    * excluded from the candidate side only, queries = the 4 smallest
+    * surviving hit sources. */
+  private def streamRetireOracleSql(topK: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE doc_id < 500),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |mh AS (SELECT doc_id, j,
+       |  list_min([('0x' || substr(md5(s), 1, 13))::BIGINT
+       |            + j * ('0x' || substr(md5(s), 14, 13))::BIGINT for s in shingles]) AS m
+       |  FROM sh, range(12) rj(j)),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, j // 2 AS band,
+       |  md5(string_agg(m::VARCHAR, '|' ORDER BY j)) AS band_sig
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id - a.doc_id <= 120),
+       |agree AS (SELECT doc_a, doc_b,
+       |  len([i for i in range(1, 13) if x.sig[i] = y.sig[i]])::BIGINT AS n_agree
+       |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b),
+       |hitp AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= 8),
+       |losers AS (SELECT DISTINCT doc_b AS vec_id FROM hitp),
+       |qids AS (SELECT DISTINCT doc_a AS vec_id FROM hitp
+       |  ORDER BY doc_a LIMIT 4),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |""".stripMargin +
+      annFlatCtesAndSelect("vec_id IN (SELECT vec_id FROM qids)", topK,
+        candFilter = "\n  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = x.vec_id)")
 
   /** The IVF × SQ8 oracle, parameterized on the probe scope — shared
     * by `topk_ivf_sq` (the inline one-shot form) and `topk_indexed_sq`
@@ -1557,7 +1782,10 @@ object PipelineQueries {
     * [[annIndexOracleSql]]'s cell CTEs with `topk_sq`'s
     * quantization/approx/rerank CTEs. */
   private def annIndexSqOracleSql(maxQueryId: Int, topK: Int,
-                                  nProbe: Int, rerank: Int): String =
+                                  nProbe: Int, rerank: Int,
+                                  qSel: String = "",
+                                  candFilter: String = ""): String = {
+    val qWhere = if (qSel.nonEmpty) qSel else s"sc.vec_id < $maxQueryId"
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
        |  FROM embeddings),
@@ -1586,10 +1814,10 @@ object PipelineQueries {
        |       i -> mns[i] + 0.5 * ((mxs[i] - mns[i]) / 255.0))) AS qbasis,
        |     list_transform(range(1, 65), i -> sc.v[i] * ((mxs[i] - mns[i]) / 255.0)) AS t,
        |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
-       |   FROM sc, sprm WHERE sc.vec_id < $maxQueryId) WHERE rn <= $nProbe),
+       |   FROM sc, sprm WHERE $qWhere) WHERE rn <= $nProbe),
        |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
        |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
-       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter
        |  JOIN c ON c.vec_id = x.vec_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1601,6 +1829,62 @@ object PipelineQueries {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The hybrid-retrieval oracle (`hybrid_rrf`): the BM25 CTE stack
+    * ([[bm25OracleSql]]'s, `sc` renamed `ksc` to clear the ANN stack's
+    * name) ranked to a ≤N-row keyword leg, the flat-IVF CTE stack
+    * ([[annIndexOracleSql]]'s, `prm`/`sc` renamed) probed at the one
+    * explicit query id into a ≤N-row semantic leg, and the integer RRF
+    * fold over their full outer join — every leg and the fusion in one
+    * statement. */
+  private def hybridRrfOracleSql(topN: Int, queryVecId: Long): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS tot FROM t),
+       |m AS (SELECT doc_id, len(ts) AS dl,
+       |  unnest(list_filter(ts, x -> x IN ('hash','join','merge'))) AS token FROM t),
+       |tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |  FROM m GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |ksc AS (SELECT doc_id, count(*) AS n_terms_matched,
+       |  CAST(sum( (((SELECT n FROM st) * 1000) // df.df) * ((tf.tf * 220000)
+       |   // (tf.tf * 100 + (120 * ((100 - 75) +
+       |      (75 * tf.dl * 100) // ((SELECT tot FROM st) * 100 // (SELECT n FROM st)))) // 100)) // 1000
+       |  ) AS BIGINT) AS score_x1000
+       |  FROM tf JOIN df USING (token) GROUP BY doc_id),
+       |kleg AS (SELECT doc_id, krank FROM (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY score_x1000 DESC, doc_id) AS krank FROM ksc)
+       |  WHERE krank <= $topN),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |aprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t2(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, aprm WHERE s.rnk <= aprm.k),
+       |esc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM esc)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn
+       |   FROM esc WHERE vec_id = $queryVecId) WHERE rn <= 2),
+       |p AS (SELECT q.q_id, x.vec_id,
+       |  round(list_dot_product(x.v, q.qv) / (x.nrm * q.qn), 4) AS score
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |sleg AS (SELECT vec_id AS doc_id, rn AS srank FROM
+       |  (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |  WHERE rn <= $topN),
+       |f AS (SELECT coalesce(kleg.doc_id, sleg.doc_id) AS doc_id,
+       |  kleg.krank, sleg.srank,
+       |  (coalesce(1000000 // (60 + kleg.krank), 0) +
+       |   coalesce(1000000 // (60 + sleg.srank), 0))::BIGINT AS rrf_x1m
+       |  FROM kleg FULL OUTER JOIN sleg ON kleg.doc_id = sleg.doc_id)
+       |SELECT doc_id, krank, srank, rrf_x1m FROM f
+       |ORDER BY rrf_x1m DESC, doc_id LIMIT $topN""".stripMargin
 
   /** BM25 oracle — shared verbatim by the inline and stored-ref
     * entries: the stored tables hold the SAME model computed once, so

@@ -31,7 +31,7 @@ object SpanQueries {
     // supply the recurrence a crawl's nav bars / cookie banners
     // would); both boilerplate entries draw from the session-shared
     // persisted segment base, like the span family's shingle base
-    "text_boilerplate" -> ((s, dir) => {
+    "text_bp" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.boilerplateSegments(docs, SegTokens, MinDocs,
         segments = Some(TextAnalysis.sharedSegmentRows(docs, SegTokens)))
@@ -40,7 +40,7 @@ object SpanQueries {
 
     // APPLY: every doc rebuilt without its boilerplate segments
     // (row-sized md5 proof of the scrubbed text, piiScrub convention)
-    "text_boilerplate_apply" -> ((s, dir) => {
+    "text_bp_apply" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.scrubBoilerplate(docs, SegTokens, MinDocs,
         segments = Some(TextAnalysis.sharedSegmentRows(docs, SegTokens)))
@@ -55,7 +55,7 @@ object SpanQueries {
     // spans and apply share ONE session-cached span frame
     // (sharedDuplicatedSpans) on top of the shared shingle base — the
     // duplicated-hash aggregation runs once per session, not per entry
-    "dedup_substring_spans" -> ((s, dir) => {
+    "substr_spans" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Dedup.sharedDuplicatedSpans(docs, SpanTokens)
         .orderBy(col("doc_id"), col("span_start"))
@@ -67,7 +67,7 @@ object SpanQueries {
     // when the counts are stored (here both sides filter the shared
     // shingle base: shingling is row-local, so filter and shingle
     // commute)
-    "dedup_substr_inc" -> ((s, dir) => {
+    "substr_inc" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val base = Dedup.sharedPositionedShingleRows(docs, SpanTokens)
       // the per-hash corpus count table is the operator's own storable
@@ -89,7 +89,7 @@ object SpanQueries {
 
     // APPLY: every doc rebuilt with its duplicated spans cut out
     // (row-sized md5 proof; span-less docs pass through unchanged)
-    "dedup_substring_apply" -> ((s, dir) => {
+    "substr_apply" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Dedup.scrubSpans(docs, SpanTokens, minDocs = 2,
         spansIn = Some(Dedup.sharedDuplicatedSpans(docs, SpanTokens)))
@@ -101,7 +101,7 @@ object SpanQueries {
     // are single-line, so each doc is one whole-text line and
     // "recurring segment" degenerates to exact-dup text — a boundary
     // case the operator and oracle must (and do) agree on.
-    "text_boilerplate_lines" -> ((s, dir) => {
+    "text_bp_lines" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.scrubBoilerplate(docs, minDocs = MinDocs,
         segments = Some(TextAnalysis.lineSegmentRows(docs)), joinWith = "\n")
@@ -222,14 +222,14 @@ object SpanQueries {
        |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "text_boilerplate" -> (segCte +
+    "text_bp" -> (segCte +
       s"""cnt AS (SELECT md5(seg) AS seg_hash, min(seg) AS seg,
          |  COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_hits
          |  FROM seg GROUP BY md5(seg))
          |SELECT seg_hash, seg, n_docs, n_hits FROM cnt WHERE n_docs >= $MinDocs
          |ORDER BY n_docs DESC, seg_hash""".stripMargin),
 
-    "text_boilerplate_apply" -> (segCte +
+    "text_bp_apply" -> (segCte +
       s"""bp AS (SELECT md5(seg) AS seg_hash FROM seg
          |  GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= $MinDocs),
          |kept AS (SELECT s.doc_id,
@@ -245,7 +245,7 @@ object SpanQueries {
          |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
          |ORDER BY b.doc_id""".stripMargin),
 
-    "dedup_substring_spans" -> (shingleCte +
+    "substr_spans" -> (shingleCte +
       s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
          |lagged AS (SELECT doc_id, p,
@@ -265,7 +265,7 @@ object SpanQueries {
     // fresh/corpus doc sets are disjoint, so the union distinct-doc
     // count the operator forms as n_fresh + n_corpus is stated here
     // directly as the all-docs count, with hits restricted to fresh
-    "dedup_substr_inc" -> (shingleCte +
+    "substr_inc" -> (shingleCte +
       s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h) WHERE doc_id % 5 = 0),
          |lagged AS (SELECT doc_id, p,
@@ -282,7 +282,7 @@ object SpanQueries {
          |  COUNT(*)::BIGINT AS n_dup_shingles
          |FROM island GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin),
 
-    "dedup_substring_apply" -> (shingleCte +
+    "substr_apply" -> (shingleCte +
       s"""dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
          |lagged AS (SELECT doc_id, p,
@@ -309,9 +309,9 @@ object SpanQueries {
          |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
          |ORDER BY b.doc_id""".stripMargin),
 
-    // line-boundary twin of text_boilerplate_apply: chr(10) split,
+    // line-boundary twin of text_bp_apply: chr(10) split,
     // 1-based list index i → 0-based seg_idx, newline re-join
-    "text_boilerplate_lines" ->
+    "text_bp_lines" ->
       s"""WITH lt AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
          |s0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM lt),
          |seg AS (SELECT doc_id, i-1 AS seg_idx, ls[i] AS seg FROM s0),

@@ -191,7 +191,7 @@ object StreamAnalytics {
 
   /** Batch twin of [[streamingNearDup]] — the backfill form, and the
     * oracle that keeps the stateful matcher honest at fixture scale
-    * (registered as the `stream_neardup_twin` query with a DuckDB
+    * (registered as the `stream_twin` query with a DuckDB
     * oracle; `StreamAnalyticsSpec` differentially checks the streamed
     * hits against this plan over the documents fixture).
     *
@@ -242,9 +242,9 @@ object StreamAnalytics {
 
   /** The STATEFUL matcher run to completion over a bounded corpus —
     * the driver-visible form of the streaming/batch parity claim.
-    * [[batchNearDup]]'s registry entry (`stream_neardup_twin`) proves
+    * [[batchNearDup]]'s registry entry (`stream_twin`) proves
     * the declarative twin against DuckDB; this one
-    * (`stream_neardup_sink`) feeds the same rows through
+    * (`stream_sink`) feeds the same rows through
     * [[streamingNearDup]] itself — replayed through a FILE streaming
     * source in bounded arrival-ordered micro-batches into a FILE sink
     * — and returns the sink read back with the at-least-once dedup

@@ -755,8 +755,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // before removeBatch (simulated by appending to the ledger
     // directly) — the index keeps serving the pre-crash state...
     val victims2 = after1.map(_.getAs[Long]("vec_id")).distinct.take(2)
-    victims2.toDF("vec_id").write.mode("append").format("parquet")
-      .saveAsTable(ledger)
+    victims2.map((_, 99L)).toDF("vec_id", "batch")
+      .write.mode("append").format("parquet").saveAsTable(ledger)
     assert(probe() == after1,
       "an unapplied ledger batch must not affect serving")
     // ...and the recovery path applies the stranded batch
@@ -765,6 +765,56 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(after2 != after1 && after2.forall(r =>
       !(victims ++ victims2).contains(r.getAs[Long]("vec_id"))),
       "replaying the ledger must apply the batch the crash stranded")
+  }
+
+  test("gen-2 build fine-assignment join: broadcast forced below the knee, un-hinted past it") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val e = Similarity.prepared(Fixtures.embeddings(spark, sf))
+    val n = e.count()
+    // kill auto-broadcast so the plan shape reflects ONLY the gate —
+    // at fixture scale size estimates could auto-broadcast either way
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val below = Similarity.ivf2StructureOf(e, n)._3
+        .queryExecution.explainString(FormattedMode)
+      assert(below.contains("BroadcastHashJoin"),
+        s"below the knee the build must FORCE the fine broadcast " +
+          s"(derived relations have no stats):\n$below")
+      val past = Similarity.ivf2StructureOf(e, Similarity.Ivf2FineBroadcastKneeN + 1)._3
+        .queryExecution.explainString(FormattedMode)
+      assert(!past.contains("BroadcastHashJoin"),
+        s"past the knee the hint must be absent so Catalyst/AQE chooses:\n$past")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("retireVia evaluates the producer ONCE: a nondeterministic id plan " +
+      "cannot ledger one set and tombstone another") {
+    val dir = tempCorpus("nondet")
+    AnnIndex.ensureBuilt(spark, dir, tag = "nd")
+    val emb = Fixtures.embeddings(spark, dir)
+    // a GENUINELY nondeterministic producer: every evaluation samples
+    // a different ~half of the corpus (rand() would not do — Spark
+    // fixes its seed at analysis, so re-execution repeats; an
+    // asNondeterministic udf re-rolls per evaluation)
+    val flip = udf(() => scala.util.Random.nextBoolean()).asNondeterministic()
+    AnnIndex.retireBatch(spark, dir, emb.select(col("vec_id")).where(flip()),
+      tag = "nd")
+    val ledgered = spark.table(AnnIndex.deleteLedgerTableFor(dir, "nd"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val tombstoned = spark.table(AnnIndex.tombstoneTableFor(dir, "nd"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // every ledgered id is a corpus member, so resolution drops none:
+    // the tombstone set must be EXACTLY the durably recorded batch —
+    // under the old evaluate-twice shape the two sets diverge with
+    // near-certainty
+    assert(ledgered.nonEmpty && tombstoned == ledgered,
+      s"ledger (${ledgered.size}) and tombstones (${tombstoned.size}) diverged: " +
+        s"the producer plan was evaluated more than once")
+    // and replay converges as before
+    AnnIndex.replayDeleteLedger(spark, dir, "nd")
+    assert(spark.table(AnnIndex.tombstoneTableFor(dir, "nd"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet == ledgered)
   }
 
   test("deletion loses no live neighbors: full-width probe over a tombstoned index == brute force over survivors") {
@@ -825,6 +875,91 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(sub == g2Prefix.filter(_.getAs[Long]("q_id") == 3L))
   }
 
+  test("composed serving call: explicit ids x SQ8 codes, both generations — " +
+      "prefix-coherent, zero loss at rerank = 2k, candidate scan reads codes not vectors") {
+    import spark.implicits._
+    AnnIndex.ensureBuilt(spark, sf)
+    AnnIndex.ensureBuilt2(spark, sf)
+    val ids = (0L until 5L).toDF("vec_id")
+    // the id path must be the prefix path's exact result on the same set
+    val flatPrefix = AnnIndex.topKSq(spark, sf, maxQueryId = 5, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val flatIds = AnnIndex.topKIdsSq(spark, sf, ids, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(flatIds.nonEmpty && flatIds == flatPrefix,
+      "topKIdsSq over the prefix ids must equal the prefix SQ probe")
+    val g2Prefix = AnnIndex.topK2Sq(spark, sf, maxQueryId = 5, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val g2Ids = AnnIndex.topK2IdsSq(spark, sf, ids, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(g2Ids.nonEmpty && g2Ids == g2Prefix,
+      "topK2IdsSq over the prefix ids must equal the prefix SQ probe")
+    // rerank = 2k buys back full-precision results on the explicit-id
+    // path too (the round-17 verdict's acceptance bar)
+    val exact = AnnIndex.topKIds(spark, sf, ids, k = 4, nProbe = 2)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val sq2k = AnnIndex.topKIdsSq(spark, sf, ids, k = 4, nProbe = 2, rerank = 8)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(sq2k == exact,
+      "explicit-id SQ probe at rerank = 2k must equal the full-precision explicit-id probe")
+    // the byte bound survives the composition: the candidate scan's
+    // ReadSchema excludes `v` on both generations
+    val p1 = AnnIndex.topKIdsSq(spark, sf, ids, k = 4, nProbe = 2, rerank = 12)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p1.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,codes:array<int>>"),
+      "flat explicit-id candidate scan must read codes, not vectors")
+    val p2 = AnnIndex.topK2IdsSq(spark, sf, ids, k = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p2.contains("ReadSchema: struct<vec_id:bigint,nrm:double,ccell:int,fcell:int,codes:array<int>>"),
+      "gen-2 explicit-id candidate scan must read codes, not vectors")
+    // unknown ids probe nothing
+    assert(AnnIndex.topKIdsSq(spark, sf, Seq(987654321L).toDF("vec_id"), k = 4).isEmpty)
+  }
+
+  test("SQ probes after a real delete: tombstones filtered on the codes path, " +
+      "deletion set intersects the pre-delete SQ top-k (non-vacuous entries)") {
+    val dir = tempCorpus("sqdel")
+    AnnIndex.ensureBuilt(spark, dir)
+    AnnIndex.ensureBuilt2(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    // flat: residue 7 (the registry's set) must intersect the
+    // pre-delete SQ top-k, or topk_sq_del would be vacuous
+    val beforeFlat = AnnIndex.topKSq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(beforeFlat.exists(_.getAs[Long]("vec_id") % 10 == 7),
+      "sanity: residue 7 must appear in the pre-delete SQ top-4")
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val afterFlat = AnnIndex.topKSq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(afterFlat.nonEmpty && afterFlat.forall(_.getAs[Long]("vec_id") % 10 != 7),
+      "a tombstoned vector leaked into the SQ codes path")
+    assert(afterFlat != beforeFlat, "deletion must visibly change the SQ results")
+    // gen-2: residue 3 (the registry's set), same contract
+    val before2 = AnnIndex.topK2Sq(spark, dir, maxQueryId = 6, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before2.exists(_.getAs[Long]("vec_id") % 10 == 3),
+      "sanity: residue 3 must appear in the pre-delete gen-2 SQ top-4")
+    AnnIndex.removeBatch2(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+    val after2 = AnnIndex.topK2Sq(spark, dir, maxQueryId = 6, k = 4)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after2.nonEmpty && after2.forall(_.getAs[Long]("vec_id") % 10 != 3),
+      "a tombstoned vector leaked into the gen-2 SQ codes path")
+    assert(after2 != before2, "deletion must visibly change the gen-2 SQ results")
+    // the explicit-id composition sees the same tombstones
+    import spark.implicits._
+    val idsAfter = AnnIndex.topKIdsSq(spark, dir,
+        (0L until 6L).toDF("vec_id"), k = 4, nProbe = 2, rerank = 12)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(idsAfter == afterFlat,
+      "explicit-id SQ probe must see the same tombstones as the prefix probe")
+  }
+
   test("gen-2 ledger: retireBatch2 records then retires, replay idempotent, stranded batch applied") {
     import spark.implicits._
     val dir = tempCorpus("ledger2")
@@ -842,8 +977,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // stranded second batch (crash before removeBatch2) applied on replay
     val ledger = AnnIndex.deleteLedger2TableFor(dir, "led2")
     val victims2 = after1.map(_.getAs[Long]("vec_id")).distinct.take(2)
-    victims2.toDF("vec_id").write.mode("append").format("parquet")
-      .saveAsTable(ledger)
+    victims2.map((_, 99L)).toDF("vec_id", "batch")
+      .write.mode("append").format("parquet").saveAsTable(ledger)
     assert(probe() == after1)
     AnnIndex.replayDeleteLedger2(spark, dir, "led2")
     assert(probe().forall(r =>

@@ -47,14 +47,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("no registered query runs a global (unpartitioned) window over non-aggregated data") {
     // An empty partitionSpec moves ALL rows to one partition — fatal at
     // 100 TB unless the input is already cardinality-bounded by an
-    // aggregation below it (e.g. quality_budget's ≤10001-row bin frame).
+    // aggregation below it (e.g. qbudget's ≤10001-row bin frame).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     // ReusedExchangeExec is a leaf pointing at an exchange planned
     // elsewhere — chase the reference or a reused aggregate looks
-    // unbounded (quality_budget's bin frame plans exactly this way).
+    // unbounded (qbudget's bin frame plans exactly this way).
     def hasAggBelow(p: SparkPlan): Boolean =
       p.collectFirst { case a: BaseAggregateExec => a }.isDefined ||
         p.collect { case r: ReusedExchangeExec => r }.exists(r => hasAggBelow(r.child))

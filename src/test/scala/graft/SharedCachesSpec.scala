@@ -119,8 +119,8 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     // families, and the composed pipelines on top
     val cacheHeavy = Seq("dedup_minhash", "dedup_apply", "dedup_inc",
       "dedup_inc_apply", "dedup_ngram_banded",
-      "dedup_substring_spans", "dedup_substr_inc", "dedup_substring_apply",
-      "text_boilerplate", "text_boilerplate_apply", "text_boilerplate_lines",
+      "substr_spans", "substr_inc", "substr_apply",
+      "text_bp", "text_bp_apply", "text_bp_lines",
       "pipeline_curate", "curate_inc")
     cacheHeavy.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -349,7 +349,7 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // the full documents fixture through the STATEFUL matcher, in
     // arrival order across several micro-batches, against the
-    // declarative batch twin (the stream_neardup_twin registry query's
+    // declarative batch twin (the stream_twin registry query's
     // plan) — same clock, same horizon. maxPerBucket is lifted clear
     // of the fixture's duplicate-group sizes so the comparison tests
     // matching semantics, not the state cap (the cap's own semantics
@@ -358,7 +358,7 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
     val horizon = 120L * minNanos
     // clock offset keeps doc 0 off epoch 0 (== the initial watermark,
     // whose late-row filter would silently drop it) — same base the
-    // registry's stream_neardup_twin derives
+    // registry's stream_twin derives
     val docs = Fixtures.documents(spark, sfDir)
       .select(col("doc_id"), col("text"),
         ((col("doc_id") + 1440L) * minNanos).as("ts"))

@@ -10,9 +10,9 @@ FAMILIES = {
         "dedup_simhash", "dedup_ngram_banded"],
     "dedup, raw yardsticks": ["dedup_ngram"],
     "substring / boilerplate / classifier": [
-        "dedup_substring_spans", "dedup_substr_inc",
-        "dedup_substring_apply", "text_boilerplate", "text_boilerplate_apply",
-        "text_boilerplate_lines", "classifier",
+        "substr_spans", "substr_inc",
+        "substr_apply", "text_bp", "text_bp_apply",
+        "text_bp_lines", "classifier",
         "classifier_weighted", "classifier_trained"],
     "embedding near-dup (LSH)": [
         "embed_neardup_lsh", "embed_inc",
@@ -30,9 +30,9 @@ FAMILIES = {
         "bm25", "bm25_stored",
         "text_lm_score_stored"],
     "curation": [
-        "decontaminate", "sample_stratified", "split_assign", "source_cap",
-        "mix_weighted", "pack_sequences", "quality_budget",
-        "quality_budget_by_lang", "snapshot_diff", "pipeline_curate",
+        "decontaminate", "sample_strat", "split_assign", "source_cap",
+        "mix_weighted", "pack_sequences", "qbudget",
+        "qbudget_lang", "snapshot_diff", "pipeline_curate",
         "curate_inc", "dsir_weights", "dsir_resample"],
     "multimodal": [
         "mm_decode", "mm_resize", "mm_frames",
@@ -49,8 +49,8 @@ FAMILIES = {
         "evm_stats"],
     "ingest / events / streaming twins": [
         "ingest_explode", "ingest_idempotent", "reorg_rollback",
-        "events_hourly", "events_sessions", "stream_neardup_twin",
-        "stream_neardup_sink"],
+        "events_hourly", "events_sessions", "stream_twin",
+        "stream_sink"],
 }
 
 
