@@ -17,8 +17,17 @@ object Ingest {
     */
   def idempotentAppend(existing: DataFrame, incoming: DataFrame,
                        keys: Seq[String]): DataFrame = {
-    val fresh = incoming.dropDuplicates(keys)
+    // anti-join FIRST, dedup only the survivors: rows whose key is
+    // already stored never pay the representative-pick aggregate
+    // (dropDuplicates over non-key string columns plans a
+    // SortAggregate of first()s — the dominant stage of the old
+    // shape), so the common ingest case (a mostly-duplicate retry
+    // batch) degenerates to one key-only anti-join. The result set is
+    // unchanged: the per-key representative is arbitrary among
+    // incoming rows under either order.
+    val fresh = incoming
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
+      .dropDuplicates(keys)
     existing.unionByName(fresh)
   }
 

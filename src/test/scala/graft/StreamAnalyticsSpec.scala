@@ -193,6 +193,37 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec {
         .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(dedupedRows.toSeq == Seq((1L, 2L)),
         s"deduped feed must emit the pair exactly once, got ${dedupedRows.toSeq}")
+
+      // ...and the loop CLOSES: the exactly-once hit set is the delete
+      // producer — each pair's loser (greater id, the min-id survivor
+      // rule) retires from the serving ANN index through the
+      // ledger-first retireBatch, and a subsequent explicit-id probe
+      // no longer serves it (the stream_retire registry entry runs
+      // this same loop against the completed-stream harness; here the
+      // producer is the REAL two-query dedupNearDupFeed wiring)
+      val sfDir = "/root/testdata/sf0.001"
+      val losers = spark.table("hits_deduped").select(col("doc_b").as("vec_id"))
+      // discover the query ids that SERVE the loser pre-retire (a
+      // full-width pass, fixture-sized), so the absence assertion
+      // below is non-vacuous by construction
+      val allIds = graft.tables.Fixtures.embeddings(spark, sfDir).select(col("vec_id"))
+      val servers = graft.ops.AnnIndex
+        .topKIds(spark, sfDir, allIds, k = 12, nProbe = 6, tag = "feed")
+        .filter(col("vec_id") === 2L).select(col("q_id").as("vec_id"))
+        .limit(4).collect().map(_.getLong(0)).toSeq
+      assert(servers.nonEmpty,
+        "fixture sanity: some query must serve the loser BEFORE the retire")
+      val queryIds = servers.toDF("vec_id")
+      def probe() = graft.ops.AnnIndex
+        .topKIds(spark, sfDir, queryIds, k = 12, nProbe = 6, tag = "feed")
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(probe().contains(2L))
+      graft.ops.AnnIndex.retireBatch(spark, sfDir, losers, tag = "feed")
+      assert(!probe().contains(2L),
+        "the stream's loser must be absent from the post-retire probe")
+      assert(spark.table(graft.ops.AnnIndex.deleteLedgerTableFor(sfDir, "feed"))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "the loser must be durably ledgered exactly once")
     } finally { qRaw.stop(); qDeduped.stop() }
   }
 
