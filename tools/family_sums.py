@@ -13,7 +13,8 @@ FAMILIES = {
         "substr_spans", "substr_inc",
         "substr_apply", "text_bp", "text_bp_apply",
         "text_bp_lines", "classifier",
-        "classifier_weighted", "classifier_trained"],
+        "classifier_weighted", "classifier_trained",
+        "classifier_stored", "classifier_eval"],
     "embedding near-dup (LSH)": [
         "embed_neardup_lsh", "embed_inc",
         "embed_inc_apply"],
@@ -21,7 +22,11 @@ FAMILIES = {
     "ANN / similarity top-k": [
         "topk", "topk_ivf", "topk_kmeans",
         "topk_indexed", "topk_requantized", "topk_ivf2", "topk_sq",
-        "topk_ivf_sq"],
+        "topk_ivf_sq", "topk_indexed_sq", "topk_idx2", "topk2_sq"],
+    "ANN delete / retire / serving compositions": [
+        "topk_del", "topk2_del", "topk_sq_del", "topk2_sq_del",
+        "topk_sq_ids", "topk2_sq_ids",
+        "curate_retire", "curate_ret2", "hybrid_rrf"],
     "text analysis": [
         "text_lang_id", "text_quality", "text_token_counts",
         "text_token_modes", "text_doc_frequency", "text_hll",
@@ -36,7 +41,8 @@ FAMILIES = {
         "curate_inc", "dsir_weights", "dsir_resample"],
     "multimodal": [
         "mm_decode", "mm_resize", "mm_frames",
-        "mm_byte_stats", "mm_audio_meta", "mm_pixels", "mm_png_pixels"],
+        "mm_byte_stats", "mm_audio_meta", "mm_pixels", "mm_png_pixels",
+        "mm_jpeg_pixels", "mm_audio_pcm", "mm_pcm16", "mm_video"],
     "export": ["export_shards", "export_manifest"],
     "relational / TPC-H-ish": [
         "q1_agg", "q3_revenue", "q5_revenue",
@@ -50,7 +56,7 @@ FAMILIES = {
     "ingest / events / streaming twins": [
         "ingest_explode", "ingest_idempotent", "reorg_rollback",
         "events_hourly", "events_sessions", "stream_twin",
-        "stream_sink"],
+        "stream_sink", "stream_retire"],
 }
 
 
