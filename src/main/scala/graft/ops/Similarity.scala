@@ -111,6 +111,9 @@ object Similarity {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     (0 until iters).foreach { _ =>
       val assigned = assignCells(e, centroids)
+      // bounded collect: exactly k·d rows (the LEARNED-quantizer k —
+      // a caller-dialed handful, not the corpus-scaled ⌈√n⌉ of the
+      // sampled index), aggregated map-side before the driver sees it
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
