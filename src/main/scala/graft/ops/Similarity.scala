@@ -530,6 +530,83 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
+  /** Product quantization (PQ) with asymmetric distance scoring — the
+    * sub-byte tier BEYOND SQ8 (faiss IVF-PQ's code shape): the vector
+    * is split into `m` subspaces of dim/m dims, each subspace coded as
+    * the index of its nearest of `ksub` subspace centroids, so a
+    * 64-dim float vector (256 B) stores as m=8 4-bit codes (4 B —
+    * 16× smaller than SQ8's ~64 B). The candidate pass never touches
+    * vectors OR reconstructions: each query precomputes an m×ksub
+    * inner-product TABLE against the codebook (the "asymmetric"
+    * half — queries stay full-precision), and a candidate's
+    * approximate dot is m table lookups — `Σ_j qtbl[j][codes[j]]` —
+    * then `rerank` survivors per query re-score exactly.
+    *
+    * Codebook = the ksub md5-rank-first corpus rows ([[
+    * sampledCentroids]] — the same proven sampling as the IVF
+    * quantizers), subspace j's centroid i being that row's j-th
+    * slice: ONE ksub×dim literal rides the plan (16×64 doubles —
+    * tiny at any corpus size, unlike a learned k·d codebook).
+    * Assignment distances, the query tables, and the ADC fold are all
+    * stated as EXPLICIT left-associated arithmetic chains (generated
+    * here, mirrored textually in the DuckDB oracle), so every double
+    * is the same IEEE sequence in both engines and the registry entry
+    * hash-checks the whole quantize→table→scan→rerank shape.
+    *
+    * At scale: the scan side reads m ints per row (bit-packs to
+    * 4 bits/dim); the per-pair cost is m lookups + m−1 adds (vs
+    * dim mults for SQ8's decomposed dot); composes with the IVF cell
+    * key for bucket pruning exactly like [[topKIvfSq]]; the rerank
+    * join touches queries×rerank full vectors only. */
+  def topKPq(embeddings: DataFrame, maxQueryId: Long, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 30,
+             dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val e = prepared(embeddings)
+    val cs = sampledCentroids(e, ksub)
+    val cmat = typedlit(cs.map(_.toSeq).toSeq)
+    // explicit ascending-t chains — the IEEE sequences the oracle
+    // mirrors textually. `x` is the row-side vector column name.
+    def dotChain(x: String) = (1 to dsub).map(t =>
+      s"element_at($x, j*$dsub+$t) * element_at(element_at(cmat, i+1), j*$dsub+$t)")
+      .mkString(" + ")
+    val c2Chain = (1 to dsub).map(t =>
+      s"element_at(element_at(cmat, i+1), j*$dsub+$t) * " +
+        s"element_at(element_at(cmat, i+1), j*$dsub+$t)").mkString(" + ")
+    // assignment: per subspace, first-min of -2·<sub,c> + |c|² over the
+    // ksub centroids (the |sub|² term is rank-constant and dropped)
+    val codes = e.withColumn("cmat", cmat)
+      .withColumn("pqd", expr(
+        s"transform(sequence(0, ${m - 1}), j -> " +
+          s"transform(sequence(0, ${ksub - 1}), i -> " +
+          s"-2.0D * (${dotChain("v")}) + ($c2Chain)))"))
+      .withColumn("codes", expr(
+        "transform(pqd, a -> CAST(array_position(a, array_min(a)) AS INT) - 1)"))
+      .select(col("vec_id"), col("nrm"), col("codes"))
+    // asymmetric half: the per-query m×ksub inner-product table
+    val q = e.withColumn("cmat", cmat)
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        expr(s"transform(sequence(0, ${m - 1}), j -> " +
+          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("v")}))").as("qtbl"))
+    val adcChain = (1 to m).map(j =>
+      s"element_at(element_at(qtbl, $j), element_at(codes, $j)+1)").mkString(" + ")
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("approx", expr(s"($adcChain)") / (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v"), col("nrm")).join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
   /** SQ scoring terms shared by [[topKSq]] and [[topKIvfSq]]: the
     * driver-computed step/basis literals and the code table. The IEEE
     * sequences here are the operator DEFINITION the oracles mirror —

@@ -230,6 +230,20 @@ object PipelineQueries {
         k = 10, rerank = 20)
         .orderBy(col("q_id"), col("rn"))),
 
+    // product quantization with asymmetric distance scoring (round 18
+    // — the sub-byte tier beyond SQ8, faiss IVF-PQ's code shape):
+    // m=8 subspaces × 16 md5-sampled centroids → 4 bits/dim codes; a
+    // query precomputes its m×ksub inner-product table and candidates
+    // rank by m table lookups, exact rerank on top. Every arithmetic
+    // chain (assignment distances, query tables, the ADC fold) is
+    // generated as the SAME left-associated sequence the oracle
+    // states, so the whole quantize→table→scan→rerank shape
+    // hash-checks
+    "topk_pq" -> ((s, dir) =>
+      Similarity.topKPq(Fixtures.embeddings(s, dir), maxQueryId = 5,
+        k = 10, m = 8, ksub = 16, rerank = 50)
+        .orderBy(col("q_id"), col("rn"))),
+
     // the COMPOSED serving shape (faiss IVF-SQ): cell pruning bounds
     // which rows a probe touches (same √n md5-sampled quantizer as the
     // persisted index), the 8-bit codes bound the bytes per touched
@@ -1165,6 +1179,12 @@ object PipelineQueries {
     "topk_ivf_sq" ->
       annIndexSqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, rerank = 15),
 
+    // PQ/ADC: codebook sampling, per-subspace first-min assignment,
+    // the per-query table, the m-lookup fold, and the exact rerank in
+    // one statement — chains emitted in the operator's exact order
+    "topk_pq" ->
+      pqOracleSql(maxQueryId = 5, topK = 10, m = 8, ksub = 16, rerank = 50),
+
     // the STORED probe shares the inline statement at its own
     // parameters: assignment/quantizer/params/codes read back from the
     // persisted tables must be indistinguishable from deriving them
@@ -1819,6 +1839,54 @@ object PipelineQueries {
        |  (q.qbasis + list_dot_product(q.t, c.codes)) / (c.nrm * q.qn) AS approx
        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter
        |  JOIN c ON c.vec_id = x.vec_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The PQ/ADC oracle (`topk_pq`): codebook = the ksub md5-rank-first
+    * rows (the sampled-quantizer CTE), per-subspace assignment by
+    * first-min of the explicit -2·dot+|c|² chains, the per-query
+    * m×ksub table, the m-lookup ADC fold, and the exact rerank — every
+    * arithmetic chain emitted in the SAME ascending order as
+    * [[graft.ops.Similarity.topKPq]] generates, so both engines run
+    * identical IEEE sequences. */
+  private def pqOracleSql(maxQueryId: Int, topK: Int, m: Int, ksub: Int,
+                          rerank: Int, dim: Int = 64): String = {
+    val dsub = dim / m
+    def dotChain(x: String) = (1 to dsub).map(t =>
+      s"$x[j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val c2Chain = (1 to dsub).map(t =>
+      s"cm[i+1][j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val adcChain = (1 to m).map(j =>
+      s"qtbl[$j][codes[$j]+1]").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |cl AS (SELECT list(v ORDER BY rnk) AS cm FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s WHERE rnk <= $ksub),
+       |pqc AS (SELECT n.vec_id, n.nrm,
+       |  list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |    -2.0 * (${dotChain("v")}) + ($c2Chain))) AS pqd
+       |  FROM n, cl),
+       |cod AS (SELECT vec_id, nrm,
+       |  list_transform(pqd, a -> list_position(a, list_min(a)) - 1) AS codes
+       |  FROM pqc),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |  list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |    (${dotChain("v")}))) AS qtbl
+       |  FROM n, cl WHERE vec_id < $maxQueryId),
+       |a AS (SELECT q.q_id, c.vec_id, q.qv, q.qn,
+       |  ($adcChain) / (c.nrm * q.qn) AS approx
+       |  FROM cod c JOIN q ON c.vec_id <> q.q_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
