@@ -562,13 +562,59 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, rerank: Int = 30,
              dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val (codes, qtblOf) = pqPieces(e, m, ksub, dim)
+    val q = qtblOf(e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("approx", expr(s"(${pqAdcChain(m)})") / (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    pqExactRerank(e, cands, k)
+  }
+
+  /** The full faiss IVF-PQ serving shape: the √n sampled cell
+    * quantizer bounds WHICH rows a probe touches ([[topKIvfSq]]'s cell
+    * key), the 4-bit PQ codes bound the BYTES and the per-pair work
+    * (m table lookups instead of dim multiplies), exact rerank keeps
+    * emitted scores full-precision — cell pruning, the code scan, and
+    * the ADC fold all mirrored in one oracle statement. */
+  def topKIvfPq(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
+                nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
+                rerank: Int = 30, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
+    val (codes, qtblOf) = pqPieces(e, m, ksub, dim)
+    // the inline form of a stored (cell, codes) bucket row
+    val codeIdx = assignCells(e, cs).select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+    val probes = qtblOf(probeQueries(
+      e.filter(col("vec_id") < maxQueryId), cs, nProbe))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codeIdx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", expr(s"(${pqAdcChain(m)})") / (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    pqExactRerank(e, cands, k)
+  }
+
+  /** The PQ building blocks shared by [[topKPq]] and [[topKIvfPq]]:
+    * the (vec_id, nrm, codes) corpus frame (per-subspace first-min
+    * assignment against the ksub md5-rank-first codebook rows), and a
+    * function decorating a query frame (with a `qv` column) with its
+    * m×ksub asymmetric inner-product table. All arithmetic emitted as
+    * explicit ascending-order chains — the IEEE sequences the oracle
+    * states textually. */
+  private def pqPieces(e: DataFrame, m: Int, ksub: Int,
+                       dim: Int): (DataFrame, DataFrame => DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    val e = prepared(embeddings)
-    val cs = sampledCentroids(e, ksub)
-    val cmat = typedlit(cs.map(_.toSeq).toSeq)
-    // explicit ascending-t chains — the IEEE sequences the oracle
-    // mirrors textually. `x` is the row-side vector column name.
+    val cmat = typedlit(sampledCentroids(e, ksub).map(_.toSeq).toSeq)
     def dotChain(x: String) = (1 to dsub).map(t =>
       s"element_at($x, j*$dsub+$t) * element_at(element_at(cmat, i+1), j*$dsub+$t)")
       .mkString(" + ")
@@ -585,20 +631,23 @@ object Similarity {
       .withColumn("codes", expr(
         "transform(pqd, a -> CAST(array_position(a, array_min(a)) AS INT) - 1)"))
       .select(col("vec_id"), col("nrm"), col("codes"))
-    // asymmetric half: the per-query m×ksub inner-product table
-    val q = e.withColumn("cmat", cmat)
-      .filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        expr(s"transform(sequence(0, ${m - 1}), j -> " +
-          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("v")}))").as("qtbl"))
-    val adcChain = (1 to m).map(j =>
-      s"element_at(element_at(qtbl, $j), element_at(codes, $j)+1)").mkString(" + ")
-    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
-    val cands = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("approx", expr(s"($adcChain)") / (col("nrm") * col("qn")))
-      .withColumn("crn", row_number().over(wA))
-      .filter(col("crn") <= rerank)
-      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val qtblOf = (q: DataFrame) => q.withColumn("cmat", cmat)
+      .withColumn("qtbl", expr(
+        s"transform(sequence(0, ${m - 1}), j -> " +
+          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("qv")}))"))
+      .drop("cmat")
+    (codes, qtblOf)
+  }
+
+  /** The m-lookup ADC fold `Σ_j qtbl[j][codes[j]]` as an explicit
+    * left-associated chain (divided by the norms at the call site). */
+  private def pqAdcChain(m: Int): String = (1 to m).map(j =>
+    s"element_at(element_at(qtbl, $j), element_at(codes, $j)+1)").mkString(" + ")
+
+  /** Exact-cosine rerank of a (q_id, vec_id, qv, qn) candidate frame —
+    * the shared final stage of both PQ forms. */
+  private def pqExactRerank(e: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     e.select(col("vec_id"), col("v"), col("nrm")).join(broadcast(cands), Seq("vec_id"))
       .withColumn("score", round(cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))

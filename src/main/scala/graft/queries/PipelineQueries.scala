@@ -244,6 +244,17 @@ object PipelineQueries {
         k = 10, m = 8, ksub = 16, rerank = 50)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the COMPOSED faiss IVF-PQ serving shape (round 18): cell
+    // pruning bounds WHICH rows a probe touches, the 4-bit PQ codes
+    // bound the bytes AND the per-pair work (m table lookups instead
+    // of dim multiplies), exact rerank on top — cell selection, code
+    // assignment, the query tables, and the ADC fold all mirrored in
+    // one oracle statement
+    "topk_ivf_pq" -> ((s, dir) =>
+      Similarity.topKIvfPq(Fixtures.embeddings(s, dir), maxQueryId = 6,
+        k = 5, nProbe = 2, m = 8, ksub = 16, rerank = 30)
+        .orderBy(col("q_id"), col("rn"))),
+
     // the COMPOSED serving shape (faiss IVF-SQ): cell pruning bounds
     // which rows a probe touches (same √n md5-sampled quantizer as the
     // persisted index), the 8-bit codes bound the bytes per touched
@@ -1185,6 +1196,12 @@ object PipelineQueries {
     "topk_pq" ->
       pqOracleSql(maxQueryId = 5, topK = 10, m = 8, ksub = 16, rerank = 50),
 
+    // IVF × PQ in one statement: the cell CTEs composed with the PQ
+    // codebook/assignment/table/ADC CTEs
+    "topk_ivf_pq" ->
+      ivfPqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, m = 8,
+        ksub = 16, rerank = 30),
+
     // the STORED probe shares the inline statement at its own
     // parameters: assignment/quantizer/params/codes read back from the
     // persisted tables must be indistinguishable from deriving them
@@ -1887,6 +1904,67 @@ object PipelineQueries {
        |a AS (SELECT q.q_id, c.vec_id, q.qv, q.qn,
        |  ($adcChain) / (c.nrm * q.qn) AS approx
        |  FROM cod c JOIN q ON c.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The IVF×PQ oracle (`topk_ivf_pq`): [[annIndexSqOracleSql]]'s cell
+    * CTEs (same integer-√ sizing, md5-sampled centroids, (s, cell)
+    * first-min assignment and probe) composed with [[pqOracleSql]]'s
+    * codebook/assignment/table/ADC CTEs — the full faiss-IVF-PQ
+    * serving shape hash-checked end to end. */
+  private def ivfPqOracleSql(maxQueryId: Int, topK: Int, nProbe: Int,
+                             m: Int, ksub: Int, rerank: Int,
+                             dim: Int = 64): String = {
+    val dsub = dim / m
+    def dotChain(x: String) = (1 to dsub).map(t =>
+      s"$x[j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val c2Chain = (1 to dsub).map(t =>
+      s"cm[i+1][j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val adcChain = (1 to m).map(j =>
+      s"qtbl[$j][codes[$j]+1]").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
+       |cl AS (SELECT list(v ORDER BY rnk) AS cm FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s WHERE rnk <= $ksub),
+       |pqc AS (SELECT n.vec_id, n.nrm,
+       |  list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |    -2.0 * (${dotChain("v")}) + ($c2Chain))) AS pqd
+       |  FROM n, cl),
+       |cod AS (SELECT vec_id, nrm,
+       |  list_transform(pqd, a -> list_position(a, list_min(a)) - 1) AS codes
+       |  FROM pqc),
+       |qp AS (SELECT vec_id AS q_id, qv, qn, cell, qtbl FROM
+       |  (SELECT sc.vec_id, sc.v AS qv, sc.nrm AS qn, sc.cell,
+       |     list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |       (${dotChain("sc.v")}))) AS qtbl,
+       |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
+       |   FROM sc, cl WHERE sc.vec_id < $maxQueryId) WHERE rn <= $nProbe),
+       |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
+       |  ($adcChain) / (c.nrm * q.qn) AS approx
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
+       |  JOIN cod c ON c.vec_id = x.vec_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),

@@ -113,7 +113,7 @@ object SpanQueries {
     // space DSIR consumes (featBucket has one owner), so the whole
     // classifier family projects the session-cached sharedFeatureRows
     // materialization instead of re-paying tokenize+md5 per entry
-    "classifier" -> ((s, dir) => {
+    "clf" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.classifierScore(docs, ClassifierDim,
           bucketRows = Some(graft.ops.Curation.sharedFeatureRows(docs, ClassifierDim)))
@@ -124,7 +124,7 @@ object SpanQueries {
     // weight) table broadcast into a per-token equi-join — here fed
     // the md5-derived weights as the table, so the join path is
     // differential-checked against the same closed-form oracle family
-    "classifier_weighted" -> ((s, dir) => {
+    "clf_weighted" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       TextAnalysis.classifierScoreWeighted(docs,
         TextAnalysis.classifierWeightsRef(docs, ClassifierDim), ClassifierDim,
@@ -140,7 +140,7 @@ object SpanQueries {
     // serving plan is untouched. Both the training scan and the
     // scoring scan project the shared hashed-token base (it carries
     // `lang`, the supervision column)
-    "classifier_trained" -> ((s, dir) => {
+    "clf_trained" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val fb = graft.ops.Curation.sharedFeatureRows(docs, ClassifierDim)
       TextAnalysis.classifierScoreWeighted(docs,
@@ -156,7 +156,7 @@ object SpanQueries {
     // aggregations in the plan (PlanAuditSpec-pinned) — train once,
     // serve O(batch). Oracle = classifier_trained's verbatim: the
     // stored table must hold exactly the model the inline train fits.
-    "classifier_stored" -> ((s, dir) =>
+    "clf_stored" -> ((s, dir) =>
       graft.ops.TextRefs.classifierScoreStored(s, dir, ClassifierDim)
         .orderBy(col("doc_id"))),
 
@@ -172,7 +172,7 @@ object SpanQueries {
     // — a training or serving regression moves a count, not a vibe.
     // Docs absent from the scored stream (null/empty text) drop from
     // the eval in both engines identically (inner join).
-    "classifier_eval" -> ((s, dir) => {
+    "clf_eval" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val scored = graft.ops.TextRefs.classifierScoreStored(s, dir, ClassifierDim)
       val split = graft.ops.Curation.splitAssign(docs)
@@ -330,7 +330,7 @@ object SpanQueries {
          |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
-    "classifier" ->
+    "clf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
          |  FROM documents),
          |w AS (SELECT doc_id,
@@ -346,7 +346,7 @@ object SpanQueries {
     // the weight table stated as an explicit range(dim) CTE and joined
     // on the bucket id — the closed-form md5 weights materialized the
     // way a trained model's would be stored (commonnessRef pattern)
-    "classifier_weighted" ->
+    "clf_weighted" ->
       s"""WITH wtab AS (SELECT i AS bucket,
          |  ('0x'||substr(md5('w:'||i::VARCHAR),1,8))::BIGINT - 2147483648 AS weight
          |  FROM range(0, $ClassifierDim) r(i)),
@@ -369,13 +369,13 @@ object SpanQueries {
     // is hash-checked. Shared verbatim by classifier_stored: the
     // stored table holds the SAME model trained once, so "identical
     // scores" is precisely the differential claim.
-    "classifier_trained" -> classifierTrainedOracleSql,
-    "classifier_stored" -> classifierTrainedOracleSql,
+    "clf_trained" -> classifierTrainedOracleSql,
+    "clf_stored" -> classifierTrainedOracleSql,
 
     // the trained-score CTEs chained into the split + confusion
     // aggregation — every stage already engine-exact, so the holdout
     // quality numbers themselves are differential
-    "classifier_eval" -> (classifierScoreCtes +
+    "clf_eval" -> (classifierScoreCtes +
       s""",
          |sp AS (SELECT doc_id,
          |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))::BIGINT % 1000 < 980 THEN 'train'

@@ -1255,6 +1255,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val recallWide = (pairs(brute) & pairs(wide)).size.toDouble / brute.size
     assert(recallWide >= recall - 0.100001,
       s"wider codebook must not collapse recall: $recallWide vs $recall")
+    // the IVF composition: probing EVERY cell with rerank=n recovers
+    // brute force exactly — cell pruning and the ADC fold only ever
+    // drop candidates, never corrupt an emitted score
+    val kc = graft.ops.AnnIndex.annCellsFor(n.toLong)
+    val ivfFull = hits(Similarity.topKIvfPq(emb, maxQueryId = 5, k = 10,
+      nProbe = kc, rerank = n))
+    assert(ivfFull == brute,
+      s"IVF-PQ full probe+rerank must equal brute: missing ${brute -- ivfFull}")
   }
 
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * former `embed_neardup` cartesian baseline now lives only in
     * OpsSpec as the LSH recall yardstick. */
   private val queryBoundedScans =
-    Set("topk", "topk_sq")
+    Set("topk", "topk_sq", "topk_pq")
 
   /** Cross-joins whose inputs are single-row scalar aggregates by
     * construction (1×1×1) — `Lookups.stats` combines three global
@@ -148,7 +148,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // the per-doc (count, sum) — the training pass (per-class bucket
     // counts + class totals) is gone, replaced by the dim-row weight
     // table probe. One corpus scan: the batch being scored.
-    val cls = SparkEntry.queries("classifier_stored")(spark, sfDir)
+    val cls = SparkEntry.queries("clf_stored")(spark, sfDir)
       .queryExecution.optimizedPlan
     val clsAggs = cls.collect { case a: Aggregate => a }
     assert(clsAggs.size == 1,

@@ -12,9 +12,9 @@ FAMILIES = {
     "substring / boilerplate / classifier": [
         "substr_spans", "substr_inc",
         "substr_apply", "text_bp", "text_bp_apply",
-        "text_bp_lines", "classifier",
-        "classifier_weighted", "classifier_trained",
-        "classifier_stored", "classifier_eval"],
+        "text_bp_lines", "clf",
+        "clf_weighted", "clf_trained",
+        "clf_stored", "clf_eval"],
     "embedding near-dup (LSH)": [
         "embed_neardup_lsh", "embed_inc",
         "embed_inc_apply"],
