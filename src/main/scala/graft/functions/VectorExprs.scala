@@ -66,11 +66,71 @@ case class DotProductF64(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen PQ asymmetric-distance fold: given a row's
+  * `array<int>` PQ codes and a query's FLATTENED m×ksub inner-product
+  * table (`array<double>`, subspace-major), the approximate dot is
+  * `Σ_j tbl[j·ksub + codes[j]]` — m gather-lookups and m−1 adds per
+  * (row, query) pair, the per-pair hot path of
+  * [[graft.ops.Similarity.topKPq]]/[[graft.ops.Similarity.topKIvfPq]].
+  * The interpreted `element_at(element_at(...))` chain twin evaluates
+  * ~35 expression nodes per pair inside the candidate join; this is
+  * one generated loop. Ascending-j summation from 0.0 — same values
+  * as the oracle's explicit chain (a leading +0.0 can only flip a
+  * zero's sign, which compares equal). Null codes/table → null. */
+case class PqAdcF64(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tbl = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += tbl.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $a.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $b.getDouble($j * $ksub + $a.getInt($j));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcF64 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the native expression. */
   def dotF64(a: Column, b: Column): Column =
     ColumnShim.column(DotProductF64(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column-level PQ/ADC fold backed by the native expression. */
+  def pqAdc(codes: Column, qtblFlat: Column, ksub: Int): Column =
+    ColumnShim.column(PqAdcF64(
+      ColumnShim.expression(codes), ColumnShim.expression(qtblFlat), ksub))
 
   private[graft] val dotF64Descriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -568,7 +568,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
     val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
     val cands = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("approx", expr(s"(${pqAdcChain(m)})") / (col("nrm") * col("qn")))
+      .withColumn("approx",
+        graft.functions.VectorExprs.pqAdc(col("codes"), col("qtbl"), ksub) /
+          (col("nrm") * col("qn")))
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= rerank)
       .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
@@ -596,7 +598,9 @@ object Similarity {
     val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
     val cands = codeIdx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("approx", expr(s"(${pqAdcChain(m)})") / (col("nrm") * col("qn")))
+      .withColumn("approx",
+        graft.functions.VectorExprs.pqAdc(col("codes"), col("qtbl"), ksub) /
+          (col("nrm") * col("qn")))
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= rerank)
       .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
@@ -614,35 +618,37 @@ object Similarity {
                        dim: Int): (DataFrame, DataFrame => DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    val cmat = typedlit(sampledCentroids(e, ksub).map(_.toSeq).toSeq)
+    val full = sampledCentroids(e, ksub)
+    val cmat = typedlit(full.map(_.toSeq).toSeq)
     def dotChain(x: String) = (1 to dsub).map(t =>
       s"element_at($x, j*$dsub+$t) * element_at(element_at(cmat, i+1), j*$dsub+$t)")
       .mkString(" + ")
-    val c2Chain = (1 to dsub).map(t =>
-      s"element_at(element_at(cmat, i+1), j*$dsub+$t) * " +
-        s"element_at(element_at(cmat, i+1), j*$dsub+$t)").mkString(" + ")
     // assignment: per subspace, first-min of -2·<sub,c> + |c|² over the
-    // ksub centroids (the |sub|² term is rank-constant and dropped)
-    val codes = e.withColumn("cmat", cmat)
-      .withColumn("pqd", expr(
-        s"transform(sequence(0, ${m - 1}), j -> " +
-          s"transform(sequence(0, ${ksub - 1}), i -> " +
-          s"-2.0D * (${dotChain("v")}) + ($c2Chain)))"))
-      .withColumn("codes", expr(
-        "transform(pqd, a -> CAST(array_position(a, array_min(a)) AS INT) - 1)"))
-      .select(col("vec_id"), col("nrm"), col("codes"))
+    // ksub centroids (the |sub|² term is rank-constant and dropped).
+    // The corpus-side pass runs through the NATIVE codegen'd
+    // [[graft.functions.NearestCellF64]] on each subvector slice —
+    // its strict-< ascending scan is the oracle's
+    // list_position(list_min) first-min, and its 0.0-seeded ascending
+    // dot/|c|² loops produce the same values as the oracle's explicit
+    // chains (a leading +0.0 can only flip a zero's sign, which
+    // compares equal) — the interpreted higher-order-function twin
+    // measured ~7× slower at sf1 (12.5 s → this shape)
+    val codes = e.select(col("vec_id"), col("nrm"),
+      array((0 until m).map { j =>
+        graft.functions.NearestCell(
+          expr(s"slice(v, ${j * dsub + 1}, $dsub)"),
+          full.map(_.slice(j * dsub, (j + 1) * dsub)))
+      }: _*).as("codes"))
+    // the table is FLATTENED (subspace-major) so the per-pair fold is
+    // one native gather loop ([[graft.functions.PqAdcF64]]) — same
+    // elements, same ascending-j order as the oracle's nested indexing
     val qtblOf = (q: DataFrame) => q.withColumn("cmat", cmat)
       .withColumn("qtbl", expr(
-        s"transform(sequence(0, ${m - 1}), j -> " +
-          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("qv")}))"))
+        s"flatten(transform(sequence(0, ${m - 1}), j -> " +
+          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("qv")})))"))
       .drop("cmat")
     (codes, qtblOf)
   }
-
-  /** The m-lookup ADC fold `Σ_j qtbl[j][codes[j]]` as an explicit
-    * left-associated chain (divided by the norms at the call site). */
-  private def pqAdcChain(m: Int): String = (1 to m).map(j =>
-    s"element_at(element_at(qtbl, $j), element_at(codes, $j)+1)").mkString(" + ")
 
   /** Exact-cosine rerank of a (q_id, vec_id, qv, qn) candidate frame —
     * the shared final stage of both PQ forms. */
