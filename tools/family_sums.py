@@ -22,7 +22,8 @@ FAMILIES = {
     "ANN / similarity top-k": [
         "topk", "topk_ivf", "topk_kmeans",
         "topk_indexed", "topk_requantized", "topk_ivf2", "topk_sq",
-        "topk_ivf_sq", "topk_indexed_sq", "topk_idx2", "topk2_sq"],
+        "topk_ivf_sq", "topk_indexed_sq", "topk_idx2", "topk2_sq",
+        "topk_pq", "topk_ivf_pq"],
     "ANN delete / retire / serving compositions": [
         "topk_del", "topk2_del", "topk_sq_del", "topk2_sq_del",
         "topk_sq_ids", "topk2_sq_ids",
