@@ -131,9 +131,27 @@ object AnnIndex {
   def tombstoneTableFor(dir: String, tag: String = ""): String =
     tableFor(dir, tag) + "_ts"
 
+  /** PQ layout constants — part of the stored index's identity like
+    * [[Dim]]: every `pqcodes` row was produced with exactly this
+    * subspace split against the stored codebook, so the reader's
+    * geometry must match the writer's. */
+  val PqM = 8
+  val PqKsub = 16
+
+  /** The PQ codebook stored BESIDE the quantizer: (i, centroid) —
+    * ksub FULL-dim rows (subspace j's centroid i = row i's j-th
+    * slice). Same coherence rule as the SQ params: every stored
+    * `pqcodes` row was assigned against exactly these rows, appends
+    * encode with them, [[requantize]] refreshes them with the
+    * generation. */
+  def pqTableFor(dir: String, tag: String = ""): String =
+    tableFor(dir, tag) + "_pq"
+
+  // NOTE: the tombstone table must stay LAST — healTombstoneSwap's
+  // delete-crash detection keys on tables.last
   private def allTables(dir: String, tag: String): Seq[String] =
     Seq(tableFor(dir, tag), quantizerTableFor(dir, tag),
-      sqTableFor(dir, tag), tombstoneTableFor(dir, tag))
+      sqTableFor(dir, tag), pqTableFor(dir, tag), tombstoneTableFor(dir, tag))
 
   /** Build the cell-assignment table + its quantizer + an EMPTY
     * tombstone table if this session/warehouse does not have them yet;
@@ -164,9 +182,15 @@ object AnnIndex {
       // only ever scans the bit-packed code column, ~1 byte/dim,
       // instead of the 8-byte doubles of `v`)
       val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
+      // the PQ codebook joins the layout: pqcodes (m 4-bit-range ints
+      // — the sub-byte candidate metric) beside the SQ8 codes, both
+      // quantized ONCE at write time against artifacts stored with
+      // the generation
+      val pqCb = Similarity.sampledCentroids(prep, PqKsub)
       val assigned = Similarity.assignCells(prep, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
+          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
+          Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
       Bucketed.writeBucketed(assigned, t, "cell", nBuckets = k)
       import spark.implicits._
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -175,11 +199,14 @@ object AnnIndex {
       mns.indices.map(i => (i, mns(i), mxs(i)))
         .toDF("dim", "mn", "mx")
         .write.mode("overwrite").saveAsTable(sqTableFor(dir, tag))
+      pqCb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("i", "centroid")
+        .write.mode("overwrite").saveAsTable(pqTableFor(dir, tag))
       // the EMPTY tombstone table writes with ONE bucket: bucket
       // pruning only matters once tombstones exist, and removeBatch
       // rewrites with the quantizer's bucket count then — a k-bucket
       // empty write costs k file-creation tasks per build/requantize
-      // for zero benefit (measured ~1 s of topk_requantized's r16
+      // for zero benefit (measured ~1 s of topk_requant's r16
       // recording before this)
       writeTombstones(spark, emptyTombstones(spark),
         tombstoneTableFor(dir, tag), 1)
@@ -242,6 +269,14 @@ object AnnIndex {
   def storedSqParams2(spark: SparkSession, dir: String, tag: String = ""): (Array[Double], Array[Double]) =
     readSqParams(spark, sq2TableFor(dir, tag))
 
+  /** The stored PQ codebook read back as ksub full-dim rows
+    * ([[PqKsub]]·[[Dim]] doubles — bounded, same contract as the
+    * quantizer collect). */
+  def storedPqCodebook(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
+    spark.table(pqTableFor(dir, tag))
+      .select(col("i"), col("centroid")).orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
   private def readSqParams(spark: SparkSession,
                            table: String): (Array[Double], Array[Double]) = {
     val rows = spark.table(table)
@@ -289,9 +324,13 @@ object AnnIndex {
     // the stored range clamps to 0/255 and the exact rerank still
     // scores it full-precision)
     val (mns, mxs) = storedSqParams(spark, dir, tag)
+    // PQ codes follow the same stored-artifact rule: assigned against
+    // the build's codebook, never a re-sample
+    val pqCb = storedPqCodebook(spark, dir, tag)
     val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
+        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
     assigned.write.mode("append").format("parquet")
       .bucketBy(cs.length, "cell").sortBy("cell")
       .saveAsTable(t)
@@ -518,7 +557,7 @@ object AnnIndex {
     * probe after the rebuild is bit-identical to an inline IVF
     * pipeline built fresh from the surviving corpus (`AnnIndexSpec`'s
     * requantize-cycle test pins exactly this, and the
-    * `topk_requantized` registry entry hash-checks the rebuilt index
+    * `topk_requant` registry entry hash-checks the rebuilt index
     * against the oracle's inline IVF SQL): the index stays a pure
     * physical optimization across its whole build → append → remove →
     * advice → requantize lifecycle.
@@ -561,6 +600,7 @@ object AnnIndex {
     val t = ensureBuilt(spark, dir, tag)
     val qt = quantizerTableFor(dir, tag)
     val sqt = sqTableFor(dir, tag)
+    val pqt = pqTableFor(dir, tag)
     val tst = tombstoneTableFor(dir, tag)
     // compaction: tombstoned rows leave the corpus here — the rebuild
     // is the one corpus-wide job of the lifecycle, so the anti-join
@@ -578,14 +618,19 @@ object AnnIndex {
     // resolution), and the rebuild re-encodes every row so the whole
     // generation shares one code book
     val (mns, mxs) = Similarity.sqParamsOf(live, Dim)
+    // the PQ codebook refreshes with the generation (the same decay
+    // class as the centroids/SQ params) and every row re-encodes —
+    // one code book per generation
+    val pqCb = Similarity.sampledCentroids(live, PqKsub)
     // stage the new generation beside the live one
     val stages = allTables(dir, tag).map(_ + "__stage")
-    val Seq(tStage, qtStage, sqtStage, tstStage) = stages
+    val Seq(tStage, qtStage, sqtStage, pqtStage, tstStage) = stages
     stages.foreach(Bucketed.resetTable(spark, _))
     Bucketed.writeBucketed(
       Similarity.assignCells(live, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes")),
+          Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
+          Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes")),
       tStage, "cell", nBuckets = k)
     import spark.implicits._
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -594,6 +639,9 @@ object AnnIndex {
     mns.indices.map(i => (i, mns(i), mxs(i)))
       .toDF("dim", "mn", "mx")
       .write.mode("overwrite").saveAsTable(sqtStage)
+    pqCb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "centroid")
+      .write.mode("overwrite").saveAsTable(pqtStage)
     // the new generation starts with NO tombstones: compaction just
     // removed every retired row physically
     writeTombstones(spark, emptyTombstones(spark), tstStage, 1)
@@ -608,8 +656,10 @@ object AnnIndex {
     spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
     spark.sql(s"ALTER TABLE $qt RENAME TO ${qt}__old")
     spark.sql(s"ALTER TABLE $sqt RENAME TO ${sqt}__old")
+    spark.sql(s"ALTER TABLE $pqt RENAME TO ${pqt}__old")
     spark.sql(s"ALTER TABLE $tst RENAME TO ${tst}__old")
     spark.sql(s"ALTER TABLE $tstStage RENAME TO $tst")
+    spark.sql(s"ALTER TABLE $pqtStage RENAME TO $pqt")
     spark.sql(s"ALTER TABLE $sqtStage RENAME TO $sqt")
     spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
     spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
@@ -1092,6 +1142,50 @@ object AnnIndex {
       probeFrameFor(spark, dir,
         _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
         nProbe, tag = tag), k, rerank)
+  }
+
+  /** IVF × PQ probe over the persisted index — the stored form of
+    * [[Similarity.topKIvfPq]] and the sub-byte serving read path: the
+    * candidate pass scans ONLY the probed cells' buckets (bucket-pruned
+    * literal IN filter) and ONLY the `pqcodes` column (m small ints —
+    * bit-packs to 4 bits/dim, 16× below the SQ8 row and 64× below the
+    * vectors), ranks by the native m-lookup ADC fold
+    * ([[graft.functions.PqAdcF64]]) against per-query tables built from
+    * the STORED codebook, and the exact rerank re-reads full vectors
+    * for queries×rerank rows only — still inside the probed buckets.
+    * Tombstones anti-join cell-pruned, [[topK]]'s rule. Every
+    * quantization artifact (centroids, codebook, codes) is READ, never
+    * derived: zero corpus-wide jobs at serving time, [[topKSq]]'s
+    * contract at the next compression tier. */
+  def topKIdxPq(spark: SparkSession, dir: String, maxQueryId: Long,
+                k: Int = 5, nProbe: Int = 2, rerank: Int = 30,
+                tag: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ensureBuilt(spark, dir, tag)
+    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe, tag = tag)
+    val cellLits = cells.map(Int.box).toSeq
+    val cb = storedPqCodebook(spark, dir, tag)
+    val probes = Similarity.pqQueryTbl(probesDf, cb, PqM)
+    val idx = dropTombstoned(spark, dir, tag,
+      spark.table(t).filter(col("cell").isin(cellLits: _*)), cellLits)
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = idx.select(col("vec_id"), col("nrm"), col("cell"), col("pqcodes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        graft.functions.VectorExprs.pqAdc(col("pqcodes"), col("qtbl"), PqKsub) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    idx.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score",
+        round(Similarity.cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
   }
 
   /** The quantize→scan→rerank half shared by [[topKSq]] (prefix

@@ -614,45 +614,61 @@ object Similarity {
     * m×ksub asymmetric inner-product table. All arithmetic emitted as
     * explicit ascending-order chains — the IEEE sequences the oracle
     * states textually. */
-  private def pqPieces(e: DataFrame, m: Int, ksub: Int,
-                       dim: Int): (DataFrame, DataFrame => DataFrame) = {
+  private def pqPieces(e: DataFrame, m: Int, ksub: Int, dim: Int,
+                       codebookIn: Option[Array[Array[Double]]] = None)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val full = codebookIn.getOrElse(sampledCentroids(e, ksub))
+    val codes = e.select(col("vec_id"), col("nrm"),
+      pqCodesCol(col("v"), full, m).as("codes"))
+    (codes, pqQueryTbl(_, full, m))
+  }
+
+  /** PQ code column for a vector column against a FULL-ROW codebook
+    * (subspace j's centroid i = codebook row i's j-th slice): per
+    * subspace, first-min of -2·<sub,c> + |c|² over the ksub centroids
+    * (the |sub|² term is rank-constant and dropped). The pass runs
+    * through the NATIVE codegen'd [[graft.functions.NearestCellF64]]
+    * on each subvector slice — its strict-< ascending scan is the
+    * oracle's list_position(list_min) first-min, and its 0.0-seeded
+    * ascending dot/|c|² loops produce the same values as the oracle's
+    * explicit chains (a leading +0.0 can only flip a zero's sign,
+    * which compares equal) — the interpreted higher-order-function
+    * twin measured ~7× slower at sf1 (12.5 s → this shape). Shared by
+    * the inline forms and [[AnnIndex]]'s stored-PQ build/append. */
+  def pqCodesCol(v: Column, codebook: Array[Array[Double]], m: Int): Column = {
+    val dim = codebook.head.length
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    val full = sampledCentroids(e, ksub)
-    val cmat = typedlit(full.map(_.toSeq).toSeq)
-    def dotChain(x: String) = (1 to dsub).map(t =>
-      s"element_at($x, j*$dsub+$t) * element_at(element_at(cmat, i+1), j*$dsub+$t)")
+    array((0 until m).map { j =>
+      graft.functions.NearestCell(
+        slice(v, j * dsub + 1, dsub),
+        codebook.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }: _*)
+  }
+
+  /** Decorate a query frame (with a `qv` vector column) with its
+    * FLATTENED m×ksub asymmetric inner-product table (subspace-major),
+    * so the per-pair fold is one native gather loop
+    * ([[graft.functions.PqAdcF64]]) — same elements, same ascending-j
+    * order as the oracle's nested indexing. Query frames are small, so
+    * the interpreted transform here is off the hot path. */
+  def pqQueryTbl(q: DataFrame, codebook: Array[Array[Double]], m: Int): DataFrame = {
+    val dim = codebook.head.length
+    val ksub = codebook.length
+    val dsub = dim / m
+    val dotChain = (1 to dsub).map(t =>
+      s"element_at(qv, j*$dsub+$t) * element_at(element_at(cmat, i+1), j*$dsub+$t)")
       .mkString(" + ")
-    // assignment: per subspace, first-min of -2·<sub,c> + |c|² over the
-    // ksub centroids (the |sub|² term is rank-constant and dropped).
-    // The corpus-side pass runs through the NATIVE codegen'd
-    // [[graft.functions.NearestCellF64]] on each subvector slice —
-    // its strict-< ascending scan is the oracle's
-    // list_position(list_min) first-min, and its 0.0-seeded ascending
-    // dot/|c|² loops produce the same values as the oracle's explicit
-    // chains (a leading +0.0 can only flip a zero's sign, which
-    // compares equal) — the interpreted higher-order-function twin
-    // measured ~7× slower at sf1 (12.5 s → this shape)
-    val codes = e.select(col("vec_id"), col("nrm"),
-      array((0 until m).map { j =>
-        graft.functions.NearestCell(
-          expr(s"slice(v, ${j * dsub + 1}, $dsub)"),
-          full.map(_.slice(j * dsub, (j + 1) * dsub)))
-      }: _*).as("codes"))
-    // the table is FLATTENED (subspace-major) so the per-pair fold is
-    // one native gather loop ([[graft.functions.PqAdcF64]]) — same
-    // elements, same ascending-j order as the oracle's nested indexing
-    val qtblOf = (q: DataFrame) => q.withColumn("cmat", cmat)
+    q.withColumn("cmat", typedlit(codebook.map(_.toSeq).toSeq))
       .withColumn("qtbl", expr(
         s"flatten(transform(sequence(0, ${m - 1}), j -> " +
-          s"transform(sequence(0, ${ksub - 1}), i -> ${dotChain("qv")})))"))
+          s"transform(sequence(0, ${ksub - 1}), i -> $dotChain)))"))
       .drop("cmat")
-    (codes, qtblOf)
   }
 
   /** Exact-cosine rerank of a (q_id, vec_id, qv, qn) candidate frame —
     * the shared final stage of both PQ forms. */
-  private def pqExactRerank(e: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+  private[ops] def pqExactRerank(e: DataFrame, cands: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wF = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     e.select(col("vec_id"), col("v"), col("nrm")).join(broadcast(cands), Seq("vec_id"))

@@ -33,19 +33,19 @@ object CoreQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-1/Q-3/Q-7/Q-8: projection w/ aliases + closed block range +
     // stable sort + limit (reference src/api.rs:118-138,174-175).
-    "logs_filter_range" -> ((s, dir) =>
+    "logs_range" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(fromBlock = Some(100), toBlock = Some(199), pageSize = Some(100)))),
 
     // Q-2: case-insensitive address equality (src/api.rs:140-144) —
     // input deliberately uppercased to exercise the LOWER on both sides.
-    "logs_filter_address" -> ((s, dir) =>
+    "logs_addr" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(fromBlock = Some(0), toBlock = Some(500),
           contractAddress = Some(addr6Upper), pageSize = Some(100)))),
 
     // Q-4: conjunctive topic filters (src/api.rs:145-160).
-    "logs_filter_topics" -> ((s, dir) =>
+    "logs_topics" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(topic0 = Some(topicClick), topic1 = Some(topic1User6),
           pageSize = Some(100)))),
@@ -154,15 +154,15 @@ object CoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "logs_filter_range" -> (EvmDerive.cte +
+    "logs_range" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE block_number >= 100 AND block_number <= 199 " +
       "ORDER BY block_number, id LIMIT 100"),
 
-    "logs_filter_address" -> (EvmDerive.cte +
+    "logs_addr" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE block_number >= 0 AND block_number <= 500 " +
       s"AND contract_address = '$addr6' ORDER BY block_number, id LIMIT 100"),
 
-    "logs_filter_topics" -> (EvmDerive.cte +
+    "logs_topics" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE topic0 = '$topicClick' AND topic1 = '$topic1User6' " +
       "ORDER BY block_number, id LIMIT 100"),
 

@@ -365,7 +365,7 @@ object PipelineQueries {
     // machinery from the driver — a wrong rename order, a stale
     // quantizer, or a half-committed generation all surface as a hash
     // mismatch, not just a spec failure
-    "topk_requantized" -> ((s, dir) => {
+    "topk_requant" -> ((s, dir) => {
       AnnIndex.requantize(s, dir)
       AnnIndex.topK(s, dir, maxQueryId = 6, k = 4, nProbe = 2)
         .orderBy(col("q_id"), col("rn"))
@@ -383,6 +383,17 @@ object PipelineQueries {
     // optimization of it
     "topk_indexed_sq" -> ((s, dir) =>
       AnnIndex.topKSq(s, dir, maxQueryId = 7, k = 4, nProbe = 2, rerank = 12)
+        .orderBy(col("q_id"), col("rn"))),
+
+    // the STORED IVF×PQ serving shape (round 18): pqcodes + the PQ
+    // codebook live INSIDE the persisted index (written at build,
+    // encoded with the stored codebook on append, refreshed by
+    // requantize), so a probe's candidate pass is a bucket-pruned scan
+    // of m small ints per row and the native ADC fold — the sub-byte
+    // tier of the write-once/probe-many contract. Oracle = the inline
+    // IVF×PQ statement at this entry's parameters
+    "topk_idx_pq" -> ((s, dir) =>
+      AnnIndex.topKIdxPq(s, dir, maxQueryId = 7, k = 4, nProbe = 2, rerank = 24)
         .orderBy(col("q_id"), col("rn"))),
 
     // the RETIRE path end to end: tombstone a deterministic tenth of
@@ -1065,7 +1076,7 @@ object PipelineQueries {
     // (same n → same k → same md5-ranked sample), so the SAME inline
     // IVF statement is the oracle — the differential claim is exactly
     // "the stage→swap cycle is a pure physical no-op on the results"
-    "topk_requantized" -> annIndexOracleSql(maxQueryId = 6, topK = 4),
+    "topk_requant" -> annIndexOracleSql(maxQueryId = 6, topK = 4),
 
     // deletion = the same inline IVF statement with the tombstoned ids
     // excluded from the candidate side; the quantizer CTEs stay over
@@ -1201,6 +1212,14 @@ object PipelineQueries {
     "topk_ivf_pq" ->
       ivfPqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, m = 8,
         ksub = 16, rerank = 30),
+
+    // the STORED probe shares the inline statement at its own
+    // parameters: assignment/quantizer/codebook/pqcodes read back from
+    // the persisted tables must be indistinguishable from deriving
+    // them fresh
+    "topk_idx_pq" ->
+      ivfPqOracleSql(maxQueryId = 7, topK = 4, nProbe = 2, m = 8,
+        ksub = 16, rerank = 24),
 
     // the STORED probe shares the inline statement at its own
     // parameters: assignment/quantizer/params/codes read back from the
@@ -1546,7 +1565,7 @@ object PipelineQueries {
 
   /** The persisted-ANN-index oracle: inline IVF over the md5-ranked
     * data-sampled quantizer, parameterized on the probe scope —
-    * shared by topk_indexed (the build) and topk_requantized (the
+    * shared by topk_indexed (the build) and topk_requant (the
     * rebuild, identical over an unchanged corpus). */
   private def annIndexOracleSql(maxQueryId: Int, topK: Int,
                                 candFilter: String = ""): String =

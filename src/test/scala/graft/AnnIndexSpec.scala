@@ -294,6 +294,64 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "the requantized SQ index must reproduce the inline IVF×SQ pipeline")
   }
 
+  test("stored IVF×PQ probe == inline topKIvfPq; candidate scan reads pqcodes only, bucket-pruned") {
+    AnnIndex.ensureBuilt(spark, sf)
+    val stored = AnnIndex.topKIdxPq(spark, sf, maxQueryId = 6, k = 5,
+        nProbe = 2, rerank = 30)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvfPq(Fixtures.embeddings(spark, sf),
+        maxQueryId = 6, k = 5, nProbe = 2, rerank = 30)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "persisting pqcodes + the codebook must be a pure physical optimization")
+    // the sub-byte bound: the candidate scan reads pqcodes — not the
+    // vectors, not even the SQ8 codes — and both scans bucket-prune
+    val plan = AnnIndex.topKIdxPq(spark, sf, maxQueryId = 2, k = 4,
+        nProbe = 2, rerank = 24)
+      .queryExecution.executedPlan.toString
+    val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(prunes.size >= 2,
+      s"both the candidate scan and the rerank scan must bucket-prune:\n$plan")
+    prunes.foreach(m => assert(m.group(1).toInt <= 4,
+      s"expected <=4 of ${m.group(2)} buckets read, got ${m.group(1)}"))
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,pqcodes:array<int>>"),
+      s"candidate scan must read only (vec_id, nrm, cell, pqcodes):\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,v:array<double>,nrm:double,cell:int>"),
+      s"rerank scan must read full vectors for candidates only:\n$plan")
+  }
+
+  test("PQ probe stays a pure physical optimization across the append -> requantize cycle") {
+    val dir = tempCorpus("pq-cycle")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    val cb0 = AnnIndex.storedPqCodebook(spark, dir)
+    assert(cb0.length == AnnIndex.PqKsub && cb0.head.length == AnnIndex.Dim)
+    // append a clone of vec 0 under a fresh id: encoded with the
+    // STORED codebook, it must be findable through the stored PQ probe
+    // at cosine 1.0 (identical vector → identical codes → top ADC rank)
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(424242L))
+    AnnIndex.appendBatch(spark, dir, clone)
+    val hits = AnnIndex.topKIdxPq(spark, dir, maxQueryId = 1, k = 3,
+        nProbe = 2, rerank = 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    assert(hits.contains((424242L, 1.0)),
+      s"an appended clone must be served by the stored PQ probe: ${hits.toSeq}")
+    // requantize refreshes the codebook with the generation and the
+    // stored probe equals the inline IVF×PQ over the combined corpus
+    AnnIndex.requantize(spark, dir)
+    val combined = emb.union(clone)
+    val stored = AnnIndex.topKIdxPq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val inline = Similarity.topKIvfPq(combined, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(stored.nonEmpty && stored == inline,
+      "the requantized PQ index must reproduce the inline IVF×PQ pipeline")
+  }
+
   test("a crash inside the rename window is healed: t is absent at every crash point, ensureBuilt sweeps and rebuilds") {
     val dir = tempCorpus("crash")
     val t = AnnIndex.ensureBuilt(spark, dir)

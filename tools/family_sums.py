@@ -21,7 +21,7 @@ FAMILIES = {
     "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
     "ANN / similarity top-k": [
         "topk", "topk_ivf", "topk_kmeans",
-        "topk_indexed", "topk_requantized", "topk_ivf2", "topk_sq",
+        "topk_indexed", "topk_requant", "topk_ivf2", "topk_sq",
         "topk_ivf_sq", "topk_indexed_sq", "topk_idx2", "topk2_sq",
         "topk_pq", "topk_ivf_pq"],
     "ANN delete / retire / serving compositions": [
@@ -49,7 +49,7 @@ FAMILIES = {
         "q1_agg", "q3_revenue", "q5_revenue",
         "top3_per_user", "skew_salted_join"],
     "EVM logs / lookups": [
-        "logs_filter_range", "logs_filter_address", "logs_filter_topics",
+        "logs_range", "logs_addr", "logs_topics",
         "logs_blockhash", "logs_cursor_page", "logs_offset_page",
         "logs_json", "logs_topics_array", "block_by_hash", "block_by_number",
         "tx_by_hash", "tx_value_decimal", "latest_at_height",
