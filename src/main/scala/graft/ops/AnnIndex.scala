@@ -453,6 +453,24 @@ object AnnIndex {
     // catalog remembers the table and the append just appends)
     val fresh = !spark.catalog.tableExists(ledger)
     if (fresh) Bucketed.resetTable(spark, ledger)
+    // backward compatibility with the pre-batch ledger shape (vec_id
+    // only — written before the read-back protocol): against a durable
+    // metastore an old-schema ledger would fail the max(batch) read
+    // AND the widened append, so migrate it once — existing rows
+    // become batch 0 (they were already applied or are replayable; 0
+    // never collides with the monotone ids starting at 1). Same
+    // stage→rename protocol as the tombstone swap; the one-rename
+    // crash window at worst leaves the __mig stage behind, which the
+    // next call resets.
+    if (!fresh && !spark.table(ledger).columns.contains("batch")) {
+      val mig = ledger + "__mig"
+      Bucketed.resetTable(spark, mig)
+      spark.table(ledger).select(col("vec_id").cast("long"))
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").format("parquet").saveAsTable(mig)
+      spark.sql(s"DROP TABLE $ledger")
+      spark.sql(s"ALTER TABLE $mig RENAME TO $ledger")
+    }
     // monotone per-append batch id: one bounded max() over the ledger
     // (O(ledger rows read, 1 row returned) — a table the producer
     // keeps batch-bounded by contract)
@@ -1160,11 +1178,42 @@ object AnnIndex {
   def topKIdxPq(spark: SparkSession, dir: String, maxQueryId: Long,
                 k: Int = 5, nProbe: Int = 2, rerank: Int = 30,
                 tag: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = ensureBuilt(spark, dir, tag)
-    val (probesDf, cells) = probeFrame(spark, dir, maxQueryId, nProbe, tag = tag)
+    topKPqFrom(spark, dir, tag, t,
+      probeFrame(spark, dir, maxQueryId, nProbe, tag = tag), k, rerank)
+  }
+
+  /** [[topKIdsPq]] — the explicit-query-id serving call over the
+    * stored PQ codes: [[topKIds]]' broadcast semi-join query side
+    * composed with [[topKIdxPq]]'s pqcodes-only ADC candidate scan and
+    * the tombstone anti-join — the sub-byte tier of the composed
+    * production serving call ([[topKIdsSq]]'s contract at 4 bits/dim).
+    * Shares [[topKPqFrom]] with the prefix form, so the explicit-id
+    * path cannot drift from the hash-checked one. */
+  def topKIdsPq(spark: SparkSession, dir: String, queryIds: DataFrame,
+                k: Int = 5, nProbe: Int = 2, rerank: Int = 30,
+                tag: String = ""): DataFrame = {
+    val t = ensureBuilt(spark, dir, tag)
+    topKPqFrom(spark, dir, tag, t,
+      probeFrameFor(spark, dir,
+        _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+        nProbe, tag = tag), k, rerank)
+  }
+
+  /** The codebook-read → ADC-scan → rerank half shared by [[topKIdxPq]]
+    * (prefix queries) and [[topKIdsPq]] (explicit ids). */
+  private def topKPqFrom(spark: SparkSession, dir: String, tag: String,
+                         t: String, pf: (DataFrame, Array[Int]),
+                         k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (probesDf, cells) = pf
     val cellLits = cells.map(Int.box).toSeq
     val cb = storedPqCodebook(spark, dir, tag)
+    // the stored codebook must carry exactly PqKsub rows — the ADC
+    // fold's gather stride; a truncated/mismatched artifact would read
+    // out of bounds silently (same guard as Similarity.pqPieces)
+    require(cb.length == PqKsub,
+      s"stored PQ codebook has ${cb.length} rows, need exactly $PqKsub")
     val probes = Similarity.pqQueryTbl(probesDf, cb, PqM)
     val idx = dropTombstoned(spark, dir, tag,
       spark.table(t).filter(col("cell").isin(cellLits: _*)), cellLits)

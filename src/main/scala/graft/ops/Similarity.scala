@@ -618,6 +618,12 @@ object Similarity {
                        codebookIn: Option[Array[Array[Double]]] = None)
       : (DataFrame, DataFrame => DataFrame) = {
     val full = codebookIn.getOrElse(sampledCentroids(e, ksub))
+    // the ADC fold's generated getDouble(j*ksub+code) gather trusts
+    // the table stride: a codebook shorter than ksub (corpus < ksub
+    // rows, or a mismatched stored artifact) would read out of bounds
+    // on UnsafeArrayData — silently wrong scores, not an error
+    require(full.length == ksub,
+      s"PQ codebook has ${full.length} rows, need exactly ksub=$ksub")
     val codes = e.select(col("vec_id"), col("nrm"),
       pqCodesCol(col("v"), full, m).as("codes"))
     (codes, pqQueryTbl(_, full, m))

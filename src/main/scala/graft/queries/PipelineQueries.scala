@@ -435,6 +435,36 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // the stored-PQ probe AFTER a real delete (round-18 verdict #1):
+    // the pqcodes-only ADC candidate scan composed with the tombstone
+    // anti-join, hash-checked — same tagged generation and residue-7
+    // set as topk_del/topk_sq_del (removeBatch is idempotent, so the
+    // shared tombstones converge whichever entry runs first). Oracle =
+    // the inline IVF×PQ statement with the retired ids excluded from
+    // the candidate side only (quantizer and codebook = the
+    // full-corpus build — deletion never re-fits)
+    "topk_pq_del" -> ((s, dir) => {
+      AnnIndex.removeBatch(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 7),
+        tag = "del")
+      AnnIndex.topKIdxPq(s, dir, maxQueryId = 6, k = 4, nProbe = 2,
+        rerank = 24, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the COMPOSED sub-byte serving call (round-18 verdict #1):
+    // explicit query ids (topKIds' broadcast semi-join side) × stored
+    // pqcodes ADC scan (topKIdxPq's 4-bit byte bound) × tombstone
+    // anti-join. Oracle = the inline IVF×PQ statement with the query
+    // CTE filtered to the same literal id list
+    "topk_pq_ids" -> ((s, dir) => {
+      import s.implicits._
+      AnnIndex.topKIdsPq(s, dir, Seq(1L, 3L, 6L, 11L).toDF("vec_id"),
+        k = 4, nProbe = 2, rerank = 24)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // the COMPOSED production serving call (round-17 verdict #1):
     // explicit query ids (topKIds' broadcast semi-join side) × SQ8
     // codes-only candidate scan (topKSq's byte bound) × tombstone
@@ -1236,6 +1266,20 @@ object PipelineQueries {
       annIndexSqOracleSql(maxQueryId = 6, topK = 4, nProbe = 2, rerank = 12,
         candFilter = " AND x.vec_id % 10 <> 7"),
 
+    // deletion composed with the sub-byte probe: the same IVF×PQ
+    // statement with tombstoned ids excluded from the candidate side
+    // (quantizer and codebook = the full-corpus build)
+    "topk_pq_del" ->
+      ivfPqOracleSql(maxQueryId = 6, topK = 4, nProbe = 2, m = 8,
+        ksub = 16, rerank = 24, candFilter = " AND x.vec_id % 10 <> 7"),
+
+    // the explicit-id serving composition at the PQ tier: the same
+    // IVF×PQ statement with the query CTE filtered to the literal id
+    // list the Spark side semi-joins against
+    "topk_pq_ids" ->
+      ivfPqOracleSql(maxQueryId = 0, topK = 4, nProbe = 2, m = 8,
+        ksub = 16, rerank = 24, qSel = "sc.vec_id IN (1, 3, 6, 11)"),
+
     // the explicit-id serving composition: the same IVF×SQ statement
     // with the query CTE filtered to the literal id list the Spark
     // side semi-joins against
@@ -1942,7 +1986,9 @@ object PipelineQueries {
     * serving shape hash-checked end to end. */
   private def ivfPqOracleSql(maxQueryId: Int, topK: Int, nProbe: Int,
                              m: Int, ksub: Int, rerank: Int,
-                             dim: Int = 64): String = {
+                             dim: Int = 64, qSel: String = "",
+                             candFilter: String = ""): String = {
+    val qWhere = if (qSel.nonEmpty) qSel else s"sc.vec_id < $maxQueryId"
     val dsub = dim / m
     def dotChain(x: String) = (1 to dsub).map(t =>
       s"$x[j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
@@ -1979,10 +2025,10 @@ object PipelineQueries {
        |     list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
        |       (${dotChain("sc.v")}))) AS qtbl,
        |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
-       |   FROM sc, cl WHERE sc.vec_id < $maxQueryId) WHERE rn <= $nProbe),
+       |   FROM sc, cl WHERE $qWhere) WHERE rn <= $nProbe),
        |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
        |  ($adcChain) / (c.nrm * q.qn) AS approx
-       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id
+       |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter
        |  JOIN cod c ON c.vec_id = x.vec_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id

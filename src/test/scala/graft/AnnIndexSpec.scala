@@ -1018,6 +1018,89 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "explicit-id SQ probe must see the same tombstones as the prefix probe")
   }
 
+  test("composed serving call at the PQ tier: explicit ids x stored pqcodes — " +
+      "prefix-coherent, candidate scan reads pqcodes not vectors, unknown ids empty") {
+    import spark.implicits._
+    AnnIndex.ensureBuilt(spark, sf)
+    val ids = (0L until 5L).toDF("vec_id")
+    val prefix = AnnIndex.topKIdxPq(spark, sf, maxQueryId = 5, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val byIds = AnnIndex.topKIdsPq(spark, sf, ids, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(byIds.nonEmpty && byIds == prefix,
+      "topKIdsPq over the prefix ids must equal the prefix PQ probe")
+    // the sub-byte bound survives the composition: the candidate scan
+    // reads pqcodes — not the vectors, not the SQ8 codes
+    val p = AnnIndex.topKIdsPq(spark, sf, ids, k = 4, nProbe = 2, rerank = 24)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,pqcodes:"),
+      "explicit-id PQ candidate scan must read pqcodes, not vectors")
+    assert(AnnIndex.topKIdsPq(spark, sf, Seq(987654321L).toDF("vec_id"), k = 4).isEmpty)
+  }
+
+  test("PQ probe after a real delete: tombstones filtered on the pqcodes path, " +
+      "deletion set intersects the pre-delete PQ top-k (non-vacuous entry)") {
+    val dir = tempCorpus("pqdel")
+    AnnIndex.ensureBuilt(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    val before = AnnIndex.topKIdxPq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.exists(_.getAs[Long]("vec_id") % 10 == 7),
+      "sanity: residue 7 must appear in the pre-delete PQ top-4")
+    AnnIndex.removeBatch(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 10 === 7))
+    val after = AnnIndex.topKIdxPq(spark, dir, maxQueryId = 6, k = 4,
+        nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.nonEmpty && after.forall(_.getAs[Long]("vec_id") % 10 != 7),
+      "a tombstoned vector leaked into the pqcodes path")
+    assert(after != before, "deletion must visibly change the PQ results")
+    // the explicit-id composition sees the same tombstones
+    import spark.implicits._
+    val idsAfter = AnnIndex.topKIdsPq(spark, dir,
+        (0L until 6L).toDF("vec_id"), k = 4, nProbe = 2, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(idsAfter == after,
+      "explicit-id PQ probe must see the same tombstones as the prefix probe")
+  }
+
+  test("pre-batch ledger schema migrates in place: old (vec_id-only) rows become batch 0, " +
+      "retire still reads back the fresh batch, replay converges") {
+    import spark.implicits._
+    val dir = tempCorpus("ledmig")
+    AnnIndex.ensureBuilt(spark, dir, tag = "mig")
+    val ledger = AnnIndex.deleteLedgerTableFor(dir, "mig")
+    // plant an OLD-shape ledger (the pre-read-back schema: vec_id only)
+    val before = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, tag = "mig")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val oldVictims = before.map(_.getAs[Long]("vec_id")).distinct.take(2)
+    oldVictims.toDF("vec_id")
+      .write.mode("overwrite").format("parquet").saveAsTable(ledger)
+    // a retire against the old-schema ledger must not throw, must
+    // widen the schema, and must retire exactly its own batch
+    val freshVictims = before.map(_.getAs[Long]("vec_id")).distinct
+      .filterNot(oldVictims.contains).take(2)
+    AnnIndex.retireBatch(spark, dir, freshVictims.toDF("vec_id"), tag = "mig")
+    val led = spark.table(ledger).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch"))).toSeq
+    assert(oldVictims.forall(v => led.contains((v, 0L))),
+      s"migrated rows must carry batch 0: $led")
+    assert(freshVictims.forall(v => led.contains((v, 1L))),
+      s"the fresh batch must be read back as batch 1: $led")
+    val after = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, tag = "mig")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.forall(r => !freshVictims.contains(r.getAs[Long]("vec_id"))))
+    // replay applies the migrated batch-0 rows too and converges
+    AnnIndex.replayDeleteLedger(spark, dir, "mig")
+    val replayed = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, tag = "mig")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(replayed.forall(r =>
+      !(oldVictims ++ freshVictims).contains(r.getAs[Long]("vec_id"))))
+  }
+
   test("gen-2 ledger: retireBatch2 records then retires, replay idempotent, stranded batch applied") {
     import spark.implicits._
     val dir = tempCorpus("ledger2")
