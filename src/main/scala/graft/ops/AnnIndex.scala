@@ -808,10 +808,20 @@ object AnnIndex {
   def sq2TableFor(dir: String, tag: String = ""): String =
     table2For(dir, tag) + "_sq"
 
+  /** Generation-2 PQ codebook: [[pqTableFor]]'s contract one level
+    * down — the billion-vector tier is exactly where 4-bit codes
+    * matter most (a probed fine cell at ~0.5 byte/dim instead of
+    * SQ8's ~1 or the vectors' 8). Every `pqcodes` row in the gen-2
+    * assignment was assigned against these rows; appends encode with
+    * them; [[requantize2]] refreshes them with the generation. */
+  def pq2TableFor(dir: String, tag: String = ""): String =
+    table2For(dir, tag) + "_pq"
+
+  // NOTE: tombstones LAST here too — healTombstoneSwap keys on .last
   private def allTables2(dir: String, tag: String): Seq[String] =
     Seq(table2For(dir, tag), coarseQuantizerTableFor(dir, tag),
       fineQuantizerTableFor(dir, tag), sq2TableFor(dir, tag),
-      tombstone2TableFor(dir, tag))
+      pq2TableFor(dir, tag), tombstone2TableFor(dir, tag))
 
   /** Build the two-level index if absent: assignment
     * (vec_id, ccell, v, nrm, fcell) bucketed on the COARSE cell (kc
@@ -830,7 +840,8 @@ object AnnIndex {
       val prep = Similarity.prepared(emb)
       writeGeneration2(spark, prep, emb.count(), t,
         coarseQuantizerTableFor(dir, tag), fineQuantizerTableFor(dir, tag),
-        sq2TableFor(dir, tag), tombstone2TableFor(dir, tag))
+        sq2TableFor(dir, tag), pq2TableFor(dir, tag),
+        tombstone2TableFor(dir, tag))
     }
     t
   }
@@ -845,12 +856,17 @@ object AnnIndex {
     * of 8). */
   private def writeGeneration2(spark: SparkSession, prep: DataFrame, n: Long,
                                t: String, qc: String, qf: String,
-                               sqt: String, tst: String): Unit = {
+                               sqt: String, pqt: String, tst: String): Unit = {
     val (coarse, fine, asg) = Similarity.ivf2StructureOf(prep, n)
     val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
+    // the PQ codebook joins the gen-2 layout exactly as it joined the
+    // flat one: pqcodes quantized ONCE at write time against rows
+    // stored with the generation
+    val pqCb = Similarity.sampledCentroids(prep, PqKsub)
     Bucketed.writeBucketed(
       asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
-        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes")),
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
+        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes")),
       t, "ccell", nBuckets = coarse.length)
     import spark.implicits._
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -860,8 +876,18 @@ object AnnIndex {
     mns.indices.map(i => (i, mns(i), mxs(i)))
       .toDF("dim", "mn", "mx")
       .write.mode("overwrite").saveAsTable(sqt)
+    pqCb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "centroid")
+      .write.mode("overwrite").saveAsTable(pqt)
     writeTombstones(spark, emptyTombstones(spark, "ccell"), tst, 1, "ccell")
   }
+
+  /** The stored gen-2 PQ codebook — [[storedPqCodebook]] one level
+    * down (ksub·dim doubles, bounded collect). */
+  def storedPqCodebook2(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
+    spark.table(pq2TableFor(dir, tag))
+      .select(col("i"), col("centroid")).orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** The stored coarse quantizer (~n^¼ · dim doubles — the ONLY
     * quantizer collect this index ever performs). */
@@ -886,6 +912,9 @@ object AnnIndex {
     // coherence rule one level down (out-of-range batch values clamp;
     // the exact rerank still scores them full-precision)
     val (mns, mxs) = storedSqParams2(spark, dir, tag)
+    // PQ codes encode with the STORED gen-2 codebook — the same
+    // artifact-coherence rule as the SQ params
+    val pqCb = storedPqCodebook2(spark, dir, tag)
     val casg = Similarity.assignCells(Similarity.prepared(fresh), coarse)
       .withColumnRenamed("cell", "ccell")
     val assigned = casg.join(broadcast(fine), Seq("ccell"))
@@ -896,7 +925,8 @@ object AnnIndex {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("fcell"), struct(col("s"), col("fcell"))).as("fcell"))
     assigned.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
-        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"))
+        Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
+        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
       .write.mode("append").format("parquet")
       .bucketBy(coarse.length, "ccell").sortBy("ccell")
       .saveAsTable(t)
@@ -969,16 +999,17 @@ object AnnIndex {
     val qc = coarseQuantizerTableFor(dir, tag)
     val qf = fineQuantizerTableFor(dir, tag)
     val sqt = sq2TableFor(dir, tag)
+    val pqt = pq2TableFor(dir, tag)
     val tst = tombstone2TableFor(dir, tag)
     // compaction: tombstoned rows leave here, exactly [[requantize]]
     val live = spark.table(t).select(col("vec_id"), col("v"), col("nrm"))
       .join(spark.table(tst).select(col("vec_id")), Seq("vec_id"), "left_anti")
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
-    val all = Seq(t, qc, qf, sqt, tst)
+    val all = Seq(t, qc, qf, sqt, pqt, tst)
     all.foreach(x => Bucketed.resetTable(spark, x + "__stage"))
     writeGeneration2(spark, live, n, t + "__stage", qc + "__stage",
-      qf + "__stage", sqt + "__stage", tst + "__stage")
+      qf + "__stage", sqt + "__stage", pqt + "__stage", tst + "__stage")
     all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
     // assignment aside FIRST, promoted LAST — the crash-window
     // invariant [[requantize]] documents; the SQ params swap with the
@@ -1099,6 +1130,72 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx",
         (col("qbasis") + Similarity.dot(col("t"), col("codes").cast("array<double>"))) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    idx.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .withColumn("score",
+        round(Similarity.cosine(col("v"), col("nrm"), col("qv"), col("qn")), 4))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+  }
+
+  /** IVF² × PQ probe over the persisted two-level index — the
+    * sub-byte billion-vector read path ([[topKIdxPq]]'s contract one
+    * level down, on the tier where 4-bit codes matter most): coarse
+    * probe cells selected in-plan against the stored n^¼ quantizer,
+    * fine cells ranked per query across the probed coarse cells (the
+    * [[Similarity.probeIvf2From]] ranking, qtbl carried), and the
+    * CANDIDATE pass scans only the probed fine cells' `pqcodes` rows —
+    * bucket-pruned on ccell AND column-pruned to m 4-bit-range codes
+    * (~16× below the SQ8 row, 64× below the vectors) — ranked by the
+    * native ADC fold against per-query tables built from the STORED
+    * gen-2 codebook. Exact rerank re-reads full vectors for
+    * queries×rerank rows only; tombstones anti-join coarse-pruned. */
+  def topK2Pq(spark: SparkSession, dir: String, maxQueryId: Long,
+              k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+              rerank: Int = 24, tag: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    val (qcFrame, cells) =
+      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
+    val cellLits = cells.map(Int.box).toSeq
+    val cb = storedPqCodebook2(spark, dir, tag)
+    require(cb.length == PqKsub,
+      s"stored gen-2 PQ codebook has ${cb.length} rows, need exactly $PqKsub")
+    // per-query ADC tables ride the tiny broadcast side, as in
+    // [[topK2SqFrom]]'s qbasis/t terms
+    val qc = Similarity.pqQueryTbl(
+      qcFrame.withColumnRenamed("cell", "ccell"), cb, PqM)
+    val fine = spark.table(fineQuantizerTableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("s"), col("ccell"), col("fcell"))
+    val probes = qc.join(broadcast(fine), Seq("ccell"))
+      .withColumn("s",
+        lit(-2.0) * Similarity.dot(col("qv"), col("fv")) + col("f2"))
+      .withColumn("prn", row_number().over(wQ))
+      .filter(col("prn") <= nProbeFine)
+      .select(col("ccell"), col("fcell"), col("q_id"), col("qv"), col("qn"),
+        col("qtbl"))
+    val ts = spark.table(tombstone2TableFor(dir, tag))
+      .filter(col("ccell").isin(cellLits: _*)).select(col("vec_id"))
+    val idx = spark.table(t).filter(col("ccell").isin(cellLits: _*))
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = idx.select(col("vec_id"), col("nrm"), col("ccell"),
+        col("fcell"), col("pqcodes"))
+      .join(broadcast(probes), Seq("ccell", "fcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        graft.functions.VectorExprs.pqAdc(col("pqcodes"), col("qtbl"), PqKsub) /
           (col("nrm") * col("qn")))
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= rerank)

@@ -217,6 +217,19 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // IVF² × PQ — the sub-byte billion-vector read path (round-18
+    // verdict #3): pqcodes + the gen-2 codebook live INSIDE the
+    // two-level index (written at build, encoded with the stored
+    // codebook on append, refreshed by requantize2), the candidate
+    // pass scans only the probed fine cells' m 4-bit-range codes and
+    // ranks by the native ADC fold, exact rerank on top. Oracle = the
+    // inline two-level CTEs composed with the PQ codebook/codes/
+    // table/ADC CTEs
+    "topk2_pq" -> ((s, dir) =>
+      AnnIndex.topK2Pq(s, dir, maxQueryId = 7, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 24)
+        .orderBy(col("q_id"), col("rn"))),
+
     // SQ8 quantize-then-rerank (Similarity.topKSq): the candidate pass
     // ranks by an approximate cosine computed ONLY from the 8-bit
     // codes (one native dot over the code array per row — the scan
@@ -1165,6 +1178,13 @@ object PipelineQueries {
         nProbeFine = 3, rerank = 10,
         qSel = "csc.vec_id IN (0, 2, 5, 9)"),
 
+    // IVF² × PQ in one statement: the two-level CTEs composed with the
+    // PQ codebook/assignment/table/ADC CTEs — the stored gen-2 PQ
+    // stack must be a pure physical optimization of it
+    "topk2_pq" ->
+      annIndex2PqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, m = 8, ksub = 16, rerank = 24),
+
     // the curation → ledger → retire → probe loop: the LSH pair CTEs
     // (lshBandedCte — corpus-scaled band params, md5-derived planes)
     // feed a losers set excluded from the IVF candidates, and the
@@ -1789,6 +1809,95 @@ object PipelineQueries {
        |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
        |    AND x.vec_id <> q.q_id$candFilter
        |  JOIN c ON c.vec_id = x.vec_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The IVF² × PQ oracle (`topk2_pq`): [[annIndex2SqOracleSql]]'s
+    * two-level CTEs (both quantizer levels, both assignments, both
+    * probe rankings) composed with [[pqOracleSql]]'s codebook /
+    * per-subspace assignment / query-table / ADC CTEs — the persisted
+    * gen-2 PQ stack (coarse+fine centroids, codebook, pqcodes inside
+    * the ccell buckets) must reproduce this statement exactly. */
+  private def annIndex2PqOracleSql(maxQueryId: Int, topK: Int,
+                                   nProbeCoarse: Int, nProbeFine: Int,
+                                   m: Int, ksub: Int, rerank: Int,
+                                   dim: Int = 64,
+                                   qSel: String = "",
+                                   candFilter: String = ""): String = {
+    val qWhere = if (qSel.nonEmpty) qSel else s"csc.vec_id < $maxQueryId"
+    val dsub = dim / m
+    def dotChain(x: String) = (1 to dsub).map(t =>
+      s"$x[j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val c2Chain = (1 to dsub).map(t =>
+      s"cm[i+1][j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val adcChain = (1 to m).map(j =>
+      s"qtbl[$j][codes[$j]+1]").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |ktot AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::BIGINT AS k),
+       |kc AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT k FROM ktot)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS ccell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kc WHERE s.rnk <= kc.k),
+       |csc AS (SELECT n.vec_id, n.v, n.nrm, cen.ccell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |casg AS (SELECT vec_id, v, nrm, ccell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, ccell) rn FROM csc)
+       |  WHERE rn = 1),
+       |occ AS (SELECT ccell, count(*) AS c FROM casg GROUP BY ccell),
+       |kf AS (SELECT ccell, CASE WHEN (sq - 1) * (sq - 1) >= c THEN sq - 1
+       |                          WHEN sq * sq >= c THEN sq ELSE sq + 1 END AS kf
+       |  FROM (SELECT ccell, c, CAST(floor(sqrt(c)) AS BIGINT) AS sq FROM occ)),
+       |fcen AS (SELECT r.ccell, (r.rnk - 1)::INT AS fcell, r.v AS fctr
+       |  FROM (SELECT ccell, v, ROW_NUMBER() OVER (PARTITION BY ccell
+       |          ORDER BY md5('seed:' || vec_id), vec_id) AS rnk FROM casg) r
+       |  JOIN kf ON r.ccell = kf.ccell WHERE r.rnk <= kf.kf),
+       |fsc AS (SELECT a.vec_id, a.nrm, a.ccell, f.fcell,
+       |  -2.0 * list_dot_product(a.v, f.fctr) + list_dot_product(f.fctr, f.fctr) AS s
+       |  FROM casg a JOIN fcen f ON a.ccell = f.ccell),
+       |fasg AS (SELECT vec_id, nrm, ccell, fcell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, fcell) rn FROM fsc)
+       |  WHERE rn = 1),
+       |cl AS (SELECT list(v ORDER BY rnk) AS cm FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s WHERE rnk <= $ksub),
+       |pqc AS (SELECT n.vec_id, n.nrm,
+       |  list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |    -2.0 * (${dotChain("v")}) + ($c2Chain))) AS pqd
+       |  FROM n, cl),
+       |cod AS (SELECT vec_id, nrm,
+       |  list_transform(pqd, a -> list_position(a, list_min(a)) - 1) AS codes
+       |  FROM pqc),
+       |qc AS (SELECT vec_id AS q_id, qv, qn, ccell, qtbl FROM
+       |  (SELECT csc.vec_id, csc.v AS qv, csc.nrm AS qn, csc.ccell,
+       |     list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |       (${dotChain("csc.v")}))) AS qtbl,
+       |     ROW_NUMBER() OVER (PARTITION BY csc.vec_id ORDER BY csc.s, csc.ccell) rn
+       |   FROM csc, cl WHERE $qWhere) WHERE rn <= $nProbeCoarse),
+       |qf AS (SELECT q_id, qv, qn, qtbl, ccell, fcell FROM
+       |  (SELECT q.q_id, q.qv, q.qn, q.qtbl, q.ccell, f.fcell,
+       |     ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |       -2.0 * list_dot_product(q.qv, f.fctr) + list_dot_product(f.fctr, f.fctr),
+       |       q.ccell, f.fcell) AS rn
+       |   FROM qc q JOIN fcen f ON q.ccell = f.ccell) WHERE rn <= $nProbeFine),
+       |a AS (SELECT q.q_id, x.vec_id, q.qv, q.qn,
+       |  ($adcChain) / (c.nrm * q.qn) AS approx
+       |  FROM qf q JOIN fasg x ON x.ccell = q.ccell AND x.fcell = q.fcell
+       |    AND x.vec_id <> q.q_id$candFilter
+       |  JOIN cod c ON c.vec_id = x.vec_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),

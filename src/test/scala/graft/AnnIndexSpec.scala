@@ -1018,6 +1018,46 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "explicit-id SQ probe must see the same tombstones as the prefix probe")
   }
 
+  test("gen-2 PQ: pqcodes-only coarse-pruned candidate scan, full-rerank == exact probe, " +
+      "appended clone served, codebook refreshes with requantize2") {
+    AnnIndex.ensureBuilt2(spark, sf)
+    // exact rerank over ALL candidates in the probed cells must equal
+    // the full-precision probe at the same dials — the PQ stage can
+    // then only reorder below a cut that admits everything
+    val exact = AnnIndex.topK2(spark, sf, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val pqWide = AnnIndex.topK2Pq(spark, sf, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 1000000)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(pqWide.nonEmpty && pqWide == exact,
+      "at full rerank the gen-2 PQ probe must equal the exact gen-2 probe")
+    // the sub-byte bound: candidate scan reads pqcodes — not vectors,
+    // not the SQ8 codes — and stays coarse-bucket-pruned
+    val p = AnnIndex.topK2Pq(spark, sf, maxQueryId = 2, k = 4, rerank = 24)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,nrm:double,ccell:int,fcell:int,pqcodes:"),
+      s"gen-2 PQ candidate scan must read pqcodes, not vectors:\n$p")
+    // append → probe → requantize2 cycle on a private corpus: codes
+    // encode with the STORED codebook, the rebuild refreshes it
+    val dir = tempCorpus("pq2-cycle")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val emb = Fixtures.embeddings(spark, dir)
+    val cb0 = AnnIndex.storedPqCodebook2(spark, dir)
+    assert(cb0.length == AnnIndex.PqKsub && cb0.head.length == AnnIndex.Dim)
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(424242L))
+    AnnIndex.appendBatch2(spark, dir, clone)
+    def cloneHit(): Boolean =
+      AnnIndex.topK2Pq(spark, dir, maxQueryId = 1, k = 3, rerank = 10)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+        .contains((424242L, 1.0))
+    assert(cloneHit(), "an appended clone must be served by the gen-2 PQ probe")
+    AnnIndex.requantize2(spark, dir)
+    assert(AnnIndex.storedPqCodebook2(spark, dir).length == AnnIndex.PqKsub)
+    assert(cloneHit(), "the clone must survive the generation swap re-encode")
+  }
+
   test("composed serving call at the PQ tier: explicit ids x stored pqcodes — " +
       "prefix-coherent, candidate scan reads pqcodes not vectors, unknown ids empty") {
     import spark.implicits._
