@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -121,6 +121,116 @@ case class PqAdcF64(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Write-time nibble packer for stored PQ codes: `array<int>` codes in
+  * [0, 16) → `binary` at 2 codes/byte — code j lands in byte j/2, low
+  * nibble for even j. This is what makes the stored index's
+  * "4 bits/dim" byte bound PHYSICAL: parquet stores the packed column
+  * as m/2 bytes + offsets per row instead of ~4 B/code element ints.
+  * Even m only (the [[graft.ops.AnnIndex.PqM]] layout); values are
+  * masked to 4 bits — callers guarantee codes < 16 (the ksub = 16
+  * codebook-stride `require`s in [[graft.ops.Similarity]]). Decode
+  * never materializes: [[PqAdcPackedF64]] shifts/masks inside its
+  * gather loop. */
+case class NibblePack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nibble_pack requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "nibble_pack"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val out = new Array[Byte]((m + 1) / 2)
+    var j = 0
+    while (j < m) {
+      out(j >> 1) = (out(j >> 1) | ((codes.getInt(j) & 0xF) << ((j & 1) << 2))).toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $a.numElements();
+         |byte[] $out = new byte[($m + 1) / 2];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $out[$j >> 1] |= (byte)(($a.getInt($j) & 0xF) << (($j & 1) << 2));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NibblePack =
+    copy(child = newChild)
+}
+
+/** [[PqAdcF64]] over NIBBLE-PACKED codes (`binary`, [[NibblePack]]'s
+  * layout): the approximate dot is still `Σ_j tbl[j·ksub + code_j]`,
+  * with code_j decoded by one shift/mask inside the generated gather
+  * loop — same IEEE summation sequence as the unpacked fold, so the
+  * stored-index entries keep hash-checking against the same oracle
+  * while the codes column shrinks ~8×. m = 2 · packed length (even m
+  * by the pack contract). */
+case class PqAdcPackedF64(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_packed requires (binary, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_packed"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val tbl = b.asInstanceOf[ArrayData]
+    val m = codes.length * 2
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = (codes(j >> 1) >> ((j & 1) << 2)) & 0xF
+      s += tbl.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |int $m = $a.length * 2;
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $c = ($a[$j >> 1] >> (($j & 1) << 2)) & 0xF;
+         |  $s += $b.getDouble($j * $ksub + $c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcPackedF64 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the native expression. */
   def dotF64(a: Column, b: Column): Column =
@@ -130,6 +240,16 @@ object VectorExprs {
   /** Column-level PQ/ADC fold backed by the native expression. */
   def pqAdc(codes: Column, qtblFlat: Column, ksub: Int): Column =
     ColumnShim.column(PqAdcF64(
+      ColumnShim.expression(codes), ColumnShim.expression(qtblFlat), ksub))
+
+  /** Column-level nibble packer (array<int> codes → 2-codes/byte
+    * binary) — the stored index's write-time PQ layout. */
+  def nibblePack(codes: Column): Column =
+    ColumnShim.column(NibblePack(ColumnShim.expression(codes)))
+
+  /** Column-level ADC fold over nibble-packed codes. */
+  def pqAdcPacked(codes: Column, qtblFlat: Column, ksub: Int): Column =
+    ColumnShim.column(PqAdcPackedF64(
       ColumnShim.expression(codes), ColumnShim.expression(qtblFlat), ksub))
 
   private[graft] val dotF64Descriptor

@@ -182,15 +182,17 @@ object AnnIndex {
       // only ever scans the bit-packed code column, ~1 byte/dim,
       // instead of the 8-byte doubles of `v`)
       val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
-      // the PQ codebook joins the layout: pqcodes (m 4-bit-range ints
-      // — the sub-byte candidate metric) beside the SQ8 codes, both
+      // the PQ codebook joins the layout: pqcodes (nibble-packed
+      // binary, a PHYSICAL 4 bits/dim — the sub-byte candidate
+      // metric) beside the SQ8 codes, both
       // quantized ONCE at write time against artifacts stored with
       // the generation
       val pqCb = Similarity.sampledCentroids(prep, PqKsub)
       val assigned = Similarity.assignCells(prep, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
-          Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
+          graft.functions.VectorExprs.nibblePack(
+            Similarity.pqCodesCol(col("v"), pqCb, PqM)).as("pqcodes"))
       Bucketed.writeBucketed(assigned, t, "cell", nBuckets = k)
       import spark.implicits._
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -330,7 +332,8 @@ object AnnIndex {
     val assigned = Similarity.assignCells(Similarity.prepared(fresh), cs)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
-        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
+        graft.functions.VectorExprs.nibblePack(
+            Similarity.pqCodesCol(col("v"), pqCb, PqM)).as("pqcodes"))
     assigned.write.mode("append").format("parquet")
       .bucketBy(cs.length, "cell").sortBy("cell")
       .saveAsTable(t)
@@ -648,7 +651,8 @@ object AnnIndex {
       Similarity.assignCells(live, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
-          Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes")),
+          graft.functions.VectorExprs.nibblePack(
+            Similarity.pqCodesCol(col("v"), pqCb, PqM)).as("pqcodes")),
       tStage, "cell", nBuckets = k)
     import spark.implicits._
     cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -866,7 +870,8 @@ object AnnIndex {
     Bucketed.writeBucketed(
       asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
         Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
-        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes")),
+        graft.functions.VectorExprs.nibblePack(
+            Similarity.pqCodesCol(col("v"), pqCb, PqM)).as("pqcodes")),
       t, "ccell", nBuckets = coarse.length)
     import spark.implicits._
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -926,7 +931,8 @@ object AnnIndex {
         min_by(col("fcell"), struct(col("s"), col("fcell"))).as("fcell"))
     assigned.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
         Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
-        Similarity.pqCodesCol(col("v"), pqCb, PqM).as("pqcodes"))
+        graft.functions.VectorExprs.nibblePack(
+            Similarity.pqCodesCol(col("v"), pqCb, PqM)).as("pqcodes"))
       .write.mode("append").format("parquet")
       .bucketBy(coarse.length, "ccell").sortBy("ccell")
       .saveAsTable(t)
@@ -1152,8 +1158,9 @@ object AnnIndex {
     * fine cells ranked per query across the probed coarse cells (the
     * [[Similarity.probeIvf2From]] ranking, qtbl carried), and the
     * CANDIDATE pass scans only the probed fine cells' `pqcodes` rows —
-    * bucket-pruned on ccell AND column-pruned to m 4-bit-range codes
-    * (~16× below the SQ8 row, 64× below the vectors) — ranked by the
+    * bucket-pruned on ccell AND column-pruned to m/2 nibble-packed
+    * bytes (a PHYSICAL 4 bits/dim — 16× below the SQ8 row, 128× below
+    * the vectors) — ranked by the
     * native ADC fold against per-query tables built from the STORED
     * gen-2 codebook. Exact rerank re-reads full vectors for
     * queries×rerank rows only; tombstones anti-join coarse-pruned. */
@@ -1195,7 +1202,7 @@ object AnnIndex {
       .join(broadcast(probes), Seq("ccell", "fcell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx",
-        graft.functions.VectorExprs.pqAdc(col("pqcodes"), col("qtbl"), PqKsub) /
+        graft.functions.VectorExprs.pqAdcPacked(col("pqcodes"), col("qtbl"), PqKsub) /
           (col("nrm") * col("qn")))
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= rerank)
@@ -1262,9 +1269,10 @@ object AnnIndex {
   /** IVF × PQ probe over the persisted index — the stored form of
     * [[Similarity.topKIvfPq]] and the sub-byte serving read path: the
     * candidate pass scans ONLY the probed cells' buckets (bucket-pruned
-    * literal IN filter) and ONLY the `pqcodes` column (m small ints —
-    * bit-packs to 4 bits/dim, 16× below the SQ8 row and 64× below the
-    * vectors), ranks by the native m-lookup ADC fold
+    * literal IN filter) and ONLY the `pqcodes` column (m/2
+    * nibble-packed bytes — a PHYSICAL 4 bits/dim, 16× below the SQ8
+    * row and 128× below the vectors), ranks by the native m-lookup
+    * ADC fold (nibbles decoded by shift/mask inside the gather loop)
     * ([[graft.functions.PqAdcF64]]) against per-query tables built from
     * the STORED codebook, and the exact rerank re-reads full vectors
     * for queries×rerank rows only — still inside the probed buckets.
@@ -1319,7 +1327,7 @@ object AnnIndex {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx",
-        graft.functions.VectorExprs.pqAdc(col("pqcodes"), col("qtbl"), PqKsub) /
+        graft.functions.VectorExprs.pqAdcPacked(col("pqcodes"), col("qtbl"), PqKsub) /
           (col("nrm") * col("qn")))
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= rerank)

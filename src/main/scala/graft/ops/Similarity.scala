@@ -553,8 +553,11 @@ object Similarity {
     * is the same IEEE sequence in both engines and the registry entry
     * hash-checks the whole quantize→table→scan→rerank shape.
     *
-    * At scale: the scan side reads m ints per row (bit-packs to
-    * 4 bits/dim); the per-pair cost is m lookups + m−1 adds (vs
+    * At scale: this inline form's scan side reads m small ints per
+    * row; the STORED index packs the same codes to a PHYSICAL
+    * 4 bits/dim ([[AnnIndex]]'s nibble-packed binary `pqcodes`
+    * column, decoded inside the generated ADC loop). The per-pair
+    * cost is m lookups + m−1 adds (vs
     * dim mults for SQ8's decomposed dot); composes with the IVF cell
     * key for bucket pruning exactly like [[topKIvfSq]]; the rerank
     * join touches queries×rerank full vectors only. */

@@ -315,10 +315,36 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"both the candidate scan and the rerank scan must bucket-prune:\n$plan")
     prunes.foreach(m => assert(m.group(1).toInt <= 4,
       s"expected <=4 of ${m.group(2)} buckets read, got ${m.group(1)}"))
-    assert(plan.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,pqcodes:array<int>>"),
-      s"candidate scan must read only (vec_id, nrm, cell, pqcodes):\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,nrm:double,cell:int,pqcodes:binary>"),
+      s"candidate scan must read only (vec_id, nrm, cell, pqcodes) at the packed layout:\n$plan")
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,v:array<double>,nrm:double,cell:int>"),
       s"rerank scan must read full vectors for candidates only:\n$plan")
+  }
+
+  test("pqcodes is PHYSICALLY 4 bits/dim: binary column at exactly m/2 bytes per row, " +
+      "nibble decode round-trips the inline assignment bit for bit") {
+    AnnIndex.ensureBuilt(spark, sf)
+    val t = AnnIndex.tableFor(sf)
+    assert(spark.table(t).schema("pqcodes").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "the stored codes column must be binary, not array<int>")
+    val cb = AnnIndex.storedPqCodebook(spark, sf)
+    val inline = Similarity.prepared(Fixtures.embeddings(spark, sf))
+      .select(col("vec_id"),
+        Similarity.pqCodesCol(col("v"), cb, AnnIndex.PqM).as("codes"))
+    val rows = spark.table(t).select(col("vec_id"), col("pqcodes"))
+      .join(inline, Seq("vec_id")).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val packed = r.getAs[Array[Byte]]("pqcodes")
+      assert(packed.length == AnnIndex.PqM / 2,
+        s"each packed row must hold exactly m/2 = ${AnnIndex.PqM / 2} bytes, " +
+          s"got ${packed.length} — the 4-bit/dim bound must be physical")
+      val codes = r.getSeq[Int](2)
+      val decoded = codes.indices.map(j => (packed(j >> 1) >> ((j & 1) << 2)) & 0xF)
+      assert(decoded == codes,
+        s"nibble decode must round-trip the inline assignment: $decoded vs $codes")
+    }
   }
 
   test("PQ probe stays a pure physical optimization across the append -> requantize cycle") {
