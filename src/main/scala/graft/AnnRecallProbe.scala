@@ -85,6 +85,24 @@ object AnnRecallProbe {
         nProbe = nProbe, rerank = rerank))
       println(f"[recall] path=indexed_sq nProbe=$nProbe%-3d rerank=$rerank%-3d recall@$k=$r%.3f")
     }
+    // ---- PQ legs (round 19): 4 bits/dim is far lossier than SQ8, so
+    // rerank is the dial that matters and is swept explicitly.
+    // `pq` = the inline brute ADC scan (no cell pruning — isolates
+    // pure code-ordering loss); `idx_pq` = the stored IVF×PQ probe
+    // (spec-pinned identical to the inline topKIvfPq, so one sweep
+    // measures both registry shapes).
+    Seq(2 * k, 3 * k, 5 * k).foreach { rerank =>
+      val r = recall(Similarity.topKPq(emb, maxQueryId = nQueries,
+        k = k, rerank = rerank))
+      println(f"[recall] path=pq rerank=$rerank%-3d recall@$k=$r%.3f")
+    }
+    Seq((2, 2 * k), (2, 4 * k), (4, 2 * k), (4, 4 * k),
+        (8, 2 * k), (8, 4 * k), (8, 8 * k), (8, 16 * k))
+      .foreach { case (nProbe, rerank) =>
+        val r = recall(AnnIndex.topKIdxPq(spark, dir, nQueries, k = k,
+          nProbe = nProbe, rerank = rerank))
+        println(f"[recall] path=idx_pq nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
+      }
     AnnIndex.ensureBuilt2(spark, dir)
     Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
       val r = recall(AnnIndex.topK2(spark, dir, nQueries, k = k,
@@ -96,6 +114,15 @@ object AnnRecallProbe {
         nProbeCoarse = nc, nProbeFine = nf, rerank = 2 * k))
       println(f"[recall] path=ivf2_sq nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d rerank=${2 * k}%-3d recall@$k=$r%.3f")
     }
+    // gen-2 PQ: the billion-vector tier's sub-byte read path — the
+    // regime where 4-bit codes matter most, so its recall cost must
+    // be measured, not assumed
+    Seq((2, 4, 2 * k), (4, 8, 2 * k), (8, 16, 2 * k), (8, 16, 4 * k))
+      .foreach { case (nc, nf, rr) =>
+        val r = recall(AnnIndex.topK2Pq(spark, dir, nQueries, k = k,
+          nProbeCoarse = nc, nProbeFine = nf, rerank = rr))
+        println(f"[recall] path=ivf2_pq nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d rerank=$rr%-3d recall@$k=$r%.3f")
+      }
 
     // ---- recall AFTER DELETE: tombstoned generation vs brute force
     // over the survivors. The retired tenth (vec_id % 10 == 7 — the
