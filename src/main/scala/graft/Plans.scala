@@ -17,7 +17,7 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val wanted = if (args.isEmpty) Seq("logs_range", "logs_cursor_page",
       "q3_revenue", "topk", "dedup_minhash",
-      "dedup_ngram_banded") else args.toSeq
+      "dedup_banded") else args.toSeq
     wanted.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -126,7 +126,7 @@ object CoreQueries {
     }),
 
     // Q-20: idempotent re-append is a fixpoint (src/db.rs:97,136).
-    "ingest_idempotent" -> ((s, dir) => {
+    "ingest_idem" -> ((s, dir) => {
       val logs = EvmDerive.logs(s, dir)
       Ingest.idempotentAppend(logs, logs, Seq("id"))
         .select(col("id"), col("block_number"), col("transaction_hash"))
@@ -220,7 +220,7 @@ object CoreQueries {
     "ingest_explode" -> (EvmDerive.cte +
       "SELECT id, block_number, transaction_hash, data FROM logs ORDER BY id"),
 
-    "ingest_idempotent" -> (EvmDerive.cte +
+    "ingest_idem" -> (EvmDerive.cte +
       "SELECT id, block_number, transaction_hash FROM logs ORDER BY id"),
 
     "reorg_rollback" -> (EvmDerive.cte +

@@ -68,7 +68,7 @@ object PipelineQueries {
 
     // the de-skewed scale path: band-collision candidates within the
     // source block, exact-Jaccard verified — see ngramJaccardPairsBanded
-    "dedup_ngram_banded" -> ((s, dir) =>
+    "dedup_banded" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBanded(Fixtures.documents(s, dir))
         .orderBy(col("source"), col("doc_a"), col("doc_b"))),
 
@@ -93,7 +93,7 @@ object PipelineQueries {
     // banded base (sharedLshBands) — banding is the n·m-dot scan half
     // of each entry, and row-local, so the corpus/fresh splits below
     // are filters of the same materialization
-    "embed_neardup_lsh" -> ((s, dir) => {
+    "embed_lsh" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       Similarity.nearDupPairsLsh(e, threshold = 0.4,
@@ -286,10 +286,10 @@ object PipelineQueries {
       TextAnalysis.quality(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
-    "text_token_counts" -> ((s, dir) =>
+    "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Fixtures.documents(s, dir), topN = 20)),
 
-    "text_doc_frequency" -> ((s, dir) =>
+    "text_df" -> ((s, dir) =>
       TextAnalysis.docFrequency(Fixtures.documents(s, dir), topN = 20)),
 
     // HLL itself is engine-specific, so the differential form checks
@@ -311,7 +311,7 @@ object PipelineQueries {
       TextAnalysis.commonness(Fixtures.documents(s, dir), topK = 100)
         .orderBy(col("doc_id"))),
 
-    "text_token_modes" -> ((s, dir) =>
+    "text_modes" -> ((s, dir) =>
       TextAnalysis.tokenCountModes(Fixtures.documents(s, dir))
         .orderBy(col("doc_id"))),
 
@@ -347,7 +347,7 @@ object PipelineQueries {
     // once (TextRefs.ensureLm), scoring is the per-batch bigram stream
     // probing two K-row broadcasts — the plan's ONLY aggregation is
     // the per-doc mean (PlanAuditSpec-pinned). Oracle = text_lm_score's.
-    "text_lm_score_stored" -> ((s, dir) =>
+    "text_lm_stored" -> ((s, dir) =>
       graft.ops.TextRefs.lmScoreStored(s, dir).orderBy(col("doc_id"))),
 
     // IVF probe+rank with FIXED md5-derived centroid literals shared
@@ -1012,7 +1012,7 @@ object PipelineQueries {
     // Banded scale path: identical md5 MinHash/band arithmetic as
     // dedup_minhash, candidates additionally restricted to same-source,
     // verified at the ngram threshold (0.2) — fully differential.
-    "dedup_ngram_banded" ->
+    "dedup_banded" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |sh AS (SELECT doc_id, source,
         |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingles
@@ -1040,7 +1040,7 @@ object PipelineQueries {
     // embedded as identical DOUBLE literals here and in the Spark plan
     // (Double.toString round-trips exactly), so candidate generation +
     // cosine verification are both differential.
-    "embed_neardup_lsh" -> (lshBandedCte +
+    "embed_lsh" -> (lshBandedCte +
       """p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
         |  FROM banded a JOIN banded b
@@ -1365,7 +1365,7 @@ object PipelineQueries {
     // — identical ranking is exactly the claim the differential check
     // should enforce, so the oracle is shared verbatim
     "bm25_stored" -> bm25OracleSql,
-    "text_lm_score_stored" -> lmScoreOracleSql,
+    "text_lm_stored" -> lmScoreOracleSql,
 
     // every stage mirrored: bigram stream (parallel unnest), prev /
     // pair counts, top-500 conditional table, top-100 unigram backoff,
@@ -1403,12 +1403,12 @@ object PipelineQueries {
         |      + 3 * least(10000, n_tokens * 100)) // 10)::BIGINT AS quality_score_bp
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "text_token_counts" ->
+    "text_tokens" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS n FROM tk GROUP BY token
         |ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
-    "text_doc_frequency" ->
+    "text_df" ->
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS df FROM tk GROUP BY token
         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
@@ -1417,7 +1417,7 @@ object PipelineQueries {
       """SELECT doc_id, list_min([md5(s) for s in shingles]) AS fingerprint,
         |len(shingles)::INT AS n_shingles FROM sh ORDER BY doc_id""".stripMargin),
 
-    "text_token_modes" ->
+    "text_modes" ->
       """SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws_tokens,
         |(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::INT AS n_punct,
         |(len(string_split(text, ' ')) + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::INT AS n_bpe_ish

@@ -134,7 +134,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // per-doc mean; the pair/prev/unigram/total counts are stored-table
     // broadcasts. The corpus appears twice by design (bigram stream +
     // the left join that scores pairless docs 0) — both O(batch) scans.
-    val lm = SparkEntry.queries("text_lm_score_stored")(spark, sfDir)
+    val lm = SparkEntry.queries("text_lm_stored")(spark, sfDir)
       .queryExecution.optimizedPlan
     val lmAggs = lm.collect { case a: Aggregate => a }
     assert(lmAggs.size == 1,
@@ -163,7 +163,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // pins that the LSH/IVF twins exist and stay oracle-checked
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q("embed_neardup_lsh") && o("embed_neardup_lsh"))
+    assert(q("embed_lsh") && o("embed_lsh"))
     assert(q("topk_ivf") && o("topk_ivf"))
     assert(q("topk_kmeans") && o("topk_kmeans"))
   }

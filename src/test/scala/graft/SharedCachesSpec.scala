@@ -118,7 +118,7 @@ class SharedCachesSpec extends AnyFunSuite with SparkSpec {
     // incremental intermediates), the substring family, the segment
     // families, and the composed pipelines on top
     val cacheHeavy = Seq("dedup_minhash", "dedup_apply", "dedup_inc",
-      "dedup_inc_apply", "dedup_ngram_banded",
+      "dedup_inc_apply", "dedup_banded",
       "substr_spans", "substr_inc", "substr_apply",
       "text_bp", "text_bp_apply", "text_bp_lines",
       "pipeline_curate", "curate_inc")

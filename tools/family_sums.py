@@ -7,7 +7,7 @@ FAMILIES = {
     "doc dedup, scale paths": [
         "dedup_exact", "dedup_minhash", "dedup_inc",
         "dedup_inc_apply", "dedup_apply", "dedup_apply_best",
-        "dedup_simhash", "dedup_ngram_banded"],
+        "dedup_simhash", "dedup_banded"],
     "dedup, raw yardsticks": ["dedup_ngram"],
     "substring / boilerplate / classifier": [
         "substr_spans", "substr_inc",
@@ -16,7 +16,7 @@ FAMILIES = {
         "clf_weighted", "clf_trained",
         "clf_stored", "clf_eval"],
     "embedding near-dup (LSH)": [
-        "embed_neardup_lsh", "embed_inc",
+        "embed_lsh", "embed_inc",
         "embed_inc_apply"],
     "SemDeDup": ["semdedup_pairs", "semdedup_prune"],
     "ANN / similarity top-k": [
@@ -29,12 +29,12 @@ FAMILIES = {
         "topk_sq_ids", "topk2_sq_ids", "topk_pq_del", "topk_pq_ids",
         "curate_retire", "curate_ret2", "hybrid_rrf"],
     "text analysis": [
-        "text_lang_id", "text_quality", "text_token_counts",
-        "text_token_modes", "text_doc_frequency", "text_hll",
+        "text_lang_id", "text_quality", "text_tokens",
+        "text_modes", "text_df", "text_hll",
         "text_fingerprint", "text_commonness", "text_repetition",
         "text_pii_scrub", "text_lm_score",
         "bm25", "bm25_stored",
-        "text_lm_score_stored"],
+        "text_lm_stored"],
     "curation": [
         "decontaminate", "sample_strat", "split_assign", "source_cap",
         "mix_weighted", "pack_sequences", "qbudget",
@@ -55,7 +55,7 @@ FAMILIES = {
         "tx_by_hash", "tx_value_decimal", "latest_at_height",
         "evm_stats"],
     "ingest / events / streaming twins": [
-        "ingest_explode", "ingest_idempotent", "reorg_rollback",
+        "ingest_explode", "ingest_idem", "reorg_rollback",
         "events_hourly", "events_sessions", "stream_twin",
         "stream_sink", "stream_retire"],
 }
