@@ -343,6 +343,38 @@ object Bench {
   def main(args: Array[String]): Unit =
     run(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
+  /** Scan-split dial sized to the tier's PHYSICAL layout. Spark's
+    * split size is min(maxPartitionBytes, max(openCostInBytes,
+    * bytes/cores)); at production file sizes (hundreds of MB, many row
+    * groups) the defaults already yield one split per core, but the
+    * fixture tiers are MB-scale single files where the default 4 MB
+    * openCost floors the split size above the whole file and pins
+    * every map-side stage (tokenize, md5, n-gram walks) to 1-3 tasks
+    * on a 32-thread box. When the tier's files carry multiple row
+    * groups (tools/gen_sf1.py writes ~64/table), 128 KB lets the
+    * bytes/cores term size splits to ~cores per scan — the parallelism
+    * the operator would have at real scale. Single-row-group files
+    * (the driver's testdata tiers) CANNOT scan in parallel regardless
+    * of split size — extra splits there are all-empty task overhead —
+    * so the probe keeps the 4 MB floor for them. One footer read per
+    * probed table, once per session. */
+  def scanOpenCostFor(sfDir: String): Long = {
+    val multiGroup =
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        Seq("events", "documents", "lineitem").exists { t =>
+          val f = new java.io.File(sfDir, s"$t.parquet")
+          f.isFile && {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.size > 1 finally r.close()
+          }
+        }
+      } catch { case _: Throwable => false }
+    if (multiGroup) 128L * 1024 else 4L * 1024 * 1024
+  }
+
   /** The whole benchmark against one sf directory — extracted so tier
     * entry points ([[BenchSf1]]) can target a directory without
     * re-execing the JVM to change `SPARK_GRAFT_SF_DIR`. */
@@ -364,6 +396,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", scanOpenCostFor(sfDir).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

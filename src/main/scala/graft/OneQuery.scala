@@ -25,13 +25,12 @@ object OneQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // experiment dial for scan-split studies; Spark's default when
-      // unset. Measured here: extra splits of megabyte fixture files
-      // are pure task overhead — the heavy stages all sit downstream
-      // of a shuffle (the merge-hinted bucket joins), which already
-      // provides their parallelism.
+      // scan-split dial, mirroring Bench: sized to the tier's physical
+      // layout (see Bench.scanOpenCostFor — 128 KB for row-grouped
+      // tiers so map stages parallelize, the 4 MB floor for the
+      // single-row-group testdata tiers where splits cannot help)
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (4 * 1024 * 1024).toString))
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", Bench.scanOpenCostFor(sfDir).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

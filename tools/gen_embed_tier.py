@@ -50,5 +50,7 @@ for r in range(1, replicas):
                                    type=pa.list_(pa.float32()))]))
     parts.append(t)
 out = pa.concat_tables(parts)
-pq.write_table(out, f"{dst}/embeddings.parquet")
+# bounded row groups so scan stages parallelize (see gen_sf1.write)
+pq.write_table(out, f"{dst}/embeddings.parquet",
+               row_group_size=max(2048, out.num_rows // 64))
 print(f"wrote {out.num_rows} vectors ({replicas}x sf0.1, dim {dim}) to {dst}")

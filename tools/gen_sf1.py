@@ -57,9 +57,17 @@ os.makedirs(DST, exist_ok=True)
 
 def write(name: str, table: pa.Table) -> None:
     # version=2.6 keeps timestamp[ns] as parquet TIMESTAMP(NANOS), the
-    # physical type the engine's Fixtures.events contract expects
-    pq.write_table(table, f"{DST}/{name}.parquet", version="2.6")
-    print(f"  {name:12s} {table.num_rows:>10,} rows")
+    # physical type the engine's Fixtures.events contract expects.
+    # Row groups are bounded to ~64 per table (min 2048 rows) so scan
+    # stages can parallelize: a single-row-group file pins every
+    # map-side stage (tokenize, md5, n-gram walks) to ONE task on a
+    # 32-thread box — a layout no production table has (100-TB tables
+    # carry thousands of row groups), so the single-group fixture was
+    # mis-measuring map-only operators as serial.
+    rg = max(2048, table.num_rows // 64)
+    pq.write_table(table, f"{DST}/{name}.parquet", version="2.6",
+                   row_group_size=rg)
+    print(f"  {name:12s} {table.num_rows:>10,} rows (rg={rg})")
 
 
 def offset(col: pa.ChunkedArray, k: int) -> pa.ChunkedArray:
