@@ -49,7 +49,10 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/localdata/sf1"
-REPLICAS = 10
+# argv[2] overrides the replica count — REPLICAS=1 emits sf0.1
+# verbatim in the row-grouped layout (the same-layout scaling
+# denominator SCALING.md's ratio table uses)
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 SEED = 42
 
 os.makedirs(DST, exist_ok=True)
