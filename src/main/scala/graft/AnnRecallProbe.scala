@@ -96,6 +96,14 @@ object AnnRecallProbe {
         k = k, rerank = rerank))
       println(f"[recall] path=pq rerank=$rerank%-3d recall@$k=$r%.3f")
     }
+    // the learned (per-subspace Lloyd) codebook vs the sampled
+    // default at identical dials — the delta the codebookIn seam buys
+    val learnedCb = Similarity.learnedPqCodebook(emb)
+    Seq(2 * k, 3 * k, 5 * k).foreach { rerank =>
+      val r = recall(Similarity.topKPq(emb, maxQueryId = nQueries,
+        k = k, rerank = rerank, codebookIn = Some(learnedCb)))
+      println(f"[recall] path=pq_learned rerank=$rerank%-3d recall@$k=$r%.3f")
+    }
     Seq((2, 2 * k), (2, 4 * k), (4, 2 * k), (4, 4 * k),
         (8, 2 * k), (8, 4 * k), (8, 8 * k), (8, 16 * k))
       .foreach { case (nProbe, rerank) =>

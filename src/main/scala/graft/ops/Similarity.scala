@@ -563,10 +563,11 @@ object Similarity {
     * join touches queries×rerank full vectors only. */
   def topKPq(embeddings: DataFrame, maxQueryId: Long, k: Int = 10,
              m: Int = 8, ksub: Int = 16, rerank: Int = 30,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64,
+             codebookIn: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
-    val (codes, qtblOf) = pqPieces(e, m, ksub, dim)
+    val (codes, qtblOf) = pqPieces(e, m, ksub, dim, codebookIn)
     val q = qtblOf(e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
     val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
@@ -630,6 +631,49 @@ object Similarity {
     val codes = e.select(col("vec_id"), col("nrm"),
       pqCodesCol(col("v"), full, m).as("codes"))
     (codes, pqQueryTbl(_, full, m))
+  }
+
+  /** LEARNED PQ codebook — faiss-style per-subspace Lloyd behind
+    * [[pqPieces]]' `codebookIn` seam. Subspace j's ksub centroids are
+    * k-means over the corpus's j-th slices, seeded from the SAME
+    * md5-rank-first sampled rows the default codebook uses (so a
+    * recall comparison isolates the learning, not the seeding), and
+    * assembled back into ksub FULL-dim rows (`codebookIn`'s shape:
+    * row i's j-th slice is subspace j's centroid i).
+    *
+    * Each iteration is one corpus pass: the native per-subspace
+    * assignment ([[pqCodesCol]] — m codegen'd [[NearestCell]] slices)
+    * plus a posexplode → groupBy(subspace, code, dim) mean — map-side
+    * combined, exactly ksub·dim rows collected (1024 doubles at the
+    * default dials), the same bounded-collect contract as
+    * [[kmeansCentroids]]. Lloyd monotonicity guarantees the
+    * per-subspace quantization SSE never increases vs the sampled
+    * seed (OpsSpec pins it), so the learned book is a pure quality
+    * dial. The ORACLE-CHECKED default stays the sampled codebook
+    * (deterministic, single-statement-SQL-expressible); this is the
+    * production alternative whose recall delta [[graft.AnnRecallProbe]]
+    * measures (`pq_learned` leg, SCALING.md dial table). */
+  def learnedPqCodebook(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+                        dim: Int = 64, iters: Int = 2): Array[Array[Double]] = {
+    val dsub = dim / m
+    val e = prepared(embeddings)
+    var cb = sampledCentroids(e, ksub)
+    (0 until iters).foreach { _ =>
+      val means = e
+        .select(pqCodesCol(col("v"), cb, m).as("codes"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("j", (col("d") / dsub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("j") + 1))
+        .groupBy(col("j"), col("code"), col("d")).agg(avg(col("x")).as("mn"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      // empty clusters keep their previous centroid slice
+      cb = Array.tabulate(ksub, dim) { (i, d) =>
+        means.getOrElse((d / dsub, i, d), cb(i)(d))
+      }
+    }
+    cb
   }
 
   /** PQ code column for a vector column against a FULL-ROW codebook

@@ -1265,6 +1265,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF-PQ full probe+rerank must equal brute: missing ${brute -- ivfFull}")
   }
 
+  test("learned PQ codebook: Lloyd never increases per-subspace SSE vs the sampled seed, " +
+      "deterministic, full-rerank still exact, and the learning genuinely moves centroids") {
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val m = 8; val ksub = 16; val dim = 64; val dsub = dim / m
+    val vecs = Similarity.prepared(emb)
+      .select(org.apache.spark.sql.functions.col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // per-subspace quantization SSE of a codebook, computed in plain
+    // Scala on the collected fixture (exact, engine-free)
+    def sse(cb: Array[Array[Double]]): Double =
+      vecs.map { v =>
+        (0 until m).map { j =>
+          (0 until ksub).map { i =>
+            (0 until dsub).map { t =>
+              val d = v(j * dsub + t) - cb(i)(j * dsub + t); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val seed = Similarity.sampledCentroids(Similarity.prepared(emb), ksub)
+    val learned = Similarity.learnedPqCodebook(emb, m, ksub, dim, iters = 2)
+    assert(learned.length == ksub && learned.forall(_.length == dim))
+    // determinism: no RNG anywhere in the pass
+    val again = Similarity.learnedPqCodebook(emb, m, ksub, dim, iters = 2)
+    assert(learned.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // Lloyd monotonicity: each iteration's assignment+mean cannot
+    // increase the objective, so learned SSE <= seed SSE — and on this
+    // fixture the improvement must be real, not epsilon
+    val (s0, s1) = (sse(seed), sse(learned))
+    assert(s1 <= s0 + 1e-9, s"k-means must not increase SSE: $s0 -> $s1")
+    assert(s1 < s0 * 0.999, s"learning must genuinely move centroids: $s0 -> $s1")
+    // the exactness contract survives the alternate codebook: rerank=n
+    // over learned-ADC candidates is still brute force exactly
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 3, k = 10))
+    val full = hits(Similarity.topKPq(emb, maxQueryId = 3, k = 10, rerank = n,
+      codebookIn = Some(learned)))
+    assert(full == brute, "learned-codebook PQ at rerank=n must equal brute force")
+  }
+
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
