@@ -15,7 +15,7 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val wanted = if (args.isEmpty) Seq("logs_range", "logs_cursor_page",
+    val wanted = if (args.isEmpty) Seq("logs_range", "logs_cursor",
       "q3_revenue", "topk", "dedup_minhash",
       "dedup_banded") else args.toSeq
     wanted.foreach { name =>

@@ -1167,11 +1167,36 @@ object AnnIndex {
   def topK2Pq(spark: SparkSession, dir: String, maxQueryId: Long,
               k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
               rerank: Int = 24, tag: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = ensureBuilt2(spark, dir, tag)
     val coarse = storedCoarseQuantizer(spark, dir, tag)
-    val (qcFrame, cells) =
-      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse))
+    topK2PqFrom(spark, dir, tag, t,
+      probeFrame(spark, dir, maxQueryId, nProbeCoarse, quantizer = Some(coarse)),
+      k, nProbeFine, rerank)
+  }
+
+  /** [[topKIdsPq]] one level down — explicit query ids over the gen-2
+    * packed `pqcodes` scan with the coarse-pruned tombstone anti-join:
+    * the composed sub-byte billion-vector serving call. Shares
+    * [[topK2PqFrom]] with the prefix form, so the two cannot drift. */
+  def topK2IdsPq(spark: SparkSession, dir: String, queryIds: DataFrame,
+                 k: Int = 5, nProbeCoarse: Int = 2, nProbeFine: Int = 3,
+                 rerank: Int = 24, tag: String = ""): DataFrame = {
+    val t = ensureBuilt2(spark, dir, tag)
+    val coarse = storedCoarseQuantizer(spark, dir, tag)
+    topK2PqFrom(spark, dir, tag, t,
+      probeFrameFor(spark, dir,
+        _.join(broadcast(queryIds.select(col("vec_id"))), Seq("vec_id"), "left_semi"),
+        nProbeCoarse, quantizer = Some(coarse), tag = tag),
+      k, nProbeFine, rerank)
+  }
+
+  /** The coarse-probe → fine-probe → packed-ADC-scan → rerank half
+    * shared by [[topK2Pq]] and [[topK2IdsPq]]. */
+  private def topK2PqFrom(spark: SparkSession, dir: String, tag: String,
+                          t: String, pf: (DataFrame, Array[Int]),
+                          k: Int, nProbeFine: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (qcFrame, cells) = pf
     val cellLits = cells.map(Int.box).toSeq
     val cb = storedPqCodebook2(spark, dir, tag)
     require(cb.length == PqKsub,

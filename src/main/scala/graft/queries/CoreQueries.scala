@@ -58,13 +58,13 @@ object CoreQueries {
           fromBlock = Some(900), toBlock = Some(999), pageSize = Some(100)))),
 
     // Q-6: keyset cursor page (src/api.rs:162-172).
-    "logs_cursor_page" -> ((s, dir) =>
+    "logs_cursor" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(topic0 = Some(topicView),
           cursorBlock = Some(500), cursorLogId = Some(5004), pageSize = Some(50)))),
 
     // Q-9: legacy offset pagination (src/api.rs:177-182), page 3 of 25.
-    "logs_offset_page" -> ((s, dir) =>
+    "logs_offset" -> ((s, dir) =>
       LogsQuery.plan(EvmDerive.logs(s, dir),
         GetLogsFilter(contractAddress = Some(addr11),
           page = Some(3), pageSize = Some(25)))),
@@ -82,7 +82,7 @@ object CoreQueries {
       Lookups.txByHash(EvmDerive.transactions(s, dir), tx123).get),
 
     // Q-10: stored hash at height, latest-wins (src/db.rs:19-30).
-    "latest_at_height" -> ((s, dir) =>
+    "latest_at" -> ((s, dir) =>
       Lookups.blockHashAtHeight(EvmDerive.blocks(s, dir), 55)),
 
     // Q-11/Q-12: stats counts + ingestion lag (src/api.rs:242-267).
@@ -92,7 +92,7 @@ object CoreQueries {
 
     // Q-17/Q-18: all_topics array build + element access
     // (src/db.rs:164-167, src/main.rs:284-288).
-    "logs_topics_array" -> ((s, dir) =>
+    "logs_tarray" -> ((s, dir) =>
       EvmDerive.logsWithTopicsArray(s, dir)
         .filter(col("block_number") < 50)
         .select(col("id"),
@@ -170,12 +170,12 @@ object CoreQueries {
       s"SELECT $logProj FROM logs WHERE block_hash = '$hash42' " +
       "ORDER BY block_number, id LIMIT 100"),
 
-    "logs_cursor_page" -> (EvmDerive.cte +
+    "logs_cursor" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE topic0 = '$topicView' " +
       "AND (block_number > 500 OR (block_number = 500 AND id > 5004)) " +
       "ORDER BY block_number, id LIMIT 50"),
 
-    "logs_offset_page" -> (EvmDerive.cte +
+    "logs_offset" -> (EvmDerive.cte +
       s"SELECT $logProj FROM logs WHERE contract_address = '$addr11' " +
       "ORDER BY block_number, id LIMIT 25 OFFSET 50"),
 
@@ -192,7 +192,7 @@ object CoreQueries {
       "value, gas_used, gas_limit, gas_price, max_fee_per_gas, max_priority_fee_per_gas, nonce, input_data, status " +
       s"FROM transactions WHERE tx_hash = '$tx123' ORDER BY tx_hash LIMIT 1"),
 
-    "latest_at_height" -> (EvmDerive.cte +
+    "latest_at" -> (EvmDerive.cte +
       "SELECT block_hash FROM blocks WHERE block_number = 55 ORDER BY block_number DESC LIMIT 1"),
 
     "evm_stats" -> (EvmDerive.cte +
@@ -203,7 +203,7 @@ object CoreQueries {
       "(SELECT MAX(block_number) FROM blocks) + 3 AS chain_head_at_last_poll, " +
       "CAST(3 AS BIGINT) AS ingestion_lag"),
 
-    "logs_topics_array" -> (EvmDerive.cte +
+    "logs_tarray" -> (EvmDerive.cte +
       "SELECT id, CAST(1 + CASE WHEN topic1 IS NOT NULL THEN 1 ELSE 0 END " +
       "+ CASE WHEN topic2 IS NOT NULL THEN 1 ELSE 0 END " +
       "+ CASE WHEN topic3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_topics, " +

@@ -230,6 +230,33 @@ object PipelineQueries {
         nProbeCoarse = 2, nProbeFine = 3, rerank = 24)
         .orderBy(col("q_id"), col("rn"))),
 
+    // the gen-2 PQ probe AFTER a real delete: the packed-pqcodes scan
+    // composed with the coarse-pruned tombstone anti-join — same
+    // tagged generation and residue-3 set as topk2_del/topk2_sq_del
+    // (removeBatch2 idempotent, shared tombstones converge). Oracle =
+    // the inline IVF²×PQ statement with retired ids excluded from the
+    // candidate side only
+    "topk2_pq_del" -> ((s, dir) => {
+      AnnIndex.removeBatch2(s, dir,
+        Fixtures.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 10 === 3),
+        tag = "del")
+      AnnIndex.topK2Pq(s, dir, maxQueryId = 6, k = 4,
+        nProbeCoarse = 2, nProbeFine = 3, rerank = 24, tag = "del")
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // the composed sub-byte billion-vector serving call: explicit
+    // query ids × gen-2 packed pqcodes ADC scan × coarse-pruned
+    // tombstone anti-join. Oracle = the inline IVF²×PQ statement with
+    // the query CTE filtered to the same literal id list
+    "topk2_pq_ids" -> ((s, dir) => {
+      import s.implicits._
+      AnnIndex.topK2IdsPq(s, dir, Seq(0L, 2L, 5L, 9L).toDF("vec_id"),
+        k = 4, nProbeCoarse = 2, nProbeFine = 3, rerank = 24)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // SQ8 quantize-then-rerank (Similarity.topKSq): the candidate pass
     // ranks by an approximate cosine computed ONLY from the 8-bit
     // codes (one native dot over the code array per row — the scan
@@ -1184,6 +1211,21 @@ object PipelineQueries {
     "topk2_pq" ->
       annIndex2PqOracleSql(maxQueryId = 7, topK = 4, nProbeCoarse = 2,
         nProbeFine = 3, m = 8, ksub = 16, rerank = 24),
+
+    // gen-2 PQ after delete: the same IVF²×PQ statement with
+    // tombstoned ids excluded from candidates (quantizers and codebook
+    // = the full-corpus build — deletion never re-fits)
+    "topk2_pq_del" ->
+      annIndex2PqOracleSql(maxQueryId = 6, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, m = 8, ksub = 16, rerank = 24,
+        candFilter = " AND x.vec_id % 10 <> 3"),
+
+    // the gen-2 explicit-id PQ composition: the same statement with
+    // the query CTE filtered to the literal id list
+    "topk2_pq_ids" ->
+      annIndex2PqOracleSql(maxQueryId = 0, topK = 4, nProbeCoarse = 2,
+        nProbeFine = 3, m = 8, ksub = 16, rerank = 24,
+        qSel = "csc.vec_id IN (0, 2, 5, 9)"),
 
     // the curation → ledger → retire → probe loop: the LSH pair CTEs
     // (lshBandedCte — corpus-scaled band params, md5-derived planes)

@@ -1084,6 +1084,37 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(cloneHit(), "the clone must survive the generation swap re-encode")
   }
 
+  test("gen-2 PQ compositions: explicit ids == prefix on the same set, " +
+      "tombstones filtered on the packed-codes path, residue-3 non-vacuous") {
+    import spark.implicits._
+    AnnIndex.ensureBuilt2(spark, sf)
+    val prefix = AnnIndex.topK2Pq(spark, sf, maxQueryId = 5, k = 4, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val byIds = AnnIndex.topK2IdsPq(spark, sf, (0L until 5L).toDF("vec_id"),
+        k = 4, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(byIds.nonEmpty && byIds == prefix,
+      "topK2IdsPq over the prefix ids must equal the prefix gen-2 PQ probe")
+    assert(AnnIndex.topK2IdsPq(spark, sf, Seq(987654321L).toDF("vec_id"), k = 4).isEmpty)
+    // delete leg on a private corpus: residue 3 must intersect the
+    // pre-delete top-k (the registry entry is non-vacuous) and never
+    // leak back through the packed-codes path
+    val dir = tempCorpus("pq2del")
+    AnnIndex.ensureBuilt2(spark, dir)
+    val before = AnnIndex.topK2Pq(spark, dir, maxQueryId = 6, k = 4, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(before.exists(_.getAs[Long]("vec_id") % 10 == 3),
+      "sanity: residue 3 must appear in the pre-delete gen-2 PQ top-4")
+    AnnIndex.removeBatch2(spark, dir,
+      Fixtures.embeddings(spark, dir).select(col("vec_id"))
+        .filter(col("vec_id") % 10 === 3))
+    val after = AnnIndex.topK2Pq(spark, dir, maxQueryId = 6, k = 4, rerank = 24)
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.nonEmpty && after.forall(_.getAs[Long]("vec_id") % 10 != 3),
+      "a tombstoned vector leaked into the gen-2 packed-codes path")
+    assert(after != before, "deletion must visibly change the gen-2 PQ results")
+  }
+
   test("composed serving call at the PQ tier: explicit ids x stored pqcodes — " +
       "prefix-coherent, candidate scan reads pqcodes not vectors, unknown ids empty") {
     import spark.implicits._

@@ -27,6 +27,7 @@ FAMILIES = {
     "ANN delete / retire / serving compositions": [
         "topk_del", "topk2_del", "topk_sq_del", "topk2_sq_del",
         "topk_sq_ids", "topk2_sq_ids", "topk_pq_del", "topk_pq_ids",
+        "topk2_pq_del", "topk2_pq_ids",
         "curate_retire", "curate_ret2", "hybrid_rrf"],
     "text analysis": [
         "text_lang_id", "text_quality", "text_tokens",
@@ -50,9 +51,9 @@ FAMILIES = {
         "top3_per_user", "skew_salted_join"],
     "EVM logs / lookups": [
         "logs_range", "logs_addr", "logs_topics",
-        "logs_blockhash", "logs_cursor_page", "logs_offset_page",
-        "logs_json", "logs_topics_array", "block_by_hash", "block_by_number",
-        "tx_by_hash", "tx_value_decimal", "latest_at_height",
+        "logs_blockhash", "logs_cursor", "logs_offset",
+        "logs_json", "logs_tarray", "block_by_hash", "block_by_number",
+        "tx_by_hash", "tx_value_decimal", "latest_at",
         "evm_stats"],
     "ingest / events / streaming twins": [
         "ingest_explode", "ingest_idem", "reorg_rollback",
