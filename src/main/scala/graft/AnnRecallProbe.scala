@@ -111,6 +111,27 @@ object AnnRecallProbe {
           nProbe = nProbe, rerank = rerank))
         println(f"[recall] path=idx_pq nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
       }
+    // the STORED learned-codebook index (the ensureBuilt learnedPq
+    // build flag — round 20): same dials as idx_pq, so each row's
+    // delta is exactly what the persisted Lloyd book buys a
+    // production index
+    val ltag = "learned-pq"
+    AnnIndex.ensureBuilt(spark, dir, tag = ltag, learnedPq = true)
+    Seq((2, 2 * k), (4, 2 * k), (8, 2 * k), (8, 4 * k))
+      .foreach { case (nProbe, rerank) =>
+        val r = recall(AnnIndex.topKIdxPq(spark, dir, nQueries, k = k,
+          nProbe = nProbe, rerank = rerank, tag = ltag))
+        println(f"[recall] path=idx_pq_learned nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
+      }
+    // IVF × residual-PQ (round 20): residual codes at idx_pq-matched
+    // dials — the recall lever after the learned codebook, measured
+    // against the same ground truth
+    Seq((2, 2 * k), (4, 2 * k), (8, 2 * k), (8, 4 * k))
+      .foreach { case (nProbe, rerank) =>
+        val r = recall(Similarity.topKIvfRpq(emb, maxQueryId = nQueries,
+          k = k, nProbe = nProbe, rerank = rerank))
+        println(f"[recall] path=ivf_rpq nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
+      }
     AnnIndex.ensureBuilt2(spark, dir)
     Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
       val r = recall(AnnIndex.topK2(spark, dir, nQueries, k = k,
@@ -130,6 +151,16 @@ object AnnRecallProbe {
         val r = recall(AnnIndex.topK2Pq(spark, dir, nQueries, k = k,
           nProbeCoarse = nc, nProbeFine = nf, rerank = rr))
         println(f"[recall] path=ivf2_pq nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d rerank=$rr%-3d recall@$k=$r%.3f")
+      }
+    // the billion-vector tier's first recall dial, now measured: a
+    // gen-2 generation built with the learned codebook, probed at the
+    // same dials as ivf2_pq
+    AnnIndex.ensureBuilt2(spark, dir, tag = ltag, learnedPq = true)
+    Seq((2, 4, 2 * k), (4, 8, 2 * k), (8, 16, 2 * k), (8, 16, 4 * k))
+      .foreach { case (nc, nf, rr) =>
+        val r = recall(AnnIndex.topK2Pq(spark, dir, nQueries, k = k,
+          nProbeCoarse = nc, nProbeFine = nf, rerank = rr, tag = ltag))
+        println(f"[recall] path=ivf2_pq_learned nProbeCoarse=$nc%-3d nProbeFine=$nf%-3d rerank=$rr%-3d recall@$k=$r%.3f")
       }
 
     // ---- recall AFTER DELETE: tombstoned generation vs brute force

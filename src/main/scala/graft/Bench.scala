@@ -95,7 +95,7 @@ object Bench {
             if (m.nonEmpty) Some(m) else None
           }
         }
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption().getOrElse(Map.empty)
   }
 
@@ -371,7 +371,13 @@ object Bench {
             try r.getFooter.getBlocks.size > 1 finally r.close()
           }
         }
-      } catch { case _: Throwable => false }
+      } catch {
+        // NonFatal only: an unreadable footer degrades to the 4 MB
+        // default, but interrupts/OOM/fatal errors must propagate —
+        // a swallowed interrupt here would mask a real failure as a
+        // silently-mistuned split size
+        case scala.util.control.NonFatal(_) => false
+      }
     if (multiGroup) 128L * 1024 else 4L * 1024 * 1024
   }
 

@@ -146,6 +146,13 @@ case class NibblePack(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    // even m is load-bearing, not stylistic: [[PqAdcPackedF64]]
+    // derives m as packed.length · 2, so an odd code array would make
+    // the fold read a phantom code 0 at j = m and index the query
+    // table at m·ksub — out of bounds on UnsafeArrayData, silently
+    // wrong scores. Fail loudly at pack time instead.
+    if ((m & 1) != 0) throw new IllegalArgumentException(
+      s"nibble_pack requires an even number of codes, got $m")
     val out = new Array[Byte]((m + 1) / 2)
     var j = 0
     while (j < m) {
@@ -162,6 +169,10 @@ case class NibblePack(child: Expression) extends UnaryExpression {
       val out = ctx.freshName("out")
       s"""
          |int $m = $a.numElements();
+         |if (($m & 1) != 0) {
+         |  throw new IllegalArgumentException(
+         |    "nibble_pack requires an even number of codes, got " + $m);
+         |}
          |byte[] $out = new byte[($m + 1) / 2];
          |for (int $j = 0; $j < $m; $j++) {
          |  $out[$j >> 1] |= (byte)(($a.getInt($j) & 0xF) << (($j & 1) << 2));
@@ -231,11 +242,150 @@ case class PqAdcPackedF64(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Residual against a constant centroid matrix: `v − C[cell]`
+  * elementwise, as `array<double>` — the encode-side half of
+  * IVF×residual-PQ ([[graft.ops.Similarity.topKIvfRpq]]). The matrix
+  * rides the plan as ONE reference object (the [[NearestCellF64]]
+  * argument: a k×d `element_at(typedlit(...))` twin would drag k·d
+  * doubles into the plan string and the expression tree), and the
+  * generated loop is fixed-size regardless of k. Elementwise
+  * subtraction has no summation order — nothing to diverge from the
+  * oracle's `list_transform(range(...), i -> v[i] - ctr[i])`. Null
+  * vector/cell → null. */
+case class VecMinusCellF64(left: Expression, right: Expression,
+                           centroids: Seq[Seq[Double]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_minus_cell requires (array<double>, int), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_minus_cell"
+  override def toString: String =
+    s"vec_minus_cell($left, $right, k=${centroids.length})"
+
+  @transient private lazy val dim = if (centroids.isEmpty) 0 else centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cell = c.asInstanceOf[Int]
+    val n = math.min(dim, a.numElements())
+    val off = cell * dim
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - flat(off + i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $off = $c * $dim;
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $v.getDouble($i) - $m[$off + $i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecMinusCellF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of a vector against one row of a constant centroid
+  * matrix selected by a cell column: `Σ_i v[i]·C[cell][i]`, ascending
+  * from 0.0 — the decode-side centroid term of IVF×residual-PQ
+  * (`<q, centroid(cell)>` per probed cell). Same reference-object
+  * matrix argument and IEEE summation sequence as [[NearestCellF64]]'s
+  * inner loop, so the value matches the oracle's
+  * `list_dot_product(qv, ctr)` exactly. Null vector/cell → null. */
+case class DotCellF64(left: Expression, right: Expression,
+                      centroids: Seq[Seq[Double]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_cell requires (array<double>, int), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_cell"
+  override def toString: String =
+    s"dot_cell($left, $right, k=${centroids.length})"
+
+  @transient private lazy val dim = if (centroids.isEmpty) 0 else centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cell = c.asInstanceOf[Int]
+    val n = math.min(dim, a.numElements())
+    val off = cell * dim
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * flat(off + i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellMatrix", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $off = $c * $dim;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $v.getDouble($i) * $m[$off + $i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotCellF64 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-level dot product backed by the native expression. */
   def dotF64(a: Column, b: Column): Column =
     ColumnShim.column(DotProductF64(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column-level residual `v − centroids[cell]`. */
+  def vecMinusCell(v: Column, cell: Column,
+                   centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(VecMinusCellF64(
+      ColumnShim.expression(v), ColumnShim.expression(cell),
+      centroids.map(_.toSeq).toSeq))
+
+  /** Column-level `<v, centroids[cell]>`. */
+  def dotCell(v: Column, cell: Column,
+              centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(DotCellF64(
+      ColumnShim.expression(v), ColumnShim.expression(cell),
+      centroids.map(_.toSeq).toSeq))
 
   /** Column-level PQ/ADC fold backed by the native expression. */
   def pqAdc(codes: Column, qtblFlat: Column, ksub: Int): Column =

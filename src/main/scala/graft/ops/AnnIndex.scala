@@ -156,8 +156,19 @@ object AnnIndex {
   /** Build the cell-assignment table + its quantizer + an EMPTY
     * tombstone table if this session/warehouse does not have them yet;
     * returns the assignment table name. Idempotent — the "write once"
-    * of write-once-probe-many. */
-  def ensureBuilt(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
+    * of write-once-probe-many.
+    *
+    * `learnedPq` selects the PQ codebook the generation stores:
+    * `false` (default) = the md5-sampled rows (deterministic,
+    * single-statement-SQL-expressible — the registry's oracle-checked
+    * shape); `true` = [[Similarity.learnedPqCodebook]]'s per-subspace
+    * Lloyd fit (SCALING.md's first recall dial, +0.05-0.08 recall at
+    * identical serving cost). Serving needs ZERO changes either way:
+    * every stored-probe path reads the STORED codebook, so the flag
+    * only matters at build/requantize time — a probe against an index
+    * built with either book is coherent by construction. */
+  def ensureBuilt(spark: SparkSession, dir: String, tag: String = "",
+                  learnedPq: Boolean = false): String = synchronized {
     val t = tableFor(dir, tag)
     healTombstoneSwap(spark, allTables(dir, tag))
     if (allTables(dir, tag).exists(!spark.catalog.tableExists(_))) {
@@ -186,8 +197,11 @@ object AnnIndex {
       // binary, a PHYSICAL 4 bits/dim — the sub-byte candidate
       // metric) beside the SQ8 codes, both
       // quantized ONCE at write time against artifacts stored with
-      // the generation
-      val pqCb = Similarity.sampledCentroids(prep, PqKsub)
+      // the generation; the learned-Lloyd book is the opt-in quality
+      // dial (see the method scaladoc)
+      val pqCb =
+        if (learnedPq) Similarity.learnedPqCodebookOf(prep, PqM, PqKsub, Dim)
+        else Similarity.sampledCentroids(prep, PqKsub)
       val assigned = Similarity.assignCells(prep, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
@@ -447,6 +461,27 @@ object AnnIndex {
 
   private def retireVia(spark: SparkSession, ledger: String, ids: DataFrame,
                         remove: DataFrame => Unit): Unit = {
+    val mig = ledger + "__mig"
+    val lold = ledger + "__old"
+    // heal a half-done migration swap FIRST (the two-rename window
+    // below): the staged __mig is complete before the first rename, so
+    // if the ledger name is absent promoting it recovers everything;
+    // if only the renamed-aside __old survives (no crash point here
+    // produces that alone, but cheap to tolerate) restoring it
+    // recovers the pre-migration history. Without this heal a crash
+    // inside the window would read as fresh=true below and strand the
+    // migrated batch-0 rows — replay history silently lost.
+    if (!spark.catalog.tableExists(ledger)) {
+      if (spark.catalog.tableExists(mig)) {
+        spark.sql(s"ALTER TABLE $mig RENAME TO $ledger")
+        Bucketed.resetTable(spark, lold)
+      } else if (spark.catalog.tableExists(lold)) {
+        spark.sql(s"ALTER TABLE $lold RENAME TO $ledger")
+      }
+    } else if (spark.catalog.tableExists(lold)) {
+      // completed swap that crashed before dropping the aside copy
+      Bucketed.resetTable(spark, lold)
+    }
     // a ledger LOCATION without a catalog entry is a previous JVM's
     // orphan (the in-memory catalog forgot it): under this harness's
     // recovery contract the index itself was already rebuilt from
@@ -461,18 +496,21 @@ object AnnIndex {
     // metastore an old-schema ledger would fail the max(batch) read
     // AND the widened append, so migrate it once — existing rows
     // become batch 0 (they were already applied or are replayable; 0
-    // never collides with the monotone ids starting at 1). Same
-    // stage→rename protocol as the tombstone swap; the one-rename
-    // crash window at worst leaves the __mig stage behind, which the
-    // next call resets.
+    // never collides with the monotone ids starting at 1). Commit =
+    // the rename-aside protocol the tombstone swap uses (never
+    // DROP-then-RENAME: a crash between those two loses the ledger
+    // name with no heal state): stage __mig fully, rename the live
+    // ledger aside, promote the stage, drop the aside copy — every
+    // crash point leaves either the live name or a healable pair.
     if (!fresh && !spark.table(ledger).columns.contains("batch")) {
-      val mig = ledger + "__mig"
       Bucketed.resetTable(spark, mig)
       spark.table(ledger).select(col("vec_id").cast("long"))
         .withColumn("batch", lit(0L))
         .write.mode("overwrite").format("parquet").saveAsTable(mig)
-      spark.sql(s"DROP TABLE $ledger")
+      Bucketed.resetTable(spark, lold)
+      spark.sql(s"ALTER TABLE $ledger RENAME TO $lold")
       spark.sql(s"ALTER TABLE $mig RENAME TO $ledger")
+      Bucketed.resetTable(spark, lold)
     }
     // monotone per-append batch id: one bounded max() over the ledger
     // (O(ledger rows read, 1 row returned) — a table the producer
@@ -617,7 +655,8 @@ object AnnIndex {
     * Returns the post-rebuild advice so the caller sees the cleared
     * (or legitimately persisting) triggers. */
   def requantize(spark: SparkSession, dir: String,
-                 skewBound: Long = 8L, tag: String = ""): RequantizeAdvice = synchronized {
+                 skewBound: Long = 8L, tag: String = "",
+                 learnedPq: Boolean = false): RequantizeAdvice = synchronized {
     val t = ensureBuilt(spark, dir, tag)
     val qt = quantizerTableFor(dir, tag)
     val sqt = sqTableFor(dir, tag)
@@ -641,8 +680,12 @@ object AnnIndex {
     val (mns, mxs) = Similarity.sqParamsOf(live, Dim)
     // the PQ codebook refreshes with the generation (the same decay
     // class as the centroids/SQ params) and every row re-encodes —
-    // one code book per generation
-    val pqCb = Similarity.sampledCentroids(live, PqKsub)
+    // one code book per generation; learnedPq re-fits the Lloyd book
+    // over the SURVIVING corpus (the build flag, carried through the
+    // rebuild so a learned index stays learned)
+    val pqCb =
+      if (learnedPq) Similarity.learnedPqCodebookOf(live, PqM, PqKsub, Dim)
+      else Similarity.sampledCentroids(live, PqKsub)
     // stage the new generation beside the live one
     val stages = allTables(dir, tag).map(_ + "__stage")
     val Seq(tStage, qtStage, sqtStage, pqtStage, tstStage) = stages
@@ -834,7 +877,8 @@ object AnnIndex {
     * a table (≈ Σ⌈√occ⌉ rows — data, never a literal). Same
     * write-once idempotence and orphan-sweep recovery contract as
     * [[ensureBuilt]]. */
-  def ensureBuilt2(spark: SparkSession, dir: String, tag: String = ""): String = synchronized {
+  def ensureBuilt2(spark: SparkSession, dir: String, tag: String = "",
+                   learnedPq: Boolean = false): String = synchronized {
     val t = table2For(dir, tag)
     healTombstoneSwap(spark, allTables2(dir, tag))
     if (allTables2(dir, tag).exists(!spark.catalog.tableExists(_))) {
@@ -845,7 +889,7 @@ object AnnIndex {
       writeGeneration2(spark, prep, emb.count(), t,
         coarseQuantizerTableFor(dir, tag), fineQuantizerTableFor(dir, tag),
         sq2TableFor(dir, tag), pq2TableFor(dir, tag),
-        tombstone2TableFor(dir, tag))
+        tombstone2TableFor(dir, tag), learnedPq)
     }
     t
   }
@@ -860,13 +904,18 @@ object AnnIndex {
     * of 8). */
   private def writeGeneration2(spark: SparkSession, prep: DataFrame, n: Long,
                                t: String, qc: String, qf: String,
-                               sqt: String, pqt: String, tst: String): Unit = {
+                               sqt: String, pqt: String, tst: String,
+                               learnedPq: Boolean = false): Unit = {
     val (coarse, fine, asg) = Similarity.ivf2StructureOf(prep, n)
     val (mns, mxs) = Similarity.sqParamsOf(prep, Dim)
     // the PQ codebook joins the gen-2 layout exactly as it joined the
     // flat one: pqcodes quantized ONCE at write time against rows
-    // stored with the generation
-    val pqCb = Similarity.sampledCentroids(prep, PqKsub)
+    // stored with the generation; learnedPq = the Lloyd-fit book
+    // ([[ensureBuilt]]'s flag, one level down — the billion-vector
+    // tier's first recall dial)
+    val pqCb =
+      if (learnedPq) Similarity.learnedPqCodebookOf(prep, PqM, PqKsub, Dim)
+      else Similarity.sampledCentroids(prep, PqKsub)
     Bucketed.writeBucketed(
       asg.select(col("vec_id"), col("v"), col("nrm"), col("ccell"), col("fcell"),
         Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
@@ -1000,7 +1049,8 @@ object AnnIndex {
     * beside live, assignment renamed aside FIRST and promoted LAST so
     * every crash point leaves it absent for [[ensureBuilt2]]'s sweep).
     * [[requantizeAdvice2]] is the trigger. */
-  def requantize2(spark: SparkSession, dir: String, tag: String = ""): Unit = synchronized {
+  def requantize2(spark: SparkSession, dir: String, tag: String = "",
+                  learnedPq: Boolean = false): Unit = synchronized {
     val t = ensureBuilt2(spark, dir, tag)
     val qc = coarseQuantizerTableFor(dir, tag)
     val qf = fineQuantizerTableFor(dir, tag)
@@ -1015,7 +1065,8 @@ object AnnIndex {
     val all = Seq(t, qc, qf, sqt, pqt, tst)
     all.foreach(x => Bucketed.resetTable(spark, x + "__stage"))
     writeGeneration2(spark, live, n, t + "__stage", qc + "__stage",
-      qf + "__stage", sqt + "__stage", pqt + "__stage", tst + "__stage")
+      qf + "__stage", sqt + "__stage", pqt + "__stage", tst + "__stage",
+      learnedPq)
     all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
     // assignment aside FIRST, promoted LAST — the crash-window
     // invariant [[requantize]] documents; the SQ params swap with the

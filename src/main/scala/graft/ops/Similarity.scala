@@ -611,6 +611,94 @@ object Similarity {
     pqExactRerank(e, cands, k)
   }
 
+  /** IVF × RESIDUAL-PQ — the standard faiss IVF-PQ encoding
+    * refinement this family's raw-vector codes lacked: instead of
+    * quantizing `v` directly, each row's codes quantize the RESIDUAL
+    * `v − centroid(cell)` to its assigned IVF cell. Residuals are
+    * centered near zero with far smaller spread than raw vectors, so
+    * the same ksub-codebook budget spends its resolution where the
+    * rows of one cell actually differ — the recall lever after the
+    * learned codebook (SCALING.md dial table, `ivf_rpq` rows vs
+    * `idx_pq` at matched dials). Decode adds the centroid term back
+    * per probed cell: approx <q,v> ≈ <q, centroid(cell)> + ADC(q, r),
+    * where `<q, centroid(cell)>` is one per-(query, probed-cell) dot
+    * ([[graft.functions.DotCellF64]]) riding the tiny broadcast side
+    * and the ADC fold is unchanged. The residual CODEBOOK stays
+    * deterministic and oracle-expressible: the ksub md5-rank-first
+    * rows minus their OWN cell centroids ([[sampledCentroids]]'
+    * sampling, residualized) — no learning, so the whole
+    * assign→residualize→code→table→scan→rerank shape hash-checks in
+    * one DuckDB statement (`topk_rpq`).
+    *
+    * At scale: identical serving economics to [[topKIvfPq]] — cell
+    * pruning bounds WHICH rows, 4-bit codes bound the BYTES, the
+    * centroid matrices ride the plan as reference objects (never
+    * k·d literals), and the residual column exists only inside the
+    * encode projection (one codegen'd subtract per row, fused into
+    * the same stage as the code assignment — nothing residual-sized
+    * is ever shuffled or stored). */
+  def topKIvfRpq(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
+                 nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
+                 rerank: Int = 30, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
+    // residual codebook: the ksub md5-rank-first rows MINUS their own
+    // cell centroid — assigned driver-side with the exact first-min
+    // arithmetic of [[assignCells]]/the oracle's ROW_NUMBER(s, cell)
+    val seeds = sampledCentroids(e, ksub)
+    require(seeds.length == ksub,
+      s"residual codebook seed has ${seeds.length} rows, need exactly ksub=$ksub")
+    val rcb: Array[Array[Double]] = seeds.map { row =>
+      val c = cs(nearestCellIdx(row, cs))
+      Array.tabulate(row.length)(d => row(d) - c(d))
+    }
+    val codes = assignCells(e, cs).select(col("vec_id"), col("nrm"), col("cell"),
+      pqCodesCol(
+        graft.functions.VectorExprs.vecMinusCell(col("v"), col("cell"), cs),
+        rcb, m).as("codes"))
+    val q = pqQueryTbl(
+      probeQueries(e.filter(col("vec_id") < maxQueryId), cs, nProbe)
+        .withColumn("qctr",
+          graft.functions.VectorExprs.dotCell(col("qv"), col("cell"), cs)),
+      rcb, m)
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        (col("qctr") + graft.functions.VectorExprs.pqAdc(col("codes"), col("qtbl"), ksub)) /
+          (col("nrm") * col("qn")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    pqExactRerank(e, cands, k)
+  }
+
+  /** Driver-side twin of [[graft.functions.NearestCellF64]]'s argmin —
+    * same ascending 0.0-seeded dot and |c|² loops, same strict-<
+    * first-min tie-break — for residualizing the handful of codebook
+    * seed rows without a Spark job. */
+  private[graft] def nearestCellIdx(v: Array[Double],
+                                    cs: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestS = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      val n = math.min(ctr.length, v.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += ctr(i) * v(i); i += 1 }
+      var c2 = 0.0
+      var j = 0
+      while (j < ctr.length) { c2 += ctr(j) * ctr(j); j += 1 }
+      val s = -2.0 * dot + c2
+      if (s < bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** The PQ building blocks shared by [[topKPq]] and [[topKIvfPq]]:
     * the (vec_id, nrm, codes) corpus frame (per-subspace first-min
     * assignment against the ksub md5-rank-first codebook rows), and a
@@ -655,9 +743,23 @@ object Similarity {
     * measures (`pq_learned` leg, SCALING.md dial table). */
   def learnedPqCodebook(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
                         dim: Int = 64, iters: Int = 2): Array[Array[Double]] = {
+    learnedPqCodebookOf(prepared(embeddings), m, ksub, dim, iters)
+  }
+
+  /** [[learnedPqCodebook]] over an already-[[prepared]] frame — the
+    * form the stored-index build paths call ([[AnnIndex.requantize]]'s
+    * `live` frame has no raw `embedding` column to re-prepare). */
+  private[graft] def learnedPqCodebookOf(e: DataFrame, m: Int = 8,
+                                         ksub: Int = 16, dim: Int = 64,
+                                         iters: Int = 2): Array[Array[Double]] = {
     val dsub = dim / m
-    val e = prepared(embeddings)
     var cb = sampledCentroids(e, ksub)
+    // same guard as pqPieces: the ADC gather trusts the ksub stride,
+    // and a corpus with fewer than ksub rows would otherwise surface
+    // as an opaque ArrayIndexOutOfBounds inside Array.tabulate below
+    require(cb.length == ksub,
+      s"PQ codebook seed has ${cb.length} rows, need exactly ksub=$ksub " +
+        "(corpus smaller than ksub?)")
     (0 until iters).foreach { _ =>
       val means = e
         .select(pqCodesCol(col("v"), cb, m).as("codes"),

@@ -295,6 +295,17 @@ object PipelineQueries {
         k = 5, nProbe = 2, m = 8, ksub = 16, rerank = 30)
         .orderBy(col("q_id"), col("rn"))),
 
+    // IVF × RESIDUAL-PQ (round 20 — faiss's IVF-PQ encoding
+    // refinement): codes quantize v − centroid(cell) against a
+    // residualized md5-sampled codebook, and the probe adds the
+    // per-cell <q, centroid> term back before the ADC fold — the
+    // recall lever after the learned codebook, hash-checked end to
+    // end at the same dials as topk_ivf_pq so the two stay comparable
+    "topk_rpq" -> ((s, dir) =>
+      Similarity.topKIvfRpq(Fixtures.embeddings(s, dir), maxQueryId = 6,
+        k = 5, nProbe = 2, m = 8, ksub = 16, rerank = 30)
+        .orderBy(col("q_id"), col("rn"))),
+
     // the COMPOSED serving shape (faiss IVF-SQ): cell pruning bounds
     // which rows a probe touches (same √n md5-sampled quantizer as the
     // persisted index), the 8-bit codes bound the bytes per touched
@@ -1305,6 +1316,15 @@ object PipelineQueries {
       ivfPqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, m = 8,
         ksub = 16, rerank = 30),
 
+    // IVF × residual-PQ in one statement: the same cell CTEs, a
+    // residual frame (v − ctr of the assigned cell), the residualized
+    // codebook (the ksub sampled rows minus their own cell centroids),
+    // and the per-probed-cell <q, ctr> term added back before the ADC
+    // fold — every chain in the operator's exact IEEE order
+    "topk_rpq" ->
+      ivfRpqOracleSql(maxQueryId = 6, topK = 5, nProbe = 2, m = 8,
+        ksub = 16, rerank = 30),
+
     // the STORED probe shares the inline statement at its own
     // parameters: assignment/quantizer/codebook/pqcodes read back from
     // the persisted tables must be indistinguishable from deriving
@@ -2181,6 +2201,80 @@ object PipelineQueries {
        |  ($adcChain) / (c.nrm * q.qn) AS approx
        |  FROM qp q JOIN asg x ON x.cell = q.cell AND x.vec_id <> q.q_id$candFilter
        |  JOIN cod c ON c.vec_id = x.vec_id),
+       |cand AS (SELECT q_id, vec_id, qv, qn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),
+       |p AS (SELECT cand.q_id, n.vec_id,
+       |  round(list_dot_product(n.v, cand.qv) / (n.nrm * cand.qn), 4) AS score
+       |  FROM n JOIN cand ON n.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) rn FROM p)
+       |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The IVF×residual-PQ oracle (`topk_rpq`): [[ivfPqOracleSql]]'s
+    * cell CTEs, then (1) a residual frame `rv = v − ctr(assigned
+    * cell)`, (2) the residualized codebook — the ksub md5-rank-first
+    * rows minus their OWN assigned-cell centroids, the deterministic
+    * no-learning book [[graft.ops.Similarity.topKIvfRpq]] builds
+    * driver-side, (3) PQ assignment/table chains over residuals, and
+    * (4) the probe's `<q, ctr>` term (`list_dot_product(qv, ctr)` of
+    * the probed cell) added back before the ADC fold — mirroring the
+    * operator's `(qctr + adc) / (nrm·qn)` exactly. */
+  private def ivfRpqOracleSql(maxQueryId: Int, topK: Int, nProbe: Int,
+                              m: Int, ksub: Int, rerank: Int,
+                              dim: Int = 64): String = {
+    val dsub = dim / m
+    def dotChain(x: String) = (1 to dsub).map(t =>
+      s"$x[j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val c2Chain = (1 to dsub).map(t =>
+      s"cm[i+1][j*$dsub+$t]*cm[i+1][j*$dsub+$t]").mkString(" + ")
+    val adcChain = (1 to m).map(j =>
+      s"qtbl[$j][codes[$j]+1]").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |kprm AS (SELECT coalesce((SELECT min(x) FROM range(1, 65536) t(x)
+       |  WHERE x * x >= (SELECT count(*) FROM embeddings)), 65535)::INT AS k),
+       |cen AS (SELECT (rnk - 1)::INT AS cell, v AS ctr FROM
+       |  (SELECT v, ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |   FROM n) s, kprm WHERE s.rnk <= kprm.k),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, cen.cell,
+       |  -2.0 * list_dot_product(n.v, cen.ctr) + list_dot_product(cen.ctr, cen.ctr) AS s
+       |  FROM n, cen),
+       |asg AS (SELECT vec_id, cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) rn FROM sc)
+       |  WHERE rn = 1),
+       |rsd AS (SELECT n.vec_id, n.nrm, a.cell,
+       |  list_transform(range(1, ${dim + 1}), i -> n.v[i] - cen.ctr[i]) AS rv
+       |  FROM n JOIN asg a ON a.vec_id = n.vec_id JOIN cen ON cen.cell = a.cell),
+       |cl AS (SELECT list(rcv ORDER BY rnk) AS cm FROM
+       |  (SELECT sd.rnk,
+       |     list_transform(range(1, ${dim + 1}), i -> sd.v[i] - cen.ctr[i]) AS rcv
+       |   FROM (SELECT vec_id, v,
+       |           ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |         FROM n) sd
+       |   JOIN asg a ON a.vec_id = sd.vec_id JOIN cen ON cen.cell = a.cell
+       |   WHERE sd.rnk <= $ksub)),
+       |pqc AS (SELECT r.vec_id, r.nrm, r.cell,
+       |  list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |    -2.0 * (${dotChain("rv")}) + ($c2Chain))) AS pqd
+       |  FROM rsd r, cl),
+       |cod AS (SELECT vec_id, nrm, cell,
+       |  list_transform(pqd, a -> list_position(a, list_min(a)) - 1) AS codes
+       |  FROM pqc),
+       |qp AS (SELECT vec_id AS q_id, qv, qn, cell, qctr, qtbl FROM
+       |  (SELECT sc.vec_id, sc.v AS qv, sc.nrm AS qn, sc.cell,
+       |     list_dot_product(sc.v, cen.ctr) AS qctr,
+       |     list_transform(range(0, $m), j -> list_transform(range(0, $ksub), i ->
+       |       (${dotChain("sc.v")}))) AS qtbl,
+       |     ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY sc.s, sc.cell) rn
+       |   FROM sc JOIN cen ON cen.cell = sc.cell, cl
+       |   WHERE sc.vec_id < $maxQueryId) WHERE rn <= $nProbe),
+       |a AS (SELECT q.q_id, c.vec_id, q.qv, q.qn,
+       |  (q.qctr + ($adcChain)) / (c.nrm * q.qn) AS approx
+       |  FROM qp q JOIN cod c ON c.cell = q.cell AND c.vec_id <> q.q_id),
        |cand AS (SELECT q_id, vec_id, qv, qn FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |     ORDER BY approx DESC, vec_id ASC) crn FROM a) WHERE crn <= $rerank),

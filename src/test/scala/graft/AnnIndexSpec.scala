@@ -1245,6 +1245,122 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(after == before, "covered re-deletes must not rewrite the tombstone table")
   }
 
+  test("learnedPq build flag: the STORED codebook == the inline Lloyd fit, " +
+      "the sampled default is untouched, and serving reads the learned book unchanged") {
+    val dir = tempCorpus("learned")
+    val emb = Fixtures.embeddings(spark, dir)
+    // default build stores the sampled book; learned build (its own
+    // tag = its own generation) stores the Lloyd fit — stored==inline
+    // is the whole claim: probes read the STORED book, so pinning the
+    // artifact pins the serving path with zero serving changes
+    AnnIndex.ensureBuilt(spark, dir, tag = "cb-sampled")
+    AnnIndex.ensureBuilt(spark, dir, tag = "cb-learned", learnedPq = true)
+    val prep = Similarity.prepared(emb)
+    val sampled = Similarity.sampledCentroids(prep, AnnIndex.PqKsub)
+    val learned = Similarity.learnedPqCodebook(emb)
+    val storedS = AnnIndex.storedPqCodebook(spark, dir, tag = "cb-sampled")
+    val storedL = AnnIndex.storedPqCodebook(spark, dir, tag = "cb-learned")
+    assert(storedS.map(_.toSeq).toSeq == sampled.map(_.toSeq).toSeq,
+      "default build must keep storing the sampled (oracle-checked) book")
+    assert(storedL.map(_.toSeq).toSeq == learned.map(_.toSeq).toSeq,
+      "learnedPq build must store exactly the inline Lloyd fit")
+    assert(storedL.map(_.toSeq).toSeq != storedS.map(_.toSeq).toSeq,
+      "learning must genuinely move the stored book on this fixture")
+    // the learned generation serves: full-width probe + full rerank
+    // over learned codes is still exact (ADC only ranks candidates)
+    val kc = AnnIndex.storedQuantizer(spark, dir, tag = "cb-learned").length
+    val n = emb.count().toInt
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 3, k = 5))
+    val full = hits(AnnIndex.topKIdxPq(spark, dir, maxQueryId = 3, k = 5,
+      nProbe = kc, rerank = n, tag = "cb-learned"))
+    assert(full == brute,
+      "learned-book full probe + full rerank must equal brute force")
+    // the flag carries through the rebuild: a learned generation
+    // stays learned after requantize (re-fit over the same corpus)
+    AnnIndex.requantize(spark, dir, tag = "cb-learned", learnedPq = true)
+    val storedL2 = AnnIndex.storedPqCodebook(spark, dir, tag = "cb-learned")
+    assert(storedL2.map(_.toSeq).toSeq == learned.map(_.toSeq).toSeq,
+      "requantize(learnedPq) over an unchanged corpus must re-fit the same book")
+  }
+
+  test("gen-2 learnedPq build flag: the stored gen-2 codebook == the inline Lloyd fit") {
+    val dir = tempCorpus("learned2")
+    val emb = Fixtures.embeddings(spark, dir)
+    AnnIndex.ensureBuilt2(spark, dir, tag = "cb2", learnedPq = true)
+    val learned = Similarity.learnedPqCodebook(emb)
+    val stored = AnnIndex.storedPqCodebook2(spark, dir, tag = "cb2")
+    assert(stored.map(_.toSeq).toSeq == learned.map(_.toSeq).toSeq,
+      "gen-2 learnedPq build must store exactly the inline Lloyd fit")
+  }
+
+  test("ledger migration commits via rename-aside: a crash between the renames is healed, " +
+      "batch-0 history survives") {
+    import spark.implicits._
+    val dir = tempCorpus("ledheal")
+    AnnIndex.ensureBuilt(spark, dir, tag = "heal")
+    val ledger = AnnIndex.deleteLedgerTableFor(dir, "heal")
+    val before = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, tag = "heal")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    val oldVictims = before.map(_.getAs[Long]("vec_id")).distinct.take(2)
+    // simulate the EXACT mid-swap crash state the old DROP-then-RENAME
+    // protocol lost: the migrated stage (__mig) fully written, the old
+    // ledger renamed aside (__old), the live name ABSENT
+    oldVictims.toDF("vec_id").withColumn("batch", lit(0L))
+      .write.mode("overwrite").format("parquet").saveAsTable(ledger + "__mig")
+    oldVictims.toDF("vec_id")
+      .write.mode("overwrite").format("parquet").saveAsTable(ledger + "__old")
+    // the next retire must HEAL (promote __mig), see batch 0, and
+    // append its own batch as 1 — NOT reset a fresh empty ledger
+    val freshVictims = before.map(_.getAs[Long]("vec_id")).distinct
+      .filterNot(oldVictims.contains).take(2)
+    AnnIndex.retireBatch(spark, dir, freshVictims.toDF("vec_id"), tag = "heal")
+    val led = spark.table(ledger).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch"))).toSeq
+    assert(oldVictims.forall(v => led.contains((v, 0L))),
+      s"healed ledger must keep the migrated batch-0 history: $led")
+    assert(freshVictims.forall(v => led.contains((v, 1L))),
+      s"the fresh batch must follow as batch 1, not restart at a fresh ledger: $led")
+    assert(!spark.catalog.tableExists(ledger + "__mig") &&
+      !spark.catalog.tableExists(ledger + "__old"),
+      "the heal must clear both swap-protocol side tables")
+    // replay applies the healed batch-0 rows
+    AnnIndex.replayDeleteLedger(spark, dir, "heal")
+    val after = AnnIndex.topK(spark, dir, maxQueryId = 6, k = 4, tag = "heal")
+      .orderBy(col("q_id"), col("rn")).collect().toSeq
+    assert(after.forall(r =>
+      !(oldVictims ++ freshVictims).contains(r.getAs[Long]("vec_id"))))
+  }
+
+  test("nibble_pack fails loudly on an odd code count (the packed-ADC m = 2·bytes contract)") {
+    import spark.implicits._
+    val odd = Seq(Tuple1(Seq(1, 2, 3))).toDF("codes")
+      .select(graft.functions.VectorExprs.nibblePack(col("codes")))
+    val e = intercept[Exception](odd.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("even number of codes")),
+      s"expected the even-m guard, got: $e")
+  }
+
+  test("nearestCellIdx (driver twin) == assignCells (codegen) row for row") {
+    val emb = Fixtures.embeddings(spark, sf)
+    val e = Similarity.prepared(emb)
+    val cs = Similarity.sampledCentroids(e, AnnIndex.annCellsFor(emb.count()))
+    val asg = Similarity.assignCells(e, cs)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = e.select(col("vec_id"), col("v")).collect()
+    rows.foreach { r =>
+      val got = Similarity.nearestCellIdx(r.getSeq[Double](1).toArray, cs)
+      assert(got == asg(r.getLong(0)),
+        s"driver/codegen assignment diverged for vec_id ${r.getLong(0)}: " +
+          s"$got vs ${asg(r.getLong(0))}")
+    }
+  }
+
   test("build is write-once: a second ensureBuilt reuses the table") {
     val t = AnnIndex.ensureBuilt(spark, sf)
     val loc = new java.io.File(
