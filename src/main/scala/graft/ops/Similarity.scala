@@ -250,8 +250,22 @@ object Similarity {
     * downstream of `cell`: built as [[topKIvf2]] (registry entry
     * `topk_ivf2`, hash-checked at both levels). */
   def sampledCentroids(prepared: DataFrame, k: Int): Array[Array[Double]] =
+    sampledRowsBy(prepared, k, "seed:")
+
+  /** [[sampledCentroids]] under a caller-chosen hash tag — an
+    * INDEPENDENT deterministic sample. The tag matters whenever two
+    * samples of the same corpus must not collide: [[topKIvfRpq]]'s
+    * residual codebook seeds ("rseed:") must be disjoint-by-
+    * construction from the "seed:"-ranked cell quantizer, because a
+    * seed row that IS a centroid row residualizes to the zero vector
+    * (its nearest cell is itself) — with the shared tag every ksub ≤ k
+    * seed did exactly that, an all-zero codebook whose ADC carried no
+    * signal (recall 0.146 flat across nProbe, caught by the probe;
+    * the hash check passed because the oracle computed the same
+    * zeros — differential identity is necessary, not sufficient). */
+  def sampledRowsBy(prepared: DataFrame, k: Int, tag: String): Array[Array[Double]] =
     prepared
-      .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+      .withColumn("h", md5(concat(lit(tag), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
 
@@ -624,9 +638,11 @@ object Similarity {
     * where `<q, centroid(cell)>` is one per-(query, probed-cell) dot
     * ([[graft.functions.DotCellF64]]) riding the tiny broadcast side
     * and the ADC fold is unchanged. The residual CODEBOOK stays
-    * deterministic and oracle-expressible: the ksub md5-rank-first
-    * rows minus their OWN cell centroids ([[sampledCentroids]]'
-    * sampling, residualized) — no learning, so the whole
+    * deterministic and oracle-expressible: ksub rows sampled under an
+    * INDEPENDENT hash tag ([[sampledRowsBy]] "rseed:" — the shared
+    * "seed:" tag would hand back the quantizer's own rows, whose
+    * residuals are identically zero; see that method's scaladoc) minus
+    * their OWN cell centroids — no learning, so the whole
     * assign→residualize→code→table→scan→rerank shape hash-checks in
     * one DuckDB statement (`topk_rpq`).
     *
@@ -643,10 +659,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
     val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
-    // residual codebook: the ksub md5-rank-first rows MINUS their own
-    // cell centroid — assigned driver-side with the exact first-min
+    // residual codebook: ksub INDEPENDENTLY-sampled rows ("rseed:" —
+    // see [[sampledRowsBy]]: a "seed:"-ranked seed would be one of the
+    // cell centroids and residualize to zero) MINUS their own cell
+    // centroid — assigned driver-side with the exact first-min
     // arithmetic of [[assignCells]]/the oracle's ROW_NUMBER(s, cell)
-    val seeds = sampledCentroids(e, ksub)
+    val seeds = sampledRowsBy(e, ksub, "rseed:")
     require(seeds.length == ksub,
       s"residual codebook seed has ${seeds.length} rows, need exactly ksub=$ksub")
     val rcb: Array[Array[Double]] = seeds.map { row =>

@@ -146,15 +146,18 @@ object AnalyticsQueries {
     // BETWEEN chunks at every setting — the oracle hash pins it), and
     // each micro-batch costs a fixed state-store commit round, so
     // fewer, larger chunks buy wall time at identical semantics
-    // (measured 8.0 -> ~5 s at sf1 going 10 -> 4). A production
-    // deployment replays from its real source; this dial only shapes
-    // the bounded-replay fixture.
+    // (measured 8.0 -> ~5 s at sf1 going 10 -> 4, ~5 -> ~4 going
+    // 4 -> 2; two chunks keep one real watermark advance in the
+    // replay, so the BETWEEN-chunks state machinery still executes —
+    // chunks=1 would measure a batch job wearing a streaming API). A
+    // production deployment replays from its real source; this dial
+    // only shapes the bounded-replay fixture.
     "stream_sink" -> ((s, dir) =>
       graft.streaming.StreamAnalytics.nearDupStreamCompleted(
         Fixtures.documents(s, dir)
           .select(col("doc_id"), col("text"),
             ((col("doc_id") + 1440L) * 60000000000L).as("ts")),
-        threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 4)
+        threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Salting is result-transparent: the oracle states the PLAIN join,

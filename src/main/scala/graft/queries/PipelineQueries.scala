@@ -596,8 +596,12 @@ object PipelineQueries {
       val docs = Fixtures.documents(s, dir).filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"),
           ((col("doc_id") + 1440L) * 60000000000L).as("ts"))
+      // chunks=2, stream_sink's dial and rationale: hit set is
+      // chunk-count-invariant (oracle-pinned), each micro-batch is a
+      // fixed commit-round cost, and two chunks keep a real
+      // between-chunks watermark advance in the replay
       val hits = graft.streaming.StreamAnalytics.nearDupStreamCompleted(
-        docs, threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 4)
+        docs, threshold = 0.6, horizonNanos = 120L * 60000000000L, chunks = 2)
       AnnIndex.retireBatch(s, dir,
         hits.select(col("doc_b").as("vec_id")).distinct(), tag = "sret")
       val queries = hits.select(col("doc_a").as("vec_id")).distinct()
@@ -2215,9 +2219,12 @@ object PipelineQueries {
 
   /** The IVF×residual-PQ oracle (`topk_rpq`): [[ivfPqOracleSql]]'s
     * cell CTEs, then (1) a residual frame `rv = v − ctr(assigned
-    * cell)`, (2) the residualized codebook — the ksub md5-rank-first
-    * rows minus their OWN assigned-cell centroids, the deterministic
-    * no-learning book [[graft.ops.Similarity.topKIvfRpq]] builds
+    * cell)`, (2) the residualized codebook — ksub rows ranked under
+    * the INDEPENDENT 'rseed:' tag (the quantizer's 'seed:' tag would
+    * residualize its own rows to zero — see
+    * [[graft.ops.Similarity.sampledRowsBy]]) minus their OWN
+    * assigned-cell centroids, the deterministic no-learning book
+    * [[graft.ops.Similarity.topKIvfRpq]] builds
     * driver-side, (3) PQ assignment/table chains over residuals, and
     * (4) the probe's `<q, ctr>` term (`list_dot_product(qv, ctr)` of
     * the probed cell) added back before the ADC fold — mirroring the
@@ -2253,7 +2260,7 @@ object PipelineQueries {
        |  (SELECT sd.rnk,
        |     list_transform(range(1, ${dim + 1}), i -> sd.v[i] - cen.ctr[i]) AS rcv
        |   FROM (SELECT vec_id, v,
-       |           ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id), vec_id) AS rnk
+       |           ROW_NUMBER() OVER (ORDER BY md5('rseed:' || vec_id), vec_id) AS rnk
        |         FROM n) sd
        |   JOIN asg a ON a.vec_id = sd.vec_id JOIN cen ON cen.cell = a.cell
        |   WHERE sd.rnk <= $ksub)),

@@ -1307,6 +1307,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(full == brute, "learned-codebook PQ at rerank=n must equal brute force")
   }
 
+  test("residual-PQ: the rseed codebook is non-degenerate (the shared-seed zero-residual trap), " +
+      "and full probe + full rerank == brute force") {
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val e = Similarity.prepared(emb)
+    val n = emb.count().toInt
+    val kc = graft.ops.AnnIndex.annCellsFor(n.toLong)
+    val cs = Similarity.sampledCentroids(e, kc)
+    // a "seed:"-tagged sample IS the quantizer's row set, so every
+    // seed's residual to its own nearest cell is identically zero —
+    // the bug the recall probe caught (and the differential check
+    // could not: the oracle computed the same zeros). The "rseed:"
+    // sample must residualize to a codebook that is nearly all
+    // non-zero (a chance collision with a centroid row may zero a
+    // stray entry, never the book).
+    def zeroRows(tag: String): Int =
+      Similarity.sampledRowsBy(e, 16, tag).count { row =>
+        val c = cs(Similarity.nearestCellIdx(row, cs))
+        row.indices.forall(d => row(d) == c(d))
+      }
+    assert(zeroRows("seed:") == 16,
+      "precondition: the shared tag degenerates the whole book (the trap is real)")
+    assert(zeroRows("rseed:") <= 2,
+      s"rseed residual codebook degenerated: ${zeroRows("rseed:")} of 16 rows are zero")
+    // exactness contract, as for every PQ form: ADC only RANKS
+    // candidates — full probe width + rerank=n is brute force exactly
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 3, k = 10))
+    val full = hits(Similarity.topKIvfRpq(emb, maxQueryId = 3, k = 10,
+      nProbe = kc, rerank = n))
+    assert(full == brute, "residual-PQ full probe + full rerank must equal brute force")
+  }
+
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
