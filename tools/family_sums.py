@@ -23,7 +23,8 @@ FAMILIES = {
         "topk", "topk_ivf", "topk_kmeans",
         "topk_indexed", "topk_requant", "topk_ivf2", "topk_sq",
         "topk_ivf_sq", "topk_indexed_sq", "topk_idx2", "topk2_sq",
-        "topk_pq", "topk_ivf_pq", "topk_idx_pq", "topk2_pq"],
+        "topk_pq", "topk_ivf_pq", "topk_idx_pq", "topk2_pq",
+        "topk_rpq"],
     "ANN delete / retire / serving compositions": [
         "topk_del", "topk2_del", "topk_sq_del", "topk2_sq_del",
         "topk_sq_ids", "topk2_sq_ids", "topk_pq_del", "topk_pq_ids",
