@@ -132,6 +132,15 @@ object AnnRecallProbe {
           k = k, nProbe = nProbe, rerank = rerank))
         println(f"[recall] path=ivf_rpq nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
       }
+    // the full faiss recipe — residual encode × LEARNED book — at the
+    // same dials, so the table separates the two levers' contributions
+    val learnedRcb = Similarity.learnedResidualCodebook(emb)
+    Seq((2, 2 * k), (4, 2 * k), (8, 2 * k), (8, 4 * k))
+      .foreach { case (nProbe, rerank) =>
+        val r = recall(Similarity.topKIvfRpq(emb, maxQueryId = nQueries,
+          k = k, nProbe = nProbe, rerank = rerank, codebookIn = Some(learnedRcb)))
+        println(f"[recall] path=ivf_rpq_learned nProbe=$nProbe%-3d rerank=$rerank%-4d recall@$k=$r%.3f")
+      }
     AnnIndex.ensureBuilt2(spark, dir)
     Seq((2, 4), (4, 8), (8, 16)).foreach { case (nc, nf) =>
       val r = recall(AnnIndex.topK2(spark, dir, nQueries, k = k,

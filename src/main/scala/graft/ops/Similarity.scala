@@ -655,7 +655,8 @@ object Similarity {
     * is ever shuffled or stored). */
   def topKIvfRpq(embeddings: DataFrame, maxQueryId: Long, k: Int = 5,
                  nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
-                 rerank: Int = 30, dim: Int = 64): DataFrame = {
+                 rerank: Int = 30, dim: Int = 64,
+                 codebookIn: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(embeddings)
     val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
@@ -663,14 +664,21 @@ object Similarity {
     // see [[sampledRowsBy]]: a "seed:"-ranked seed would be one of the
     // cell centroids and residualize to zero) MINUS their own cell
     // centroid — assigned driver-side with the exact first-min
-    // arithmetic of [[assignCells]]/the oracle's ROW_NUMBER(s, cell)
-    val seeds = sampledRowsBy(e, ksub, "rseed:")
-    require(seeds.length == ksub,
-      s"residual codebook seed has ${seeds.length} rows, need exactly ksub=$ksub")
-    val rcb: Array[Array[Double]] = seeds.map { row =>
-      val c = cs(nearestCellIdx(row, cs))
-      Array.tabulate(row.length)(d => row(d) - c(d))
+    // arithmetic of [[assignCells]]/the oracle's ROW_NUMBER(s, cell).
+    // `codebookIn` is the [[topKPq]] seam one ring out: a RESIDUAL
+    // codebook (e.g. [[learnedResidualCodebook]]) replaces the
+    // sampled default — the probe's `ivf_rpq_learned` leg.
+    val rcb: Array[Array[Double]] = codebookIn.getOrElse {
+      val seeds = sampledRowsBy(e, ksub, "rseed:")
+      require(seeds.length == ksub,
+        s"residual codebook seed has ${seeds.length} rows, need exactly ksub=$ksub")
+      seeds.map { row =>
+        val c = cs(nearestCellIdx(row, cs))
+        Array.tabulate(row.length)(d => row(d) - c(d))
+      }
     }
+    require(rcb.length == ksub,
+      s"residual codebook has ${rcb.length} rows, need exactly ksub=$ksub")
     val codes = assignCells(e, cs).select(col("vec_id"), col("nrm"), col("cell"),
       pqCodesCol(
         graft.functions.VectorExprs.vecMinusCell(col("v"), col("cell"), cs),
@@ -715,6 +723,30 @@ object Similarity {
       c += 1
     }
     best
+  }
+
+  /** LEARNED residual codebook — [[learnedPqCodebook]]'s per-subspace
+    * Lloyd fit run over the RESIDUAL frame `v − centroid(cell)`
+    * instead of raw vectors: the full faiss IVF-PQ training recipe
+    * (residual encode × learned book), the pairing
+    * [[topKIvfRpq]]'s `codebookIn` seam exists for. Seeded under the
+    * "rseed:" tag for the same zero-residual reason as the sampled
+    * default ([[sampledRowsBy]]); one extra corpus pass builds the
+    * residual frame (the codegen'd [[graft.functions.VecMinusCellF64]]
+    * subtract fused into the assignment projection), then each Lloyd
+    * iteration is [[learnedPqCodebookOf]]'s bounded-collect pass
+    * unchanged. Recall measured as the probe's `ivf_rpq_learned` leg;
+    * like the raw learned book it stays OFF the oracle-checked
+    * default (iterative artifact — the sampled residual book is the
+    * single-statement-expressible one). */
+  def learnedResidualCodebook(embeddings: DataFrame, m: Int = 8,
+                              ksub: Int = 16, dim: Int = 64,
+                              iters: Int = 2): Array[Array[Double]] = {
+    val e = prepared(embeddings)
+    val cs = sampledCentroids(e, AnnIndex.annCellsFor(e.count()))
+    val res = assignCells(e, cs).select(col("vec_id"),
+      graft.functions.VectorExprs.vecMinusCell(col("v"), col("cell"), cs).as("v"))
+    learnedPqCodebookOf(res, m, ksub, dim, iters, seedTag = "rseed:")
   }
 
   /** The PQ building blocks shared by [[topKPq]] and [[topKIvfPq]]:
@@ -769,9 +801,10 @@ object Similarity {
     * `live` frame has no raw `embedding` column to re-prepare). */
   private[graft] def learnedPqCodebookOf(e: DataFrame, m: Int = 8,
                                          ksub: Int = 16, dim: Int = 64,
-                                         iters: Int = 2): Array[Array[Double]] = {
+                                         iters: Int = 2,
+                                         seedTag: String = "seed:"): Array[Array[Double]] = {
     val dsub = dim / m
-    var cb = sampledCentroids(e, ksub)
+    var cb = sampledRowsBy(e, ksub, seedTag)
     // same guard as pqPieces: the ADC gather trusts the ksub stride,
     // and a corpus with fewer than ksub rows would otherwise surface
     // as an opaque ArrayIndexOutOfBounds inside Array.tabulate below

@@ -1340,6 +1340,52 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(full == brute, "residual-PQ full probe + full rerank must equal brute force")
   }
 
+  test("learned residual codebook: Lloyd never increases residual SSE vs the rseed seed, " +
+      "deterministic, and the codebookIn probe stays exact at full rerank") {
+    val emb = graft.tables.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val e = Similarity.prepared(emb)
+    val n = emb.count().toInt
+    val m = 8; val ksub = 16; val dim = 64; val dsub = dim / m
+    val kc = graft.ops.AnnIndex.annCellsFor(n.toLong)
+    val cs = Similarity.sampledCentroids(e, kc)
+    // plain-Scala residuals of the whole fixture (engine-free truth)
+    val resVecs = e.select(org.apache.spark.sql.functions.col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val c = cs(Similarity.nearestCellIdx(v, cs))
+        Array.tabulate(v.length)(d => v(d) - c(d))
+      }
+    def sse(cb: Array[Array[Double]]): Double =
+      resVecs.map { rv =>
+        (0 until m).map { j =>
+          (0 until ksub).map { i =>
+            (0 until dsub).map { t =>
+              val d = rv(j * dsub + t) - cb(i)(j * dsub + t); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val seed = Similarity.sampledRowsBy(e, ksub, "rseed:").map { row =>
+      val c = cs(Similarity.nearestCellIdx(row, cs))
+      Array.tabulate(row.length)(d => row(d) - c(d))
+    }
+    val learned = Similarity.learnedResidualCodebook(emb, m, ksub, dim, iters = 2)
+    assert(learned.length == ksub && learned.forall(_.length == dim))
+    val again = Similarity.learnedResidualCodebook(emb, m, ksub, dim, iters = 2)
+    assert(learned.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "no RNG anywhere in the residual Lloyd pass")
+    val (s0, s1) = (sse(seed), sse(learned))
+    assert(s1 <= s0 + 1e-9, s"k-means must not increase residual SSE: $s0 -> $s1")
+    assert(s1 < s0 * 0.999, s"learning must genuinely move residual centroids: $s0 -> $s1")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = hits(Similarity.topK(emb, maxQueryId = 3, k = 10))
+    val full = hits(Similarity.topKIvfRpq(emb, maxQueryId = 3, k = 10,
+      nProbe = kc, rerank = n, codebookIn = Some(learned)))
+    assert(full == brute,
+      "learned-residual-codebook probe at full width/rerank must equal brute force")
+  }
+
   test("PNG codec round-trip: decoded stats equal the planted ground truth; corrupt payloads cost only their row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
