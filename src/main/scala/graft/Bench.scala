@@ -454,12 +454,18 @@ object Bench {
     System.err.println(
       f"[bench] prelude (shared dedup/feature/quality bases) $preludeSec%.1f s")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Label every job with its query name (guide §1.5): the Spark UI
+      // and event logs can then attribute each job — including the
+      // driver-side collects a query's construction runs before the
+      // timed noop write — to the registry entry that paid for it.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
       }
+      finally spark.sparkContext.setJobDescription(null)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to repeats).map(_ => timeOnce(name, fn))

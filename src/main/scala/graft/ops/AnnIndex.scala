@@ -184,6 +184,9 @@ object AnnIndex {
       // source-of-truth rule ChainStore's replay makes)
       allTables(dir, tag).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))
+      // a rebuild writes a NEW generation under the same names — any
+      // artifacts cached from a previous incarnation are stale
+      invalidateArtifacts(spark, allTables(dir, tag))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
       val k = annCellsFor(emb.count())
@@ -269,12 +272,57 @@ object AnnIndex {
       .bucketBy(nBuckets, cellCol).sortBy(cellCol)
       .saveAsTable(table)
 
+  // ---- session-scoped stored-artifact cache --------------------------
+  //
+  // Every probe needs the SMALL stored artifacts (quantizer centroids,
+  // SQ affine params, PQ codebook — k·dim / 2·d / ksub·dim doubles) as
+  // driver-side arrays, and each read is a separate Spark collect job.
+  // At serving cadence those collects dominate the driver round-trip
+  // count of a probe (guide §5: the driver should do almost no data
+  // work — and no REPEATED data work either). The artifacts are
+  // immutable for the lifetime of a generation by the index's own
+  // coherence contract (append/delete never touch them; only a
+  // build/requantize writes new ones), so a session can hold them in
+  // memory like any open index handle and re-read only when the
+  // generation swaps. Keyed by (session, table): tables live in the
+  // session's catalog, so cross-session staleness is impossible, and
+  // the generation-swap paths ([[ensureBuilt]]'s rebuild branch,
+  // [[requantize]]/[[requantize2]]) invalidate their tables explicitly.
+  // Entries of stopped sessions are swept on any miss (same rule as
+  // [[SharedCaches]]).
+  private val artifactCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), AnyRef]
+
+  private def cachedArtifact[T <: AnyRef](spark: SparkSession, table: String)(
+      load: => T): T = {
+    val key = (spark, table)
+    artifactCache.synchronized(artifactCache.get(key)) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = load // the collect runs OUTSIDE the lock (SharedCaches' rule)
+        artifactCache.synchronized {
+          artifactCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+          artifactCache.getOrElseUpdate(key, v)
+        }.asInstanceOf[T]
+    }
+  }
+
+  /** Drop the cached artifacts of this generation's tables — called by
+    * every path that writes a NEW generation under the same names. */
+  private def invalidateArtifacts(spark: SparkSession, tables: Seq[String]): Unit =
+    artifactCache.synchronized {
+      tables.foreach(t => artifactCache.remove((spark, t)))
+    }
+
   /** The stored quantizer read back as the centroid matrix (k·dim —
-    * bounded, same contract as the build-time collect). */
+    * bounded, same contract as the build-time collect). Session-cached:
+    * one collect per generation, not per probe. */
   def storedQuantizer(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
-    spark.table(quantizerTableFor(dir, tag))
-      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    cachedArtifact(spark, quantizerTableFor(dir, tag)) {
+      spark.table(quantizerTableFor(dir, tag))
+        .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   /** The stored SQ8 params read back as the (mns, mxs) pair (2·d
     * doubles — bounded, same contract as the quantizer collect). */
@@ -287,18 +335,21 @@ object AnnIndex {
 
   /** The stored PQ codebook read back as ksub full-dim rows
     * ([[PqKsub]]·[[Dim]] doubles — bounded, same contract as the
-    * quantizer collect). */
+    * quantizer collect). Session-cached per generation. */
   def storedPqCodebook(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
-    spark.table(pqTableFor(dir, tag))
-      .select(col("i"), col("centroid")).orderBy(col("i")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    cachedArtifact(spark, pqTableFor(dir, tag)) {
+      spark.table(pqTableFor(dir, tag))
+        .select(col("i"), col("centroid")).orderBy(col("i")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   private def readSqParams(spark: SparkSession,
-                           table: String): (Array[Double], Array[Double]) = {
-    val rows = spark.table(table)
-      .select(col("dim"), col("mn"), col("mx")).orderBy(col("dim")).collect()
-    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
-  }
+                           table: String): (Array[Double], Array[Double]) =
+    cachedArtifact(spark, table) {
+      val rows = spark.table(table)
+        .select(col("dim"), col("mn"), col("mx")).orderBy(col("dim")).collect()
+      (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    }
 
   /** MAINTENANCE half of write-once/probe-many: append a fresh vector
     * batch to the existing index WITHOUT a rebuild. The batch is
@@ -381,25 +432,34 @@ object AnnIndex {
                   tag: String = ""): Unit = synchronized {
     val t = ensureBuilt(spark, dir, tag)
     val ts = tombstoneTableFor(dir, tag)
-    val k = storedQuantizer(spark, dir, tag).length
-    val resolved = spark.table(t).select(col("vec_id"), col("cell"))
-      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    // idempotent fast path: a batch already fully tombstoned (the
-    // at-least-once delete producer's replay, or a re-run registry
-    // entry) must not pay the table swap — one anti-join emptiness
-    // probe (batch-sized) instead of a k-bucket rewrite + renames
-    val fresh = resolved.join(spark.table(ts).select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
-    if (!fresh.isEmpty) {
-      val merged = spark.table(ts).select(col("vec_id"), col("cell"))
-        .unionByName(resolved).distinct()
-      val tsStage = ts + "__stage"
-      val tsOld = ts + "__old"
-      Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
-      writeTombstones(spark, merged, tsStage, k)
-      spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
-      spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
-      Bucketed.resetTable(spark, tsOld)
+    // idempotent fast path, CHEAP side first: a batch already fully
+    // tombstoned (the at-least-once delete producer's replay, or a
+    // re-run registry entry) must not pay the table swap — and
+    // deciding that needs only ids ∖ tombstones (batch-sized against
+    // the pruned tombstone scan), never the k-bucket index scan the
+    // cell resolution costs. Only genuinely fresh ids pay the resolve;
+    // the merged set is unchanged because a tombstoned id's
+    // (vec_id, cell) row is already in ts (rows leave the assignment
+    // only at requantize, which resets the tombstones with them).
+    val freshIds = ids.select(col("vec_id"))
+      .join(spark.table(ts).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (!freshIds.isEmpty) {
+      val k = storedQuantizer(spark, dir, tag).length
+      val resolved = spark.table(t).select(col("vec_id"), col("cell"))
+        .join(freshIds, Seq("vec_id"), "left_semi")
+      // ids not present in the index resolve to no cell — retiring an
+      // unknown id stays a no-op, never a table swap
+      if (!resolved.isEmpty) {
+        val merged = spark.table(ts).select(col("vec_id"), col("cell"))
+          .unionByName(resolved).distinct()
+        val tsStage = ts + "__stage"
+        val tsOld = ts + "__old"
+        Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+        writeTombstones(spark, merged, tsStage, k)
+        spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+        spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+        Bucketed.resetTable(spark, tsOld)
+      }
     }
   }
 
@@ -729,6 +789,8 @@ object AnnIndex {
     spark.sql(s"ALTER TABLE $qtStage RENAME TO $qt")
     spark.sql(s"ALTER TABLE $tStage RENAME TO $t")
     olds.foreach(Bucketed.resetTable(spark, _))
+    // the generation swapped: cached artifacts describe the OLD one
+    invalidateArtifacts(spark, allTables(dir, tag))
     requantizeAdvice(spark, dir, skewBound, tag = tag)
   }
 
@@ -884,6 +946,7 @@ object AnnIndex {
     if (allTables2(dir, tag).exists(!spark.catalog.tableExists(_))) {
       allTables2(dir, tag).flatMap(x => Seq(x, x + "__stage", x + "__old"))
         .foreach(Bucketed.resetTable(spark, _))
+      invalidateArtifacts(spark, allTables2(dir, tag))
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
       writeGeneration2(spark, prep, emb.count(), t,
@@ -939,17 +1002,22 @@ object AnnIndex {
   /** The stored gen-2 PQ codebook — [[storedPqCodebook]] one level
     * down (ksub·dim doubles, bounded collect). */
   def storedPqCodebook2(spark: SparkSession, dir: String, tag: String = ""): Array[Array[Double]] =
-    spark.table(pq2TableFor(dir, tag))
-      .select(col("i"), col("centroid")).orderBy(col("i")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    cachedArtifact(spark, pq2TableFor(dir, tag)) {
+      spark.table(pq2TableFor(dir, tag))
+        .select(col("i"), col("centroid")).orderBy(col("i")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   /** The stored coarse quantizer (~n^¼ · dim doubles — the ONLY
-    * quantizer collect this index ever performs). */
+    * quantizer collect this index ever performs). Session-cached per
+    * generation. */
   def storedCoarseQuantizer(spark: SparkSession, dir: String,
                             tag: String = ""): Array[Array[Double]] =
-    spark.table(coarseQuantizerTableFor(dir, tag))
-      .select(col("ccell"), col("centroid")).orderBy(col("ccell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    cachedArtifact(spark, coarseQuantizerTableFor(dir, tag)) {
+      spark.table(coarseQuantizerTableFor(dir, tag))
+        .select(col("ccell"), col("centroid")).orderBy(col("ccell")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   /** Append a fresh batch against BOTH stored quantizers — coarse
     * assignment from the collected n^¼ matrix, fine assignment via a
@@ -1025,22 +1093,26 @@ object AnnIndex {
                    tag: String = ""): Unit = synchronized {
     val t = ensureBuilt2(spark, dir, tag)
     val ts = tombstone2TableFor(dir, tag)
-    val kc = storedCoarseQuantizer(spark, dir, tag).length
-    val resolved = spark.table(t).select(col("vec_id"), col("ccell"))
-      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    // same idempotent fast path as [[removeBatch]]
-    val fresh = resolved.join(spark.table(ts).select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
-    if (!fresh.isEmpty) {
-      val merged = spark.table(ts).select(col("vec_id"), col("ccell"))
-        .unionByName(resolved).distinct()
-      val tsStage = ts + "__stage"
-      val tsOld = ts + "__old"
-      Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
-      writeTombstones(spark, merged, tsStage, kc, "ccell")
-      spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
-      spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
-      Bucketed.resetTable(spark, tsOld)
+    // same idempotent fast path as [[removeBatch]], cheap side first:
+    // the fully-tombstoned re-run decides on ids ∖ tombstones alone,
+    // never the index scan
+    val freshIds = ids.select(col("vec_id"))
+      .join(spark.table(ts).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (!freshIds.isEmpty) {
+      val kc = storedCoarseQuantizer(spark, dir, tag).length
+      val resolved = spark.table(t).select(col("vec_id"), col("ccell"))
+        .join(freshIds, Seq("vec_id"), "left_semi")
+      if (!resolved.isEmpty) {
+        val merged = spark.table(ts).select(col("vec_id"), col("ccell"))
+          .unionByName(resolved).distinct()
+        val tsStage = ts + "__stage"
+        val tsOld = ts + "__old"
+        Seq(tsStage, tsOld).foreach(Bucketed.resetTable(spark, _))
+        writeTombstones(spark, merged, tsStage, kc, "ccell")
+        spark.sql(s"ALTER TABLE $ts RENAME TO $tsOld")
+        spark.sql(s"ALTER TABLE $tsStage RENAME TO $ts")
+        Bucketed.resetTable(spark, tsOld)
+      }
     }
   }
 
@@ -1075,6 +1147,8 @@ object AnnIndex {
     all.foreach(x => spark.sql(s"ALTER TABLE $x RENAME TO ${x}__old"))
     all.reverse.foreach(x => spark.sql(s"ALTER TABLE ${x}__stage RENAME TO $x"))
     all.foreach(x => Bucketed.resetTable(spark, x + "__old"))
+    // the generation swapped: cached artifacts describe the OLD one
+    invalidateArtifacts(spark, allTables2(dir, tag))
   }
 
   /** Top-k probe over the persisted two-level index: coarse probe

@@ -403,7 +403,11 @@ object Curation {
     * back), and the budget entries share one corpus. One
     * materialization of per-DOC rows serves all of them. */
   def sharedQualityRows(docs: DataFrame): DataFrame =
-    SharedCaches.shared(
+    // a checkpoint CUT (not a lazy persist): consumers reference the
+    // scoring base from two legs, and the cut keeps the per-token
+    // quality pipeline out of every consumer's analyzed tree — the
+    // plan-size/driver-rendering rationale of Dedup.sharedMinhashPairs
+    SharedCaches.sharedCut(
       TextAnalysis.quality(docs)
         .select(col("doc_id"), col("quality_score_bp"), col("n_tokens").cast("long")),
       "quality")
@@ -582,7 +586,11 @@ object Curation {
     * pattern; without it the family pays ~5 tokenize scans per
     * query). */
   def sharedFeatureRows(docs: DataFrame, dim: Int = 1024): DataFrame =
-    SharedCaches.shared(
+    // a checkpoint CUT: the classifier/DSIR family references this
+    // base from up to three legs per query (target dist, raw dist,
+    // scoring probe), so the cut both materializes once and keeps the
+    // tokenize+hash lineage out of every consumer's analyzed tree
+    SharedCaches.sharedCut(
       docs.select(col("doc_id"), col("lang"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .select(col("doc_id"), col("lang"),

@@ -169,15 +169,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardBp(col("inter"), col("uni")).as("jaccard_bp"))
   }
 
-  /** [[minhashPairs]], persisted: dedup_minhash and dedup_apply
-    * consume the identical verified pair set in one session, and the
-    * candidate + verification joins are the expensive tail of the
-    * pipeline — persisting the (tiny: pairs above threshold) result
-    * lets the second consumer skip them entirely via CacheManager plan
-    * matching, like [[sharedShingleRows]]/[[sharedBands]]. */
+  /** [[minhashPairs]], materialized once per session as a checkpoint
+    * CUT: dedup_minhash, dedup_apply(_best) and pipeline_curate consume
+    * the identical verified pair set, and the candidate + verification
+    * joins are the expensive tail of the pipeline. The cut (vs the
+    * former lazy persist) buys two things: the second consumer skips
+    * the joins entirely, AND every consumer's analyzed tree references
+    * a flat LogicalRDD scan of the tiny pair frame instead of dragging
+    * the whole shingle→band→verify lineage along — which Catalyst
+    * otherwise re-canonicalizes/optimizes and the AQE plan-update
+    * events re-RENDER on every action (measured:
+    * TreeNode.generateTreeString dominating the driver main thread at
+    * serving cadence; [[clusterLabels]]' edge-cut note documents the
+    * same trade and the production checkpoint-dir alternative). */
   def sharedMinhashPairs(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 2,
                          threshold: Double = 0.6): DataFrame =
-    SharedCaches.shared(minhashPairs(docs, k, rowsPerBand, threshold), "dedup")
+    SharedCaches.sharedCut(minhashPairs(docs, k, rowsPerBand, threshold), "dedup")
 
   /** The symmetric (doc_id, nbr) edge list of a pair set — the frame
     * [[clusterLabels]] propagates over. One owner so the shared cut's
@@ -202,8 +209,10 @@ object Dedup {
     * build-once/serve-many split the stored ANN index already makes
     * explicit, applied to the dedup family. */
   def prewarmShared(docs: DataFrame): Unit = {
+    // acquiring the shared pair CUT materializes it (and, because the
+    // pair plan executes once to build the cut, fills the lazy
+    // persisted upstreams — shingles and bands — on the way)
     val pairs = sharedMinhashPairs(docs)
-    pairs.write.mode("overwrite").format("noop").save()
     sharedEdgeCut(pairs)
     ()
   }
@@ -293,7 +302,17 @@ object Dedup {
                              threshold: Double = 0.6,
                              corpusBands: Option[DataFrame] = None,
                              allShingles: Option[DataFrame] = None): DataFrame =
-    SharedCaches.shared(
+    // a checkpoint CUT, not a lazy persist: the APPLY references the
+    // pair set from both orientations plus the survivor anti-join, so
+    // an uncut frame drags the whole band-join lineage into every
+    // consumer's analyzed tree — Catalyst re-canonicalizes/optimizes it
+    // and the AQE plan-update events re-RENDER it on every action
+    // (measured: TreeNode.generateTreeString dominating the driver main
+    // thread at serving cadence). After the cut every consumer plans
+    // against a flat LogicalRDD scan of the tiny verified pair set —
+    // same rows, same hashes: [[clusterLabels]]' edge-cut rationale one
+    // level up.
+    SharedCaches.sharedCut(
       incrementalMinhashPairs(corpus, fresh, k, rowsPerBand, threshold,
         corpusBands, allShingles),
       "dedup")
@@ -442,7 +461,12 @@ object Dedup {
     // cut from the session registry ([[sharedEdgeCut]]) — ONE cut per
     // shared pair set, not one per invocation: re-materializing the
     // cut was the dominant repeat cost of dedup_apply.
-    val prePersisted = pairs.storageLevel != StorageLevel.NONE
+    // "already materialized" = a CacheManager-persisted frame OR a
+    // checkpoint cut (whose analyzed plan is a flat LogicalRDD leaf —
+    // storageLevel reports NONE for those, but re-persisting or
+    // re-cutting one would be pure waste)
+    val prePersisted = pairs.storageLevel != StorageLevel.NONE ||
+      pairs.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
     val p = if (prePersisted) pairs else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager) MATERIALIZES and TRUNCATES: each
     // propagation round references the previous labels from two plan
@@ -714,7 +738,9 @@ object Dedup {
     * this cache is also a valid shingle base for a filter of the docs:
     * shingling is row-local, so filter and shingle commute. */
   def sharedPositionedShingleRows(docs: DataFrame, spanTokens: Int): DataFrame =
-    SharedCaches.shared(positionedShingleRows(docs, spanTokens), "substring")
+    // checkpoint cut: the span family filters this base from several
+    // legs per entry — one materialization, flat consumer plans
+    SharedCaches.sharedCut(positionedShingleRows(docs, spanTokens), "substring")
 
   /** [[duplicatedSpans]]' output, session-shared ([[SharedCaches]],
     * "substring"): the spans entry and the APPLY consume the IDENTICAL
@@ -725,7 +751,9 @@ object Dedup {
     * [[sharedMinhashPairs]] rationale applied to spans. */
   def sharedDuplicatedSpans(docs: DataFrame, spanTokens: Int,
                             minDocs: Int = 2): DataFrame =
-    SharedCaches.shared(
+    // checkpoint cut: the small span frame flat-scans into the spans
+    // entry AND the apply's scrub join
+    SharedCaches.sharedCut(
       duplicatedSpans(docs, spanTokens, minDocs,
         shingles = Some(sharedPositionedShingleRows(docs, spanTokens))),
       "substring")

@@ -1089,20 +1089,36 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
-  /** [[incrementalNearDupLsh]], session-shared ([[SharedCaches]],
-    * "embed"): the `embed_inc` and `embed_inc_apply` entries consume
-    * the IDENTICAL verified pair set in one session, and the
-    * band-join + cosine verification is its whole cost — persisting
-    * the tiny above-threshold pair frame lets the APPLY skip it
-    * entirely via CacheManager plan matching, exactly
-    * [[Dedup.sharedIncrementalPairs]]'s rationale one family over. */
+  /** [[incrementalNearDupLsh]], session-shared as a checkpoint CUT
+    * ([[SharedCaches.sharedCut]], "embed"): the `embed_inc` and
+    * `embed_inc_apply` entries consume the IDENTICAL verified pair set
+    * in one session, and the band-join + cosine verification is its
+    * whole cost. The cut (vs the former lazy persist) also flattens
+    * every consumer's analyzed tree to a LogicalRDD scan of the tiny
+    * pair frame — [[Dedup.sharedIncrementalPairs]]'s rationale one
+    * family over, including the driver plan-rendering cost it kills. */
   def sharedIncrementalNearDup(corpus: DataFrame, fresh: DataFrame, threshold: Double,
                                nPlanes: Int = 16, dim: Int = 64,
                                corpusBands: Option[DataFrame] = None,
                                bitsPerBand: Int = 4,
                                freshBandsIn: Option[DataFrame] = None): DataFrame =
-    SharedCaches.shared(
+    SharedCaches.sharedCut(
       incrementalNearDupLsh(corpus, fresh, threshold, nPlanes, dim,
         corpusBands, bitsPerBand, freshBandsIn),
+      "embed")
+
+  /** [[nearDupPairsLsh]] over a session-shared banded base, as a
+    * checkpoint CUT: the full-corpus pair set is consumed by
+    * `embed_lsh` (the pair listing itself) and by both
+    * curation→retire producers (`curate_retire`/`curate_ret2` feed its
+    * losers to the ledger AND select their probe queries from it), so
+    * one materialization serves every leg and every consumer plans
+    * against a flat scan of the verified pairs. */
+  def sharedNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                            nPlanes: Int, bitsPerBand: Int): DataFrame =
+    SharedCaches.sharedCut(
+      nearDupPairsLsh(embeddings, threshold, nPlanes = nPlanes,
+        bitsPerBand = bitsPerBand,
+        bandedIn = Some(sharedLshBands(embeddings, nPlanes, bitsPerBand))),
       "embed")
 }

@@ -185,7 +185,8 @@ object TextAnalysis {
     * pattern, LRU-bounded by [[SharedCaches]]). Production with
     * stored model tables scores in a single scan and skips this. */
   def sharedBigramRows(docs: DataFrame): DataFrame =
-    SharedCaches.shared(bigramRows(docs), "text")
+    // checkpoint cut: flat-scan plan legs for every LM consumer
+    SharedCaches.sharedCut(bigramRows(docs), "text")
 
   /** The trained bigram model for [[lmScore]]: the corpus's `topK`
     * most frequent bigrams (ties broken by (prev, token) —
@@ -466,7 +467,8 @@ object TextAnalysis {
     * same docs shares one materialization (the
     * [[Dedup.sharedShingleRows]] pattern). */
   def sharedSegmentRows(docs: DataFrame, segTokens: Int): DataFrame =
-    SharedCaches.shared(segmentRows(docs, segTokens), "text")
+    // checkpoint cut: flat-scan plan legs for every segment consumer
+    SharedCaches.sharedCut(segmentRows(docs, segTokens), "text")
 
   /** The production segmenter: one row per (doc_id, seg_idx, seg) by
     * newline split — a crawl's page lines, the boundary RefinedWeb/

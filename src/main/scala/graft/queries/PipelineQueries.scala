@@ -96,9 +96,10 @@ object PipelineQueries {
     "embed_lsh" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
-      Similarity.nearDupPairsLsh(e, threshold = 0.4,
-          nPlanes = nPlanes, bitsPerBand = bpb,
-          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb)))
+      // the session-shared pair CUT — the same artifact the two
+      // curation→retire producers consume, materialized once
+      Similarity.sharedNearDupPairsLsh(e, threshold = 0.4,
+          nPlanes = nPlanes, bitsPerBand = bpb)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -543,12 +544,10 @@ object PipelineQueries {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
       // the pair set feeds BOTH the ledger and the query selection —
-      // session-shared so the band-join verification runs once
-      val pairs = graft.ops.SharedCaches.shared(
-        Similarity.nearDupPairsLsh(e, threshold = 0.4, nPlanes = nPlanes,
-          bitsPerBand = bpb,
-          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb))),
-        "embed")
+      // the session-shared CUT, so the band-join verification runs
+      // once and both consumers plan against a flat pair scan
+      val pairs = Similarity.sharedNearDupPairsLsh(e, threshold = 0.4,
+        nPlanes = nPlanes, bitsPerBand = bpb)
       AnnIndex.retireBatch(s, dir,
         pairs.select(col("id_b").as("vec_id")).distinct(), tag = "retire")
       val queries = pairs.select(col("id_a").as("vec_id")).distinct()
@@ -567,11 +566,8 @@ object PipelineQueries {
     "curate_ret2" -> ((s, dir) => {
       val e = Fixtures.embeddings(s, dir)
       val (nPlanes, bpb) = Similarity.lshParamsFor(e.count())
-      val pairs = graft.ops.SharedCaches.shared(
-        Similarity.nearDupPairsLsh(e, threshold = 0.4, nPlanes = nPlanes,
-          bitsPerBand = bpb,
-          bandedIn = Some(Similarity.sharedLshBands(e, nPlanes, bpb))),
-        "embed")
+      val pairs = Similarity.sharedNearDupPairsLsh(e, threshold = 0.4,
+        nPlanes = nPlanes, bitsPerBand = bpb)
       AnnIndex.retireBatch2(s, dir,
         pairs.select(col("id_b").as("vec_id")).distinct(), tag = "retire")
       val queries = pairs.select(col("id_a").as("vec_id")).distinct()
@@ -775,10 +771,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
       val lang = TextAnalysis.langId(fresh)
         .select(col("doc_id"), col("predicted_lang"))
-      // shared-cached: the gated increment feeds banding, verification,
-      // and the survivor anti-join — without the cache each leg
-      // re-runs the quality/language joins
-      val gated = graft.ops.SharedCaches.shared(
+      // shared checkpoint CUT: the gated increment feeds banding,
+      // verification, and the survivor anti-join — without the shared
+      // artifact each leg re-runs the quality/language joins, and
+      // without the CUT each consumer's analyzed tree drags the full
+      // quality+language lineage along to be re-planned and re-rendered
+      // per action (the generateTreeString driver hotspot)
+      val gated = graft.ops.SharedCaches.sharedCut(
         fresh.join(quality, "doc_id").join(lang, "doc_id")
           .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000),
         "pipeline")
@@ -788,10 +787,12 @@ object PipelineQueries {
       // FRESH bands too: signatures are per-doc, so the gated
       // increment's band table is a semi-join filter of the shared
       // one — the gated docs are never re-tokenized or re-signed
-      // the verified pair set is shared-cached: applyIncrementalDedup
-      // references it from BOTH pair orientations, so an unshared
-      // frame runs the verification joins twice per invocation
-      val pairs = graft.ops.SharedCaches.shared(
+      // the verified pair set is a shared checkpoint cut:
+      // applyIncrementalDedup references it from BOTH pair
+      // orientations, so an unshared frame runs the verification joins
+      // twice per invocation — and an uncut one re-plans the whole
+      // band-join lineage per action (see sharedIncrementalPairs)
+      val pairs = graft.ops.SharedCaches.sharedCut(
         Dedup.incrementalMinhashPairs(
           corpus, gated.select(docs.columns.map(col): _*),
           corpusBands = Some(Dedup.sharedBands(docs).filter(col("doc_id") % 5 =!= 0)),

@@ -74,7 +74,7 @@ object SpanQueries {
       // artifact ("computed once and STORED" — its scaladoc); the
       // session-shared cache is the registry's stand-in for that
       // store, so repeated batches never re-aggregate the corpus side
-      val corpusCounts = graft.ops.SharedCaches.shared(
+      val corpusCounts = graft.ops.SharedCaches.sharedCut(
         base.filter(col("doc_id") % 5 =!= 0)
           .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_corpus")),
         "substring")

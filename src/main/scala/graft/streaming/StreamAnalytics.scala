@@ -213,7 +213,11 @@ object StreamAnalytics {
                    k: Int = 12, rowsPerBand: Int = 2,
                    horizonNanos: Long = 3600L * 1000000000L): DataFrame = {
     val minAgree = math.ceil(threshold * k).toLong
-    val base = graft.ops.SharedCaches.shared(
+    // a checkpoint CUT: both self-join legs reference the banded
+    // signature base, so an uncut frame carries the signature pipeline
+    // twice in every analyzed tree — the cut plans both legs against
+    // one flat scan (Dedup.sharedMinhashPairs' rationale)
+    val base = graft.ops.SharedCaches.sharedCut(
       docs
         .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 3)
         .withColumn("sig", minhashSigExpr(col("text"), k))

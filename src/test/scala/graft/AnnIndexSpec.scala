@@ -103,6 +103,32 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("stored-artifact session cache: one collect per generation, invalidated by requantize") {
+    val dir = tempCorpus("artcache")
+    AnnIndex.ensureBuilt(spark, dir, tag = "ac")
+    // a re-read inside one generation is the CACHED driver-side array
+    // (reference identity = no second collect job ran)
+    val q1 = AnnIndex.storedQuantizer(spark, dir, tag = "ac")
+    assert(AnnIndex.storedQuantizer(spark, dir, tag = "ac") eq q1,
+      "same generation must serve the cached quantizer instance")
+    val sq1 = AnnIndex.storedSqParams(spark, dir, tag = "ac")
+    assert(AnnIndex.storedSqParams(spark, dir, tag = "ac") eq sq1)
+    val pq1 = AnnIndex.storedPqCodebook(spark, dir, tag = "ac")
+    assert(AnnIndex.storedPqCodebook(spark, dir, tag = "ac") eq pq1)
+    // a generation swap must drop every cached artifact: after a
+    // knee-crossing requantize the quantizer is re-sized, and the
+    // re-read must reflect the NEW stored table, not the old array
+    val emb = Fixtures.embeddings(spark, dir)
+    (1 to 4).foreach(r => AnnIndex.appendBatch(spark, dir,
+      emb.withColumn("vec_id", col("vec_id") + lit(r * 100000L)), tag = "ac"))
+    AnnIndex.requantize(spark, dir, tag = "ac")
+    val q2 = AnnIndex.storedQuantizer(spark, dir, tag = "ac")
+    assert(!(q2 eq q1) && q2.length > q1.length,
+      s"requantize must invalidate the cached quantizer (${q1.length} -> ${q2.length})")
+    assert(q2.length == spark.table(AnnIndex.quantizerTableFor(dir, "ac")).count(),
+      "the re-read must match the stored table of the new generation")
+  }
+
   test("appendBatch: stored-quantizer assignment, probes coherent, buckets still pruned") {
     val dir = tempCorpus("append")
     AnnIndex.ensureBuilt(spark, dir)
