@@ -190,7 +190,13 @@ object AnnIndex {
       val emb = Fixtures.embeddings(spark, dir)
       val prep = Similarity.prepared(emb)
       val k = annCellsFor(emb.count())
-      val cs = Similarity.sampledCentroids(prep, k)
+      // ONE md5-ranked sample serves both stored artifacts: the
+      // quantizer is its k-prefix and the default PQ codebook its
+      // ksub-prefix. The ranking is a deterministic total order
+      // (h, vec_id), so the prefixes are bit-identical to two
+      // independent sampledCentroids calls at one corpus scan's cost.
+      val sample = Similarity.sampledCentroids(prep, math.max(k, PqKsub))
+      val cs = sample.take(k)
       // SQ8 codes are the index's physical read path for approximate
       // scoring — quantized ONCE here at write time (the probe side
       // only ever scans the bit-packed code column, ~1 byte/dim,
@@ -204,7 +210,7 @@ object AnnIndex {
       // dial (see the method scaladoc)
       val pqCb =
         if (learnedPq) Similarity.learnedPqCodebookOf(prep, PqM, PqKsub, Dim)
-        else Similarity.sampledCentroids(prep, PqKsub)
+        else sample.take(PqKsub)
       val assigned = Similarity.assignCells(prep, cs)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           Similarity.sqCodesCol(col("v"), mns, mxs).as("codes"),
@@ -731,7 +737,10 @@ object AnnIndex {
     val n = live.count()
     require(n > 0, s"cannot requantize an empty index ($t)")
     val k = annCellsFor(n)
-    val cs = Similarity.sampledCentroids(live, k)
+    // one ranked sample for quantizer + default PQ codebook — the
+    // build's prefix argument (see ensureBuilt), applied to the rebuild
+    val sample = Similarity.sampledCentroids(live, math.max(k, PqKsub))
+    val cs = sample.take(k)
     // SQ params refresh with the quantizer: drifted mins/maxs are the
     // same decay class as drifted centroids (appended values outside
     // the stored range clamp, widening the range restores code
@@ -745,7 +754,7 @@ object AnnIndex {
     // rebuild so a learned index stays learned)
     val pqCb =
       if (learnedPq) Similarity.learnedPqCodebookOf(live, PqM, PqKsub, Dim)
-      else Similarity.sampledCentroids(live, PqKsub)
+      else sample.take(PqKsub)
     // stage the new generation beside the live one
     val stages = allTables(dir, tag).map(_ + "__stage")
     val Seq(tStage, qtStage, sqtStage, pqtStage, tstStage) = stages

@@ -43,10 +43,11 @@ import org.apache.spark.storage.StorageLevel
 object SharedCaches {
 
   /** Above the registry's distinct shared plans per scale factor
-    * (measured high-water 15 at the 80-query registry — the bench
-    * logs it every run); below what would let a multi-tenant session
-    * hoard the block manager. */
-  val DefaultMaxEntries = 24
+    * (measured high-water 23 at the 121-query registry — the bench
+    * logs it every run, and the round-20 checkpoint-cut conversions
+    * added per-leg artifacts for the pipeline family); below what
+    * would let a multi-tenant session hoard the block manager. */
+  val DefaultMaxEntries = 32
 
   private final case class Entry(df: DataFrame, family: String)
 

@@ -747,10 +747,18 @@ object PipelineQueries {
     "pipeline_curate" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val surv = Dedup.applyNearDedup(docs, Dedup.sharedMinhashPairs(docs))
-      val quality = TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("n_tokens"), col("quality_score_bp"))
-      val lang = TextAnalysis.langId(docs)
-        .select(col("doc_id"), col("predicted_lang"))
+      // quality/lang legs as session checkpoint cuts: both are
+      // full-corpus per-token passes that this entry otherwise re-runs
+      // per invocation (and re-plans per action — the shared-cut
+      // rationale of sharedMinhashPairs); rows and types unchanged
+      val quality = graft.ops.SharedCaches.sharedCut(
+        TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score_bp")),
+        "pipeline")
+      val lang = graft.ops.SharedCaches.sharedCut(
+        TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("predicted_lang")),
+        "pipeline")
       surv.join(quality, "doc_id").join(lang, "doc_id")
         .filter(col("n_tokens") >= 30 && col("quality_score_bp") >= 4000)
         .select(col("doc_id"), col("cluster_size"), col("n_tokens"),
